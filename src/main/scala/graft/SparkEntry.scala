@@ -1,13 +1,714 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.{Col, Table}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 gets a named query here plus (where
+  * ANSI-SQL-expressible) a DuckDB oracle in [[oracleSql]]. Column names are
+  * aliased identically on both sides; aggregates over doubles go through
+  * DECIMAL(18,2/4) so both engines compute exact, order-independent sums
+  * (then cast to double), and every query carries a total ORDER BY so row
+  * order is deterministic.
+  */
 object SparkEntry {
+
+  // ---- determinism helpers (shared by queries; mirrored in oracle SQL) ----
+  private val D = DecimalType(18, 2)
+  /** exact, order-independent SUM over a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+  /** exact AVG = exact sum / count, evaluated in double identically. */
+  private def davg(c: Column): Column = sum(c.cast(D)).cast(DoubleType) / count(c)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Query inventory
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship: TPC-H Q1 pricing summary (SURVEY §2.7/§2.8) ----
+    "q1_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+            .cast(DoubleType).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- projection / fields (§2.2) ----
+    "proj_field" -> { (s, dir) =>
+      Table(t(s, dir, "lineitem"))
+        .project("l_orderkey", "l_linenumber", "l_extendedprice")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "proj_drop" -> { (s, dir) =>
+      Table(t(s, dir, "customer")).dropField("c_name", "c_acctbal")
+        .sort(Seq("c_custkey")).df
+    },
+    "proj_relabel" -> { (s, dir) =>
+      Table(t(s, dir, "region"))
+        .relabel("r_regionkey" -> "key", "r_name" -> "name")
+        .sort(Seq("key")).df
+    },
+
+    // ---- selection (§2.2) ----
+    "sel_filter" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.filter(li("l_quantity") > 45 && li("l_returnflag") === "A")
+        .project("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "sel_isin" -> { (s, dir) =>
+      val o = Table(t(s, dir, "orders"))
+      o.filter(o("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .project("o_orderkey", "o_orderpriority")
+        .sort(Seq("o_orderkey")).df
+    },
+    "sel_slice" -> { (s, dir) =>
+      // positional slice [100, 200) over an explicit total order (§7.4 note)
+      Table(t(s, dir, "orders")).sort(Seq("o_orderkey")).slice(100, 200).df
+    },
+
+    // ---- merge / transform / coerce / coalesce (§2.2) ----
+    "merge_transform" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.project("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .merge(
+          "disc_price" -> (Col(col("l_extendedprice")) * (Col.lit(1) - Col(col("l_discount")))),
+          "charge" -> Col(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+        .dropField("l_discount", "l_tax")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "misc_coerce" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.project("l_orderkey", "l_linenumber", "l_quantity")
+        .merge(
+          "qty_int" -> li("l_quantity").coerce("bigint"),
+          "qty_str" -> li("l_quantity").coerce("string"))
+        .dropField("l_quantity")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "misc_coalesce" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.project("l_orderkey", "l_linenumber", "l_returnflag")
+        .merge("flag2" -> Col(expr("nullif(l_returnflag, 'N')")).coalesceWith(Col.lit("X")))
+        .dropField("l_returnflag")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // ---- arithmetic / comparison / boolean (§2.3) ----
+    "arith_ops" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      val q = li("l_quantity")
+      li.project("l_orderkey", "l_linenumber", "l_quantity")
+        .merge(
+          "a_add" -> (q + 1.5),
+          "a_div" -> (q / 7),
+          "a_floordiv" -> q.floorDiv(Col.lit(7)),
+          "a_mod" -> (Col(col("l_orderkey")) % 7),
+          "a_mul" -> (q * 2),
+          "a_neg" -> (-q),
+          "a_pow" -> q.pow(Col.lit(2)),
+          "a_sub" -> (q - 0.5))
+        .dropField("l_quantity")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "arith_cmp" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      val q = li("l_quantity"); val f = li("l_returnflag")
+      li.merge(
+          "c_and" -> ((q > 10) && (f === "A")),
+          "c_eq" -> (f === "R"),
+          "c_ge" -> (q >= 30),
+          "c_gt" -> (q > 30),
+          "c_le" -> (q <= 30),
+          "c_lt" -> (q < 30),
+          "c_ne" -> (f !== "R"),
+          "c_not" -> !(q > 30),
+          "c_or" -> ((q < 5) || (q > 45)))
+        .project("l_orderkey", "l_linenumber", "c_and", "c_eq", "c_ge", "c_gt",
+          "c_le", "c_lt", "c_ne", "c_not", "c_or")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "arith_greatest_least" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.project("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .merge(
+          "g" -> Col(li("l_quantity").math.greatest(col("l_discount") * 100)),
+          "l" -> Col(li("l_quantity").math.least(col("l_discount") * 100)))
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // ---- math scalar functions (§2.4) ----
+    "math_funcs" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      val q = col("l_quantity"); val d = col("l_discount")
+      def r6(c: Column) = round(c, 6)
+      li.merge(
+          "m_abs" -> Col(abs(q - 25)),
+          "m_asin" -> Col(r6(asin(d))),
+          "m_atan2" -> Col(r6(atan2(q, lit(3.0)))),
+          "m_ceil" -> Col(ceil(q / 7).cast(LongType)),
+          "m_cos" -> Col(r6(cos(q))),
+          "m_degrees" -> Col(r6(degrees(d))),
+          "m_exp" -> Col(r6(exp(d))),
+          "m_floor" -> Col(floor(q / 7).cast(LongType)),
+          "m_hypot" -> Col(r6(hypot(q, lit(4.0)))),
+          "m_log" -> Col(r6(log(q + 1))),
+          "m_log10" -> Col(r6(log10(q + 1))),
+          "m_log1p" -> Col(r6(log1p(q))),
+          "m_sin" -> Col(r6(sin(q))),
+          "m_sqrt" -> Col(r6(sqrt(q))),
+          "m_tan" -> Col(r6(tan(d))),
+          "m_trunc" -> Col(new graft.api.MathOps(q * 0.3).trunc.cast(LongType)))
+        .project(Seq("l_orderkey", "l_linenumber") ++ Seq("m_abs", "m_asin",
+          "m_atan2", "m_ceil", "m_cos", "m_degrees", "m_exp", "m_floor",
+          "m_hypot", "m_log", "m_log10", "m_log1p", "m_sin", "m_sqrt",
+          "m_tan", "m_trunc"): _*)
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // ---- string functions (§2.5) ----
+    "str_basic" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer"))
+      val n = c("c_name")
+      c.project("c_custkey", "c_name")
+        .merge(
+          "s_capitalize" -> Col(n.str.capitalize),
+          "s_len" -> Col(n.str.len.cast(LongType)),
+          "s_lower" -> Col(n.str.lower),
+          "s_lstrip" -> Col(Col.lit("  pad  ").c).label("s_pad_in"),
+          "s_upper" -> Col(n.str.upper))
+        .transform("s_lstrip" -> Col(ltrim(lit("  pad  "))))
+        .sort(Seq("c_custkey")).df
+    },
+    "str_like_find" -> { (s, dir) =>
+      val p = Table(t(s, dir, "part"))
+      val ty = p("p_type")
+      p.project("p_partkey", "p_type")
+        .merge(
+          "s_find" -> Col(ty.str.find("BRASS")),
+          "s_like" -> Col(ty.str.like("*BRASS*")),
+          "s_pos" -> Col(ty.str.find("ECONOMY")))
+        .sort(Seq("p_partkey")).df
+    },
+    "str_slice_pad" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer"))
+      val n = c("c_name")
+      c.merge(
+          "s_cat" -> Col(n.str.cat(col("c_mktsegment"), sep = "|")),
+          "s_lpad" -> Col(n.str.pad(25, "left", ".")),
+          "s_repeat" -> Col(substring(n.c, 1, 2)).label("tmp"),
+          "s_rpad" -> Col(n.str.pad(25, "right", ".")),
+          "s_slice" -> Col(n.str.slice(0, 8)),
+          "s_replace" -> Col(n.str.replace("Customer", "Cust")))
+        .transform("s_repeat" -> Col(repeat(substring(n.c, 1, 2), 3)))
+        .project("c_custkey", "s_cat", "s_lpad", "s_repeat", "s_rpad",
+          "s_slice", "s_replace")
+        .sort(Seq("c_custkey")).df
+    },
+    "str_predicates" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer"))
+      val seg = c("c_mktsegment")
+      c.project("c_custkey", "c_mktsegment")
+        .merge(
+          "p_isalnum" -> Col(seg.str.isalnum),
+          "p_isalpha" -> Col(seg.str.isalpha),
+          "p_isdigit" -> Col(seg.str.isdigit),
+          "p_islower" -> Col(seg.str.islower),
+          "p_isupper" -> Col(seg.str.isupper))
+        .sort(Seq("c_custkey")).df
+    },
+
+    // ---- datetime functions (§2.6) ----
+    "dt_extract" -> { (s, dir) =>
+      val o = Table(t(s, dir, "orders"))
+      val d = o("o_orderdate")
+      o.merge(
+          "d_day" -> Col(d.dt.day),
+          "d_hour" -> Col(d.dt.hour),
+          "d_minute" -> Col(d.dt.minute),
+          "d_month" -> Col(d.dt.month),
+          "d_second" -> Col(d.dt.second),
+          "d_year" -> Col(d.dt.year))
+        .project("o_orderkey", "d_day", "d_hour", "d_minute", "d_month",
+          "d_second", "d_year")
+        .sort(Seq("o_orderkey")).df
+    },
+    "dt_calendar" -> { (s, dir) =>
+      val o = Table(t(s, dir, "orders"))
+      val d = o("o_orderdate")
+      o.merge(
+          "d_dayofyear" -> Col(d.dt.dayofyear),
+          "d_daysinmonth" -> Col(d.dt.daysinmonth),
+          "d_monthend" -> Col(d.dt.isMonthEnd),
+          "d_monthstart" -> Col(d.dt.isMonthStart),
+          "d_quarter" -> Col(d.dt.quarter),
+          "d_week" -> Col(d.dt.week),
+          "d_weekday" -> Col(d.dt.weekday))
+        .project("o_orderkey", "d_dayofyear", "d_daysinmonth", "d_monthend",
+          "d_monthstart", "d_quarter", "d_week", "d_weekday")
+        .sort(Seq("o_orderkey")).df
+    },
+    "dt_trunc" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      val sd = li("l_shipdate")
+      li.merge(
+          "t_10min" -> Col(sd.dt.truncate(10, "minutes")),
+          "t_day" -> Col(sd.dt.truncate(1, "day")),
+          "t_month" -> Col(sd.dt.truncate(1, "month")),
+          "t_strftime" -> Col(sd.dt.strftime("%Y-%m-%d %H:%M")),
+          "t_year" -> Col(sd.dt.truncate(1, "year")))
+        .project("l_orderkey", "l_linenumber", "t_10min", "t_day", "t_month",
+          "t_strftime", "t_year")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // ---- reductions (§2.7) ----
+    "red_summary" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      // Blaze summary(): one row, field names alphabetical (reductions.py:277-279)
+      li.agg(
+        davg(col("l_quantity")).as("r_mean"),
+        count(col("l_quantity")).as("r_count"),
+        max(col("l_quantity")).as("r_max"),
+        min(col("l_quantity")).as("r_min"),
+        countDistinct(col("l_returnflag")).as("r_nunique"),
+        dsum(col("l_quantity")).as("r_sum"),
+        count(lit(1)).as("r_nrows"))
+        .select(col("r_count"), col("r_max"), col("r_mean"), col("r_min"),
+          col("r_nrows"), col("r_nunique"), col("r_sum"))
+    },
+    "red_var_std" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      // exact moments in decimal, final formula in double — identical in DuckDB
+      val agg = li.agg(
+        sum(col("l_quantity").cast(D)).cast(DoubleType).as("sx"),
+        sum(col("l_quantity").cast(D) * col("l_quantity").cast(D)).cast(DoubleType).as("sx2"),
+        count(col("l_quantity")).cast(DoubleType).as("n"))
+      agg.select(
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / col("n")).as("var_pop"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_samp"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / col("n")).as("std_pop"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_samp"))
+    },
+    "red_any_all" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        max(col("l_quantity") > 49).as("r_any_gt49"),
+        min(col("l_quantity") > 0).as("r_all_gt0"),
+        max(col("l_quantity") > 100).as("r_any_gt100"))
+        .select(col("r_all_gt0"), col("r_any_gt100"), col("r_any_gt49"))
+    },
+    "red_vnorm" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.agg(sum(col("l_quantity").cast(D) * col("l_quantity").cast(D))
+          .cast(DoubleType).as("ss"))
+        .select(sqrt(col("ss")).as("vnorm2"))
+    },
+    "red_count_values" -> { (s, dir) =>
+      Table(t(s, dir, "lineitem")).countValues("l_returnflag").df
+    },
+
+    // ---- grouping (§2.8) ----
+    "by_sum" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.by("l_returnflag",
+          "total_qty" -> Col(dsum(col("l_quantity"))),
+          "avg_price" -> Col(davg(col("l_extendedprice"))),
+          "n" -> Col(count(lit(1))))
+        .sort(Seq("l_returnflag")).df
+    },
+    "by_derived" -> { (s, dir) =>
+      // grouping on a derived elementwise expression (split_apply_combine.py:28-88)
+      val o = Table(t(s, dir, "orders"))
+      o.by(Seq("order_year" -> Col(year(col("o_orderdate")))),
+          "n" -> Col(count(lit(1))),
+          "total" -> Col(dsum(col("o_totalprice"))))
+        .sort(Seq("order_year")).df
+    },
+    "by_multi" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      li.byFields(Seq("l_returnflag", "l_linestatus"),
+          "max_disc" -> Col(max(col("l_discount"))),
+          "min_qty" -> Col(min(col("l_quantity"))),
+          "nunique_parts" -> Col(countDistinct(col("l_partkey"))))
+        .sort(Seq("l_returnflag", "l_linestatus")).df
+    },
+
+    // ---- joins (§2.9) ----
+    "join_inner" -> { (s, dir) =>
+      val o = Table(t(s, dir, "orders"))
+      val c = Table(t(s, dir, "customer"))
+      Table.join(o, c, Seq("o_custkey"), Seq("c_custkey"), "inner",
+          broadcastRight = true)
+        .project("o_custkey", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .sort(Seq("o_orderkey")).df
+    },
+    "join_left" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer"))
+      val n = Table(t(s, dir, "nation"))
+      Table.join(c, n, Seq("c_nationkey"), Seq("n_nationkey"), "left",
+          broadcastRight = true)
+        .project("c_nationkey", "c_custkey", "c_name", "n_name")
+        .sort(Seq("c_custkey")).df
+    },
+    "join_outer" -> { (s, dir) =>
+      // full outer over a filtered pair so both null sides occur
+      val o = Table(Table(t(s, dir, "orders")).df.filter(col("o_orderkey") % 3 === 0))
+      val li = Table(Table(t(s, dir, "lineitem")).df
+        .filter(col("l_orderkey") % 3 === 1)
+        .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("qty")))
+      Table.join(o, li, Seq("o_orderkey"), Seq("l_orderkey"), "outer")
+        .project("o_orderkey", "o_totalprice", "qty")
+        .sort(Seq("o_orderkey")).df
+    },
+    "join_multi" -> { (s, dir) =>
+      // TPC-H Q5-flavored 5-way join with broadcast dims; revenue by region
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    "join_semi" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      li.join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    "join_anti" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- sorting / limits / top-k (§2.10) ----
+    "sort_head" -> { (s, dir) =>
+      // top-k: Spark plans TakeOrderedAndProject (no full sort at scale)
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    },
+    "sort_tail" -> { (s, dir) =>
+      // reference tail rewrite: inverted sort + head + re-sort (sql.py:1523-1546)
+      Table(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+        .tail(10, Seq("o_orderkey")).df
+    },
+
+    // ---- set-like ops (§2.11) ----
+    "set_distinct" -> { (s, dir) =>
+      Table(t(s, dir, "lineitem")).df
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "set_distinct_on" -> { (s, dir) =>
+      // Distinct(on): keep FIRST row per key under an explicit total order
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "set_concat" -> { (s, dir) =>
+      val o = Table(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+      val hi = Table(o.df.filter(col("o_totalprice") > 300000))
+      val lo = Table(o.df.filter(col("o_totalprice") < 10000))
+      hi.concat(lo).sort(Seq("o_orderkey")).df
+    },
+
+    // ---- shift / window (§2.2 Shift) ----
+    "win_shift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  // =====================================================================
+  // DuckDB oracle SQL — same table names, same output column names, same
+  // deterministic ORDER BY; decimal-exact aggregation mirrors the Spark side.
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "proj_field" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "proj_drop" ->
+      "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey",
+    "proj_relabel" ->
+      "SELECT r_regionkey AS key, r_name AS name FROM region ORDER BY key",
+
+    "sel_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sel_isin" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey""".stripMargin,
+    "sel_slice" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100",
+
+    "merge_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  l_extendedprice * (1 - l_discount) AS disc_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "misc_coerce" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(l_quantity AS VARCHAR) AS qty_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "misc_coalesce" ->
+      """SELECT l_orderkey, l_linenumber, COALESCE(NULLIF(l_returnflag,'N'),'X') AS flag2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "arith_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity + 1.5 AS a_add,
+        |  l_quantity / 7 AS a_div,
+        |  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS a_floordiv,
+        |  l_orderkey % 7 AS a_mod,
+        |  l_quantity * 2 AS a_mul,
+        |  -l_quantity AS a_neg,
+        |  POW(l_quantity, 2) AS a_pow,
+        |  l_quantity - 0.5 AS a_sub
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "arith_cmp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_quantity > 10 AND l_returnflag = 'A') AS c_and,
+        |  l_returnflag = 'R' AS c_eq,
+        |  l_quantity >= 30 AS c_ge,
+        |  l_quantity > 30 AS c_gt,
+        |  l_quantity <= 30 AS c_le,
+        |  l_quantity < 30 AS c_lt,
+        |  l_returnflag <> 'R' AS c_ne,
+        |  NOT (l_quantity > 30) AS c_not,
+        |  (l_quantity < 5 OR l_quantity > 45) AS c_or
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "arith_greatest_least" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  GREATEST(l_quantity, l_discount * 100) AS g,
+        |  LEAST(l_quantity, l_discount * 100) AS l
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_quantity - 25) AS m_abs,
+        |  ROUND(ASIN(l_discount), 6) AS m_asin,
+        |  ROUND(ATAN2(l_quantity, 3.0), 6) AS m_atan2,
+        |  CAST(CEIL(l_quantity / 7) AS BIGINT) AS m_ceil,
+        |  ROUND(COS(l_quantity), 6) AS m_cos,
+        |  ROUND(DEGREES(l_discount), 6) AS m_degrees,
+        |  ROUND(EXP(l_discount), 6) AS m_exp,
+        |  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS m_floor,
+        |  ROUND(SQRT(l_quantity*l_quantity + 4.0*4.0), 6) AS m_hypot,
+        |  ROUND(LN(l_quantity + 1), 6) AS m_log,
+        |  ROUND(LOG10(l_quantity + 1), 6) AS m_log10,
+        |  ROUND(LN(1 + l_quantity), 6) AS m_log1p,
+        |  ROUND(SIN(l_quantity), 6) AS m_sin,
+        |  ROUND(SQRT(l_quantity), 6) AS m_sqrt,
+        |  ROUND(TAN(l_discount), 6) AS m_tan,
+        |  CAST(CASE WHEN l_quantity * 0.3 >= 0 THEN FLOOR(l_quantity * 0.3) ELSE CEIL(l_quantity * 0.3) END AS BIGINT) AS m_trunc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "str_basic" ->
+      """SELECT c_custkey, c_name,
+        |  UPPER(SUBSTRING(c_name, 1, 1)) || LOWER(SUBSTRING(c_name, 2)) AS s_capitalize,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS s_len,
+        |  LOWER(c_name) AS s_lower,
+        |  LTRIM('  pad  ') AS s_lstrip,
+        |  UPPER(c_name) AS s_upper
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_like_find" ->
+      """SELECT p_partkey, p_type,
+        |  CAST(STRPOS(p_type, 'BRASS') - 1 AS BIGINT) AS s_find,
+        |  p_type LIKE '%BRASS%' AS s_like,
+        |  CAST(STRPOS(p_type, 'ECONOMY') - 1 AS BIGINT) AS s_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "str_slice_pad" ->
+      """SELECT c_custkey,
+        |  c_name || '|' || c_mktsegment AS s_cat,
+        |  LPAD(c_name, 25, '.') AS s_lpad,
+        |  REPEAT(SUBSTRING(c_name, 1, 2), 3) AS s_repeat,
+        |  RPAD(c_name, 25, '.') AS s_rpad,
+        |  SUBSTRING(c_name, 1, 8) AS s_slice,
+        |  REPLACE(c_name, 'Customer', 'Cust') AS s_replace
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_predicates" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  regexp_matches(c_mktsegment, '^[A-Za-z0-9]+$') AS p_isalnum,
+        |  regexp_matches(c_mktsegment, '^[A-Za-z]+$') AS p_isalpha,
+        |  regexp_matches(c_mktsegment, '^[0-9]+$') AS p_isdigit,
+        |  (regexp_matches(c_mktsegment, '[a-z]') AND NOT regexp_matches(c_mktsegment, '[A-Z]')) AS p_islower,
+        |  (regexp_matches(c_mktsegment, '[A-Z]') AND NOT regexp_matches(c_mktsegment, '[a-z]')) AS p_isupper
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "dt_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d_day,
+        |  CAST(EXTRACT(HOUR FROM o_orderdate) AS INT) AS d_hour,
+        |  CAST(EXTRACT(MINUTE FROM o_orderdate) AS INT) AS d_minute,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_month,
+        |  CAST(EXTRACT(SECOND FROM o_orderdate) AS DOUBLE) AS d_second,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS d_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dt_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS d_dayofyear,
+        |  CAST(EXTRACT(DAY FROM last_day(o_orderdate)) AS INT) AS d_daysinmonth,
+        |  CAST(o_orderdate AS DATE) = last_day(o_orderdate) AS d_monthend,
+        |  EXTRACT(DAY FROM o_orderdate) = 1 AS d_monthstart,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS d_quarter,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS d_week,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS d_weekday
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dt_trunc" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  make_timestamp(CAST(FLOOR(epoch(l_shipdate) / 600) AS BIGINT) * 600 * 1000000) AS t_10min,
+        |  date_trunc('day', l_shipdate) AS t_day,
+        |  date_trunc('month', l_shipdate) AS t_month,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M') AS t_strftime,
+        |  date_trunc('year', l_shipdate) AS t_year
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "red_summary" ->
+      """SELECT COUNT(l_quantity) AS r_count, MAX(l_quantity) AS r_max,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS r_mean,
+        |  MIN(l_quantity) AS r_min, COUNT(*) AS r_nrows,
+        |  COUNT(DISTINCT l_returnflag) AS r_nunique,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r_sum
+        |FROM lineitem""".stripMargin,
+    "red_var_std" ->
+      """WITH m AS (SELECT
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |  CAST(COUNT(l_quantity) AS DOUBLE) AS n FROM lineitem)
+        |SELECT (sx2 - sx * sx / n) / n AS var_pop,
+        |  (sx2 - sx * sx / n) / (n - 1) AS var_samp,
+        |  SQRT((sx2 - sx * sx / n) / n) AS std_pop,
+        |  SQRT((sx2 - sx * sx / n) / (n - 1)) AS std_samp
+        |FROM m""".stripMargin,
+    "red_any_all" ->
+      """SELECT bool_and(l_quantity > 0) AS r_all_gt0,
+        |  bool_or(l_quantity > 100) AS r_any_gt100,
+        |  bool_or(l_quantity > 49) AS r_any_gt49
+        |FROM lineitem""".stripMargin,
+    "red_vnorm" ->
+      """SELECT SQRT(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) AS vnorm2
+        |FROM lineitem""".stripMargin,
+    "red_count_values" ->
+      """SELECT l_returnflag, COUNT(*) AS count FROM lineitem
+        |GROUP BY l_returnflag ORDER BY count DESC, l_returnflag""".stripMargin,
+
+    "by_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "by_derived" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "by_multi" ->
+      """SELECT l_returnflag, l_linestatus, MAX(l_discount) AS max_disc,
+        |  MIN(l_quantity) AS min_qty, COUNT(DISTINCT l_partkey) AS nunique_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_inner" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left" ->
+      """SELECT c_nationkey, c_custkey, c_name, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |  li AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |         FROM lineitem WHERE l_orderkey % 3 = 1 GROUP BY l_orderkey)
+        |SELECT COALESCE(o.o_orderkey, li.l_orderkey) AS o_orderkey, o.o_totalprice, li.qty
+        |FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_multi" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sort_head" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "sort_tail" ->
+      """SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "set_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "set_distinct_on" ->
+      """SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "set_concat" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 10000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_shift" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }

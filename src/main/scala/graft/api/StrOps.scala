@@ -1,0 +1,98 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Blaze `.str` namespace (`blaze/expr/strings.py`), lowered to codegen'd
+  * Spark built-ins. Semantics notes per method cite the reference.
+  */
+final class StrOps(private val c: Column) extends AnyVal {
+  /** Blaze Like uses glob wildcards `*`/`?` translated to SQL `%`/`_`
+    * (`strings.py:57-83`, `compute/sql.py:1276-1278`).
+    */
+  def like(globPattern: String): Column =
+    c.like(StrOps.globToSql(globPattern))
+
+  /** char length (`strings.py:93-94`). */
+  def len: Column = length(c)
+
+  def upper: Column = org.apache.spark.sql.functions.upper(c)
+  def lower: Column = org.apache.spark.sql.functions.lower(c)
+  /** pandas capitalize: first char upper, REST lower (`strings.py:171-175`). */
+  def capitalize: Column =
+    concat(org.apache.spark.sql.functions.upper(substring(c, 1, 1)),
+           org.apache.spark.sql.functions.lower(expr_substr(c, 2)))
+
+  def strip: Column = trim(c)
+  def lstrip: Column = ltrim(c)
+  def rstrip: Column = rtrim(c)
+
+  // --- predicates (`strings.py:111-126`) — regex formulas, no UDFs ---
+  def isalnum: Column = c.rlike("^[A-Za-z0-9]+$")
+  def isalpha: Column = c.rlike("^[A-Za-z]+$")
+  def isdecimal: Column = c.rlike("^[0-9]+$")
+  def isdigit: Column = c.rlike("^[0-9]+$")
+  def islower: Column = c.rlike("[a-z]") && !c.rlike("[A-Z]")
+  def isnumeric: Column = c.rlike("^[0-9]+$")
+  def isspace: Column = c.rlike("^\\s+$")
+  def istitle: Column =
+    c.rlike("[A-Za-z]") && (c === initcap(org.apache.spark.sql.functions.lower(c)))
+  def isupper: Column = c.rlike("[A-Z]") && !c.rlike("[a-z]")
+
+  /** pandas str.find: 0-based, -1 when absent (`strings.py:128-142`);
+    * SQL backend uses 1-based position (`compute/sql.py:1324-1327`).
+    */
+  def find(sub: String): Column = (instr(c, sub) - 1).cast(LongType)
+
+  /** Replace(old, new) (`strings.py:144-155`); `max` arg is a pandas-only
+    * edge in the reference and is unsupported here too.
+    */
+  def replace(oldSub: String, newSub: String): Column =
+    org.apache.spark.sql.functions.replace(c, lit(oldSub), lit(newSub))
+
+  /** Pad(width, side, fillchar) (`strings.py:157-169`). */
+  def pad(width: Int, side: String = "left", fillchar: String = " "): Column =
+    side match {
+      case "left"  => lpad(c, width, fillchar)
+      case "right" => rpad(c, width, fillchar)
+      case "both" =>
+        val totalPad = greatest(lit(width) - length(c), lit(0))
+        val leftPad = (totalPad / 2).cast(IntegerType)
+        rpad(lpad(c, least(length(c) + leftPad, lit(width)).cast(IntegerType), lit(fillchar)),
+             width, fillchar)
+      case other => throw new IllegalArgumentException(
+        s"Pad side must be left/right/both, got $other")
+    }
+
+  /** `.str[a:b]` — 0-based half-open slice; SQL backend forbids step and
+    * negatives (`strings.py:195-220`, `compute/sql.py:1297-1321`).
+    */
+  def slice(start: Int, stop: Int): Column = {
+    require(start >= 0 && stop >= start, "str slice: 0<=start<=stop, no step/negatives")
+    substring(c, start + 1, stop - start)
+  }
+  def sliceFrom(start: Int): Column = expr_substr(c, start + 1)
+
+  /** SliceReplace (`strings.py:202-213`). */
+  def sliceReplace(start: Int, stop: Int, repl: String): Column =
+    concat(substring(c, 1, start), lit(repl), expr_substr(c, stop + 1))
+
+  /** StrCat: null-propagating concat with optional sep (`strings.py:222-288`);
+    * matches pandas `na_rep=None`: any null side → null.
+    */
+  def cat(other: Column, sep: String = ""): Column =
+    if (sep.isEmpty) concat(c, other) else concat(c, lit(sep), other)
+
+  /** string * int (`arithmetic.py:147-163`). */
+  def repeat(n: Int): Column = org.apache.spark.sql.functions.repeat(c, n)
+
+  private def expr_substr(col: Column, pos: Int): Column =
+    substring(col, pos, Int.MaxValue)
+}
+
+object StrOps {
+  /** glob → SQL LIKE translation (`compute/sql.py:1276-1278`). */
+  def globToSql(glob: String): String =
+    glob.replace("%", "\\%").replace("_", "\\_").replace('*', '%').replace('?', '_')
+}

@@ -1,0 +1,236 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Blaze's table algebra (`blaze/expr/collections.py`, `expressions.py`,
+  * `split_apply_combine.py`) re-expressed over a lazy Spark `DataFrame`.
+  *
+  * Construction-time validation mirrors Blaze's eager analysis
+  * (SURVEY §3A step 2): bad field names / mismatched concat schemas fail
+  * when the expression is BUILT, not when it runs. Execution semantics
+  * (pruning, pushdown, fusion, partial aggregation) are inherited from
+  * Catalyst — the reference's hand-rolled equivalents (`expr/optimize.py`,
+  * `expr/split.py`, `expr/broadcast.py`) are deliberately NOT ported.
+  */
+final case class Table(df: DataFrame) {
+  def schema = df.schema
+  def fields: Seq[String] = df.columns.toSeq
+
+  private def requireFields(names: Seq[String], op: String): Unit = {
+    val missing = names.filterNot(fields.contains)
+    require(missing.isEmpty, s"$op: no such field(s) ${missing.mkString(", ")} in ${fields.mkString(", ")}")
+  }
+
+  // --- field access / projection (`expressions.py:362-456`) ---
+  def apply(name: String): Col = { requireFields(Seq(name), "Field"); Col(df(name)) }
+  def project(names: String*): Table = {
+    requireFields(names, "Projection")
+    Table(df.select(names.map(df(_)): _*))
+  }
+  /** drop_field (`expressions.py:982-1023`). */
+  def dropField(names: String*): Table = {
+    requireFields(names, "drop_field"); Table(df.drop(names: _*))
+  }
+
+  // --- selection (`expressions.py:518-571`) ---
+  def filter(pred: Col): Table = Table(df.filter(pred.c))
+  def where(pred: Col): Table = filter(pred)
+
+  // --- renames (`expressions.py:574-692`) ---
+  def relabel(renames: (String, String)*): Table = {
+    requireFields(renames.map(_._1), "ReLabel")
+    Table(df.withColumnsRenamed(renames.toMap))
+  }
+
+  // --- merge / transform (`collections.py:377-537`) ---
+  /** merge: column-wise concat; new columns in ALPHABETICAL name order
+    * (`collections.py:476-482`).
+    */
+  def merge(cols: (String, Col)*): Table = {
+    val newCols = cols.sortBy(_._1).map { case (n, col) => col.c.as(n) }
+    Table(df.select(df.columns.map(df(_)) ++ newCols: _*))
+  }
+  /** transform: add/replace derived columns keeping existing order
+    * (`collections.py:503-537`).
+    */
+  def transform(cols: (String, Col)*): Table =
+    Table(df.withColumns(cols.map { case (n, col) => n -> col.c }.toMap))
+
+  // --- grouping (`split_apply_combine.py:28-88`) ---
+  /** by: result columns = grouper fields then aggregation names in
+    * ALPHABETICAL order (`reductions.py:277-279`). Groupers may be derived
+    * expressions (aliased). Partial/final aggregation (map-side combine)
+    * is Catalyst-native — scales to arbitrary group counts via shuffle on
+    * the group keys.
+    */
+  def by(groupers: Seq[(String, Col)], aggs: (String, Col)*): Table = {
+    require(aggs.nonEmpty, "by: at least one aggregation required")
+    val g = df.groupBy(groupers.map { case (n, c) => c.c.as(n) }: _*)
+    val sorted = aggs.sortBy(_._1).map { case (n, c) => c.c.as(n) }
+    Table(g.agg(sorted.head, sorted.tail: _*)
+      .select((groupers.map(_._1) ++ aggs.map(_._1).sorted).map(col): _*))
+  }
+  def by(grouper: String, aggs: (String, Col)*): Table =
+    by(Seq(grouper -> apply(grouper)), aggs: _*)
+  def byFields(groupers: Seq[String], aggs: (String, Col)*): Table =
+    by(groupers.map(n => n -> apply(n)), aggs: _*)
+
+  /** summary: one-row multi-reduction, fields alphabetical
+    * (`reductions.py:226-296`).
+    */
+  def summary(aggs: (String, Col)*): Table = {
+    val sorted = aggs.sortBy(_._1).map { case (n, c) => c.c.as(n) }
+    Table(df.agg(sorted.head, sorted.tail: _*))
+  }
+
+  /** count_values (`split_apply_combine.py:91-101`). */
+  def countValues(field: String): Table = {
+    requireFields(Seq(field), "count_values")
+    Table(df.groupBy(df(field)).agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc(field)))
+  }
+
+  // --- sorting / limits (`collections.py:80-316`) ---
+  /** sort: single global ascending flag for all keys, per the reference
+    * (`collections.py:80-173`).
+    */
+  def sort(keys: Seq[String], ascending: Boolean = true): Table = {
+    requireFields(keys, "Sort")
+    Table(df.orderBy(keys.map(k => if (ascending) asc(k) else desc(k)): _*))
+  }
+  def sort(key: String): Table = sort(Seq(key))
+  def sortBy(cols: Seq[Col], ascending: Boolean): Table =
+    Table(df.orderBy(cols.map(c => if (ascending) c.c.asc else c.c.desc): _*))
+  def head(n: Int): Table = Table(df.limit(n))
+  /** tail: reference SQL backend inverts the sort, limits, re-sorts
+    * (`compute/sql.py:1523-1546`). Without a sort this is head-equivalent
+    * (same documented caveat).
+    */
+  def tail(n: Int, sortKeys: Seq[String] = Nil, ascending: Boolean = true): Table =
+    if (sortKeys.isEmpty) head(n)
+    else Table(df.orderBy(sortKeys.map(k => if (ascending) desc(k) else asc(k)): _*)
+      .limit(n)
+      .orderBy(sortKeys.map(k => if (ascending) asc(k) else desc(k)): _*))
+
+  /** Sample(frac=) (`collections.py:319-356`). */
+  def sample(frac: Double, seed: Long = 42L): Table = Table(df.sample(frac, seed))
+  /** Sample(n=): exact-n random rows — orderBy(rand).limit per the SQL
+    * backend (`compute/sql.py:1046-1067`).
+    */
+  def sampleN(n: Int, seed: Long = 42L): Table =
+    Table(df.orderBy(rand(seed)).limit(n))
+
+  /** Positional Slice (`expressions.py:488-515`): no stable row order in
+    * Spark — documented nondeterminism, as the reference SQL backend also
+    * warns (`compute/sql.py:1646-1647`). No step/negatives (also rejected
+    * by the reference SQL backend, `sql.py:1632-1644`).
+    */
+  def slice(start: Int, stop: Int): Table = {
+    require(start >= 0 && stop >= start, "slice: 0<=start<=stop, no step/negatives")
+    Table(df.offset(start).limit(stop - start))
+  }
+
+  // --- distinct / concat (`collections.py:176-252,776-865`) ---
+  def distinct: Table = Table(df.distinct())
+  /** Distinct(*on): dedupe by key subset keeping one row per key. */
+  def distinct(on: String*): Table = {
+    requireFields(on, "Distinct"); Table(df.dropDuplicates(on))
+  }
+  /** Concat axis=0: vertical union-all; measures must match exactly
+    * (`collections.py:776-865`).
+    */
+  def concat(other: Table): Table = {
+    require(fields == other.fields && schema.map(_.dataType) == other.schema.map(_.dataType),
+      s"concat: schemas must match exactly: $fields vs ${other.fields}")
+    Table(df.unionAll(other.df))
+  }
+
+  // --- shift (`collections.py:914-950`) ---
+  /** Shift(n): lag/lead null-padded. Spark requires an explicit ordering
+    * (SURVEY §7.4 hard part 1) — the reference relies on physical order.
+    */
+  def shift(field: String, n: Int, orderKeys: Seq[String]): Table = {
+    requireFields(field +: orderKeys, "Shift")
+    val w = Window.orderBy(orderKeys.map(asc): _*)
+    val shifted = if (n >= 0) lag(df(field), n).over(w) else lead(df(field), -n).over(w)
+    Table(df.withColumn(field, shifted))
+  }
+
+  // --- isin via semi-join for large key sets (`collections.py:868-911`) ---
+  def isinTable(field: String, keys: Table, keyField: String): Table =
+    Table(df.join(keys.df.select(keys.df(keyField).as(field)).distinct(), Seq(field), "left_semi"))
+
+  // --- reductions shortcuts ---
+  def nrows: Long = df.count()
+  def nelements: Long = nrows
+
+  // --- UDF surface (`expressions.py:695-791`) ---
+  /** Apply(func, splittable=true) → per-partition (`compute/spark.py:120-128`). */
+  def applyFn(f: DataFrame => DataFrame): Table = Table(df.transform(f))
+
+  // --- interactive (`blaze/interactive.py`) ---
+  def peek(n: Int = 11): Unit = df.show(n, truncate = false)
+}
+
+object Table {
+  /** `data(uri)` (`expr/literal.py:110-243`): URI router over Spark readers. */
+  def data(spark: SparkSession, uri: String): Table = {
+    val t =
+      if (uri.endsWith(".parquet")) spark.read.parquet(uri)
+      else if (uri.endsWith(".csv")) spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
+      else if (uri.endsWith(".json")) spark.read.json(uri)
+      else if (uri.endsWith(".orc")) spark.read.orc(uri)
+      else if (uri.startsWith("jdbc:")) throw new IllegalArgumentException("jdbc uri needs table: use dataJdbc")
+      else spark.table(uri)
+    Table(t)
+  }
+
+  /** Blaze Join (`collections.py:555-773`): equi-join, output columns =
+    * join keys first, then left non-key, then right non-key; overlapping
+    * non-key names suffixed `_left`/`_right`; outer sides become nullable.
+    * how ∈ inner/left/right/outer. Physical strategy (broadcast vs
+    * shuffled hash vs sort-merge) is left to Catalyst + AQE; pass
+    * `broadcastRight=true` to force a broadcast of a small dimension.
+    */
+  def join(lhs: Table, rhs: Table, onLeft: Seq[String], onRight: Seq[String],
+           how: String = "inner", suffixes: (String, String) = ("_left", "_right"),
+           broadcastRight: Boolean = false): Table = {
+    require(onLeft.nonEmpty && onLeft.size == onRight.size, "join: key arity mismatch")
+    require(Seq("inner", "left", "right", "outer").contains(how),
+      s"join: how must be inner/left/right/outer, got $how")
+    val l = lhs.df.alias("l")
+    val rdf0 = rhs.df.alias("r")
+    val r = if (broadcastRight) broadcast(rdf0) else rdf0
+    val cond = onLeft.zip(onRight).map { case (a, b) => col(s"l.$a") === col(s"r.$b") }
+      .reduce(_ && _)
+    val joined = l.join(r, cond, how match {
+      case "outer" => "full_outer"
+      case h       => h
+    })
+    // key columns: coalesce(l,r) for outer, else take the non-null side
+    val keyCols = onLeft.zip(onRight).map { case (a, b) =>
+      (how match {
+        case "inner" | "left" => col(s"l.$a")
+        case "right"          => col(s"r.$b")
+        case "outer"          => coalesce(col(s"l.$a"), col(s"r.$b"))
+      }).as(a)
+    }
+    val lRest = lhs.fields.filterNot(onLeft.contains)
+    val rRest = rhs.fields.filterNot(onRight.contains)
+    val overlap = lRest.toSet.intersect(rRest.toSet)
+    val lCols = lRest.map(n => col(s"l.$n").as(if (overlap(n)) n + suffixes._1 else n))
+    val rCols = rRest.map(n => col(s"r.$n").as(if (overlap(n)) n + suffixes._2 else n))
+    Table(joined.select(keyCols ++ lCols ++ rCols: _*))
+  }
+
+  def join(lhs: Table, rhs: Table, on: Seq[String]): Table =
+    join(lhs, rhs, on, on)
+  /** Default `on` = sorted common fields (`collections.py:727-731`). */
+  def join(lhs: Table, rhs: Table): Table = {
+    val common = lhs.fields.toSet.intersect(rhs.fields.toSet).toSeq.sorted
+    require(common.nonEmpty, "join: no common fields to join on")
+    join(lhs, rhs, common, common)
+  }
+}
