@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+
+/** North-star extension queries (BASELINE.json): dedup, similarity
+  * search, text analysis, multimodal plumbing, event sessionization.
+  *
+  * The DuckDB oracle SQL for the hash-heavy operators is GENERATED from
+  * the same constants the Scala operators use (minhash permutations,
+  * simhash bit count, rolling-hash weights, embedding dimension), so both
+  * engines execute the identical math — differential testing without
+  * rounding slop.
+  */
+object PipelineEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // shared SQL fragments (DuckDB dialect), mirrored from TextFunctions
+  // ---------------------------------------------------------------
+  private def sqlHash(x: String): String =
+    s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"
+  private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
+  private val sqlShingles3 = // distinct 3-gram shingles over ts
+    "list_distinct(list_transform(range(1, greatest(len(ts)-2,0)+1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))"
+  private def sqlDot(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("0.0 + ", " + ", "")
+  private def sqlNorm(a: String): String =
+    "SQRT(" + (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
+      .mkString("0.0 + ", " + ", "") + ")"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)}) / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  // =================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "text_stats" -> { (s, dir) =>
+      import TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        meanTokenLen(col("text")).as("mean_token_len"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    "text_langid" -> { (s, dir) =>
+      import TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      import TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup ----
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("fp")
+    },
+    "dedup_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents")).orderBy("doc_id")
+    },
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")
+    },
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_ngram_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3,
+        threshold = 0.3, blockCol = "source").orderBy("id_a", "id_b")
+    },
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----
+    "sim_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+    "sim_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, coarseCol = "label")
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+    "sim_lsh" -> { (s, dir) => // ANN path; recall vs brute force unit-tested
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- multimodal plumbing ----
+    "mm_decode_meta" -> { (s, dir) =>
+      Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 1024L)
+        .orderBy("media_id", "frame_idx")
+    },
+    "mm_features" -> { (s, dir) => // mapPartitions batch path; unit-tested
+      Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
+    // ---- events ----
+    "ev_tumbling" -> { (s, dir) =>
+      Sessionize.tumbling(t(s, dir, "events"), widthSeconds = 300L)
+        .orderBy("window_start", "event_type")
+    },
+    "ev_sessions" -> { (s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("total_value"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- UDF / Apply surface (§2.14) ----
+    "misc_map_udf" -> { (s, dir) =>
+      // Map(func, schema): row-wise Scala function with declared result type
+      val rank = udf((p: String) => p.substring(0, 1).toInt * 10)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), rank(col("o_orderpriority")).as("prio_rank"))
+        .orderBy("o_orderkey")
+    },
+    "misc_apply" -> { (s, dir) =>
+      // Apply(func, splittable=true) → per-partition execution
+      import s.implicits._
+      val rows = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .as[(Long, Int, Double)]
+        .mapPartitions(it => it.map { case (k, n, q) => (k, n, q * 2 + 1) })
+        .toDF("l_orderkey", "l_linenumber", "qty2")
+      rows.orderBy("l_orderkey", "l_linenumber")
+    },
+    "misc_sample" -> { (s, dir) => // rows-only: engine-specific RNG
+      t(s, dir, "lineitem").sample(0.1, 42L)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- sources: round-trips through other formats (§2.1) ----
+    "src_csv_roundtrip" -> { (s, dir) =>
+      val out = "/root/repo/target/roundtrip/region_csv"
+      t(s, dir, "region").write.mode("overwrite").option("header", "true").csv(out)
+      graft.api.Table.data(s, out + "/part-00000*.csv").df
+        .select(col("r_regionkey").cast(IntegerType), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+    "src_json_roundtrip" -> { (s, dir) =>
+      val out = "/root/repo/target/roundtrip/nation_json"
+      t(s, dir, "nation").write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+          col("n_regionkey").cast(IntegerType))
+        .orderBy("n_nationkey")
+    },
+    "src_orc_roundtrip" -> { (s, dir) =>
+      val out = "/root/repo/target/roundtrip/supplier_orc"
+      t(s, dir, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("s_suppkey")
+    },
+
+    // ---- caching (§1.1 CachedDataset) ----
+    "misc_cached" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").cache()
+      val a = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val b = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("q"))
+      a.join(b, Seq("l_returnflag")).orderBy("l_returnflag")
+    }
+  )
+
+  // =================================================================
+  def oracleSql: Map[String, String] = {
+    // ---- generated fragments from shared constants ----
+    val mhExprs = (0 until Dedup.NumPerms).map { j =>
+      s"list_min(list_transform(hs, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % ${Dedup.MinhashP})) AS mh$j"
+    }.mkString(",\n  ")
+    val nBands = Dedup.NumPerms / Dedup.BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (0 until Dedup.BandRows)
+        .map(r => s"mh${b * Dedup.BandRows + r}").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val simhashTerms = (0 until Dedup.SimhashBits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    val rollW = TextFunctions.RollWeights.mkString("[", ", ", "]")
+    val stopSql = TextFunctions.LangStopwords.map { case (l, ws) =>
+      s"len(list_filter(ts, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextFunctions.LangStopwords.map(_._1)
+    val langCase = langs.map { l =>
+      val others = langs.map(x => s"s_$x").mkString(", ")
+      s"WHEN s_$l = greatest($others) AND s_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val enList = TextFunctions.LangStopwords.head._2.map(w => s"'$w'").mkString(",")
+
+    Map(
+      "text_stats" ->
+        s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS ts FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(ts) AS BIGINT) AS n_tokens,
+           |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE) AS mean_token_len,
+           |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           |  0.4 * (CAST(len(list_filter(ts, x -> x IN ($enList))) AS BIGINT) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE))
+           |    + 0.3 * LEAST((CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE)) / 10.0, 1.0)
+           |    + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, lang,
+           |  $stopSql
+           |FROM t)
+           |SELECT doc_id, lang, $langCase AS lang_pred FROM s ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)
+           |SELECT doc_id,
+           |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           |  CAST(list_sum(list_transform(range(1, len(hs)+1), i -> hs[i] * ($rollW)[(i-1)%8 + 1])) % ${TextFunctions.RollP} AS BIGINT) AS fp_roll
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          |  min(doc_id) AS keeper_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+      "dedup_minhash_sig" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles3 AS sh FROM t),
+           |h AS (SELECT doc_id, list_transform(sh, tk -> ${sqlHash("tk")}) AS hs FROM s)
+           |SELECT doc_id,
+           |  $mhExprs
+           |FROM h ORDER BY doc_id""".stripMargin,
+      "dedup_minhash_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles3 AS sh FROM t),
+           |h AS (SELECT doc_id, list_transform(sh, tk -> ${sqlHash("tk")}) AS hs FROM s),
+           |sig AS (SELECT doc_id,
+           |  $mhExprs
+           |FROM h),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+           |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |h AS (SELECT doc_id, list_transform(list_distinct(ts), tk -> ${sqlHash("tk")}) AS hs FROM t)
+           |SELECT doc_id, $simhashTerms AS simhash
+           |FROM h ORDER BY doc_id""".stripMargin,
+      "dedup_ngram_pairs" ->
+        s"""WITH t AS (SELECT doc_id, source, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, source, $sqlShingles3 AS sh FROM t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_embedding" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
+           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "sim_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_id <> c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "sim_ivf" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, label AS q_blk, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, label AS c_blk, embedding AS cv FROM embeddings),
+           |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+      "mm_decode_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(concat('0x', substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS width,
+          |  CAST(concat('0x', substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS height,
+          |  CAST(3 AS BIGINT) AS channels
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_frames" ->
+        """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+          |  CAST(f * 1024 AS BIGINT) AS byte_offset
+          |FROM documents, unnest(range(0, ((octet_length(encode(text)) - 1) // 1024) + 1)) AS u(f)
+          |ORDER BY media_id, frame_idx""".stripMargin,
+
+      "ev_tumbling" ->
+        """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+          |  event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+      "ev_sessions" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+          |g AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+          |       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+          |       THEN 1 ELSE 0 END AS new_session FROM e),
+          |s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+          |  MIN(us) AS start_us, MAX(us) AS end_us
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+      "misc_map_udf" ->
+        """SELECT o_orderkey, CAST(substring(o_orderpriority, 1, 1) AS INT) * 10 AS prio_rank
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "misc_apply" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS qty2
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "src_csv_roundtrip" ->
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+      "src_json_roundtrip" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      "src_orc_roundtrip" ->
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+      "misc_cached" ->
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  }
+}

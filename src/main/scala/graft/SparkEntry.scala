@@ -33,7 +33,9 @@ object SparkEntry {
   // =====================================================================
   // Query inventory
   // =====================================================================
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++ PipelineEntry.queries
+
+  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: TPC-H Q1 pricing summary (SURVEY §2.7/§2.8) ----
     "q1_agg" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -459,7 +461,9 @@ object SparkEntry {
   // DuckDB oracle SQL — same table names, same output column names, same
   // deterministic ORDER BY; decimal-exact aggregation mirrors the Spark side.
   // =====================================================================
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = relationalOracle ++ PipelineEntry.oracleSql
+
+  private def relationalOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

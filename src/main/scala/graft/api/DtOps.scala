@@ -32,12 +32,16 @@ final class DtOps(private val c: Column) extends AnyVal {
   def daysinmonth: Column = dayofmonth(last_day(c))
   def quarter: Column = org.apache.spark.sql.functions.quarter(c)
 
+  // NB: qualified functions.month — the 0-ary `month` member shadows it
   def isMonthStart: Column = dayofmonth(c) === 1
   def isMonthEnd: Column = to_date(c) === last_day(c)
-  def isQuarterStart: Column = dayofmonth(c) === 1 && (month(c) % 3 === 1)
-  def isQuarterEnd: Column = to_date(c) === last_day(c) && (month(c) % 3 === 0)
+  def isQuarterStart: Column =
+    dayofmonth(c) === 1 && (org.apache.spark.sql.functions.month(c) % 3 === 1)
+  def isQuarterEnd: Column =
+    to_date(c) === last_day(c) && (org.apache.spark.sql.functions.month(c) % 3 === 0)
   def isYearStart: Column = org.apache.spark.sql.functions.dayofyear(c) === 1
-  def isYearEnd: Column = month(c) === 12 && dayofmonth(c) === 31
+  def isYearEnd: Column =
+    org.apache.spark.sql.functions.month(c) === 12 && dayofmonth(c) === 31
 
   /** DateTimeTruncate(measure, unit) (`datetime.py:203-254`): truncate to a
     * multiple of N units, e.g. truncate(10, "minutes"). measure==1 lowers to
@@ -54,11 +58,15 @@ final class DtOps(private val c: Column) extends AnyVal {
         val w = secsPer * measure
         timestamp_seconds(floor(unix_timestamp(c).cast(DoubleType) / w).cast(LongType) * w)
       case "month" =>
-        val m0 = (year(c) * 12 + month(c) - 1)
-        val mt = (m0 / measure) * measure
-        make_date(floor(mt / 12).cast(IntegerType), (mt % 12) + 1, lit(1)).cast(TimestampType)
+        // NB: qualify functions.year/month — DtOps members shadow them
+        val m0 = org.apache.spark.sql.functions.year(c) * 12 +
+          org.apache.spark.sql.functions.month(c) - 1
+        val mt = floor(m0.cast(DoubleType) / measure).cast(LongType) * measure
+        make_date(floor(mt.cast(DoubleType) / 12).cast(IntegerType),
+          (mt % 12).cast(IntegerType) + 1, lit(1)).cast(TimestampType)
       case "year" =>
-        val yt = (year(c) / measure) * measure
+        val yt = floor(org.apache.spark.sql.functions.year(c).cast(DoubleType) / measure)
+          .cast(IntegerType) * measure
         make_date(yt.cast(IntegerType), lit(1), lit(1)).cast(TimestampType)
       case "week" =>
         // epoch day 0 = Thursday; pandas-style week truncation anchors Monday

@@ -133,11 +133,13 @@ final case class Table(df: DataFrame) {
   }
 
   // --- distinct / concat (`collections.py:176-252,776-865`) ---
-  def distinct: Table = Table(df.distinct())
-  /** Distinct(*on): dedupe by key subset keeping one row per key. */
-  def distinct(on: String*): Table = {
-    requireFields(on, "Distinct"); Table(df.dropDuplicates(on))
-  }
+  /** Distinct(*on): full-row dedupe, or by key subset when keys given.
+    * (Single method: a 0-ary overload would make `distinct("k")` parse as
+    * `distinct.apply("k")` = field access.)
+    */
+  def distinct(on: String*): Table =
+    if (on.isEmpty) Table(df.distinct())
+    else { requireFields(on, "Distinct"); Table(df.dropDuplicates(on)) }
   /** Concat axis=0: vertical union-all; measures must match exactly
     * (`collections.py:776-865`).
     */

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (extension beyond the reference surface — BASELINE.json north star).
+  *
+  * Everything here is a composition of codegen'd built-ins (no UDFs), so
+  * it stays inside whole-stage codegen and is embarrassingly parallel —
+  * per-row work, no shuffle, scales linearly to 100 TB.
+  *
+  * Cross-engine determinism: hashes derive from md5 (identical in any
+  * engine) rather than Spark's Murmur3 `hash()`, so every function here
+  * is differentially testable against the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** lower + collapse whitespace: canonical form for fingerprinting. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** document fingerprint = md5 of the normalized text (engine-portable). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 28-bit engine-portable token hash: first 7 hex chars of md5. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 7), 16, 10).cast(LongType)
+
+  /** token-hash array for a document. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => tokenHash(t))
+
+  /** positional rolling-hash fingerprint: sum_i h_i * w_(i mod 8) mod P,
+    * with small weights so the sum stays in int64 in any engine.
+    */
+  val RollWeights: Seq[Long] = {
+    // 31^k mod 2^20 — fixed, mirrored into oracle SQL
+    Iterator.iterate(1L)(w => (w * 31) % 1048576L).take(8).toSeq
+  }
+  val RollP = 1000000007L
+  def fingerprintRolling(text: Column): Column = {
+    val w = array(RollWeights.map(lit): _*)
+    val weighted = transform(tokenHashes(text),
+      (h, i) => h * element_at(w, (i % 8) + 1))
+    aggregate(weighted, lit(0L), (acc, x) => acc + x) % RollP
+  }
+
+  /** word n-gram shingles (n consecutive tokens joined by space).
+    * Guarded: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    * explicit empty-array branch.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+  /** fixed per-language stopword lists; precedence order breaks ties. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "que"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zhe"))
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(w => lit(w)): _*)))
+      .cast(LongType)
+
+  /** argmax language by stopword hits; ties broken by list order. */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, sc), els) =>
+      when(sc === maxScore && sc > 0, lit(l)).otherwise(els)
+    } match {
+      // foldRight gives first-match-wins in list order
+      case c => c
+    }
+  }
+
+  // ---- quality scoring ----
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
+      length(text).cast(DoubleType)
+
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast(DoubleType) /
+      tokenCount(text).cast(DoubleType)
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text, LangStopwords.head._2).cast(DoubleType) /
+      tokenCount(text).cast(DoubleType)
+
+  /** composite quality score in [0,1]-ish; formula mirrored in oracle SQL. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * stopwordRatio(text) +
+      lit(0.3) * least(meanTokenLen(text) / 10.0, lit(1.0)) +
+      lit(0.3) * alphaRatio(text)
+}

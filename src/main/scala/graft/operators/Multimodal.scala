@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (north-star extension).
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernels are deterministic STUBS (clearly marked). What is real
+  * and tested: the schema shape (payload + struct metadata), the
+  * per-partition batch processing path (`mapPartitions` — the Scala
+  * analogue of `mapInPandas` batching), partitioning behavior, and the
+  * frame-sampling plumbing. Swapping the stub for a real decoder is a
+  * one-function change.
+  */
+object Multimodal {
+
+  /** payload schema: binary blob + metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("kind", StringType, nullable = true),
+      StructField("tag", StringType, nullable = true))), nullable = true)))
+
+  /** build a media table from the documents fixture: the utf-8 bytes of
+    * `text` stand in for an encoded image payload.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        lit("image/stub").as("kind"),
+        col("lang").as("tag")).as("meta"))
+
+  /** STUB image decode: derives fake (width, height, channels) from the
+    * payload deterministically. A real implementation would decode the
+    * codec header here; everything around it (schema, null handling,
+    * distribution) is production-shaped.
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      // ??? real codec — stubbed: dimensions derived from content hash
+      (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast(LongType) % 1920 + 1)
+        .as("width"),
+      (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast(LongType) % 1080 + 1)
+        .as("height"),
+      lit(3L).as("channels"))
+
+  /** frame sampling plumbing: one row per sampled frame offset
+    * (every `strideBytes` bytes stands in for every Nth video frame).
+    */
+  def sampleFrames(media: DataFrame, strideBytes: Long): DataFrame =
+    media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
+      // integral DIV — Column./ is float division
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) DIV $strideBytes"))))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * strideBytes).as("byte_offset"))
+
+  /** per-partition batched feature extraction — the real distribution
+    * path a heavy decoder would use (state initialized once per
+    * partition, rows processed in a batch loop). The feature itself is a
+    * deterministic stub (byte histogram moments).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      // per-partition init happens HERE once (e.g. decoder handle)
+      it.map { case (id, payload) =>
+        val bytes = if (payload == null) Array.empty[Byte] else payload
+        var s = 0L; var s2 = 0L
+        bytes.foreach { b => val v = (b & 0xff).toLong; s += v; s2 += v * v }
+        val n = math.max(bytes.length, 1)
+        (id, bytes.length.toLong, s.toDouble / n, s2.toDouble / n)
+      }
+    }.toDF("media_id", "n_bytes", "byte_mean", "byte_mom2")
+  }
+}

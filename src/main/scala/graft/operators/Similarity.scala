@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`). North-star extension (BASELINE.json).
+  *
+  * Scale design:
+  *  - [[bruteForceTopK]] is the exact baseline: |Q| × |corpus| partial
+  *    work, distributed as a broadcast of the (small) query set against
+  *    the corpus scan — linear in corpus size, no corpus self-shuffle.
+  *  - [[lshTopK]] (random hyperplane signs) and [[ivfTopK]] (coarse
+  *    partition) bound the candidate set per query, turning the scan
+  *    into a bucket-local join — the 100 TB path.
+  *
+  * Dot products cast each float to double BEFORE multiplying and fold
+  * left-to-right, so results are bit-identical across engines (oracle-
+  * comparable without rounding).
+  */
+object Similarity {
+
+  /** left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** exact top-k cosine neighbors for each query id.
+    * The query side is expected to be small → broadcast; the corpus is
+    * scanned once; ranking is a per-query-partition window (k small).
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val c = emb.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** IVF-style coarse search: restrict candidates to the query's coarse
+    * partition (here an existing cluster/label column; in a full system
+    * the assignment comes from a trained coarse quantizer).
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, coarseCol: String,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(coarseCol).as("q_blk"), col(vecCol).as("qv")))
+    val c = emb.select(col(idCol).as("c_id"), col(coarseCol).as("c_blk"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("q_blk") === col("c_blk") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** deterministic pseudo-random hyperplanes (shared constants). */
+  private def hyperplane(seed: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      // xorshift-free LCG on (seed, j): deterministic, engine-free (Scala-side)
+      val x = (seed * 1103515245L + j * 12345L + 6789L) % 2147483647L
+      (x.toDouble / 2147483647.0) * 2.0 - 1.0
+    }
+
+  /** sign-bit LSH bucket id per row: nBits hyperplane sign bits. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val h = array(hyperplane(i + 1, dim).map(lit): _*)
+      when(dot(vec, h) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via sign-LSH: candidates share the query's bucket. Recall is
+    * tested against [[bruteForceTopK]] in the unit suite.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val withB = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val q = broadcast(withB.join(queries.select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("bucket")))
+    val c = withB.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.{Col, StrOps, Table}
+
+/** Blaze-semantics parity traps from SURVEY §7.4 item 4, each encoded as
+  * a unit test before the oracle runs (mirrors the reference's
+  * `test_sql_compute.py` case style).
+  */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  // single instance: self-references (t.filter(t("x") > 0)) need stable
+  // attribute ids, exactly like Blaze's hash-consed exprs
+  private lazy val accounts = Table(Seq(
+    ("Alice", 100, 1), ("Bob", -200, 2), ("Charlie", 300, 3),
+    ("Denis", 400, 4), ("Edith", -500, 5)).toDF("name", "amount", "id"))
+
+  test("field access and projection preserve order") {
+    assert(accounts.project("amount", "name").fields == Seq("amount", "name"))
+  }
+
+  test("missing field fails at construction time (Blaze eager analysis)") {
+    val e = intercept[IllegalArgumentException](accounts.project("nope"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("selection filters") {
+    val r = accounts.filter(accounts("amount") > 0).df.collect()
+    assert(r.length == 3)
+  }
+
+  test("by: result columns = grouper then ALPHABETICAL agg names") {
+    val byT = accounts.merge("pos" -> (accounts("amount") > 0))
+      .by("pos", "z_total" -> Col(sum(col("amount"))), "a_count" -> Col(count(lit(1))))
+    assert(byT.fields == Seq("pos", "a_count", "z_total"))
+  }
+
+  test("merge: new columns appended in alphabetical order") {
+    val m = accounts.merge("z" -> accounts("amount"), "b" -> accounts("id"))
+    assert(m.fields == Seq("name", "amount", "id", "b", "z"))
+  }
+
+  test("join: output = keys, left non-key, right non-key; overlap suffixed") {
+    val l = Table(Seq((1, "a", 10), (2, "b", 20)).toDF("id", "tag", "x"))
+    val r = Table(Seq((1, "A", 7), (3, "C", 9)).toDF("id", "tag", "y"))
+    val j = Table.join(l, r, Seq("id"), Seq("id"), "inner")
+    assert(j.fields == Seq("id", "tag_left", "x", "tag_right", "y"))
+    assert(j.df.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("join outer: key coalesced, both sides nullable") {
+    val l = Table(Seq((1, 10), (2, 20)).toDF("id", "x"))
+    val r = Table(Seq((2, 7), (3, 9)).toDF("id", "y"))
+    val j = Table.join(l, r, Seq("id"), Seq("id"), "outer")
+    val rows = j.df.orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(0).isNullAt(2) && rows(2).isNullAt(1))
+  }
+
+  test("join: invalid how rejected eagerly") {
+    val l = Table(Seq((1, 10)).toDF("id", "x"))
+    intercept[IllegalArgumentException](Table.join(l, l, Seq("id"), Seq("id"), "cross"))
+  }
+
+  test("concat requires exact schema match (Blaze Concat)") {
+    val a = Table(Seq((1, "x")).toDF("id", "s"))
+    val b = Table(Seq(("x", 1)).toDF("s", "id"))
+    intercept[IllegalArgumentException](a.concat(b))
+    assert(a.concat(a).nrows == 2)
+  }
+
+  test("distinct(on) and countValues") {
+    val d = accounts.merge("pos" -> (accounts("amount") > 0)).distinct("pos")
+    assert(d.nrows == 2)
+    val cv = accounts.merge("pos" -> (accounts("amount") > 0)).countValues("pos")
+    assert(cv.fields == Seq("pos", "count"))
+  }
+
+  test("Div is always float64 (arithmetic.py:189-196)") {
+    val r = accounts.merge("d" -> (accounts("id") / accounts("id")))
+    assert(r.schema("d").dataType == DoubleType)
+  }
+
+  test("FloorDiv floors and stays integral (arithmetic.py:199-210)") {
+    val r = accounts.merge("fd" -> accounts("amount").floorDiv(Col.lit(7))).df
+      .select("fd").as[Long].collect().toSeq
+    assert(r == Seq(14L, -29L, 42L, 57L, -72L)) // floor(-200/7) = -29
+  }
+
+  test("glob Like translation: * ? and literal % escaped (sql.py:1276-1278)") {
+    assert(StrOps.globToSql("Ali*") == "Ali%")
+    assert(StrOps.globToSql("A?ice") == "A_ice")
+    assert(StrOps.globToSql("100%*") == "100\\%%")
+    val r = accounts.filter(Col(accounts("name").str.like("Ali*"))).df.collect()
+    assert(r.length == 1 && r(0).getString(0) == "Alice")
+  }
+
+  test("StrFind is 0-based with -1 for missing (pandas str.find)") {
+    val r = accounts.merge("f" -> Col(accounts("name").str.find("li"))).df
+      .select("f").as[Long].collect().toSeq
+    assert(r == Seq(1L, -1L, 4L, -1L, -1L))
+  }
+
+  test("weekday is Monday=0 (pandas convention, sql.py:1408-1444)") {
+    val df = Seq("2024-01-01", "2024-01-07").toDF("d")
+      .select(to_timestamp(col("d")).as("ts"))
+    val r = df.select(new graft.api.DtOps(col("ts")).weekday).as[Int].collect().toSeq
+    assert(r == Seq(0, 6)) // 2024-01-01 is a Monday
+  }
+
+  test("dt.second is float64 (datetime.py:101-102)") {
+    val df = Seq("2024-01-01 10:20:30").toDF("d").select(to_timestamp(col("d")).as("ts"))
+    assert(df.select(new graft.api.DtOps(col("ts")).second).schema.head.dataType == DoubleType)
+  }
+
+  test("N-unit datetime truncate (datetime.py:203-254)") {
+    val df = Seq("2024-03-17 10:27:45").toDF("d").select(to_timestamp(col("d")).as("ts"))
+    val r = df.select(
+      new graft.api.DtOps(col("ts")).truncate(10, "minutes").cast(StringType),
+      new graft.api.DtOps(col("ts")).truncate(2, "months").cast(StringType),
+      new graft.api.DtOps(col("ts")).truncate(5, "years").cast(StringType)
+    ).collect()(0)
+    assert(r.getString(0) == "2024-03-17 10:20:00")
+    assert(r.getString(1) == "2024-03-01 00:00:00")
+    assert(r.getString(2) == "2020-01-01 00:00:00")
+  }
+
+  test("StrCat propagates nulls (strings.py:222-288)") {
+    val df = Seq(("a", Some("b")), ("c", None)).toDF("l", "r")
+    val r = df.select(new graft.api.StrOps(col("l")).cat(col("r"), "-")).as[Option[String]].collect()
+    assert(r(0).contains("a-b") && r(1).isEmpty)
+  }
+
+  test("shift requires explicit order and null-pads (collections.py:914-950)") {
+    val t0 = Table(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"))
+    val r = t0.shift("v", 1, Seq("k")).df.orderBy("k").select("v")
+      .collect().map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
+    assert(r.toSeq == Seq(None, Some(10.0), Some(20.0)))
+  }
+
+  test("summary produces alphabetical one-row record (reductions.py:277-279)") {
+    val sm = accounts.summary("z_max" -> accounts("amount").max,
+      "a_min" -> accounts("amount").min)
+    assert(sm.fields == Seq("a_min", "z_max"))
+    assert(sm.nrows == 1)
+  }
+
+  test("tail = inverted sort + head + re-sort (sql.py:1523-1546)") {
+    val r = accounts.tail(2, Seq("id")).df.select("id").as[Int].collect().toSeq
+    assert(r == Seq(4, 5))
+  }
+
+  test("data() URI routing reads parquet") {
+    val tb = Table.data(spark, s"$sf/region.parquet")
+    assert(tb.nrows == 5)
+  }
+
+  test("slice positional semantics") {
+    val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
+    assert(r == Seq(2, 3))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: short docs yield empty array, not garbage") {
+    val r = docsOf((1L, "a b"), (2L, "a b c d"))
+      .select(size(TextFunctions.shingles(col("text"), 3))).as[Int].collect().toSeq
+    assert(r == Seq(0, 2))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val r = docsOf((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
+      .select(TextFunctions.fingerprintMd5(col("text"))).as[String].collect()
+    assert(r(0) == r(1) && r(0) != r(2))
+  }
+
+  test("exact dedup keeps min id per duplicate group") {
+    val d = Dedup.exact(docsOf((5L, "same text"), (2L, "same  TEXT"), (9L, "unique")))
+      .orderBy("keeper_id").collect()
+    assert(d.length == 2)
+    assert(d(0).getLong(1) == 2L && d(0).getLong(2) == 2L) // keeper, copies
+    assert(d(1).getLong(1) == 9L && d(1).getLong(2) == 1L)
+  }
+
+  test("minhash finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(
+      docsOf((1L, base), (2L, nearDup), (3L, other)), threshold = 0.3)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.8)
+  }
+
+  test("simhash: identical docs equal, near-dup within small hamming") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extraword"
+    val sh = Dedup.simhash(docsOf((1L, base), (2L, nearDup), (3L, base)))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(sh(0) == sh(2))
+    // one extra token among 80 flips only low-margin bits: E[flips] ≈ 5 of 28
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) <= 9)
+  }
+
+  test("ngram jaccard pairs respect block and threshold") {
+    val df = Seq(
+      (1L, "a b c d e f g h", "blk1"), (2L, "a b c d e f g x", "blk1"),
+      (3L, "a b c d e f g h", "blk2") // same text, different block → no pair
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.3, "source").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("cosine: identical vector → 1.0, orthogonal → 0.0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .orderBy("a.vec_id", "b.vec_id")
+      .select("c").as[Double].collect().toSeq
+    assert(r == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("brute-force top-k is exact and rank-ordered") {
+    val emb = Tables(spark, sf, "embeddings")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    val cs = top.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(cs(0) >= cs(1) && cs(1) >= cs(2))
+  }
+
+  test("LSH ANN achieves nontrivial recall vs brute force") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(emb, q, 5, dim = 64, nBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall=$recall") // 4-bit buckets ≈ 1/16 corpus scanned
+  }
+
+  test("multimodal: feature extraction matches per-byte math") {
+    val media = Multimodal.asMedia(docsOf((1L, "ab")).withColumn("lang", lit("en")))
+    val r = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(r.getLong(1) == 2L) // n_bytes
+    assert(r.getDouble(2) == ('a'.toInt + 'b'.toInt) / 2.0)
+  }
+
+  test("multimodal: frame sampling covers payload with stride") {
+    val media = Multimodal.asMedia(
+      docsOf((1L, "x" * 3000)).withColumn("lang", lit("en")))
+    val frames = Multimodal.sampleFrames(media, 1024L).collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1024L, 2048L))
+  }
+
+  test("langid picks the dominant stopword language") {
+    val r = docsOf(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein"))
+      .select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(r == Seq("en", "de"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+import graft.streaming.StreamOps
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 00:01:00"), 10L, "click", 1.50),
+    (2L, ts("2024-01-01 00:03:30"), 10L, "click", 2.25),
+    (3L, ts("2024-01-01 00:07:10"), 11L, "buy", 9.00),
+    (4L, ts("2024-01-01 00:11:00"), 10L, "click", 4.00))
+
+  test("streaming tumbling agg == batch tumbling (stream/batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.tumblingAgg(stream, 300L), "t_tumble")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val exp = Sessionize.tumbling(batch, 300L)
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("streaming session windows merge events within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.sessionAgg(stream, 300L), "t_sess")
+      .orderBy("user_id", "session_start").collect()
+    // user 10: events at 0:01, 0:03:30 (same session), 0:11 (new session); user 11: one
+    assert(got.length == 3)
+    assert(got.map(_.getLong(2)).toSeq == Seq(10L, 10L, 11L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("batch sessionization assigns gap-separated sessions") {
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Sessionize.sessions(batch, 300L).orderBy("user_id", "session_id").collect()
+    assert(s.length == 3)
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
+  }
+}
