@@ -446,6 +446,94 @@ object SparkEntry {
       hi.concat(lo).sort(Seq("o_orderkey")).df
     },
 
+    // ---- remaining string surface (§2.5) ----
+    "str_predicates2" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer"))
+      val n = c("c_name")
+      c.merge(
+          "p_isdecimal" -> Col(n.str.isdecimal),
+          "p_isnumeric" -> Col(n.str.isnumeric),
+          "p_isspace" -> Col(Col.lit("   ").c).label("tmp"),
+          "p_istitle" -> Col(n.str.istitle),
+          "p_slicerep" -> Col(n.str.sliceReplace(0, 8, "CUST")))
+        .transform("p_isspace" -> Col(new graft.api.StrOps(lit("   ")).isspace))
+        .project("c_custkey", "p_isdecimal", "p_isnumeric", "p_isspace",
+          "p_istitle", "p_slicerep")
+        .sort(Seq("c_custkey")).df
+    },
+    "str_interp" -> { (s, dir) =>
+      // Interp: string % args (arithmetic.py:223-235) → format_string
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"),
+          format_string("%s|%05d", col("c_mktsegment"), col("c_custkey")).as("s_interp"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- remaining math surface (§2.4) ----
+    "math_funcs2" -> { (s, dir) =>
+      val li = Table(t(s, dir, "lineitem"))
+      val q = col("l_quantity"); val d = col("l_discount")
+      def r6(c: Column) = round(c, 6)
+      li.merge(
+          "m_acosh" -> Col(r6(acosh(q / 10 + 1))),
+          "m_asinh" -> Col(r6(asinh(d))),
+          "m_atanh" -> Col(r6(atanh(d))),
+          "m_copysign" -> Col(new graft.api.MathOps(q - 25).copysign(d - 0.05)),
+          "m_cosh" -> Col(r6(cosh(d))),
+          "m_expm1" -> Col(r6(expm1(d))),
+          "m_fmod" -> Col(new graft.api.MathOps(q).fmod(lit(7.3))),
+          "m_isnan" -> Col(isnan(lit(Double.NaN))),
+          "m_ldexp" -> Col(new graft.api.MathOps(d).ldexp(lit(3))),
+          "m_notnull" -> Col(expr("nullif(l_returnflag,'N')").isNotNull),
+          "m_radians" -> Col(r6(radians(q))),
+          "m_sinh" -> Col(r6(sinh(d))),
+          "m_tanh" -> Col(r6(tanh(d))),
+          "m_truncate" -> Col(new graft.api.MathOps(q * 1.37).truncate(5.0)))
+        .project(Seq("l_orderkey", "l_linenumber", "m_acosh", "m_asinh",
+          "m_atanh", "m_copysign", "m_cosh", "m_expm1", "m_fmod", "m_isnan",
+          "m_ldexp", "m_notnull", "m_radians", "m_sinh", "m_tanh",
+          "m_truncate"): _*)
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // ---- sub-second datetime + weekday name on events (§2.6) ----
+    "dt_extract2" -> { (s, dir) =>
+      val ev = Table(t(s, dir, "events"))
+      val ts = ev("ts")
+      ev.merge(
+          "d_hour" -> Col(ts.dt.hour),
+          "d_micro" -> Col(ts.dt.microsecond),
+          "d_milli" -> Col(ts.dt.millisecond),
+          "d_minute" -> Col(ts.dt.minute),
+          "d_second" -> Col(ts.dt.second),
+          "d_strf" -> Col(ts.dt.strftime("%Y-%m-%d %H:%M:%S")),
+          "d_wdname" -> Col(ts.dt.weekdayName))
+        .project("event_id", "d_hour", "d_micro", "d_milli", "d_minute",
+          "d_second", "d_strf", "d_wdname")
+        .sort(Seq("event_id")).df
+    },
+    "dt_timedelta" -> { (s, dir) =>
+      // timestamp Sub → timedelta accessors (datetime.py:369-383)
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (unix_micros(col("l_shipdate")) - unix_micros(col("o_orderdate"))).as("td_us"))
+        .withColumn("td_days",
+          floor(col("td_us").cast(DoubleType) / 86400000000.0).cast(LongType))
+        .withColumn("td_total_seconds", col("td_us").cast(DoubleType) / 1000000.0)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "dt_roundfreq" -> { (s, dir) =>
+      val ev = Table(t(s, dir, "events"))
+      val ts = ev("ts")
+      ev.merge(
+          "t_ceil" -> Col(ts.dt.ceilFreq(3600)),
+          "t_floor" -> Col(ts.dt.floorFreq(3600)),
+          "t_round" -> Col(ts.dt.roundFreq(3600)))
+        .project("event_id", "t_ceil", "t_floor", "t_round")
+        .sort(Seq("event_id")).df
+    },
+
     // ---- shift / window (§2.2 Shift) ----
     "win_shift" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -709,6 +797,61 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 10000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "str_predicates2" ->
+      """SELECT c_custkey,
+        |  regexp_matches(c_name, '^[0-9]+$') AS p_isdecimal,
+        |  regexp_matches(c_name, '^[0-9]+$') AS p_isnumeric,
+        |  regexp_matches('   ', '^\s+$') AS p_isspace,
+        |  (regexp_matches(c_name, '[A-Za-z]') AND NOT regexp_matches(c_name, '(^|[^A-Za-z])[a-z]')
+        |    AND NOT regexp_matches(c_name, '[A-Za-z][A-Z]')) AS p_istitle,
+        |  SUBSTRING(c_name, 1, 0) || 'CUST' || SUBSTRING(c_name, 9) AS p_slicerep
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_interp" ->
+      """SELECT c_custkey, printf('%s|%05d', c_mktsegment, c_custkey) AS s_interp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "math_funcs2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(LN(l_quantity / 10 + 1 + SQRT((l_quantity / 10 + 1) * (l_quantity / 10 + 1) - 1)), 6) AS m_acosh,
+        |  ROUND(LN(l_discount + SQRT(l_discount * l_discount + 1)), 6) AS m_asinh,
+        |  ROUND(0.5 * LN((1 + l_discount) / (1 - l_discount)), 6) AS m_atanh,
+        |  CASE WHEN l_discount - 0.05 >= 0 OR isnan(l_discount - 0.05) THEN ABS(l_quantity - 25) ELSE -ABS(l_quantity - 25) END AS m_copysign,
+        |  ROUND((EXP(l_discount) + EXP(-l_discount)) / 2, 6) AS m_cosh,
+        |  ROUND(EXP(l_discount) - 1, 6) AS m_expm1,
+        |  l_quantity % 7.3 AS m_fmod,
+        |  isnan('NaN'::DOUBLE) AS m_isnan,
+        |  l_discount * POW(2.0, 3) AS m_ldexp,
+        |  NULLIF(l_returnflag, 'N') IS NOT NULL AS m_notnull,
+        |  ROUND(RADIANS(l_quantity), 6) AS m_radians,
+        |  ROUND((EXP(l_discount) - EXP(-l_discount)) / 2, 6) AS m_sinh,
+        |  ROUND((EXP(l_discount) - EXP(-l_discount)) / (EXP(l_discount) + EXP(-l_discount)), 6) AS m_tanh,
+        |  FLOOR(l_quantity * 1.37 / 5.0) * 5.0 AS m_truncate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dt_extract2" ->
+      """SELECT event_id,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INT) AS d_hour,
+        |  epoch_us(ts) % 1000000 AS d_micro,
+        |  (epoch_us(ts) % 1000000) // 1000 AS d_milli,
+        |  CAST(EXTRACT(MINUTE FROM ts) AS INT) AS d_minute,
+        |  CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS DOUBLE) AS d_second,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS d_strf,
+        |  strftime(ts, '%A') AS d_wdname
+        |FROM events ORDER BY event_id""".stripMargin,
+    "dt_timedelta" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  epoch_us(l_shipdate) - epoch_us(o_orderdate) AS td_us,
+        |  CAST(FLOOR(CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE) / 86400000000.0) AS BIGINT) AS td_days,
+        |  CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE) / 1000000.0 AS td_total_seconds
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "dt_roundfreq" ->
+      """SELECT event_id,
+        |  make_timestamp(CAST(CEIL(FLOOR(epoch(ts)) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_ceil,
+        |  make_timestamp(CAST(FLOOR(FLOOR(epoch(ts)) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_floor,
+        |  make_timestamp(CAST(FLOOR((FLOOR(epoch(ts)) + 1800.0) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_round
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "win_shift" ->
       """SELECT event_id, user_id, value,

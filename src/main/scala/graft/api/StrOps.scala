@@ -36,8 +36,8 @@ final class StrOps(private val c: Column) extends AnyVal {
   def islower: Column = c.rlike("[a-z]") && !c.rlike("[A-Z]")
   def isnumeric: Column = c.rlike("^[0-9]+$")
   def isspace: Column = c.rlike("^\\s+$")
-  def istitle: Column =
-    c.rlike("[A-Za-z]") && (c === initcap(org.apache.spark.sql.functions.lower(c)))
+  def istitle: Column = // every alpha-run starts upper then stays lower
+    c.rlike("[A-Za-z]") && !c.rlike("(^|[^A-Za-z])[a-z]") && !c.rlike("[A-Za-z][A-Z]")
   def isupper: Column = c.rlike("[A-Z]") && !c.rlike("[a-z]")
 
   /** pandas str.find: 0-based, -1 when absent (`strings.py:128-142`);

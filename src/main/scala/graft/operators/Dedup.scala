@@ -119,10 +119,9 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
       .distinct()
-    val ham = (0 until SimhashBits).map(i =>
-      shiftright(col("sh_a").bitwiseXOR(col("sh_b")), i).bitwiseAND(lit(1L)))
-      .reduce(_ + _)
-    cand.select(col("id_a"), col("id_b"), ham.as("hamming"))
+    // native codegen'd popcount(xor) — see graft.plans.HammingDistance
+    cand.select(col("id_a"), col("id_b"),
+        graft.plans.HammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
