@@ -86,6 +86,30 @@ object SparkEntry {
       // positional slice [100, 200) over an explicit total order (§7.4 note)
       Table(t(s, dir, "orders")).sort(Seq("o_orderkey")).slice(100, 200).df
     },
+    "sel_coerce" -> { (s, dir) =>
+      // scalar_coerce (arithmetic.py:251-306): string literals coerce to
+      // the column dtype (timestamp / numeric) — no manual casts
+      val li = Table(t(s, dir, "lineitem"))
+      li.filter(li("l_shipdate") <= "1998-09-02" && li("l_quantity") > "45")
+        .project("l_orderkey", "l_linenumber", "l_quantity")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "misc_sample_n" -> { (s, dir) =>
+      // Sample(n=): exact-n contract checked by count (rows are engine RNG)
+      Table(t(s, dir, "orders")).sampleN(500).df.agg(count(lit(1)).as("n"))
+    },
+    "src_jdbc_roundtrip" -> { (s, dir) =>
+      // JDBC source (compute/sql.py:1376-1392) via embedded Derby
+      val url = "jdbc:derby:/root/repo/target/roundtrip/derbydb;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+          col("n_regionkey").cast(IntegerType))
+        .write.mode("overwrite").jdbc(url, "nation_jdbc", props)
+      Table.dataJdbc(s, url, "nation_jdbc", props).df
+        .orderBy("n_nationkey")
+    },
 
     // ---- merge / transform / coerce / coalesce (§2.2) ----
     "merge_transform" -> { (s, dir) =>
@@ -214,15 +238,18 @@ object SparkEntry {
       val c = Table(t(s, dir, "customer"))
       val n = c("c_name")
       c.merge(
+          "s_bpad" -> Col(n.str.pad(25, "both", ".")),
           "s_cat" -> Col(n.str.cat(col("c_mktsegment"), sep = "|")),
           "s_lpad" -> Col(n.str.pad(25, "left", ".")),
           "s_repeat" -> Col(substring(n.c, 1, 2)).label("tmp"),
           "s_rpad" -> Col(n.str.pad(25, "right", ".")),
+          "s_rstrip" -> Col(new graft.api.StrOps(lit("  pad  ")).rstrip),
           "s_slice" -> Col(n.str.slice(0, 8)),
+          "s_strip" -> Col(new graft.api.StrOps(lit("  pad  ")).strip),
           "s_replace" -> Col(n.str.replace("Customer", "Cust")))
         .transform("s_repeat" -> Col(repeat(substring(n.c, 1, 2), 3)))
-        .project("c_custkey", "s_cat", "s_lpad", "s_repeat", "s_rpad",
-          "s_slice", "s_replace")
+        .project("c_custkey", "s_bpad", "s_cat", "s_lpad", "s_repeat",
+          "s_rpad", "s_rstrip", "s_slice", "s_strip", "s_replace")
         .sort(Seq("c_custkey")).df
     },
     "str_predicates" -> { (s, dir) =>
@@ -261,11 +288,16 @@ object SparkEntry {
           "d_daysinmonth" -> Col(d.dt.daysinmonth),
           "d_monthend" -> Col(d.dt.isMonthEnd),
           "d_monthstart" -> Col(d.dt.isMonthStart),
+          "d_qend" -> Col(d.dt.isQuarterEnd),
+          "d_qstart" -> Col(d.dt.isQuarterStart),
           "d_quarter" -> Col(d.dt.quarter),
           "d_week" -> Col(d.dt.week),
-          "d_weekday" -> Col(d.dt.weekday))
+          "d_weekday" -> Col(d.dt.weekday),
+          "d_yend" -> Col(d.dt.isYearEnd),
+          "d_ystart" -> Col(d.dt.isYearStart))
         .project("o_orderkey", "d_dayofyear", "d_daysinmonth", "d_monthend",
-          "d_monthstart", "d_quarter", "d_week", "d_weekday")
+          "d_monthstart", "d_qend", "d_qstart", "d_quarter", "d_week",
+          "d_weekday", "d_yend", "d_ystart")
         .sort(Seq("o_orderkey")).df
     },
     "dt_trunc" -> { (s, dir) =>
@@ -402,6 +434,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
+    "join_right" -> { (s, dir) =>
+      // right join: all customers kept, key taken from the right side,
+      // unmatched order columns null (collections.py:767-771)
+      val o = Table(t(s, dir, "orders").filter(col("o_totalprice") > 300000))
+      val c = Table(t(s, dir, "customer"))
+      Table.join(o, c, Seq("o_custkey"), Seq("c_custkey"), "right")
+        .project("o_custkey", "o_orderkey", "c_name")
+        .sort(Seq("o_custkey", "o_orderkey")).df
+    },
     "join_anti" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
@@ -475,7 +516,9 @@ object SparkEntry {
       val q = col("l_quantity"); val d = col("l_discount")
       def r6(c: Column) = round(c, 6)
       li.merge(
+          "m_acos" -> Col(r6(acos(d))),
           "m_acosh" -> Col(r6(acosh(q / 10 + 1))),
+          "m_atan" -> Col(r6(atan(d))),
           "m_asinh" -> Col(r6(asinh(d))),
           "m_atanh" -> Col(r6(atanh(d))),
           "m_copysign" -> Col(new graft.api.MathOps(q - 25).copysign(d - 0.05)),
@@ -489,10 +532,10 @@ object SparkEntry {
           "m_sinh" -> Col(r6(sinh(d))),
           "m_tanh" -> Col(r6(tanh(d))),
           "m_truncate" -> Col(new graft.api.MathOps(q * 1.37).truncate(5.0)))
-        .project(Seq("l_orderkey", "l_linenumber", "m_acosh", "m_asinh",
-          "m_atanh", "m_copysign", "m_cosh", "m_expm1", "m_fmod", "m_isnan",
-          "m_ldexp", "m_notnull", "m_radians", "m_sinh", "m_tanh",
-          "m_truncate"): _*)
+        .project(Seq("l_orderkey", "l_linenumber", "m_acos", "m_acosh",
+          "m_asinh", "m_atan", "m_atanh", "m_copysign", "m_cosh", "m_expm1",
+          "m_fmod", "m_isnan", "m_ldexp", "m_notnull", "m_radians", "m_sinh",
+          "m_tanh", "m_truncate"): _*)
         .sort(Seq("l_orderkey", "l_linenumber")).df
     },
 
@@ -513,14 +556,15 @@ object SparkEntry {
         .sort(Seq("event_id")).df
     },
     "dt_timedelta" -> { (s, dir) =>
-      // timestamp Sub → timedelta accessors (datetime.py:369-383)
+      // timestamp Sub → .td accessor namespace (datetime.py:369-383)
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val td = Col(new graft.api.DtOps(col("l_shipdate")).sub(col("o_orderdate")))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          (unix_micros(col("l_shipdate")) - unix_micros(col("o_orderdate"))).as("td_us"))
-        .withColumn("td_days",
-          floor(col("td_us").cast(DoubleType) / 86400000000.0).cast(LongType))
-        .withColumn("td_total_seconds", col("td_us").cast(DoubleType) / 1000000.0)
+          td.c.as("td_us"),
+          td.td.days.as("td_days"),
+          td.td.seconds.as("td_seconds"),
+          td.td.totalSeconds.as("td_total_seconds"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     "dt_roundfreq" -> { (s, dir) =>
@@ -529,8 +573,9 @@ object SparkEntry {
       ev.merge(
           "t_ceil" -> Col(ts.dt.ceilFreq(3600)),
           "t_floor" -> Col(ts.dt.floorFreq(3600)),
-          "t_round" -> Col(ts.dt.roundFreq(3600)))
-        .project("event_id", "t_ceil", "t_floor", "t_round")
+          "t_round" -> Col(ts.dt.roundFreq(3600)),
+          "t_utcfrom" -> Col(new graft.api.DtOps(unix_timestamp(ts.c)).utcFromTimestamp))
+        .project("event_id", "t_ceil", "t_floor", "t_round", "t_utcfrom")
         .sort(Seq("event_id")).df
     },
 
@@ -579,6 +624,14 @@ object SparkEntry {
         |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey""".stripMargin,
     "sel_slice" ->
       "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100",
+    "sel_coerce" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "misc_sample_n" ->
+      "SELECT CAST(500 AS BIGINT) AS n",
+    "src_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "merge_transform" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -658,11 +711,14 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "str_slice_pad" ->
       """SELECT c_custkey,
+        |  RPAD(LPAD(c_name, CAST(LEAST(LENGTH(c_name) + CAST(FLOOR(GREATEST(25 - LENGTH(c_name), 0) / 2.0) AS INT), 25) AS INT), '.'), 25, '.') AS s_bpad,
         |  c_name || '|' || c_mktsegment AS s_cat,
         |  LPAD(c_name, 25, '.') AS s_lpad,
         |  REPEAT(SUBSTRING(c_name, 1, 2), 3) AS s_repeat,
         |  RPAD(c_name, 25, '.') AS s_rpad,
+        |  RTRIM('  pad  ') AS s_rstrip,
         |  SUBSTRING(c_name, 1, 8) AS s_slice,
+        |  TRIM('  pad  ') AS s_strip,
         |  REPLACE(c_name, 'Customer', 'Cust') AS s_replace
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "str_predicates" ->
@@ -689,9 +745,13 @@ object SparkEntry {
         |  CAST(EXTRACT(DAY FROM last_day(o_orderdate)) AS INT) AS d_daysinmonth,
         |  CAST(o_orderdate AS DATE) = last_day(o_orderdate) AS d_monthend,
         |  EXTRACT(DAY FROM o_orderdate) = 1 AS d_monthstart,
+        |  (CAST(o_orderdate AS DATE) = last_day(o_orderdate) AND EXTRACT(MONTH FROM o_orderdate) % 3 = 0) AS d_qend,
+        |  (EXTRACT(DAY FROM o_orderdate) = 1 AND EXTRACT(MONTH FROM o_orderdate) % 3 = 1) AS d_qstart,
         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS d_quarter,
         |  CAST(weekofyear(o_orderdate) AS INT) AS d_week,
-        |  CAST(isodow(o_orderdate) - 1 AS INT) AS d_weekday
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS d_weekday,
+        |  (EXTRACT(MONTH FROM o_orderdate) = 12 AND EXTRACT(DAY FROM o_orderdate) = 31) AS d_yend,
+        |  dayofyear(o_orderdate) = 1 AS d_ystart
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dt_trunc" ->
       """SELECT l_orderkey, l_linenumber,
@@ -775,6 +835,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey AS o_custkey, o_orderkey, c_name
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
@@ -813,6 +878,8 @@ object SparkEntry {
 
     "math_funcs2" ->
       """SELECT l_orderkey, l_linenumber,
+        |  ROUND(ACOS(l_discount), 6) AS m_acos,
+        |  ROUND(ATAN(l_discount), 6) AS m_atan,
         |  ROUND(LN(l_quantity / 10 + 1 + SQRT((l_quantity / 10 + 1) * (l_quantity / 10 + 1) - 1)), 6) AS m_acosh,
         |  ROUND(LN(l_discount + SQRT(l_discount * l_discount + 1)), 6) AS m_asinh,
         |  ROUND(0.5 * LN((1 + l_discount) / (1 - l_discount)), 6) AS m_atanh,
@@ -840,17 +907,20 @@ object SparkEntry {
         |  strftime(ts, '%A') AS d_wdname
         |FROM events ORDER BY event_id""".stripMargin,
     "dt_timedelta" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  epoch_us(l_shipdate) - epoch_us(o_orderdate) AS td_us,
-        |  CAST(FLOOR(CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE) / 86400000000.0) AS BIGINT) AS td_days,
-        |  CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE) / 1000000.0 AS td_total_seconds
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """WITH j AS (SELECT l_orderkey, l_linenumber,
+        |    epoch_us(l_shipdate) - epoch_us(o_orderdate) AS td_us
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (SELECT *, CAST(FLOOR(CAST(td_us AS DOUBLE) / 86400000000.0) AS BIGINT) AS td_days FROM j)
+        |SELECT l_orderkey, l_linenumber, td_us, td_days,
+        |  CAST(FLOOR(CAST(td_us - td_days * 86400000000 AS DOUBLE) / 1000000.0) AS BIGINT) AS td_seconds,
+        |  CAST(td_us AS DOUBLE) / 1000000.0 AS td_total_seconds
+        |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "dt_roundfreq" ->
       """SELECT event_id,
         |  make_timestamp(CAST(CEIL(FLOOR(epoch(ts)) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_ceil,
         |  make_timestamp(CAST(FLOOR(FLOOR(epoch(ts)) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_floor,
-        |  make_timestamp(CAST(FLOOR((FLOOR(epoch(ts)) + 1800.0) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_round
+        |  make_timestamp(CAST(FLOOR((FLOOR(epoch(ts)) + 1800.0) / 3600.0) AS BIGINT) * 3600 * 1000000) AS t_round,
+        |  make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000) AS t_utcfrom
         |FROM events ORDER BY event_id""".stripMargin,
 
     "win_shift" ->

@@ -64,6 +64,12 @@ final case class Col(c: Column) {
   /** Blaze `.coerce(typ)` — runtime cast (`expressions.py:794-818`). */
   def coerce(typ: String): Col = Col(c.cast(typ))
   def cast(dt: DataType): Col = Col(c.cast(dt))
+  /** Blaze `Cast` — COMPILE-TIME schema re-declaration, no runtime
+    * conversion (`expressions.py:821-853`). Spark types are already
+    * carried by the plan, so this is the documented no-op; use
+    * [[coerce]] to actually convert values.
+    */
+  def retag(typ: String): Col = { val _ = typ; this }
 
   // --- null handling ---
   def isNull: Col = Col(c.isNull)
@@ -102,6 +108,8 @@ final case class Col(c: Column) {
   // --- namespaces ---
   def str: StrOps = new StrOps(c)
   def dt: DtOps = new DtOps(c)
+  /** timedelta accessors over a µs-difference column (see [[DtOps.sub]]). */
+  def td: TdOps = new TdOps(c)
   def math: MathOps = new MathOps(c)
 }
 

@@ -20,9 +20,20 @@ final class DtOps(private val c: Column) extends AnyVal {
   def minute: Column = org.apache.spark.sql.functions.minute(c)
   /** float64 per Blaze schema (`datetime.py:101-102`). */
   def second: Column = org.apache.spark.sql.functions.second(c).cast(DoubleType)
-  def millisecond: Column = ((unix_micros(c) % 1000000L) / 1000L).cast(LongType)
-  def microsecond: Column = (unix_micros(c) % 1000000L).cast(LongType)
+  def millisecond: Column = ((DtOps.us(c) % 1000000L) / 1000L).cast(LongType)
+  def microsecond: Column = (DtOps.us(c) % 1000000L).cast(LongType)
+  /** pandas `.nanosecond`: sub-microsecond component 0..999
+    * (`datetime.py:77-83`). Spark timestamps are µs-precision, so this is
+    * identically 0 — kept for surface parity (pandas also returns 0 for
+    * µs-resolution data).
+    */
+  def nanosecond: Column = (DtOps.us(c) * 0L).cast(LongType)
   def date: Column = to_date(c)
+
+  /** timestamp difference in microseconds — the timedelta constructor;
+    * chain with [[Col.td]] for component accessors (`datetime.py:369-383`).
+    */
+  def sub(other: Column): Column = DtOps.us(c) - DtOps.us(other)
 
   def week: Column = weekofyear(c)
   def dayofyear: Column = org.apache.spark.sql.functions.dayofyear(c)
@@ -52,6 +63,10 @@ final class DtOps(private val c: Column) extends AnyVal {
     val u = DtOps.normalizeUnit(unit)
     if (measure == 1) date_trunc(u, c)
     else u match {
+      case "millisecond" | "microsecond" =>
+        val usPer = if (u == "millisecond") 1000L else 1L
+        val w = usPer * measure
+        timestamp_micros(floor(DtOps.us(c).cast(DoubleType) / w).cast(LongType) * w)
       case "second" | "minute" | "hour" | "day" =>
         val secsPer = Map("second" -> 1L, "minute" -> 60L,
           "hour" -> 3600L, "day" -> 86400L)(u)
@@ -100,21 +115,32 @@ final class DtOps(private val c: Column) extends AnyVal {
 }
 
 object DtOps {
-  /** unit normalization (`datetime.py:154-200`). */
-  def normalizeUnit(unit: String): String = {
-    val u = unit.toLowerCase.stripSuffix("s") match {
-      case "y" | "yr" | "year"                  => "year"
-      case "q" | "quarter"                      => "quarter"
-      case "mon" | "month"                      => "month"
-      case "w" | "wk" | "week"                  => "week"
-      case "d" | "day"                          => "day"
-      case "h" | "hr" | "hour"                  => "hour"
-      case "t" | "min" | "minute"               => "minute"
-      case "sec" | "second"                     => "second"
-      case "m" => "month" // blaze: bare 'm' is ambiguous; datashape uses month
-      case other                                => other
-    }
-    u
+  /** epoch microseconds, tolerant of TIMESTAMP_NTZ columns (parquet
+    * timestamps without isAdjustedToUTC read as NTZ in Spark 4;
+    * `unix_micros` only accepts TIMESTAMP, so cast first — identity on
+    * the UTC wall clock under the UTC session timezone).
+    */
+  private[api] def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** unit normalization (`datetime.py:154-200`). Matched explicitly —
+    * a generic strip-trailing-'s' would turn "ms" into "m" (month!), and
+    * unknown units must fail loudly, not lower to a null-producing
+    * date_trunc.
+    */
+  def normalizeUnit(unit: String): String = unit.toLowerCase match {
+    case "y" | "yr" | "yrs" | "year" | "years"             => "year"
+    case "q" | "quarter" | "quarters"                      => "quarter"
+    case "mon" | "month" | "months"                        => "month"
+    case "m" => "month" // blaze: bare 'm' is ambiguous; datashape uses month
+    case "w" | "wk" | "wks" | "week" | "weeks"             => "week"
+    case "d" | "day" | "days"                              => "day"
+    case "h" | "hr" | "hrs" | "hour" | "hours"             => "hour"
+    case "t" | "min" | "mins" | "minute" | "minutes"       => "minute"
+    case "s" | "sec" | "secs" | "second" | "seconds"       => "second"
+    case "ms" | "millisecond" | "milliseconds"             => "millisecond"
+    case "us" | "microsecond" | "microseconds"             => "microsecond"
+    case other =>
+      throw new IllegalArgumentException(s"unknown datetime unit: $other")
   }
 
   /** C strftime tokens → java.time DateTimeFormatter pattern. */

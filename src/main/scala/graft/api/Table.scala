@@ -152,13 +152,31 @@ final case class Table(df: DataFrame) {
   // --- shift (`collections.py:914-950`) ---
   /** Shift(n): lag/lead null-padded. Spark requires an explicit ordering
     * (SURVEY §7.4 hard part 1) — the reference relies on physical order.
+    *
+    * Pass `partitionKeys` so the window distributes (one shuffle on the
+    * keys, parallel per group). An UNPARTITIONED window funnels every row
+    * through a single task — a driver-class bottleneck at scale — so the
+    * global form must be requested explicitly via `allowGlobal=true`.
     */
-  def shift(field: String, n: Int, orderKeys: Seq[String]): Table = {
-    requireFields(field +: orderKeys, "Shift")
-    val w = Window.orderBy(orderKeys.map(asc): _*)
+  def shift(field: String, n: Int, orderKeys: Seq[String],
+            partitionKeys: Seq[String] = Nil, allowGlobal: Boolean = false): Table = {
+    requireFields(field +: (orderKeys ++ partitionKeys), "Shift")
+    require(partitionKeys.nonEmpty || allowGlobal,
+      "shift: pass partitionKeys (single-partition global windows need allowGlobal=true)")
+    val w = Window.partitionBy(partitionKeys.map(df(_)): _*)
+      .orderBy(orderKeys.map(asc): _*)
     val shifted = if (n >= 0) lag(df(field), n).over(w) else lead(df(field), -n).over(w)
     Table(df.withColumn(field, shifted))
   }
+
+  // --- N-D array surface (`expr/arrays.py:13-129`) — out of scope for a
+  // tabular engine (SURVEY §7.4 cut 3); fail loudly rather than silently.
+  def transpose: Table =
+    throw new UnsupportedOperationException(
+      "transpose: N-D array operations are out of scope (SURVEY §2.12)")
+  def tensordot(other: Table): Table =
+    throw new UnsupportedOperationException(
+      "tensordot: N-D array operations are out of scope (SURVEY §2.12)")
 
   // --- isin via semi-join for large key sets (`collections.py:868-911`) ---
   def isinTable(field: String, keys: Table, keyField: String): Table =
@@ -177,17 +195,35 @@ final case class Table(df: DataFrame) {
 }
 
 object Table {
-  /** `data(uri)` (`expr/literal.py:110-243`): URI router over Spark readers. */
+  /** `data(uri)` (`expr/literal.py:110-243`): URI router over Spark readers.
+    * JDBC follows the reference's `engine::tablename` URI convention
+    * (`expr/literal.py` SQL dispatch, `compute/sql.py:1376-1392`):
+    * `data(spark, "jdbc:derby:/path/db::mytable")`.
+    */
   def data(spark: SparkSession, uri: String): Table = {
     val t =
-      if (uri.endsWith(".parquet")) spark.read.parquet(uri)
+      if (uri.startsWith("jdbc:")) {
+        val sep = uri.lastIndexOf("::")
+        require(sep > 0, s"jdbc uri needs a ::tablename suffix: $uri")
+        return dataJdbc(spark, uri.substring(0, sep), uri.substring(sep + 2))
+      }
+      else if (uri.endsWith(".parquet")) spark.read.parquet(uri)
       else if (uri.endsWith(".csv")) spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
       else if (uri.endsWith(".json")) spark.read.json(uri)
       else if (uri.endsWith(".orc")) spark.read.orc(uri)
-      else if (uri.startsWith("jdbc:")) throw new IllegalArgumentException("jdbc uri needs table: use dataJdbc")
       else spark.table(uri)
     Table(t)
   }
+
+  /** JDBC source (`compute/sql.py:1376-1392`): schema comes from JDBC
+    * metadata (the reference reflects with sqlalchemy, `sql.py:1390-1392`).
+    * For parallel scans at scale pass partitioning options through
+    * `props` (partitionColumn/lowerBound/upperBound/numPartitions) —
+    * without them Spark reads through a single connection.
+    */
+  def dataJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): Table =
+    Table(spark.read.jdbc(url, table, props))
 
   /** Blaze Join (`collections.py:555-773`): equi-join, output columns =
     * join keys first, then left non-key, then right non-key; overlapping

@@ -49,7 +49,11 @@ object TextFunctions {
     val w = array(RollWeights.map(lit): _*)
     val weighted = transform(tokenHashes(text),
       (h, i) => h * element_at(w, (i % 8) + 1))
-    aggregate(weighted, lit(0L), (acc, x) => acc + x) % RollP
+    // mod INSIDE the fold: acc stays < P (2^30) and each term < 2^48, so
+    // the int64 accumulator can never overflow however long the document
+    // is. Congruent to (Σ terms) mod P, which is what the DuckDB oracle
+    // computes via INT128 list_sum — identical results, no wraparound.
+    aggregate(weighted, lit(0L), (acc, x) => (acc + x) % RollP)
   }
 
   /** word n-gram shingles (n consecutive tokens joined by space).

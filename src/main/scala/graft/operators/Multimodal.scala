@@ -59,9 +59,13 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, strideBytes: Long): DataFrame =
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
-      // integral DIV — Column./ is float division
+      // Spark's sequence(0, -1) counts DOWN — guard empty/null payloads
+      // explicitly (same trap as TextFunctions.shingles)
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), expr(s"(n_bytes - 1) DIV $strideBytes"))))
+        explode(when(col("n_bytes").isNull || col("n_bytes") <= 0,
+            array().cast(ArrayType(LongType)))
+          // integral DIV — Column./ is float division
+          .otherwise(sequence(lit(0L), expr(s"(n_bytes - 1) DIV $strideBytes")))))
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * strideBytes).as("byte_offset"))
 

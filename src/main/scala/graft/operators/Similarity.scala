@@ -22,17 +22,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** left-fold dot product in double precision — native codegen'd kernel
+    * (bit-identical to the `zip_with`+`aggregate` HOF formulation, but
+    * inside whole-stage codegen; see [[graft.plans.DotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** cosine similarity, single-pass native kernel (bit-identical to
+    * dot/(‖a‖·‖b‖) with left-to-right double folds).
+    */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
 
   /** exact top-k cosine neighbors for each query id.
     * The query side is expected to be small → broadcast; the corpus is
@@ -67,8 +68,10 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
 
-  /** deterministic pseudo-random hyperplanes (shared constants). */
-  private def hyperplane(seed: Int, dim: Int): Seq[Double] =
+  /** deterministic pseudo-random hyperplanes (shared constants; public so
+    * the DuckDB oracle SQL can be generated from the same values).
+    */
+  def hyperplane(seed: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
       // xorshift-free LCG on (seed, j): deterministic, engine-free (Scala-side)
       val x = (seed * 1103515245L + j * 12345L + 6789L) % 2147483647L

@@ -135,9 +135,23 @@ class ApiSpec extends SparkSpec {
 
   test("shift requires explicit order and null-pads (collections.py:914-950)") {
     val t0 = Table(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"))
-    val r = t0.shift("v", 1, Seq("k")).df.orderBy("k").select("v")
+    val r = t0.shift("v", 1, Seq("k"), allowGlobal = true).df.orderBy("k").select("v")
       .collect().map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
     assert(r.toSeq == Seq(None, Some(10.0), Some(20.0)))
+  }
+
+  test("shift defaults to partitioned windows; global needs opt-in") {
+    val t0 = Table(Seq((1, 1, 10.0), (1, 2, 20.0), (2, 1, 30.0)).toDF("g", "k", "v"))
+    // no partition keys and no opt-in → refused at build time
+    intercept[IllegalArgumentException] { t0.shift("v", 1, Seq("k")) }
+    val shifted = t0.shift("v", 1, Seq("k"), partitionKeys = Seq("g"))
+    // the physical plan must carry a partitioned window, not a global one
+    val plan = shifted.df.queryExecution.executedPlan.toString
+    assert(plan.contains("partitionBy") || !plan.contains("SinglePartition"),
+      s"expected partitioned window in plan:\n$plan")
+    val r = shifted.df.orderBy("g", "k").select("v")
+      .collect().map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
+    assert(r.toSeq == Seq(None, Some(10.0), None))
   }
 
   test("summary produces alphabetical one-row record (reductions.py:277-279)") {

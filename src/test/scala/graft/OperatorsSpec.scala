@@ -51,13 +51,41 @@ class OperatorsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) <= 9)
   }
 
-  test("ngram jaccard pairs respect block and threshold") {
+  test("blocked jaccard pairs respect block and threshold") {
     val df = Seq(
       (1L, "a b c d e f g h", "blk1"), (2L, "a b c d e f g x", "blk1"),
       (3L, "a b c d e f g h", "blk2") // same text, different block → no pair
     ).toDF("doc_id", "text", "source")
-    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.3, "source").collect()
+    val pairs = Dedup.blockedJaccardPairs(df, 3, 0.3, "source").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("blocked jaccard pairs fail fast on oversized blocks") {
+    val df = (1L to 20L).map(i => (i, s"text $i", "one_block"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      Dedup.blockedJaccardPairs(df, 2, 0.1, "source", maxBlockSize = 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("ngram jaccard pairs route through LSH candidates") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val pairs = Dedup.ngramJaccardPairs(
+      docsOf((1L, base), (2L, nearDup), (3L, other)), n = 2, threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup finds planted duplicate via LSH buckets") {
+    val v = (0 until 64).map(i => (i % 7).toFloat + 1f).toArray
+    val vDup = v.clone(); vDup(0) += 0.001f
+    val vOther = (0 until 64).map(i => ((i * 13) % 11).toFloat - 5f).toArray
+    val df = Seq((1L, v), (2L, vDup), (3L, vOther)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
   test("cosine: identical vector → 1.0, orthogonal → 0.0") {
