@@ -192,6 +192,15 @@ final case class Table(df: DataFrame) {
 
   // --- interactive (`blaze/interactive.py`) ---
   def peek(n: Int = 11): Unit = df.show(n, truncate = false)
+
+  /** `create_index` (reference SQL/bcolz backends): documented NO-OP here —
+    * Spark's scan layer has no secondary indexes; partition pruning,
+    * parquet min/max statistics and bucketing serve the same role. The
+    * column is still validated so typos fail fast (SURVEY §2.1).
+    */
+  def createIndex(column: String, name: String = ""): Table = {
+    requireFields(Seq(column), "create_index"); val _ = name; this
+  }
 }
 
 object Table {

@@ -171,6 +171,74 @@ class ApiSpec extends SparkSpec {
     assert(tb.nrows == 5)
   }
 
+  test("scalar_coerce matrix: string literals coerce to column dtype (arithmetic.py:251-306)") {
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("1998-09-01 12:00:00"), 10.5, java.sql.Date.valueOf("2020-01-15")),
+      (2, java.sql.Timestamp.valueOf("1998-09-03 00:00:00"), 99.5, java.sql.Date.valueOf("2020-03-15")))
+      .toDF("id", "ts", "amt", "d")
+    val t0 = Table(df)
+    // timestamp column vs date-string literal
+    assert(t0.filter(t0("ts") <= "1998-09-02").df.count() == 1)
+    // date column vs date-string literal
+    assert(t0.filter(t0("d") === "2020-01-15").df.count() == 1)
+    // numeric column vs numeric-string literal
+    assert(t0.filter(t0("amt") > "50").df.count() == 1)
+    // equality / inequality forms
+    assert(t0.filter(t0("ts") > "1998-09-02").df.count() == 1)
+    assert(t0.filter(t0("amt") !== "10.5").df.count() == 1)
+  }
+
+  test("timedelta namespace: days/seconds/microseconds/totalSeconds (datetime.py:369-383)") {
+    val df = Seq((
+      java.sql.Timestamp.valueOf("2020-01-03 02:00:00.000500"),
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))).toDF("a", "b")
+    val td = Col(new graft.api.DtOps(col("a")).sub(col("b")))
+    val r = df.select(td.td.days, td.td.seconds, td.td.microseconds, td.td.totalSeconds)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)        // 2 full days
+    assert(r.getLong(1) == 7200L)     // 02:00:00 into the day
+    assert(r.getLong(2) == 500L)      // sub-second µs
+    assert(r.getDouble(3) == 2 * 86400.0 + 7200.0 + 0.0005)
+  }
+
+  test("nanosecond accessor is 0 for µs-precision timestamps (datetime.py:77-83)") {
+    val df = Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123456")).toDF("ts")
+    val r = df.select(new graft.api.DtOps(col("ts")).nanosecond).as[Long].collect()
+    assert(r.toSeq == Seq(0L))
+  }
+
+  test("normalizeUnit: ms is millisecond (not month); unknown units throw") {
+    import graft.api.DtOps.normalizeUnit
+    assert(normalizeUnit("ms") == "millisecond")
+    assert(normalizeUnit("milliseconds") == "millisecond")
+    assert(normalizeUnit("m") == "month")
+    assert(normalizeUnit("mins") == "minute")
+    assert(normalizeUnit("S") == "second")
+    intercept[IllegalArgumentException](normalizeUnit("fortnight"))
+  }
+
+  test("retag is a compile-time no-op; coerce converts (expressions.py:821-853)") {
+    val c = accounts("amount")
+    assert(c.retag("string").c eq c.c) // same Column — nothing happens
+    val r = accounts.df.select(c.coerce("string").c).schema.head.dataType
+    assert(r == StringType)
+  }
+
+  test("N-D array surface raises UnsupportedOperationException (SURVEY §2.12)") {
+    intercept[UnsupportedOperationException](accounts.transpose)
+    intercept[UnsupportedOperationException](accounts.tensordot(accounts))
+  }
+
+  test("jdbc:: URI routing round-trips through Derby") {
+    val url = "jdbc:derby:target/test_derby;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    accounts.df.write.mode("overwrite").jdbc(url, "accounts_t", props)
+    val back = Table.data(spark, s"$url::accounts_t")
+    assert(back.nrows == 5)
+    assert(back.fields.map(_.toLowerCase).sorted == Seq("amount", "id", "name"))
+  }
+
   test("slice positional semantics") {
     val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
     assert(r == Seq(2, 3))
