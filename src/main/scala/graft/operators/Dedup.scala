@@ -37,29 +37,27 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   // ---- MinHash LSH ----
-  /** fixed permutation constants (mirrored into oracle SQL). */
-  val MinhashP = 1000000007L
-  val MinhashA: Seq[Long] = Seq(443, 971, 311, 653, 127, 811, 229, 577)
-  val MinhashB: Seq[Long] = Seq(17, 89, 41, 233, 157, 11, 271, 97)
-  val NumPerms = 8
+  /** fixed permutation constants (mirrored into oracle SQL; the values
+    * live on [[graft.plans.TextKernels]] next to the native kernel).
+    */
+  val MinhashP: Long = graft.plans.TextKernels.MinhashP
+  val MinhashA: Seq[Long] = graft.plans.TextKernels.MinhashA.toSeq
+  val MinhashB: Seq[Long] = graft.plans.TextKernels.MinhashB.toSeq
+  val NumPerms: Int = graft.plans.TextKernels.NumPerms
   val BandRows = 2 // → 4 bands
 
   /** per-doc minhash signature over n-gram shingle hashes.
-    * Output: idCol, mh0..mh{NumPerms-1}.
+    * Output: idCol, mh0..mh{NumPerms-1}. The signature is the native
+    * single-pass kernel ([[graft.plans.MinHashSignature]]); it is
+    * materialized in its own projection so CollapseProject cannot
+    * duplicate it into the NumPerms element_at consumers.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // materialize the shingle-hash array in its OWN projection: referenced
-    // NumPerms times below, and Spark's CollapseProject refuses to inline a
-    // non-cheap alias used more than once — so the tokenize→shingle→md5
-    // chain runs ONCE per row instead of once per permutation.
-    val hashed = docs.select(col(idCol),
-      transform(array_distinct(shingles(col(textCol), n)), t => tokenHash(t)).as("_hs"))
-    val sigs = (0 until NumPerms).map { j =>
-      array_min(transform(col("_hs"), h => (h * MinhashA(j) + MinhashB(j)) % MinhashP))
-        .as(s"mh$j")
-    }
-    hashed.select((col(idCol) +: sigs): _*)
+    val sig = docs.select(col(idCol),
+      graft.plans.MinHashSignature(col(textCol), n).as("_sig"))
+    val cols = (0 until NumPerms).map(j => element_at(col("_sig"), j + 1).as(s"mh$j"))
+    sig.select((col(idCol) +: cols): _*)
   }
 
   /** candidate pairs from rows sharing any (band, bucket-key): one
@@ -96,7 +94,7 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, cand: DataFrame, n: Int, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+      graft.plans.ShingleArray(col(textCol), n).as("sh"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -157,18 +155,9 @@ object Dedup {
   /** per-doc simhash over distinct-token hashes: bit i set iff the
     * majority of token hashes have bit i set.
     */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // same CollapseProject barrier as minhashSignatures: the hash array is
-    // referenced SimhashBits times — materialize it once per row.
-    val hashed = docs.select(col(idCol),
-      transform(array_distinct(tokens(col(textCol))), t => tokenHash(t)).as("_hs"))
-    val bits = (0 until SimhashBits).map { i =>
-      when(aggregate(col("_hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
-      ) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    hashed.select(col(idCol), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.SimHashSignature(col(textCol), SimhashBits).as("simhash"))
 
   /** near-dup pairs with hamming(simhash) ≤ maxDist, found by pigeonhole:
     * split the signature into (maxDist+1) bands; equal band → candidate.
@@ -184,18 +173,19 @@ object Dedup {
     def bandKey(sh: Column, b: Int): Column =
       shiftright(sh, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
     val bandArr = array((0 until nBands).map(b => bandKey(col("simhash"), b)): _*)
-    val bands = sig.select(struct(col(idCol), col("simhash")).as("rec"),
+    // candidate volume here is inherently large (every pair within
+    // hamming ≤ maxDist survives), so pairs are generated by a CODEGEN'D
+    // self-join on the narrow exploded band table — identical subplans on
+    // both sides, so the exchange is computed once and reused — rather
+    // than by interpreted in-bucket array explosion (≈4× slower at sf0.1).
+    val bands = sig.select(col(idCol), col("simhash"),
       posexplode(bandArr).as(Seq("band", "bkey")))
-    val buckets = bands.groupBy(col("band"), col("bkey"))
-      .agg(array_sort(collect_set(col("rec"))).as("recs"))
-      .filter(size(col("recs")) > 1)
-    val pairs = buckets.select(col("band"),
-        explode(flatten(transform(col("recs"),
-          (a, i) => transform(slice(col("recs"), i + lit(2), size(col("recs"))),
-            b => struct(a(idCol).as("id_a"), b(idCol).as("id_b"),
-              a("simhash").as("sh_a"), b("simhash").as("sh_b")))))).as("p"))
-      .select(col("band"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+    val joined = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col("x.band").as("band"),
+        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
     // first-matching-band dedup: a pair colliding in k bands appears in k
     // buckets — instead of a DISTINCT shuffle over millions of candidate
     // rows, keep the row only where `band` equals the FIRST band whose
@@ -204,7 +194,7 @@ object Dedup {
       when(bandKey(col("sh_a"), b) === bandKey(col("sh_b"), b), lit(b))
     } :+ lit(-1)): _*)
     // native codegen'd popcount(xor) — see graft.plans.HammingDistance
-    pairs.filter(col("band") === firstMatch)
+    joined.filter(col("band") === firstMatch)
       .select(col("id_a"), col("id_b"),
         graft.plans.HammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)

@@ -1,0 +1,202 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text kernels for the dedup hot path.
+  *
+  * The composable formulation (`transform(sequence(...), i →
+  * concat_ws(" ", slice(toks, i, n)))` …) is evaluated INTERPRETED per
+  * element — profiled at ~75 % of the whole minhash pipeline at sf0.1.
+  * These kernels do tokenize→shingle→hash→permute in one tight JVM loop
+  * per row, invoked from generated code (same extension pattern as
+  * [[HammingDistance]]).
+  *
+  * Determinism contract (oracle-critical): tokenization is
+  * `split(trim(text), "\s+")` with Spark/Java regex semantics (trim
+  * strips ASCII spaces only); shingles join n consecutive tokens with a
+  * single space; the hash is the first 7 lowercase hex chars of the
+  * UTF-8 md5 parsed base-16 (28 bits) — all bit-identical to both the
+  * HOF formulation in [[graft.functions.TextFunctions]] and the
+  * generated DuckDB oracle SQL.
+  */
+object TextKernels {
+  // minhash permutation constants (the public aliases live on
+  // graft.operators.Dedup, which the oracle-SQL generator reads)
+  val MinhashP = 1000000007L
+  val MinhashA: Array[Long] = Array(443, 971, 311, 653, 127, 811, 229, 577)
+  val MinhashB: Array[Long] = Array(17, 89, 41, 233, 157, 11, 271, 97)
+  val NumPerms: Int = MinhashA.length
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Spark `trim`: leading/trailing ASCII space (0x20) only — NOT
+    * Java's String.trim (which strips all control chars).
+    */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private def tokenize(text: String): Array[String] =
+    trimSpaces(text).split("\\s+", -1)
+
+  /** first 7 hex chars of md5 as a 28-bit long (== conv(substr(md5(x),1,7),16,10)). */
+  def hash28(s: String): Long = {
+    val d = digests.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    // 7 hex chars = 28 bits = bytes 0..2 plus the high nibble of byte 3
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+  }
+
+  private def eachShingle(text: String, n: Int)(f: String => Unit): Unit = {
+    val toks = tokenize(text)
+    if (toks.length < n) return
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      f(sb.toString)
+      i += 1
+    }
+  }
+
+  /** distinct n-gram shingles, first-occurrence order (== array_distinct
+    * of the HOF shingles; empty for docs shorter than n tokens).
+    */
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    val seen = new java.util.LinkedHashSet[String]()
+    eachShingle(text.toString, n)(seen.add)
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** minhash signature: per-permutation min of (hash28 * A + B) mod P
+    * over all shingles (duplicates cannot change a min, so no distinct
+    * pass is needed). Null mins for docs shorter than n tokens — same
+    * as array_min over an empty array.
+    */
+  def shingleMinHash(text: UTF8String, n: Int): GenericArrayData = {
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var any = false
+    eachShingle(text.toString, n) { s =>
+      any = true
+      val h = hash28(s)
+      var j = 0
+      while (j < NumPerms) {
+        val v = (h * MinhashA(j) + MinhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    val out = new Array[Any](NumPerms)
+    var j = 0
+    while (j < NumPerms) { out(j) = if (any) Long.box(mins(j)) else null; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** distinct-token 28-bit hashes, first-occurrence order (== transform(
+    * array_distinct(tokens(text)), tokenHash)); feeds simhash.
+    */
+  def distinctTokenHashes(text: UTF8String): GenericArrayData = {
+    val seen = new java.util.LinkedHashSet[String]()
+    tokenize(text.toString).foreach(seen.add)
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { out(i) = Long.box(hash28(it.next())); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** simhash over distinct-token hashes: bit i set iff the majority of
+    * hashes have bit i set (== the 28-term HOF formulation).
+    */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val counts = new Array[Long](bits)
+    val seen = new java.util.LinkedHashSet[String]()
+    tokenize(text.toString).foreach(seen.add)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val h = hash28(it.next())
+      var i = 0
+      while (i < bits) {
+        counts(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L); i += 1
+      }
+    }
+    var sig = 0L; var i = 0
+    while (i < bits) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+private[plans] trait TextKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected STRING, got ${child.dataType}")
+}
+
+/** distinct n-gram shingles as array<string> (native). */
+case class ShingleArray(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shingles($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleArray(GraftBridge.expression(text), n))
+}
+
+/** minhash signature as array<long>[NumPerms] (native). */
+case class MinHashSignature(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleMinHash(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shingleMinHash($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(text), n))
+}
+
+/** simhash signature as a long (native). */
+case class SimHashSignature(child: Expression, bits: Int) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.simhash($c, $bits);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  def apply(text: Column, bits: Int): Column =
+    GraftBridge.column(SimHashSignature(GraftBridge.expression(text), bits))
+}

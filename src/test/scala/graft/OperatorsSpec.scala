@@ -135,6 +135,43 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1024L, 2048L))
   }
 
+  test("native text kernels match HOF formulations bit-for-bit") {
+    import org.apache.spark.sql.types._
+    // include whitespace edges, unicode, short docs, repeats
+    val fixtures = docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and   multi   space tokens here now "),
+      (3L, "a b"), (4L, ""), (5L, "répété répété tökens ünïcode mixed in text"),
+      (6L, (1 to 100).map(i => s"t${i % 13}").mkString(" ")))
+      .union(Tables(spark, sf, "documents").select("doc_id", "text").limit(100))
+    val hofMh = (0 until Dedup.NumPerms).map { j =>
+      array_min(transform(
+        transform(array_distinct(TextFunctions.shingles(col("text"), 3)),
+          t => TextFunctions.tokenHash(t)),
+        h => (h * Dedup.MinhashA(j) + Dedup.MinhashB(j)) % Dedup.MinhashP))
+    }
+    val hofSim = {
+      val hs = transform(array_distinct(TextFunctions.tokens(col("text"))),
+        t => TextFunctions.tokenHash(t))
+      (0 until Dedup.SimhashBits).map { i =>
+        when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+        ) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val cmp = fixtures.select(
+      (array_distinct(TextFunctions.shingles(col("text"), 3)) ===
+        graft.plans.ShingleArray(col("text"), 3)).as("sh_eq"),
+      (array(hofMh: _*) === graft.plans.MinHashSignature(col("text"), 3)).as("mh_eq"),
+      (hofSim === graft.plans.SimHashSignature(col("text"), Dedup.SimhashBits)).as("sim_eq"))
+      .collect()
+    cmp.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(0), s"shingles diverge on row $i")
+      assert(!r.isNullAt(1) && r.getBoolean(1) || r.isNullAt(1), s"minhash diverges on row $i")
+      assert(r.getBoolean(2), s"simhash diverges on row $i")
+    }
+  }
+
   test("langid picks the dominant stopword language") {
     val r = docsOf(
       (1L, "the cat and the dog of a house"),
