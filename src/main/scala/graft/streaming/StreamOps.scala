@@ -1,7 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** open session being accumulated for one user (stateful sessionization). */
+case class OpenSession(start_us: Long, end_us: Long, n: Long, total: Double)
+
+/** per-user sessionization state: next session number + the open session.
+  * Keeping the counter after a session closes preserves the batch
+  * numbering contract (session_id is 1-based per user in event-time
+  * order) at the cost of one tiny row per user ever seen; bound it with
+  * a state TTL in a production deployment.
+  */
+case class SessState(nextId: Long, open: Option[OpenSession])
+
+/** emitted closed session — matches Sessionize.sessions columns. */
+case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
+                         total_value: Double, start_us: Long, end_us: Long)
 
 /** Structured Streaming surface over the events schema (SURVEY §2.13:
   * an extension — the reference has no true streaming; its "streams" are
@@ -39,6 +55,87 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** gaps-and-islands sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` over `KeyValueGroupedDataset` (the §2.13
+    * extension path for semantics `session_window` can't express, here:
+    * stable per-user 1-based session numbering, matching the batch
+    * [[graft.operators.Sessionize.sessions]] contract).
+    *
+    * Scale design: state per user is O(1) (counter + open session); a
+    * session closes either when a later event arrives past the gap, or
+    * when the event-time watermark passes `session_end + gap`
+    * (EventTimeTimeout) — so state is bounded by ACTIVE users, not input.
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame, gapSeconds: Long,
+                       watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def usOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+
+    typed.flatMapGroupsWithState[SessState, ClosedSession](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[SessState]) =>
+        val st = state.getOption.getOrElse(SessState(1L, None))
+        if (it.isEmpty) {
+          // watermark passed session_end + gap: close the open session
+          val out = st.open.map(o =>
+            ClosedSession(user, st.nextId, o.n, o.total, o.start_us, o.end_us))
+          state.update(SessState(st.nextId + (if (st.open.isDefined) 1 else 0), None))
+          out.iterator
+        } else {
+          // micro-batch delivery is unordered within the batch: sort by
+          // event time before folding (cross-batch order is the watermark's
+          // responsibility, as for any event-time stateful operator)
+          val evs = it.toArray.sortBy(e => usOf(e._2))
+          var nextId = st.nextId
+          var open = st.open
+          val closed = Seq.newBuilder[ClosedSession]
+          evs.foreach { case (_, t, v) =>
+            val us = usOf(t)
+            open match {
+              case Some(o) if us - o.end_us <= gapUs =>
+                open = Some(OpenSession(o.start_us, math.max(o.end_us, us), o.n + 1, o.total + v))
+              case Some(o) =>
+                closed += ClosedSession(user, nextId, o.n, o.total, o.start_us, o.end_us)
+                nextId += 1
+                open = Some(OpenSession(us, us, 1L, v))
+              case None =>
+                open = Some(OpenSession(us, us, 1L, v))
+            }
+          }
+          state.update(SessState(nextId, open))
+          open.foreach(o => state.setTimeoutTimestamp(o.end_us / 1000L + gapSeconds * 1000L))
+          closed.result().iterator
+        }
+    }
+  }
+
+  /** streaming exact dedup: drop rows whose content fingerprint was seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`, so
+    * the fingerprint state is EVICTED as event time advances — bounded
+    * state, unlike a global dropDuplicates). The batch analogue is
+    * [[graft.operators.Dedup.exact]].
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String = "text",
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
 
   /** run a streaming query over a bounded source to completion into a
     * memory sink and return the result table (test/driver utility).

@@ -48,6 +48,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L))
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch numbering") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    // sentinel far in the future advances the watermark so every real
+    // session times out and closes (excluded from the comparison)
+    mem.addData((99L, ts("2024-06-01 00:00:00"), 9999L, "flush", 0.0))
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.statefulSessions(spark, stream, 300L, watermark = "0 seconds").toDF(),
+        "t_statesess", outputMode = "append")
+      .filter(col("user_id") =!= 9999L)
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val exp = Sessionize.sessions(batch, 300L)
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("streaming exact dedup drops duplicate fingerprints within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "same Text here"),
+      (ts("2024-01-01 00:01:00"), "same  text HERE"), // normalized dup
+      (ts("2024-01-01 00:02:00"), "different text"))
+    val stream = mem.toDF().toDF("ts", "text")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.streamingExactDedup(stream, "ts"), "t_dedup", outputMode = "append")
+      .orderBy("ts").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getString(1)).toSeq == Seq("same Text here", "different text"))
+  }
+
   test("batch sessionization assigns gap-separated sessions") {
     val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Sessionize.sessions(batch, 300L).orderBy("user_id", "session_id").collect()
