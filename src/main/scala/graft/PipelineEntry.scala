@@ -59,6 +59,7 @@ object PipelineEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         meanTokenLen(col("text")).as("mean_token_len"),
         alphaRatio(col("text")).as("alpha_ratio"),
         qualityScore(col("text")).as("quality"))
@@ -271,6 +272,7 @@ object PipelineEntry {
         s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS ts FROM documents)
            |SELECT doc_id,
            |  CAST(len(ts) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
            |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE) AS mean_token_len,
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  0.4 * (CAST(len(list_filter(ts, x -> x IN ($enList))) AS BIGINT) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE))

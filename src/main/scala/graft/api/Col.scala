@@ -91,6 +91,11 @@ final case class Col(c: Column) {
   def count: Col = Col(org.apache.spark.sql.functions.count(c))
   /** Exact distinct count (`reductions.py:200-201`) — NOT approximate. */
   def nunique: Col = Col(countDistinct(c))
+  /** HLL++ approximate distinct count — the 100 TB alternative when the
+    * distinct set itself won't fit a shuffle partition. Extension beyond
+    * the reference (its nunique is exact-only); rsd = relative error.
+    */
+  def nuniqueApprox(rsd: Double = 0.05): Col = Col(approx_count_distinct(c, rsd))
   def any: Col = Col(org.apache.spark.sql.functions.max(c.cast(BooleanType)))
   def all: Col = Col(org.apache.spark.sql.functions.min(c.cast(BooleanType)))
   /** var with ddof: unbiased=true → sample variance (`reductions.py:142-191`). */

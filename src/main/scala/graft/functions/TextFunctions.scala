@@ -22,6 +22,23 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** BPE-style pre-tokenizer regex (GPT-2 family, simplified): English
+    * contractions, optional-space letter runs, digit runs, punctuation
+    * runs, residual whitespace. Restricted to syntax with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (DuckDB): no lookahead, and
+    * an explicit whitespace class (Java's \s includes \x0B, RE2's does
+    * not).
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  /** subword-ish token count: number of BPE pre-tokenizer matches. A real
+    * BPE vocab would merge further; the pre-tokenizer count is the
+    * standard cheap upper-bound proxy used for corpus budgeting.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast(LongType)
+
   /** lower + collapse whitespace: canonical form for fingerprinting. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

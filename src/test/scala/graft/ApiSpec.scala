@@ -239,6 +239,52 @@ class ApiSpec extends SparkSpec {
     assert(back.fields.map(_.toLowerCase).sorted == Seq("amount", "id", "name"))
   }
 
+  test("saltedSumBy equals plain grouped sum (skew-safe two-stage agg)") {
+    val li = Table(Tables(spark, sf, "lineitem"))
+    val D = DecimalType(18, 2)
+    val plain = li.byFields(Seq("l_returnflag"),
+        "q" -> Col(sum(col("l_quantity").cast(D))),
+        "n" -> Col(count(lit(1))))
+      .sort(Seq("l_returnflag")).df.collect()
+    val salted = li.saltedSumBy(Seq("l_returnflag"), 8,
+        "q" -> Col(col("l_quantity").cast(D)),
+        "n" -> Col.lit(1L))
+      .sort(Seq("l_returnflag")).df.collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq)
+  }
+
+  test("bucketed tables join without any exchange (co-located join)") {
+    val o = Table(Tables(spark, sf, "orders"))
+    val c = Table(Tables(spark, sf, "customer"))
+    // clean both the catalog entry AND any stale location from a prior JVM
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"target/spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Table.writeBucketed(o, "orders_b", Seq("o_custkey"), 4)
+    Table.writeBucketed(c, "customer_b", Seq("c_custkey"), 4)
+    val j = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"),
+      s"expected exchange-free bucketed join, got:\n$plan")
+    assert(j.count() == o.nrows)
+  }
+
+  test("nuniqueApprox lands within rsd of exact nunique") {
+    val li = Table(Tables(spark, sf, "lineitem"))
+    val exact = li.df.agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.df.agg(li("l_partkey").nuniqueApprox(0.05).c).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"approx=$approx exact=$exact")
+  }
+
   test("slice positional semantics") {
     val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
     assert(r == Seq(2, 3))
