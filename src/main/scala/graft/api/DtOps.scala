@@ -35,6 +35,12 @@ final class DtOps(private val c: Column) extends AnyVal {
     */
   def sub(other: Column): Column = DtOps.us(c) - DtOps.us(other)
 
+  /** timestamp ± timedelta(µs) (`arithmetic.py:117-139` datetime/timedelta
+    * promotion rules: datetime + timedelta → datetime).
+    */
+  def addUs(deltaUs: Column): Column = timestamp_micros(DtOps.us(c) + deltaUs)
+  def subUs(deltaUs: Column): Column = timestamp_micros(DtOps.us(c) - deltaUs)
+
   def week: Column = weekofyear(c)
   def dayofyear: Column = org.apache.spark.sql.functions.dayofyear(c)
   /** Monday=0 .. Sunday=6 (pandas); Spark's dayofweek is Sunday=1..Saturday=7. */

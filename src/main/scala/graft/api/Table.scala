@@ -38,6 +38,17 @@ final case class Table(df: DataFrame) {
   def filter(pred: Col): Table = Table(df.filter(pred.c))
   def where(pred: Col): Table = filter(pred)
 
+  /** table-level Like: keep rows where EVERY named column matches its
+    * glob pattern (`strings.py:57-83` — `t.like(name='Alice*')`).
+    */
+  def like(patterns: (String, String)*): Table = {
+    require(patterns.nonEmpty, "like: at least one column -> glob pattern")
+    requireFields(patterns.map(_._1), "Like")
+    Table(df.filter(patterns.map { case (f, g) =>
+      df(f).like(StrOps.globToSql(g))
+    }.reduce(_ && _)))
+  }
+
   // --- renames (`expressions.py:574-692`) ---
   def relabel(renames: (String, String)*): Table = {
     requireFields(renames.map(_._1), "ReLabel")

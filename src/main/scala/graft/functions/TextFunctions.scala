@@ -43,8 +43,11 @@ object TextFunctions {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** document fingerprint = md5 of the normalized text (engine-portable). */
-  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+  /** document fingerprint = md5 of the normalized text (engine-portable);
+    * native single-pass kernel, bit-identical to `md5(normalize(text))`
+    * (parity-tested).
+    */
+  def fingerprintMd5(text: Column): Column = graft.plans.NormalizedMd5(text)
 
   /** 28-bit engine-portable token hash: first 7 hex chars of md5. */
   def tokenHash(tok: Column): Column =

@@ -110,6 +110,26 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** md5 of (trim → lower → collapse-whitespace) as lowercase hex —
+    * bit-identical to `md5(regexp_replace(lower(trim(text)), "\s+", " "))`.
+    * trim/lowercase delegate to UTF8String so Unicode case mapping is
+    * EXACTLY Spark's (not the JVM locale's).
+    */
+  def normalizedMd5(text: UTF8String): UTF8String = {
+    val canon = text.trim().toLowerCase.toString.replaceAll("\\s+", " ")
+    val d = digests.get().digest(canon.getBytes(StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
   /** distinct-token 28-bit hashes, first-occurrence order (== transform(
     * array_distinct(tokens(text)), tokenHash)); feeds simhash.
     */
@@ -148,6 +168,23 @@ private[plans] trait TextKernelExpression extends UnaryExpression {
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"expected STRING, got ${child.dataType}")
+}
+
+/** normalized-content md5 fingerprint as hex string (native). */
+case class NormalizedMd5(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.normalizedMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.normalizedMd5($c);")
+  override protected def withNewChildInternal(newChild: Expression): NormalizedMd5 =
+    copy(child = newChild)
+}
+
+object NormalizedMd5 {
+  def apply(text: Column): Column =
+    GraftBridge.column(NormalizedMd5(GraftBridge.expression(text)))
 }
 
 /** distinct n-gram shingles as array<string> (native). */

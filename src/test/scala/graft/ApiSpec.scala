@@ -285,6 +285,24 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15, s"approx=$approx exact=$exact")
   }
 
+  test("table-level like filters on every named column (strings.py:57-83)") {
+    val r = accounts.like("name" -> "A*").df.collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Alice"))
+    val r2 = accounts.like("name" -> "*i*", "name" -> "??????*").df.collect()
+    assert(r2.map(_.getString(0)).sorted.toSeq == Seq("Charlie"))
+    intercept[IllegalArgumentException](accounts.like("nope" -> "x"))
+  }
+
+  test("timestamp ± timedelta arithmetic (arithmetic.py:117-139)") {
+    val df = Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).toDF("ts")
+    val dt = new graft.api.DtOps(col("ts"))
+    val r = df.select(
+      dt.addUs(lit(90L * 60 * 1000000)).cast(StringType),
+      dt.subUs(lit(1000000L)).cast(StringType)).collect()(0)
+    assert(r.getString(0) == "2020-01-01 01:30:00")
+    assert(r.getString(1) == "2019-12-31 23:59:59")
+  }
+
   test("slice positional semantics") {
     val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
     assert(r == Seq(2, 3))

@@ -160,15 +160,18 @@ class OperatorsSpec extends SparkSpec {
       }.reduce(_ + _)
     }
     val cmp = fixtures.select(
+      (md5(TextFunctions.normalize(col("text"))) ===
+        graft.plans.NormalizedMd5(col("text"))).as("md5_eq"),
       (array_distinct(TextFunctions.shingles(col("text"), 3)) ===
         graft.plans.ShingleArray(col("text"), 3)).as("sh_eq"),
       (array(hofMh: _*) === graft.plans.MinHashSignature(col("text"), 3)).as("mh_eq"),
       (hofSim === graft.plans.SimHashSignature(col("text"), Dedup.SimhashBits)).as("sim_eq"))
       .collect()
     cmp.zipWithIndex.foreach { case (r, i) =>
-      assert(r.getBoolean(0), s"shingles diverge on row $i")
-      assert(!r.isNullAt(1) && r.getBoolean(1) || r.isNullAt(1), s"minhash diverges on row $i")
-      assert(r.getBoolean(2), s"simhash diverges on row $i")
+      assert(r.getBoolean(0), s"md5 fingerprint diverges on row $i")
+      assert(r.getBoolean(1), s"shingles diverge on row $i")
+      assert(!r.isNullAt(2) && r.getBoolean(2) || r.isNullAt(2), s"minhash diverges on row $i")
+      assert(r.getBoolean(3), s"simhash diverges on row $i")
     }
   }
 
