@@ -144,10 +144,25 @@ object PipelineEntry {
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, dir, "documents")))
         .orderBy("media_id")
     },
+    "mm_resize" -> { (s, dir) =>
+      Multimodal.resizeMeta(Multimodal.asMedia(t(s, dir, "documents")), 224L, 224L)
+        .orderBy("media_id")
+    },
 
     // ---- events ----
     "ev_tumbling" -> { (s, dir) =>
       Sessionize.tumbling(t(s, dir, "events"), widthSeconds = 300L)
+        .orderBy("window_start", "event_type")
+    },
+    "ev_hopping" -> { (s, dir) =>
+      // sliding/hopping window: width 600s, slide 300s — every event in
+      // exactly width/slide windows (batch analogue of window(ts, w, s))
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
         .orderBy("window_start", "event_type")
     },
     "ev_sessions" -> { (s, dir) =>
@@ -206,7 +221,10 @@ object PipelineEntry {
 
     // ---- caching (§1.1 CachedDataset) ----
     "misc_cached" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").cache()
+      // cache only the columns the two aggregates read — at 100 TB you
+      // cache a projection, never the full fact table
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")).cache()
       val a = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
       val b = li.groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("q"))
@@ -363,6 +381,15 @@ object PipelineEntry {
           |FROM documents, unnest(range(0, CASE WHEN octet_length(encode(text)) <= 0 THEN 0
           |  ELSE ((octet_length(encode(text)) - 1) // 1024) + 1 END)) AS u(f)
           |ORDER BY media_id, frame_idx""".stripMargin,
+      "mm_resize" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |  CAST(concat('0x', substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS width,
+          |  CAST(concat('0x', substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS height
+          |FROM documents)
+          |SELECT media_id, width, height,
+          |  CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_w,
+          |  CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_h
+          |FROM m ORDER BY media_id""".stripMargin,
       // byte-level stats are oracle-able because the fixture text is pure
       // ASCII (verified): UTF-8 bytes == character codes.
       "mm_features" ->
@@ -379,6 +406,12 @@ object PipelineEntry {
           |  event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+      "ev_hopping" ->
+        """SELECT make_timestamp((epoch_us(ts) // 300000000 - u.k) * 300000000) AS window_start,
+          |  event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events, unnest(range(0, 2)) AS u(k)
+          |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
       "ev_sessions" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
           |g AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL

@@ -69,6 +69,26 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * strideBytes).as("byte_offset"))
 
+  /** STUB resize: computes the letterboxed output geometry for a target
+    * box (aspect-preserving, never upscaling) from the decoded
+    * dimensions. A real implementation would transform pixels in the
+    * same mapPartitions batch loop as [[extractFeatures]]; the geometry
+    * arithmetic — the part a pipeline filters and bills on — is real and
+    * oracle-checked.
+    */
+  def resizeMeta(media: DataFrame, targetW: Long, targetH: Long): DataFrame = {
+    val meta = decodeImageMeta(media)
+    // scale = min(tw/w, th/h, 1); small-integer double arithmetic is
+    // bit-identical across engines
+    val scale = least(
+      lit(targetW.toDouble) / col("width").cast(DoubleType),
+      lit(targetH.toDouble) / col("height").cast(DoubleType),
+      lit(1.0))
+    meta.select(col("media_id"), col("width"), col("height"),
+      floor(col("width").cast(DoubleType) * scale).cast(LongType).as("out_w"),
+      floor(col("height").cast(DoubleType) * scale).cast(LongType).as("out_h"))
+  }
+
   /** per-partition batched feature extraction — the real distribution
     * path a heavy decoder would use (state initialized once per
     * partition, rows processed in a batch loop). The feature itself is a
