@@ -548,11 +548,13 @@ object SparkEntry {
           "d_micro" -> Col(ts.dt.microsecond),
           "d_milli" -> Col(ts.dt.millisecond),
           "d_minute" -> Col(ts.dt.minute),
+          "d_nano" -> Col(ts.dt.nanosecond),
           "d_second" -> Col(ts.dt.second),
           "d_strf" -> Col(ts.dt.strftime("%Y-%m-%d %H:%M:%S")),
+          "d_timeus" -> Col(ts.dt.time),
           "d_wdname" -> Col(ts.dt.weekdayName))
         .project("event_id", "d_hour", "d_micro", "d_milli", "d_minute",
-          "d_second", "d_strf", "d_wdname")
+          "d_nano", "d_second", "d_strf", "d_timeus", "d_wdname")
         .sort(Seq("event_id")).df
     },
     "dt_timedelta" -> { (s, dir) =>
@@ -902,8 +904,10 @@ object SparkEntry {
         |  epoch_us(ts) % 1000000 AS d_micro,
         |  (epoch_us(ts) % 1000000) // 1000 AS d_milli,
         |  CAST(EXTRACT(MINUTE FROM ts) AS INT) AS d_minute,
+        |  CAST(0 AS BIGINT) AS d_nano,
         |  CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS DOUBLE) AS d_second,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS d_strf,
+        |  epoch_us(ts) % 86400000000 AS d_timeus,
         |  strftime(ts, '%A') AS d_wdname
         |FROM events ORDER BY event_id""".stripMargin,
     "dt_timedelta" ->

@@ -29,6 +29,11 @@ final class DtOps(private val c: Column) extends AnyVal {
     */
   def nanosecond: Column = (DtOps.us(c) * 0L).cast(LongType)
   def date: Column = to_date(c)
+  /** time-of-day as µs since midnight (`datetime.py:45-131` `time`
+    * accessor; Spark has no TIME column type, so the canonical numeric
+    * encoding is used — render with strftime for display).
+    */
+  def time: Column = pmod(DtOps.us(c), lit(86400000000L)).cast(LongType)
 
   /** timestamp difference in microseconds — the timedelta constructor;
     * chain with [[Col.td]] for component accessors (`datetime.py:369-383`).
