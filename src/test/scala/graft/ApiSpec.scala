@@ -201,6 +201,18 @@ class ApiSpec extends SparkSpec {
     assert(r.getDouble(3) == 2 * 86400.0 + 7200.0 + 0.0005)
   }
 
+  test("timedelta components use pandas floor semantics for negative deltas") {
+    val df = Seq((
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2020-01-01 02:30:00"))).toDF("a", "b")
+    // a - b = -2.5 hours: pandas days=-1, seconds=77400 (21.5h), total=-9000
+    val td = Col(new graft.api.DtOps(col("a")).sub(col("b")))
+    val r = df.select(td.td.days, td.td.seconds, td.td.totalSeconds).collect()(0)
+    assert(r.getLong(0) == -1L)
+    assert(r.getLong(1) == 77400L)
+    assert(r.getDouble(2) == -9000.0)
+  }
+
   test("nanosecond accessor is 0 for µs-precision timestamps (datetime.py:77-83)") {
     val df = Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123456")).toDF("ts")
     val r = df.select(new graft.api.DtOps(col("ts")).nanosecond).as[Long].collect()
