@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity}
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
   * search, text analysis, multimodal plumbing, event sessionization.
@@ -172,6 +172,37 @@ object PipelineEntry {
           unix_micros(col("session_start")).as("start_us"),
           unix_micros(col("session_end")).as("end_us"))
         .orderBy("user_id", "session_id")
+    },
+
+    // ---- as-of / range joins (operators stock Spark lacks) ----
+    "ev_asof" -> { (s, dir) =>
+      // every event annotated with the user's latest purchase value at or
+      // before that moment (union + running-last window: ONE shuffle)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      AsOf.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+        .orderBy("event_id")
+    },
+    "ev_range" -> { (s, dir) =>
+      // events inside per-user daily maintenance windows (two overlapping
+      // window sets) via the bucketized interval join
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("t"))
+      val days = ev.select(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day0")).distinct()
+      val ivs = days.select(col("user_id"), col("day0").as("start"),
+          (col("day0") + 21600L).as("stop"))
+        .unionByName(days.select(col("user_id"), (col("day0") + 10800L).as("start"),
+          (col("day0") + 32400L).as("stop")))
+      AsOf.rangeJoin(pts, ivs, "user_id", "t", "start", "stop", 3600L)
+        .select(col("event_id"), col("user_id"), col("start"))
+        .orderBy("event_id", "start")
     },
 
     // ---- UDF / Apply surface (§2.14) ----
@@ -423,6 +454,20 @@ object PipelineEntry {
           |  MIN(us) AS start_us, MAX(us) AS end_us
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
+      "ev_asof" ->
+        """WITH r AS (SELECT user_id, ts, max(value) AS last_purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, r.last_purchase_value
+          |FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+          |ORDER BY event_id""".stripMargin,
+      "ev_range" ->
+        """WITH p AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+          |d AS (SELECT DISTINCT user_id, CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day0 FROM events),
+          |iv AS (SELECT user_id, day0 AS start, day0 + 21600 AS stop FROM d
+          |       UNION ALL SELECT user_id, day0 + 10800, day0 + 32400 FROM d)
+          |SELECT p.event_id, p.user_id, iv.start
+          |FROM p JOIN iv ON p.user_id = iv.user_id AND p.t >= iv.start AND p.t < iv.stop
+          |ORDER BY event_id, start""".stripMargin,
       "misc_map_udf" ->
         """SELECT o_orderkey, CAST(substring(o_orderpriority, 1, 1) AS INT) * 10 AS prio_rank
           |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -175,6 +175,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), (4L, 20L, 150L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (10L, 400L, "c"), (30L, 1L, "z"))
+      .toDF("k", "t", "v")
+    val r = graft.operators.AsOf.asofJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), Option(x.getString(3)).getOrElse("-")))
+    // id 1: right at t=100 (equality counts); id 2: t=200; id 3: t=200
+    // (t=400 is in the future); id 4: no right rows for k=20 → null
+    assert(r.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "-")))
+  }
+
+  test("rangeJoin matches points to containing intervals, end exclusive") {
+    val pts = Seq((1L, 5L, 10L), (2L, 5L, 25L), (3L, 5L, 30L), (4L, 6L, 10L))
+      .toDF("id", "k", "t")
+    val ivs = Seq((5L, 0L, 20L), (5L, 8L, 30L), (6L, 100L, 200L))
+      .toDF("k", "lo", "hi")
+    val r = graft.operators.AsOf.rangeJoin(pts, ivs, "k", "t", "lo", "hi", 7L)
+      .select("id", "lo").orderBy("id", "lo").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // t=10 ∈ [0,20) and [8,30); t=25 ∈ [8,30); t=30 excluded (end
+    // exclusive); k=6 point has no containing interval
+    assert(r.toSeq == Seq((1L, 0L), (1L, 8L), (2L, 8L)))
+  }
+
   test("langid picks the dominant stopword language") {
     val r = docsOf(
       (1L, "the cat and the dog of a house"),
