@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.plans._
+
+/** SQL surface for the native kernels (SURVEY §7.3 extension path):
+  * registered either per-cluster via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (injectFunction)
+  * or on a live session with [[GraftFunctions.register]] — after which
+  * `spark.sql("SELECT hamming_distance(a, b) ...")` plans the same
+  * codegen'd expressions the Scala API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: literal integer argument expected, got $other")
+  }
+
+  /** (name, info, builder) for every SQL-exposed kernel. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("hamming_distance",
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("cosine_similarity",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("shingles",
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingles"),
+      (es: Seq[Expression]) => ShingleArray(es(0), intArg(es(1), "shingles"))),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_signature"))),
+    ("simhash_signature",
+      new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_signature"),
+      (es: Seq[Expression]) =>
+        SimHashSignature(es(0),
+          if (es.size > 1) intArg(es(1), "simhash_signature")
+          else graft.operators.Dedup.SimhashBits)),
+    ("normalized_md5",
+      new ExpressionInfo(classOf[NormalizedMd5].getName, "normalized_md5"),
+      (es: Seq[Expression]) => NormalizedMd5(es(0))))
+
+  /** register every kernel as a session function on a LIVE session (the
+    * no-restart path; extensions config needs a fresh session).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -174,6 +174,17 @@ object PipelineEntry {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- native kernels exposed as SQL functions (GraftExtensions) ----
+    "sql_kernels" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      GraftFunctions.register(s)
+      s.sql(
+        """SELECT doc_id, simhash_signature(text) AS simhash,
+          |  size(shingles(text, 3)) AS n_shingles,
+          |  normalized_md5(text) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
     // ---- as-of / range joins (operators stock Spark lacks) ----
     "ev_asof" -> { (s, dir) =>
       // every event annotated with the user's latest purchase value at or
@@ -454,6 +465,13 @@ object PipelineEntry {
           |  MIN(us) AS start_us, MAX(us) AS end_us
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
+      "sql_kernels" ->
+        s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS ts FROM documents),
+           |h AS (SELECT doc_id, text, ts, list_transform(list_distinct(ts), tk -> ${sqlHash("tk")}) AS hs FROM t)
+           |SELECT doc_id, $simhashTerms AS simhash,
+           |  CAST(len(${sqlShingles(3)}) AS INT) AS n_shingles,
+           |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           |FROM h ORDER BY doc_id""".stripMargin,
       "ev_asof" ->
         """WITH r AS (SELECT user_id, ts, max(value) AS last_purchase_value
           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

@@ -315,6 +315,23 @@ class ApiSpec extends SparkSpec {
     assert(r.getString(1) == "2019-12-31 23:59:59")
   }
 
+  test("kernel SQL functions: extensions injection + live registration") {
+    // the extensions class builds its injections without error (the
+    // cluster path: --conf spark.sql.extensions=graft.GraftExtensions)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // live-session path
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hamming_distance(7L, 1L) AS h,
+        |  cosine_similarity(array(3.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  normalized_md5('  Hello   World ') = normalized_md5('hello world') AS eq
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getBoolean(2))
+  }
+
   test("slice positional semantics") {
     val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
     assert(r == Seq(2, 3))
