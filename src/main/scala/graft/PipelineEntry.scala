@@ -72,6 +72,20 @@ object PipelineEntry {
         langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
+    "text_quantiles" -> { (s, dir) =>
+      import TextFunctions._
+      // per-language doc-length distribution (exact interpolated
+      // percentiles; corpus filtering is usually "drop below p05 / above
+      // p95"). round(6) absorbs sub-ulp interpolation-formula differences
+      // between engines.
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(percentile(tokenCount(col("text")), lit(0.5)), 6).as("p50"),
+          round(percentile(tokenCount(col("text")), lit(0.95)), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
     "text_fingerprint" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -345,6 +359,13 @@ object PipelineEntry {
            |  $stopSql
            |FROM t)
            |SELECT doc_id, lang, $langCase AS lang_pred FROM s ORDER BY doc_id""".stripMargin,
+      "text_quantiles" ->
+        s"""WITH t AS (SELECT lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents)
+           |SELECT lang,
+           |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95,
+           |  COUNT(*) AS n
+           |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text,
            |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)

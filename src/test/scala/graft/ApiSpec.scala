@@ -127,6 +127,16 @@ class ApiSpec extends SparkSpec {
     assert(r.getString(2) == "2020-01-01 00:00:00")
   }
 
+  test("sub-second truncate: ms is millisecond, not month") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-17 10:20:30.123456")).toDF("ts")
+    val r = df.select(
+      new graft.api.DtOps(col("ts")).truncate(250, "ms").cast(StringType),
+      new graft.api.DtOps(col("ts")).truncate(1, "ms").cast(StringType)
+    ).collect()(0)
+    assert(r.getString(0) == "2024-03-17 10:20:30")       // 30.000 (floor to 250ms grid)
+    assert(r.getString(1) == "2024-03-17 10:20:30.123")
+  }
+
   test("StrCat propagates nulls (strings.py:222-288)") {
     val df = Seq(("a", Some("b")), ("c", None)).toDF("l", "r")
     val r = df.select(new graft.api.StrOps(col("l")).cat(col("r"), "-")).as[Option[String]].collect()
