@@ -60,25 +60,16 @@ object Dedup {
     sig.select((col(idCol) +: cols): _*)
   }
 
-  /** candidate pairs from rows sharing any (band, bucket-key): one
-    * shuffle on the bucket key, pairs generated inside each bucket from
-    * the sorted member list — no self-join, so the upstream signature
-    * pipeline runs exactly once. Bucket fan-in is bounded by band-key
-    * collisions (tune bands/rows for the corpus; a pathological hot
-    * bucket degrades this bucket only, not the whole plan).
+  /** (id_a, id_b) candidate pairs via minhash banding.
+    *
+    * Plan shape: signature computed ONCE (native kernel), band keys
+    * posexploded from a materialized array, then a CODEGEN'D self-join
+    * on (band, bkey) — both sides are the identical subplan, so the
+    * exchange is computed once and reused. A pair colliding in several
+    * bands is kept only where `band` equals its FIRST matching band
+    * (arithmetic on the carried key array), so no DISTINCT shuffle over
+    * the candidate stream is ever needed.
     */
-  private def bucketPairs(bands: DataFrame, idCol: String): DataFrame = {
-    val buckets = bands.groupBy(col("band"), col("bkey"))
-      .agg(array_sort(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(flatten(transform(col("ids"),
-        (a, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-  }
-
-  /** (id_a, id_b) candidate pairs via minhash banding — single pass. */
   def minhashCandidates(docs: DataFrame, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sig = minhashSignatures(docs, n, textCol, idCol)
@@ -86,8 +77,20 @@ object Dedup {
     val bandArr = array((0 until nBands).map { b =>
       concat_ws("_", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
     }: _*)
-    val bands = sig.select(col(idCol), posexplode(bandArr).as(Seq("band", "bkey")))
-    bucketPairs(bands, idCol)
+    val bands = sig.select(col(idCol), bandArr.as("bkeys"))
+      .select(col(idCol), col("bkeys"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      // shuffled-hash: bucket fan-in is bounded by band-key collisions, so
+      // the build side per partition stays small; avoids broadcasting the
+      // (full!) banded corpus that a size-estimate-driven BHJ would pick
+      .hint("shuffle_hash")
+    val firstMatch = coalesce(((0 until nBands).map { b =>
+      when(col("x.bkeys")(b) === col("y.bkeys")(b), lit(b))
+    } :+ lit(-1)): _*)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(col("x.band") === firstMatch)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
   }
 
   /** exact n-gram jaccard over given candidate pairs (id_a, id_b). */
