@@ -61,7 +61,7 @@ final case class Table(df: DataFrame) {
     */
   def merge(cols: (String, Col)*): Table = {
     val newCols = cols.sortBy(_._1).map { case (n, col) => col.c.as(n) }
-    Table(df.select(df.columns.map(df(_)) ++ newCols: _*))
+    Table(df.select(df.columns.toSeq.map(df(_)) ++ newCols: _*))
   }
   /** transform: add/replace derived columns keeping existing order
     * (`collections.py:503-537`).
