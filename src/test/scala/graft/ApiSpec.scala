@@ -50,6 +50,15 @@ class ApiSpec extends SparkSpec {
     assert(j.df.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("join on multiple differently-named keys") {
+    val l = Table(Seq((1, "x", 10), (1, "y", 11), (2, "x", 20)).toDF("a", "b", "v"))
+    val r = Table(Seq((1, "x", 7.0), (2, "z", 9.0)).toDF("c", "d", "w"))
+    val j = Table.join(l, r, Seq("a", "b"), Seq("c", "d"), "inner")
+    assert(j.fields == Seq("a", "b", "v", "w"))
+    val rows = j.df.collect()
+    assert(rows.length == 1 && rows(0).getInt(2) == 10 && rows(0).getDouble(3) == 7.0)
+  }
+
   test("join outer: key coalesced, both sides nullable") {
     val l = Table(Seq((1, 10), (2, 20)).toDF("id", "x"))
     val r = Table(Seq((2, 7), (3, 9)).toDF("id", "y"))

@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("streaming hopping windows == batch hopping (stream/batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hop = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val got = StreamOps.runToMemory(spark, hop, "t_hop")
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    val exp = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("streaming session windows merge events within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
