@@ -308,10 +308,14 @@ object PipelineEntry {
     }.mkString("\n  UNION ALL ")
     // full minhash-LSH pair pipeline over n-gram shingles (mirrors
     // Dedup.minhashPairs / ngramJaccardPairs for any n / threshold)
+    // jaccard is over DISTINCT HASHED shingle sets (hsd) — mirroring
+    // Dedup.jaccardVerify's long-array representation; the signature CTE
+    // keeps the raw hs list (duplicates cannot change a min)
     def sqlMinhashPairs(n: Int, threshold: Double): String =
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
          |s AS (SELECT doc_id, ${sqlShingles(n)} AS sh FROM t),
          |h AS (SELECT doc_id, list_transform(sh, tk -> ${sqlHash("tk")}) AS hs FROM s),
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
          |sig AS (SELECT doc_id,
          |  $mhExprs
          |FROM h),
@@ -319,9 +323,9 @@ object PipelineEntry {
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-         |FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= $threshold
+         |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b
+         |WHERE CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
     val simhashBandBits = Dedup.SimhashBits / 4 // maxDist=3 → 4 bands
     val simhashBandSelects = (0 until 4).map { b =>

@@ -93,11 +93,15 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
   }
 
-  /** exact n-gram jaccard over given candidate pairs (id_a, id_b). */
+  /** exact n-gram jaccard over given candidate pairs (id_a, id_b).
+    * Shingle sets are represented by their distinct 28-bit hashes
+    * (long-array set ops ≫ string-array set ops; the oracle derives the
+    * same hashed sets, so the differential test still binds exactly).
+    */
   def jaccardVerify(docs: DataFrame, cand: DataFrame, n: Int, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol),
-      graft.plans.ShingleArray(col(textCol), n).as("sh"))
+      graft.plans.ShingleHashArray(col(textCol), n).as("sh"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

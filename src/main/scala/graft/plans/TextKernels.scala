@@ -130,6 +130,21 @@ object TextKernels {
     UTF8String.fromString(new String(hex))
   }
 
+  /** distinct 28-bit shingle hashes, first-occurrence order (==
+    * list_distinct of the hashed shingle list): the jaccard-verify
+    * representation — long-array set ops beat string-array set ops, and
+    * both engines derive the sets from the same md5 values so the
+    * differential test still binds.
+    */
+  def distinctShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    eachShingle(text.toString, n)(s => seen.add(hash28(s)))
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** distinct-token 28-bit hashes, first-occurrence order (== transform(
     * array_distinct(tokens(text)), tokenHash)); feeds simhash.
     */
@@ -202,6 +217,23 @@ case class ShingleArray(child: Expression, n: Int) extends TextKernelExpression 
 object ShingleArray {
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(ShingleArray(GraftBridge.expression(text), n))
+}
+
+/** distinct shingle hashes as array<long> (native). */
+case class ShingleHashArray(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.distinctShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.distinctShingleHashes($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashArray =
+    copy(child = newChild)
+}
+
+object ShingleHashArray {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashArray(GraftBridge.expression(text), n))
 }
 
 /** minhash signature as array<long>[NumPerms] (native). */
