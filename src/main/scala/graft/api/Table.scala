@@ -255,9 +255,20 @@ object Table {
       else if (uri.endsWith(".csv")) spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
       else if (uri.endsWith(".json")) spark.read.json(uri)
       else if (uri.endsWith(".orc")) spark.read.orc(uri)
+      else if (uri.endsWith(".txt") || uri.endsWith(".text")) spark.read.text(uri)
       else spark.table(uri)
     Table(t)
   }
+
+  /** hive-style partitioned sink: one directory per distinct key value,
+    * so filters on the partition columns PRUNE whole directories at plan
+    * time (`PartitionFilters` in the scan — no data read at all for
+    * excluded partitions). The 100 TB layout for time/tenant-keyed facts;
+    * keep partition cardinality moderate (e.g. date, not user_id).
+    * Pruning is asserted in the unit suite.
+    */
+  def writePartitioned(t: Table, path: String, keys: Seq[String]): Unit =
+    t.df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
 
   /** bucketed sink: co-locate a table on its join/group keys so repeated
     * joins and aggregations on those keys need NO exchange (Spark reads

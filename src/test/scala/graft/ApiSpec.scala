@@ -285,6 +285,31 @@ class ApiSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq)
   }
 
+  test("partitioned writes prune at plan time (PartitionFilters)") {
+    val o = Table(Tables(spark, sf, "orders"))
+    val withYear = Table(o.df.withColumn("order_year", year(col("o_orderdate"))))
+    val path = "target/part_orders"
+    Table.writePartitioned(withYear, path, Seq("order_year"))
+    val back = spark.read.parquet(path).filter(col("order_year") === 1995)
+    val scan = back.queryExecution.executedPlan.toString
+    // the year filter must land in PartitionFilters (directory pruning),
+    // not in PushedFilters (row-group filtering)
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("order_year"),
+      s"expected partition pruning on order_year:\n$scan")
+    val exp = o.df.filter(year(col("o_orderdate")) === 1995).count()
+    assert(back.count() == exp && exp > 0)
+  }
+
+  test("data() routes .txt through spark.read.text") {
+    val path = "target/txt_probe"
+    Seq("alpha", "beta").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(path)
+    // read the directory written above via the .txt-suffixed glob
+    val tb = Table.data(spark, s"$path/part-00000*.txt")
+    assert(tb.fields == Seq("value") && tb.nrows == 2)
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     val o = Table(Tables(spark, sf, "orders"))
     val c = Table(Tables(spark, sf, "customer"))
