@@ -100,8 +100,13 @@ final case class Table(df: DataFrame) {
   def saltedSumBy(keys: Seq[String], saltBuckets: Int, sums: (String, Col)*): Table = {
     require(saltBuckets > 1, "saltedSumBy: need at least 2 salt buckets")
     requireFields(keys, "saltedSumBy")
+    // DETERMINISTIC salt (hash of the full row): a nondeterministic salt
+    // (rand / monotonically_increasing_id) is a grouping key that changes
+    // on task retry — partial re-fetches then double-count or drop rows.
+    // Trade-off: fully identical rows share a salt; hot keys still spread
+    // as long as their rows differ anywhere.
     val salted = df.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      pmod(hash(df.columns.toSeq.map(df(_)): _*), lit(saltBuckets)))
     val partialCols = sums.sortBy(_._1).map { case (n, c) => sum(c.c).as(n) }
     val partial = salted
       .groupBy((keys.map(salted(_)) :+ col("_salt")): _*)

@@ -28,26 +28,33 @@ object AsOf {
     val lCols = left.columns.toSeq
     require(!valCols.exists(lCols.contains), s"asofJoin: value columns $valCols collide with left")
     // right rows sort BEFORE left rows at equal ts (tag 0 < 1), so a
-    // right row at exactly left.ts is visible to it (<= semantics)
+    // right row at exactly left.ts is visible to it (<= semantics).
+    // Values ride inside ONE struct ("_rv"): the running last(ignoreNulls)
+    // skips only the left-row padding (null struct), never a right row
+    // whose value column is legitimately NULL — that row must win and
+    // deliver its null, as DuckDB ASOF JOIN / pandas merge_asof do.
     val l = left.withColumn("_tag", lit(1))
     val taggedR = right.select(
       (Seq(col(key), col(tsCol), lit(0).as("_tag")) ++ valCols.map(col)): _*)
+    val rvType = org.apache.spark.sql.types.StructType(
+      valCols.map(v => taggedR.schema(v).copy(name = v)))
     val lPadded = l.select(
-      (Seq(col(key), col(tsCol), col("_tag")) ++
-        valCols.map(v => lit(null).cast(taggedR.schema(v).dataType).as(v)) ++
+      (Seq(col(key), col(tsCol), col("_tag"),
+        lit(null).cast(rvType).as("_rv")) ++
         lCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
     val rPadded = taggedR.select(
-      (Seq(col(key), col(tsCol), col("_tag")) ++ valCols.map(col) ++
+      (Seq(col(key), col(tsCol), col("_tag"),
+        struct(valCols.map(col): _*).as("_rv")) ++
         lCols.filterNot(c => c == key || c == tsCol)
           .map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lPadded.unionByName(rPadded)
-      .select((Seq(col(key), col(tsCol), col("_tag")) ++
-        valCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)) ++
+      .select((Seq(col(key), col(tsCol), col("_tag"),
+        last(col("_rv"), ignoreNulls = true).over(w).as("_rv")) ++
         lCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
-    filled.filter(col("_tag") === 1).drop("_tag")
-      .select((lCols ++ valCols).map(col): _*)
+    filled.filter(col("_tag") === 1)
+      .select((lCols.map(col) ++ valCols.map(v => col("_rv")(v).as(v))): _*)
   }
 
   /** range join: pair each point row with every interval row of the same
@@ -65,10 +72,17 @@ object AsOf {
                 ptCol: String, startCol: String, endCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
-    val ivb = intervals.withColumn("_b",
-      explode(sequence(floor(col(startCol).cast("double") / bucketWidth).cast("long"),
-        // end is exclusive: a bucket is overlapped only if start < end
-        floor((col(endCol).cast("double") - 1) / bucketWidth).cast("long"))))
+    // last overlapped bucket of half-open [start, end) = ceil(end/w) - 1:
+    // correct for FRACTIONAL coordinates too (floor((end-1)/w) misses the
+    // final bucket when end is not integral). Empty/inverted intervals
+    // are dropped first — sequence() would otherwise count DOWN and emit
+    // one spurious bucket row per bucket below start.
+    val ivb = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("_b",
+        explode(sequence(
+          floor(col(startCol).cast("double") / bucketWidth).cast("long"),
+          (ceil(col(endCol).cast("double") / bucketWidth) - 1).cast("long"))))
     val ptb = points.withColumn("_b",
       floor(col(ptCol).cast("double") / bucketWidth).cast("long"))
     ptb.join(ivb, Seq(key, "_b"))

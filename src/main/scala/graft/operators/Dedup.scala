@@ -77,7 +77,12 @@ object Dedup {
     val bandArr = array((0 until nBands).map { b =>
       concat_ws("_", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
     }: _*)
-    val bands = sig.select(col(idCol), bandArr.as("bkeys"))
+    // drop docs with no signature (shorter than n tokens): their mh cols
+    // are all NULL and concat_ws would give them ALL the same "" band key
+    // — one unbounded bucket of garbage rows that the self-join would
+    // turn into O(m²) pairs before the verify could discard them
+    val bands = sig.filter(col("mh0").isNotNull)
+      .select(col(idCol), bandArr.as("bkeys"))
       .select(col(idCol), col("bkeys"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
       // shuffled-hash: bucket fan-in is bounded by band-key collisions, so
       // the build side per partition stays small; avoids broadcasting the

@@ -145,18 +145,6 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** distinct-token 28-bit hashes, first-occurrence order (== transform(
-    * array_distinct(tokens(text)), tokenHash)); feeds simhash.
-    */
-  def distinctTokenHashes(text: UTF8String): GenericArrayData = {
-    val seen = new java.util.LinkedHashSet[String]()
-    tokenize(text.toString).foreach(seen.add)
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator(); var i = 0
-    while (it.hasNext) { out(i) = Long.box(hash28(it.next())); i += 1 }
-    new GenericArrayData(out)
-  }
-
   /** simhash over distinct-token hashes: bit i set iff the majority of
     * hashes have bit i set (== the 28-term HOF formulation).
     */

@@ -48,13 +48,19 @@ trait VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** Σ aᵢ·bᵢ over min(|a|,|b|) elements, left-to-right in double. */
+/** Σ aᵢ·bᵢ, left-to-right in double. NULL on length mismatch — the HOF
+  * contract (`zip_with` pads the short side with nulls, poisoning the
+  * fold), so corrupt/truncated vectors drop out of threshold filters
+  * instead of producing plausible partial similarities.
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0; var i = 0
     while (i < n) { s += getD(x, i, leftElem) * getD(y, i, rightElem); i += 1 }
     s
@@ -64,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getGen(a, i, leftElem)} * ${getGen(b, i, rightElem)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${getGen(a, i, leftElem)} * ${getGen(b, i, rightElem)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -85,20 +95,27 @@ object DotProduct {
 }
 
 /** dot(a,b) / (‖a‖·‖b‖) with all three sums accumulated left-to-right in
-  * double — bit-identical to `dot/(norm2·norm2)` composed from HOFs.
+  * double — bit-identical to `dot/(norm2·norm2)` composed from HOFs for
+  * well-formed inputs, and NULL (matching the HOF divide-by-zero /
+  * zip_with-pad semantics) for zero-norm or length-mismatched vectors —
+  * NOT NaN, which Spark sorts ABOVE every real number and which passes
+  * `>= threshold` filters.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = getD(x, i, leftElem); val yi = getD(y, i, rightElem)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -108,14 +125,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${getGen(a, i, leftElem)};
-         |  double $yi = ${getGen(b, i, rightElem)};
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = ${getGen(a, i, leftElem)};
+         |    double $yi = ${getGen(b, i, rightElem)};
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -107,7 +107,10 @@ object StreamOps {
             val us = usOf(t)
             open match {
               case Some(o) if us - o.end_us <= gapUs =>
-                open = Some(OpenSession(o.start_us, math.max(o.end_us, us), o.n + 1, o.total + v))
+                // a late-but-within-watermark event may precede the open
+                // session's start (cross-batch reordering): extend BOTH ends
+                open = Some(OpenSession(math.min(o.start_us, us),
+                  math.max(o.end_us, us), o.n + 1, o.total + v))
               case Some(o) =>
                 closed += ClosedSession(user, nextId, o.n, o.total, o.start_us, o.end_us)
                 nextId += 1

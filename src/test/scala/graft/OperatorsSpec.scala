@@ -188,6 +188,42 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "-")))
   }
 
+  test("asofJoin: a latest right row with NULL value wins and delivers its null") {
+    val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
+    val right = Seq((10L, 100L, Some("a")), (10L, 200L, None))
+      .toDF("k", "t", "v")
+    val r = graft.operators.AsOf.asofJoin(left, right, "k", "t", Seq("v")).collect()(0)
+    // the t=200 row IS the as-of match; its null must not be skipped in
+    // favor of the stale t=100 value
+    assert(r.isNullAt(3), s"expected null v, got ${r.get(3)}")
+  }
+
+  test("cosine/dot: zero-norm and length-mismatch yield NULL, never NaN") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)))   // well-formed
+      .toDF("id", "a", "b")
+    val r = df.select(col("id"), Similarity.cosine(col("a"), col("b")))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1), "zero-norm cosine must be NULL (NaN passes >= filters)")
+    assert(math.abs(r(1).getDouble(1) - 1.0) < 1e-12)
+    val mism = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val m = mism.select(Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(m.isNullAt(0) && m.isNullAt(1), "length mismatch must be NULL")
+  }
+
+  test("rangeJoin: fractional end hits its final bucket; inverted intervals dropped") {
+    val pts = Seq((1L, 5L, 14L)).toDF("id", "k", "t")
+    val ivs = Seq((5L, 8L, 15L), (5L, 1000L, 10L)) // second is inverted
+      .toDF("k", "lo", "hi")
+    // bucket width 7: interval [8,15) overlaps buckets 1 AND 2; the point
+    // t=14 sits in bucket 2 — floor((end-1)/w) would have missed it
+    val r = graft.operators.AsOf.rangeJoin(pts, ivs, "k", "t", "lo", "hi", 7L)
+      .select("id", "lo").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 8L)))
+  }
+
   test("rangeJoin matches points to containing intervals, end exclusive") {
     val pts = Seq((1L, 5L, 10L), (2L, 5L, 25L), (3L, 5L, 30L), (4L, 6L, 10L))
       .toDF("id", "k", "t")
