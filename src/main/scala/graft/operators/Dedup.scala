@@ -62,13 +62,15 @@ object Dedup {
 
   /** (id_a, id_b) candidate pairs via minhash banding.
     *
-    * Plan shape: signature computed ONCE (native kernel), band keys
-    * posexploded from a materialized array, then a CODEGEN'D self-join
-    * on (band, bkey) — both sides are the identical subplan, so the
-    * exchange is computed once and reused. A pair colliding in several
+    * Plan shape: band keys posexploded from a materialized signature
+    * array (native kernel, computed once per join side), then a
+    * CODEGEN'D self-join on (band, bkey). A pair colliding in several
     * bands is kept only where `band` equals its FIRST matching band
     * (arithmetic on the carried key array), so no DISTINCT shuffle over
-    * the candidate stream is ever needed.
+    * the candidate stream is ever needed. The two join sides each scan
+    * the corpus — deliberately NOT cached/checkpointed: at scale,
+    * re-running a narrow kernel scan twice is cheaper and safer than
+    * materializing the banded corpus in executor memory.
     */
   def minhashCandidates(docs: DataFrame, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
