@@ -378,6 +378,16 @@ class ApiSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("plan shapes: top-k plans TakeOrderedAndProject; filters reach the scan") {
+    val topk = SparkEntry.queries("sort_head")(spark, sf)
+    assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "limit-after-sort must plan as TakeOrderedAndProject, not a global sort")
+    val q1 = SparkEntry.queries("q1_agg")(spark, sf)
+    val scan = q1.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThanOrEqual(l_shipdate"),
+      s"q1 date filter must push into the parquet scan:\n${scan.take(500)}")
+  }
+
   test("slice positional semantics") {
     val r = accounts.sort(Seq("id")).slice(1, 3).df.select("id").as[Int].collect().toSeq
     assert(r == Seq(2, 3))
