@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOf, Cluster, Dedup, Multimodal, Pack, Sampling, Sessionize, Similarity}
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
   * search, text analysis, multimodal plumbing, event sessionization.
@@ -123,6 +123,41 @@ object PipelineEntry {
       // sign-LSH bucket candidates + exact cosine verify (linear in corpus)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, nBits = 6)
         .orderBy("id_a", "id_b")
+    },
+    "dedup_clusters" -> { (s, dir) =>
+      // near-dup pairs → connected components → one canonical doc per
+      // cluster (hash-min label propagation; O(diameter) shuffles)
+      val docs = t(s, dir, "documents")
+      Cluster.dedupClusters(docs, Dedup.minhashPairs(docs, threshold = 0.3))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus curation: packing / sampling / scrubbing ----
+    "pack_sequences" -> { (s, dir) =>
+      import TextFunctions._
+      // concat-and-chunk token packing, shard-local by `source`
+      Pack.packSequences(t(s, dir, "documents"), budget = 2048L,
+        tokens = tokenCount(col("text")))
+        .orderBy("doc_id")
+    },
+    "sample_stratified" -> { (s, dir) =>
+      // deterministic hash sampling: 50% of en, 10% of everything else —
+      // reproducible across runs/engines (no RNG), fully oracle-checked
+      Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 50), defaultPct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    "text_scrub" -> { (s, dir) =>
+      import TextFunctions._
+      // fixture text has no PII — inject deterministic synthetic PII so
+      // the redaction path is actually exercised end-to-end
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or 555-123-4567 at 10.0.0."),
+          (col("doc_id") % 256).cast(StringType)).as("text"))
+      withPii.select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
     },
 
     // ---- similarity search ----
@@ -310,9 +345,11 @@ object PipelineEntry {
     // Dedup.minhashPairs / ngramJaccardPairs for any n / threshold)
     // jaccard is over DISTINCT HASHED shingle sets (hsd) — mirroring
     // Dedup.jaccardVerify's long-array representation; the signature CTE
-    // keeps the raw hs list (duplicates cannot change a min)
-    def sqlMinhashPairs(n: Int, threshold: Double): String =
-      s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+    // keeps the raw hs list (duplicates cannot change a min).
+    // Exposed as a CTE chain ending in `pairs` so dedup_clusters can
+    // extend it with a recursive closure.
+    def minhashPairCtes(n: Int, threshold: Double): String =
+      s"""t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
          |s AS (SELECT doc_id, ${sqlShingles(n)} AS sh FROM t),
          |h AS (SELECT doc_id, list_transform(sh, tk -> ${sqlHash("tk")}) AS hs FROM s),
          |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
@@ -321,11 +358,14 @@ object PipelineEntry {
          |FROM h),
          |bands AS ($bandSelects),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-         |SELECT id_a, id_b,
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT id_a, id_b,
          |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) AS jaccard
          |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b
-         |WHERE CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) >= $threshold
+         |WHERE CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) >= $threshold)""".stripMargin
+    def sqlMinhashPairs(n: Int, threshold: Double): String =
+      s"""WITH ${minhashPairCtes(n, threshold)}
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin
     val simhashBandBits = Dedup.SimhashBits / 4 // maxDist=3 → 4 bands
     val simhashBandSelects = (0 until 4).map { b =>
@@ -378,6 +418,34 @@ object PipelineEntry {
            |  CAST(list_sum(list_transform(range(1, len(hs)+1), i -> hs[i] * ($rollW)[(i-1)%8 + 1])) % ${TextFunctions.RollP} AS BIGINT) AS fp_roll
            |FROM t ORDER BY doc_id""".stripMargin,
 
+      "pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+           |o AS (SELECT doc_id, source, n_tokens,
+           |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+           |FROM t)
+           |SELECT doc_id, source, n_tokens, tok_offset,
+           |  tok_offset // 2048 AS pack_id, tok_offset % 2048 AS pack_pos
+           |FROM o ORDER BY doc_id""".stripMargin,
+      "sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 100
+          |  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+          |ORDER BY doc_id""".stripMargin,
+      "text_scrub" -> {
+        // regexp_replace chain generated from the SAME PiiPatterns
+        // constants the Scala operator folds over (single-backslash RE2
+        // literals — DuckDB strings don't process escapes)
+        val scrubbed = TextFunctions.PiiPatterns.foldLeft("text") {
+          case (c, (re, repl)) => s"regexp_replace($c, '$re', '$repl', 'g')"
+        }
+        s"""WITH t AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |       || '@example.com or 555-123-4567 at 10.0.0.'
+           |       || CAST(doc_id % 256 AS VARCHAR) AS text
+           |FROM documents)
+           |SELECT doc_id, $scrubbed AS scrubbed
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
       "dedup_exact" ->
         """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
           |  min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -390,6 +458,19 @@ object PipelineEntry {
            |  $mhExprs
            |FROM h ORDER BY doc_id""".stripMargin,
       "dedup_minhash_pairs" -> sqlMinhashPairs(n = 3, threshold = 0.3),
+      // transitive closure of the near-dup pair graph; min reachable id =
+      // component label (matches hash-min propagation exactly)
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE ${minhashPairCtes(n = 3, threshold = 0.3)},
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |      UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS lab FROM documents
+           |  UNION
+           |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
+           |SELECT id AS doc_id, MIN(lab) AS cluster_id,
+           |  (MIN(lab) = id) AS is_canonical
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |h AS (SELECT doc_id, list_transform(list_distinct(ts), tk -> ${sqlHash("tk")}) AS hs FROM t)

@@ -616,6 +616,84 @@ object SparkEntry {
       ev.select(col("event_id"), col("user_id"), col("value"))
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .orderBy(col("event_id"))
+    },
+
+    // ---- window-function surface beyond Shift (extension; the
+    // reference's only window op is Shift) ----
+    "win_cumsum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("cum_value", sum(col("value").cast(D)).over(w).cast(DoubleType))
+        .drop("ts")
+        .orderBy("event_id")
+    },
+    "win_rolling" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      // decimal-exact rolling sum / frame count = deterministic mean
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("roll_mean",
+          sum(col("value").cast(D)).over(w).cast(DoubleType) / count(lit(1)).over(w))
+        .drop("ts")
+        .orderBy("event_id")
+    },
+    "win_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // rn/quartile over a total order (unique tiebreak); rank/dense_rank
+      // over a coarse key so tie semantics are actually exercised
+      val wRn = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      val wRk = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))
+        .withColumn("rn", row_number().over(wRn).cast(LongType))
+        .withColumn("rnk", rank().over(wRk).cast(LongType))
+        .withColumn("drank", dense_rank().over(wRk).cast(LongType))
+        .withColumn("quartile", ntile(4).over(wRn).cast(LongType))
+        .orderBy("event_id")
+    },
+
+    // ---- grouping sets / pivot (extension; SURVEY §2.8 — absent from
+    // the reference, free in Spark) ----
+    "by_cube" -> { (s, dir) =>
+      Table(t(s, dir, "lineitem"))
+        .byCube(Seq("l_returnflag", "l_linestatus"),
+          "n" -> Col(count(lit(1))),
+          "sum_qty" -> Col(dsum(col("l_quantity")))).df
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+    "by_rollup" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+      Table(o).byRollup(Seq("o_year", "o_orderstatus"),
+        "total" -> Col(dsum(col("o_totalprice")))).df
+        .select(coalesce(col("o_year"), lit(-1L)).as("o_year"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("total"))
+        .orderBy("o_year", "status")
+    },
+    "by_pivot" -> { (s, dir) =>
+      Table(t(s, dir, "orders"))
+        .pivotAgg("o_orderstatus", "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "n" -> Col(count(lit(1)))).df
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- intersect / except (extension; SURVEY §2.11) ----
+    "set_intersect" -> { (s, dir) =>
+      val c = Table(t(s, dir, "customer").select(col("c_nationkey").as("nationkey")))
+      val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      c.intersect(sup).sort(Seq("nationkey")).df
+    },
+    "set_except" -> { (s, dir) =>
+      val n = Table(t(s, dir, "nation").select(col("n_nationkey").as("nationkey")))
+      val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      n.except(sup).sort(Seq("nationkey")).df
     }
   )
 
@@ -971,6 +1049,54 @@ object SparkEntry {
     "win_shift" ->
       """SELECT event_id, user_id, value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_cumsum" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_rolling" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "win_rank" ->
+      """SELECT event_id, user_id, value, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drank,
+        |  ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "by_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "by_rollup" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus, o_totalprice FROM orders)
+        |SELECT COALESCE(o_year, -1) AS o_year, COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM o GROUP BY ROLLUP(o_year, o_orderstatus) ORDER BY o_year, status""".stripMargin,
+    "by_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3_medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4_not_specified,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
   )
 }

@@ -88,6 +88,44 @@ final case class Table(df: DataFrame) {
   def byFields(groupers: Seq[String], aggs: (String, Col)*): Table =
     by(groupers.map(n => n -> apply(n)), aggs: _*)
 
+  /** CUBE / ROLLUP grouping — absent from the reference (SURVEY §2.8
+    * notes no grouping sets exist there) but free in Spark; exposed as
+    * first-class extensions with [[by]]'s column contract (groupers then
+    * alphabetical agg names). Subtotal rows carry NULL group keys, as in
+    * SQL. One shuffle; Catalyst expands grouping sets map-side.
+    */
+  def byCube(groupers: Seq[String], aggs: (String, Col)*): Table =
+    groupingSets(df.cube(groupers.map(df(_)): _*), groupers, aggs)
+  def byRollup(groupers: Seq[String], aggs: (String, Col)*): Table =
+    groupingSets(df.rollup(groupers.map(df(_)): _*), groupers, aggs)
+  private def groupingSets(g: org.apache.spark.sql.RelationalGroupedDataset,
+                           groupers: Seq[String], aggs: Seq[(String, Col)]): Table = {
+    require(aggs.nonEmpty, "by: at least one aggregation required")
+    requireFields(groupers, "By")
+    val sorted = aggs.sortBy(_._1).map { case (n, c) => c.c.as(n) }
+    Table(g.agg(sorted.head, sorted.tail: _*)
+      .select((groupers ++ aggs.map(_._1).sorted).map(col): _*))
+  }
+
+  /** PIVOT (extension): wide table of one aggregate per pivot value.
+    * `values` must be given explicitly — an implicit pivot would run an
+    * extra distinct-collect job over the full table at scale.
+    */
+  def pivotAgg(groupCol: String, pivotCol: String, values: Seq[String],
+               agg: (String, Col)): Table = {
+    requireFields(Seq(groupCol, pivotCol), "Pivot")
+    require(values.nonEmpty, "pivotAgg: explicit pivot values required")
+    val wide = df.groupBy(df(groupCol)).pivot(pivotCol, values).agg(agg._2.c)
+    // name columns <aggName>_<sanitized value> (identifier-safe for any
+    // sink) and null-fill combos absent from the data so the wide schema
+    // is total
+    val renamed = values.map { v =>
+      coalesce(wide(s"`$v`"), lit(0))
+        .as(s"${agg._1}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
+    }
+    Table(wide.select((col(groupCol) +: renamed): _*))
+  }
+
   /** two-stage SALTED aggregation for skewed group keys: stage 1 groups
     * on (keys, salt) so one hot key spreads over `saltBuckets` reducers;
     * stage 2 re-aggregates the partials on the true keys. `sums` are
@@ -187,6 +225,20 @@ final case class Table(df: DataFrame) {
     require(fields == other.fields && schema.map(_.dataType) == other.schema.map(_.dataType),
       s"concat: schemas must match exactly: $fields vs ${other.fields}")
     Table(df.unionAll(other.df))
+  }
+  /** INTERSECT / EXCEPT (SQL distinct semantics) — absent from the
+    * reference (`SURVEY §2.11`) but free in Spark; exposed as first-class
+    * extensions. Same exact-schema contract as [[concat]].
+    */
+  def intersect(other: Table): Table = {
+    require(fields == other.fields && schema.map(_.dataType) == other.schema.map(_.dataType),
+      s"intersect: schemas must match exactly: $fields vs ${other.fields}")
+    Table(df.intersect(other.df))
+  }
+  def except(other: Table): Table = {
+    require(fields == other.fields && schema.map(_.dataType) == other.schema.map(_.dataType),
+      s"except: schemas must match exactly: $fields vs ${other.fields}")
+    Table(df.except(other.df))
   }
 
   // --- shift (`collections.py:914-950`) ---

@@ -131,4 +131,24 @@ object TextFunctions {
     lit(0.4) * stopwordRatio(text) +
       lit(0.3) * least(meanTokenLen(text) / 10.0, lit(1.0)) +
       lit(0.3) * alphaRatio(text)
+
+  // ---- PII scrubbing ----
+  /** redaction patterns, ordered (emails first — a phone/IP inside an
+    * address is impossible, but an email local-part can contain digits).
+    * Restricted to syntax with identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB): no lookarounds, ASCII \b word boundaries,
+    * explicit classes.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** redact emails / IPv4s / phone numbers — pure codegen'd
+    * `regexp_replace` chain (replace-all), no shuffle, linear scans.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
 }

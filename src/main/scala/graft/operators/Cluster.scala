@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-dup PAIRS (from any of the
+  * [[Dedup]] candidate generators) into connected components, so a
+  * pipeline can keep exactly one canonical document per cluster.
+  * North-star extension; the reference has no graph surface.
+  *
+  * Algorithm: hash-min label propagation — every node starts labeled
+  * with its own id; each round a node takes the min label over itself
+  * and its neighbors; converged when no label changes. This is the
+  * standard distributed-CC shape (each round = one shuffle over the
+  * edge list, O(diameter) rounds). Near-dup clusters are shallow
+  * (diameter ≪ 10 in practice), so the round count stays small at any
+  * corpus size; for adversarially long chains the large-star/small-star
+  * variant halves rounds — not needed for dedup workloads.
+  *
+  * Lineage is truncated every round with `localCheckpoint` so the plan
+  * doesn't grow exponentially across iterations; a production cluster
+  * job would set a fault-tolerant `checkpoint` dir instead (the one-line
+  * swap is noted inline).
+  */
+object Cluster {
+
+  /** Connected components of an undirected graph.
+    *
+    * @param nodes one column `id` — every vertex (isolated vertices keep
+    *              their own label)
+    * @param edges columns `src`, `dst` — undirected (either orientation)
+    * @return (id, label) where label = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // symmetrize once; this small narrow table is re-scanned each round
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // production: .checkpoint() against a DFS dir
+
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // min over {self} ∪ {neighbor labels}: one shuffle on `id`
+      val viaEdges = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(component diameter exceeds maxIter — raise it, or use star-contraction)")
+    labels
+  }
+
+  /** Cluster assignment for a document corpus from verified near-dup
+    * pairs: (doc_id, cluster_id, is_canonical) for EVERY document —
+    * singletons are their own canonical cluster. Downstream dedup keeps
+    * `is_canonical` rows only.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame =
+    connectedComponents(
+      docs.select(col(idCol).as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as(idCol), col("label").as("cluster_id"),
+        (col("label") === col("id")).as("is_canonical"))
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic (hash-based) sampling for corpus curation — the
+  * reproducible alternative to RNG sampling (`Table.sample` covers the
+  * reference's `Sample`, whose RNG is engine-specific and therefore only
+  * rows-checkable). Hashing the row KEY makes the sample a pure function
+  * of the data: stable across runs, engines, partitionings, and
+  * retries — which is what a training-data pipeline actually wants
+  * (re-running the job must not change the corpus).
+  *
+  * The hash is md5-derived (like every fingerprint in
+  * [[graft.functions.TextFunctions]]) so the exact same sample is
+  * expressible in the DuckDB oracle — full differential coverage, not a
+  * rows-only check.
+  */
+object Sampling {
+
+  /** uniform bucket in [0, buckets) from the md5 of the key's decimal
+    * string form — engine-portable, seed-free.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 7), 16, 10)
+      .cast(LongType) % buckets
+
+  /** keep rows whose hash bucket (out of 100) falls under the stratum's
+    * percentage rate; `rates` maps stratum value → percent kept,
+    * `defaultPct` applies to unlisted strata. Plan: a single codegen'd
+    * filter directly over the scan — no shuffle, no RNG, no state.
+    */
+  def stratified(df: DataFrame, keyCol: String, strataCol: String,
+                 rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "stratified: rates are percentages in [0, 100]")
+    val bucket = hashBucket(col(keyCol), 100)
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (v, p)) =>
+      when(col(strataCol) === v, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
+}

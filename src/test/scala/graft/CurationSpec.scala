@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Col, Table}
+import graft.functions.TextFunctions
+import graft.operators.{Cluster, Pack, Sampling}
+
+/** Round-3 corpus-curation operators: connected-component dedup
+  * clustering, sequence packing, deterministic sampling, PII scrubbing,
+  * grouping sets, intersect/except.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- connected components ----
+  test("connectedComponents: two chains and a singleton") {
+    val nodes = (1L to 7L).toDF("id")
+    // component {1,2,3} (chain), {5,6} and isolated 7; edge orientation mixed
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long path converges within diameter rounds") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(nodes, edges, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dedupClusters: canonical flag marks exactly one doc per cluster") {
+    val docs = Seq((10L, "x"), (20L, "x"), (30L, "y"), (40L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b")
+    val r = Cluster.dedupClusters(docs, pairs).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((10L, 10L, true), (20L, 10L, false), (30L, 10L, false), (40L, 40L, true)))
+  }
+
+  // ---- sequence packing ----
+  test("packSequences: offsets/packs accumulate shard-locally") {
+    val docs = Seq(
+      (1L, "a", "s1"), (2L, "a b c", "s1"), (3L, "a b", "s1"),
+      (4L, "a b c d", "s2")).toDF("doc_id", "text", "source")
+    val r = Pack.packSequences(docs, budget = 4L,
+        tokens = TextFunctions.tokenCount(col("text")))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_offset", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // s1: offsets 0,1,4 → packs 0,0,1; s2 restarts at 0
+    assert(r == Seq((1L, 1L, 0L, 0L, 0L), (2L, 3L, 1L, 0L, 1L),
+      (3L, 2L, 4L, 1L, 0L), (4L, 4L, 0L, 0L, 0L)))
+  }
+
+  test("packSequences: window is partitioned (no global single-task window)") {
+    val docs = Seq((1L, "a", "s1")).toDF("doc_id", "text", "source")
+    val plan = Pack.packSequences(docs, 4L, TextFunctions.tokenCount(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(source"),
+      s"expected source-partitioned window in:\n$plan")
+  }
+
+  // ---- deterministic sampling ----
+  test("stratified sampling is deterministic and rate-shaped") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = Sampling.stratified(df, "doc_id", "lang", Map("en" -> 50), 10)
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.stratified(df, "doc_id", "lang", Map("en" -> 50), 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2) // pure function of the data
+    val en = s1.count(_._2 == "en"); val de = s1.count(_._2 == "de")
+    assert(en > 400 && en < 600, s"en kept $en of 1000 at 50%")
+    assert(de > 50 && de < 150, s"de kept $de of 1000 at 10%")
+    // subset property: raising the rate only adds rows
+    val wider = Sampling.stratified(df, "doc_id", "lang", Map("en" -> 80), 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1.subsetOf(wider))
+  }
+
+  // ---- PII scrubbing ----
+  test("scrubPii redacts emails, IPs, phones; leaves clean text alone") {
+    val r = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "server 10.1.2.3 and phone 555-123-4567 or 555.867.5309",
+      "no pii here, just 1234 and 12.5")
+      .toDF("text").select(TextFunctions.scrubPii(col("text")))
+      .as[String].collect().toSeq
+    assert(r(0) == "mail me at <EMAIL> today")
+    assert(r(1) == "server <IP> and phone <PHONE> or <PHONE>")
+    assert(r(2) == "no pii here, just 1234 and 12.5")
+  }
+
+  // ---- grouping sets / pivot / set ops ----
+  test("byCube equals union of group-by levels") {
+    val li = Table(spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_quantity").as("q")))
+    val cube = li.byCube(Seq("rf", "ls"), "n" -> Col(count(lit(1)))).df
+    val n = cube.count()
+    val both = li.df.groupBy("rf", "ls").count().count()
+    val rf = li.df.groupBy("rf").count().count()
+    val ls = li.df.groupBy("ls").count().count()
+    assert(n == both + rf + ls + 1)
+    // grand-total row carries the full table count
+    val total = cube.filter(col("rf").isNull && col("ls").isNull)
+      .select("n").as[Long].head()
+    assert(total == li.df.count())
+  }
+
+  test("pivotAgg: wide columns are sanitized, null-filled, and sum to group totals") {
+    val o = Table(spark.read.parquet(s"$sf/orders.parquet"))
+    val wide = o.pivotAgg("o_orderstatus", "o_orderpriority",
+      Seq("1-URGENT", "4-NOT SPECIFIED"), "n" -> Col(count(lit(1)))).df
+    assert(wide.columns.toSeq == Seq("o_orderstatus", "n_1_urgent", "n_4_not_specified"))
+    val byHand = o.df.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    val got = wide.select("o_orderstatus", "n_1_urgent").as[(String, Long)]
+      .collect().toMap
+    assert(got.filter(_._2 > 0) == byHand)
+  }
+
+  test("intersect/except have SQL distinct semantics and enforce schema match") {
+    val a = Table(Seq(1, 1, 2, 3).toDF("k"))
+    val b = Table(Seq(2, 2, 3, 4).toDF("k"))
+    assert(a.intersect(b).df.as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(a.except(b).df.as[Int].collect().toSeq == Seq(1))
+    val bad = Table(Seq("x").toDF("k"))
+    intercept[IllegalArgumentException](a.intersect(bad))
+    intercept[IllegalArgumentException](a.except(bad))
+  }
+}
