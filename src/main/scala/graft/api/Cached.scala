@@ -1,0 +1,43 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Expression→result memo — the reference's `CachedDataset`
+  * (`blaze/cached.py:17-58`): computing the same expression against a
+  * cached dataset reuses the previous result instead of recomputing.
+  *
+  * Spark analogue: the memo key is the CANONICALIZED analyzed plan, so a
+  * re-issued equivalent construction (fresh Column objects, different
+  * alias/expression ids) hits the same entry — the same contract the
+  * reference gets from hash-consed expression interning. Operator-order
+  * cosmetics (filter-then-project vs project-then-filter) are distinct
+  * analyzed plans and miss the memo deliberately: keying on the
+  * OPTIMIZED plan would make the key depend on what is already cached
+  * (cache substitution runs before optimization). On first touch the
+  * result is `persist()`-ed, so even plan-level misses that share a
+  * cached subtree benefit via Spark's own CacheManager.
+  * `release()` unpersists everything — callers own the
+  * memory lifecycle (see the misc_cached query for why leaving caches
+  * behind skews everyone else).
+  *
+  * Not thread-safe by design (the reference's dict isn't either); wrap
+  * externally if shared.
+  */
+final class Cached {
+  private val memo = scala.collection.mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
+
+  /** memoized, persisted view of `df`. */
+  def apply(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.analyzed.canonicalized
+    memo.getOrElseUpdate(key, df.persist())
+  }
+
+  def size: Int = memo.size
+
+  /** unpersist every memoized result and clear the memo. */
+  def release(): Unit = {
+    memo.values.foreach(_.unpersist())
+    memo.clear()
+  }
+}

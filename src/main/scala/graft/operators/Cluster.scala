@@ -37,7 +37,13 @@ object Cluster {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // production: .checkpoint() against a DFS dir
 
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // only nodes that appear in an edge can ever change label — iterate
+    // over those alone. For a dedup workload this is the decisive bound:
+    // the near-dup graph is a sliver of the corpus, so each round is
+    // O(|E|), not O(|V|); the (huge) isolated remainder joins back once
+    // at the end with label = id.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -60,7 +66,10 @@ object Cluster {
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
           "(component diameter exceeds maxIter — raise it, or use star-contraction)")
-    labels
+    // isolated vertices: their own label, via one left join (no iteration)
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Cluster assignment for a document corpus from verified near-dup

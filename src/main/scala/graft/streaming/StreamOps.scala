@@ -140,6 +140,30 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** watermarked stream-stream INTERVAL join: left rows match right rows
+    * with the same key whose event time lies in
+    * [left.ts, left.ts + windowSeconds] — the attribution-join shape
+    * (impression → clicks within N minutes). Both sides carry watermarks
+    * and the time condition bounds the match window in both directions,
+    * which is what lets Spark EVICT buffered rows as the watermark
+    * advances: state ∝ events inside the horizon, not the stream. An
+    * unbounded-condition stream-stream join would buffer both streams
+    * forever — the scale failure this operator exists to avoid.
+    * Join keys/timestamps are suffixed `_l`/`_r` in the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowSeconds: Long, tsCol: String = "ts",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => col(c).as(s"${c}_l")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => col(c).as(s"${c}_r")): _*)
+    l.join(r,
+      col(s"${key}_l") === col(s"${key}_r") &&
+        col(s"${tsCol}_r") >= col(s"${tsCol}_l") &&
+        col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** run a streaming query over a bounded source to completion into a
     * memory sink and return the result table (test/driver utility).
     */

@@ -105,6 +105,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getString(1)).toSeq == Seq("same Text here", "different text"))
   }
 
+  test("stream-stream interval join == batch interval join (attribution shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val impRows = Seq(
+      (100L, ts("2024-01-01 00:00:00"), 10L),
+      (101L, ts("2024-01-01 00:10:00"), 10L),
+      (102L, ts("2024-01-01 00:00:30"), 11L))
+    val clkRows = Seq(
+      (200L, ts("2024-01-01 00:02:00"), 10L), // within 5 min of imp 100
+      (201L, ts("2024-01-01 00:12:00"), 10L), // within 5 min of imp 101 only
+      (202L, ts("2024-01-01 00:20:00"), 11L)) // outside any window
+    val imp = MemoryStream[(Long, Timestamp, Long)]
+    val clk = MemoryStream[(Long, Timestamp, Long)]
+    imp.addData(impRows: _*); clk.addData(clkRows: _*)
+    val joined = StreamOps.intervalJoin(
+      imp.toDF().toDF("imp_id", "ts", "user_id"),
+      clk.toDF().toDF("clk_id", "ts", "user_id"),
+      key = "user_id", windowSeconds = 300L)
+    val got = StreamOps.runToMemory(spark, joined, "t_ssjoin", outputMode = "append")
+      .select("imp_id_l", "clk_id_r").orderBy("imp_id_l")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 200L), (101L, 201L)))
+  }
+
+  test("Cached memoizes semantically-equal plans and releases persists") {
+    val cache = new graft.api.Cached
+    val base = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = cache(base.filter(col("value") > 2.0).select("event_id", "value"))
+    // re-issued equivalent construction: fresh Column objects / expr ids
+    val b = cache(base.filter(col("value") > 2.0).select("event_id", "value"))
+    assert(cache.size == 1)
+    assert(a.count() == 3 && b.count() == 3)
+    assert(b.queryExecution.withCachedData.toString.contains("InMemoryRelation"))
+    cache.release()
+    assert(cache.size == 0)
+    assert(!base.filter(col("value") > 2.0).select("event_id", "value")
+      .queryExecution.withCachedData.toString.contains("InMemoryRelation"))
+  }
+
   test("batch sessionization assigns gap-separated sessions") {
     val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Sessionize.sessions(batch, 300L).orderBy("user_id", "session_id").collect()
