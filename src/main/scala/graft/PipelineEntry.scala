@@ -138,6 +138,30 @@ object PipelineEntry {
       // concat-and-chunk token packing, shard-local by `source`
       Pack.packSequences(t(s, dir, "documents"), budget = 2048L,
         tokens = tokenCount(col("text")))
+        .select("doc_id", "source", "n_tokens", "tok_offset", "pack_id", "pack_pos")
+        .orderBy("doc_id")
+    },
+    "pipe_curation" -> { (s, dir) =>
+      import TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      // the whole curation chain, composed end-to-end: score → quality
+      // filter → exact-dedup keep → deterministic stratified sample →
+      // shard-local packing. Narrow ops fuse into one codegen stage; the
+      // only shuffles are the dedup window (fp) and the pack window
+      // (source) — the minimal set for these semantics.
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        langId(col("text")).as("lang_pred"),
+        qualityScore(col("text")).as("quality"),
+        fingerprintMd5(col("text")).as("fp"))
+      val kept = scored.filter(col("quality") >= 0.40)
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keeper"))
+      val sampled = Sampling.stratified(kept, "doc_id", "lang_pred",
+        rates = Map("en" -> 50), defaultPct = 30)
+      Pack.packSequences(sampled, budget = 1024L, tokens = tokenCount(col("text")))
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     },
     "sample_stratified" -> { (s, dir) =>
@@ -384,6 +408,12 @@ object PipelineEntry {
       s"WHEN s_$l = greatest($others) AND s_$l > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
     val enList = TextFunctions.LangStopwords.head._2.map(w => s"'$w'").mkString(",")
+    // composite quality score over columns (text, ts) — mirrors
+    // TextFunctions.qualityScore term by term (same eval order)
+    val sqlQuality =
+      s"""0.4 * (CAST(len(list_filter(ts, x -> x IN ($enList))) AS BIGINT) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE))
+         |    + 0.3 * LEAST((CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE)) / 10.0, 1.0)
+         |    + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))""".stripMargin
 
     Map(
       "text_stats" ->
@@ -393,9 +423,7 @@ object PipelineEntry {
            |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
            |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE) AS mean_token_len,
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-           |  0.4 * (CAST(len(list_filter(ts, x -> x IN ($enList))) AS BIGINT) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE))
-           |    + 0.3 * LEAST((CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST(CAST(len(ts) AS BIGINT) AS DOUBLE)) / 10.0, 1.0)
-           |    + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+           |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
       "text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS ts FROM documents),
@@ -425,6 +453,24 @@ object PipelineEntry {
            |FROM t)
            |SELECT doc_id, source, n_tokens, tok_offset,
            |  tok_offset // 2048 AS pack_id, tok_offset % 2048 AS pack_pos
+           |FROM o ORDER BY doc_id""".stripMargin,
+      "pipe_curation" ->
+        s"""WITH t0 AS (SELECT doc_id, source, text, $sqlTokens AS ts FROM documents),
+           |sc AS (SELECT doc_id, source, text, ts,
+           |  $stopSql
+           |FROM t0),
+           |lg AS (SELECT doc_id, source, text, ts, $langCase AS lang_pred,
+           |  $sqlQuality AS quality,
+           |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           |FROM sc),
+           |f AS (SELECT * FROM lg WHERE quality >= 0.40),
+           |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM f),
+           |sm AS (SELECT * FROM k WHERE doc_id = keeper
+           |  AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 100
+           |      < CASE WHEN lang_pred = 'en' THEN 50 ELSE 30 END),
+           |p AS (SELECT doc_id, source, lang_pred, quality, CAST(len(ts) AS BIGINT) AS n_tokens FROM sm),
+           |o AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset FROM p)
+           |SELECT doc_id, lang_pred, quality, n_tokens, tok_offset // 1024 AS pack_id
            |FROM o ORDER BY doc_id""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, lang FROM documents

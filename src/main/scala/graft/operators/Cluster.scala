@@ -32,10 +32,13 @@ object Cluster {
     * @return (id, label) where label = min node id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // symmetrize once; this small narrow table is re-scanned each round
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the edge list BEFORE symmetrizing: a union of two
+    // selects over the raw plan would execute the (possibly expensive)
+    // pair-generation pipeline once per branch. The symmetrized view then
+    // derives narrowly from the checkpointed rows.
+    val e0 = edges.select(col("src"), col("dst"))
       .localCheckpoint(true) // production: .checkpoint() against a DFS dir
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
 
     // only nodes that appear in an edge can ever change label — iterate
     // over those alone. For a dedup workload this is the decisive bound:

@@ -24,16 +24,16 @@ object Pack {
     * shard; a document starts at running offset Σ tokens-before-it and
     * belongs to pack `offset div budget` (documents may straddle a pack
     * boundary — concat-and-chunk splits them, exactly like the trainer
-    * does). Output: idCol, shardCol, n_tokens, tok_offset, pack_id,
-    * pack_pos (start position within its pack).
+    * does). Output: the input columns plus n_tokens, tok_offset,
+    * pack_id, pack_pos (start position within its pack) — carrying the
+    * input through lets the operator sit mid-pipeline.
     */
   def packSequences(docs: DataFrame, budget: Long, tokens: Column,
-                    shardCol: String = "source", orderCol: String = "doc_id",
-                    idCol: String = "doc_id"): DataFrame = {
+                    shardCol: String = "source", orderCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"packSequences: budget must be positive, got $budget")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(shardCol), tokens.as("n_tokens"))
+    docs.withColumn("n_tokens", tokens)
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", expr(s"tok_offset DIV $budget"))
       .withColumn("pack_pos", col("tok_offset") % budget)
