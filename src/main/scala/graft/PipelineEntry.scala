@@ -203,6 +203,16 @@ object PipelineEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
+    "sim_ivf_trained" -> { (s, dir) =>
+      // IVF over a TRAINED coarse quantizer: deterministic integer
+      // k-means (oracle replays the same Lloyd's iterations in SQL)
+      val emb = t(s, dir, "embeddings")
+      val assign = Similarity.kmeansAssign(emb, k = 4, iters = 2, dim = 64)
+      val emb2 = emb.join(assign, "vec_id")
+      Similarity.ivfTopK(emb2, emb2.filter(col("vec_id") < 10), k = 5, coarseCol = "cid")
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
 
     // ---- multimodal plumbing ----
     "mm_decode_meta" -> { (s, dir) =>
@@ -553,6 +563,26 @@ object PipelineEntry {
            |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "sim_ivf_trained" -> {
+        // the same 2 Lloyd's iterations, in SQL: quantize → assign(c0) →
+        // recompute → assign(c1) → IVF search within learned partition
+        val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
+        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
+           |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
+           |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
+           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
+           |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
+           |e AS (SELECT em.vec_id, em.embedding, w2.cid FROM embeddings em JOIN w2 ON em.vec_id = w2.vec_id),
+           |q AS (SELECT vec_id AS q_id, cid AS q_blk, embedding AS qv2 FROM e WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, cid AS c_blk, embedding AS cv2 FROM e),
+           |scored AS (SELECT q_id, c_id, ${sqlCos("qv2", "cv2")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      },
       "sim_lsh" ->
         s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("embedding", 64, 8)} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),

@@ -68,6 +68,56 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
 
+  /** Deterministic k-means (Lloyd's) coarse quantizer for IVF — the
+    * "trained" path ([[ivfTopK]] then partitions on the learned
+    * assignment instead of a pre-existing label).
+    *
+    * Determinism across engines/partitionings is engineered, not hoped
+    * for: vectors are quantized to integers (`floor(x · 2^20)` in double,
+    * exact for float inputs), so distances and centroid updates are pure
+    * int64 arithmetic — no float-summation order sensitivity — and the
+    * argmin tiebreaks on centroid id. That makes the whole training loop
+    * expressible in the DuckDB oracle (differential-tested), which no
+    * RNG-seeded trainer could be. Init = the first k vectors by id.
+    *
+    * Scale shape per iteration: centroids broadcast (k rows) against a
+    * corpus scan, argmin via a per-vector window (k candidate rows), and
+    * a k-group aggregate — no corpus self-join, no unbounded state.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int, dim: Int,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && iters > 0, "kmeansAssign: k and iters must be positive")
+    val S = 1L << 20
+    val qvExpr = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * S).cast(LongType))
+    val base = emb.select(col(idCol), qvExpr.as("qv"))
+    var cents = base.filter(col(idCol) < k)
+      .select(col(idCol).cast(LongType).as("cid"), col("qv").as("cv"))
+    var assigned: DataFrame = base.select(col(idCol), col("qv"), lit(0L).as("cid"))
+    for (_ <- 1 to iters) {
+      val dist = (0 until dim).map { i =>
+        val d = element_at(col("qv"), i + 1) - element_at(col("cv"), i + 1)
+        d * d
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_d"), col("cid"))
+      assigned = base.crossJoin(broadcast(cents))
+        .withColumn("_d", dist)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(idCol), col("qv"), col("cid"))
+      // integer centroid update: floor(Σ qv / n) per dimension (sums fit
+      // int64: |qv| < 2^21, so even 2^31 rows stay under 2^52; the double
+      // division is exact below 2^53)
+      val sums = (0 until dim).map(i =>
+        floor(sum(element_at(col("qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as(s"_c$i"))
+      cents = assigned.groupBy(col("cid"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("cid"), array((0 until dim).map(i => col(s"_c$i")): _*).as("cv"))
+    }
+    assigned.select(col(idCol), col("cid"))
+  }
+
   /** deterministic pseudo-random hyperplanes (shared constants; public so
     * the DuckDB oracle SQL can be generated from the same values).
     */

