@@ -680,11 +680,41 @@ object SparkEntry {
       Table(t(s, dir, "orders"))
         .pivotAgg("o_orderstatus", "o_orderpriority",
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
-          "n" -> Col(count(lit(1)))).df
+          "n", Col(lit(1)), _.count).df
         .orderBy("o_orderstatus")
     },
 
+    // ---- correlation/covariance via exact decimal moments (extension;
+    // Spark's corr() sums doubles, whose cross-partition order is
+    // nondeterministic — composing from DECIMAL-exact Σx,Σy,Σxy,Σx²,Σy²
+    // gives bit-stable results AND oracle comparability) ----
+    "red_corr" -> { (s, dir) =>
+      val D4 = DecimalType(28, 4)
+      val x = col("l_quantity").cast(D4)
+      val y = col("l_extendedprice").cast(D4)
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"), sum(y * y).cast(DoubleType).as("syy"))
+      m.select(
+        m("n").cast(LongType).as("n"),
+        ((m("sxy") - m("sx") * m("sy") / m("n")) / m("n")).as("covar_pop"),
+        ((m("sxy") - m("sx") * m("sy") / m("n")) / (m("n") - 1)).as("covar_samp"),
+        ((m("sxy") - m("sx") * m("sy") / m("n")) /
+          (sqrt(m("sxx") - m("sx") * m("sx") / m("n")) *
+            sqrt(m("syy") - m("sy") * m("sy") / m("n")))).as("corr"))
+    },
+
     // ---- intersect / except (extension; SURVEY §2.11) ----
+    "set_union" -> { (s, dir) =>
+      // distinct union (UNION vs concat's UNION ALL): two overlapping
+      // customer-key sets
+      val o = t(s, dir, "orders")
+      val hi = Table(o.filter(col("o_totalprice") > 100000).select(col("o_custkey")))
+      val urgent = Table(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      hi.concat(urgent).distinct().sort(Seq("o_custkey")).df
+    },
     "set_intersect" -> { (s, dir) =>
       val c = Table(t(s, dir, "customer").select(col("c_nationkey").as("nationkey")))
       val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
@@ -1088,6 +1118,25 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "red_corr" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ((sxy - sx * sy / n) / n) AS covar_pop,
+        |  ((sxy - sx * sy / n) / (n - 1)) AS covar_samp,
+        |  ((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n))) AS corr
+        |FROM m""".stripMargin,
+
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

@@ -107,23 +107,28 @@ final case class Table(df: DataFrame) {
       .select((groupers ++ aggs.map(_._1).sorted).map(col): _*))
   }
 
-  /** PIVOT (extension): wide table of one aggregate per pivot value.
-    * `values` must be given explicitly — an implicit pivot would run an
-    * extra distinct-collect job over the full table at scale.
+  /** PIVOT (extension): wide table of one aggregate per pivot value,
+    * lowered to CONDITIONAL AGGREGATION — `aggFn(when(pivot = v,
+    * value))` per column — rather than `RelationalGroupedDataset.pivot`,
+    * which plans a two-phase aggregate (two shuffles; asserted in the
+    * unit suite). One shuffle on the group key, wide schema total
+    * (absent combos null-fill to 0). `values` must be given explicitly —
+    * an implicit pivot would run an extra distinct-collect job over the
+    * full table at scale.
+    *
+    * `valueCol` is what to aggregate, `aggFn` how: count = `(lit(1),
+    * _.count)`, sum = `(x, _.sum)`.
     */
   def pivotAgg(groupCol: String, pivotCol: String, values: Seq[String],
-               agg: (String, Col)): Table = {
+               aggName: String, valueCol: Col, aggFn: Col => Col): Table = {
     requireFields(Seq(groupCol, pivotCol), "Pivot")
     require(values.nonEmpty, "pivotAgg: explicit pivot values required")
-    val wide = df.groupBy(df(groupCol)).pivot(pivotCol, values).agg(agg._2.c)
-    // name columns <aggName>_<sanitized value> (identifier-safe for any
-    // sink) and null-fill combos absent from the data so the wide schema
-    // is total
-    val renamed = values.map { v =>
-      coalesce(wide(s"`$v`"), lit(0))
-        .as(s"${agg._1}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
+    // column names <aggName>_<sanitized value>: identifier-safe for any sink
+    val cols = values.map { v =>
+      coalesce(aggFn(Col(when(df(pivotCol) === v, valueCol.c))).c, lit(0))
+        .as(s"${aggName}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
     }
-    Table(wide.select((col(groupCol) +: renamed): _*))
+    Table(df.groupBy(df(groupCol)).agg(cols.head, cols.tail: _*))
   }
 
   /** two-stage SALTED aggregation for skewed group keys: stage 1 groups

@@ -113,7 +113,7 @@ class CurationSpec extends SparkSpec {
   test("pivotAgg: wide columns are sanitized, null-filled, and sum to group totals") {
     val o = Table(spark.read.parquet(s"$sf/orders.parquet"))
     val wide = o.pivotAgg("o_orderstatus", "o_orderpriority",
-      Seq("1-URGENT", "4-NOT SPECIFIED"), "n" -> Col(count(lit(1)))).df
+      Seq("1-URGENT", "4-NOT SPECIFIED"), "n", Col(lit(1)), _.count).df
     assert(wide.columns.toSeq == Seq("o_orderstatus", "n_1_urgent", "n_4_not_specified"))
     val byHand = o.df.filter(col("o_orderpriority") === "1-URGENT")
       .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
@@ -136,6 +136,24 @@ class CurationSpec extends SparkSpec {
     // Lloyd's invariant: identical vectors land in the same cluster
     val dup = emb.limit(1).collect().head
     assert(a1(dup.getLong(0)) == a1(dup.getLong(0)))
+  }
+
+  test("plan shapes: cube/pivot aggregate in ONE shuffle; pipeline shuffles only on its two windows") {
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val cube = Table(spark.read.parquet(s"$sf/lineitem.parquet"))
+      .byCube(Seq("l_returnflag", "l_linestatus"), "n" -> Col(count(lit(1)))).df
+    assert(hashExchanges(cube) == 1,
+      "cube must plan as Expand + partial/final agg around a single exchange")
+    val pivot = Table(spark.read.parquet(s"$sf/orders.parquet"))
+      .pivotAgg("o_orderstatus", "o_orderpriority", Seq("1-URGENT", "5-LOW"),
+        "n", Col(lit(1)), _.count).df
+    assert(hashExchanges(pivot) == 1,
+      "explicit-values pivot must be one aggregate pass, no distinct pre-job")
+    val pipe = SparkEntry.queries("pipe_curation")(spark, sf)
+    assert(hashExchanges(pipe) == 2,
+      "curation pipeline must shuffle exactly twice (dedup window, pack window)")
   }
 
   test("intersect/except have SQL distinct semantics and enforce schema match") {
