@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, RegExpReplace, Remainder, Size, StringSplit, StringTrim, Substring}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 import graft.plans._
 
@@ -53,7 +54,30 @@ object GraftFunctions {
           else graft.operators.Dedup.SimhashBits)),
     ("normalized_md5",
       new ExpressionInfo(classOf[NormalizedMd5].getName, "normalized_md5"),
-      (es: Seq[Expression]) => NormalizedMd5(es(0))))
+      (es: Seq[Expression]) => NormalizedMd5(es(0))),
+    // compositions (not native kernels) exposed through the same SQL
+    // surface as raw catalyst trees — the registry builder must return
+    // analyzable Expressions, so these mirror the Column formulations in
+    // graft.functions/operators node for node
+    ("scrub_pii",
+      new ExpressionInfo("graft.functions.TextFunctions", "scrub_pii"),
+      (es: Seq[Expression]) =>
+        graft.functions.TextFunctions.PiiPatterns.foldLeft(es(0)) {
+          case (e, (re, repl)) =>
+            new RegExpReplace(e, Literal(re), Literal(repl))
+        }),
+    ("hash_bucket",
+      new ExpressionInfo("graft.operators.Sampling", "hash_bucket"),
+      (es: Seq[Expression]) => {
+        val md5 = Md5(Cast(Cast(es(0), StringType), BinaryType))
+        val conv = Conv(Substring(md5, Literal(1), Literal(7)), Literal(16), Literal(10))
+        new Remainder(Cast(conv, LongType),
+          Literal(intArg(es(1), "hash_bucket").toLong))
+      }),
+    ("token_count",
+      new ExpressionInfo("graft.functions.TextFunctions", "token_count"),
+      (es: Seq[Expression]) =>
+        Cast(Size(StringSplit(StringTrim(es(0)), Literal("\\s+"), Literal(-1))), LongType)))
 
   /** register every kernel as a session function on a LIVE session (the
     * no-restart path; extensions config needs a fresh session).

@@ -268,6 +268,18 @@ object PipelineEntry {
           |FROM documents ORDER BY doc_id""".stripMargin)
     },
 
+    "sql_curation" -> { (s, dir) =>
+      // curation functions from plain spark.sql (registered compositions)
+      Tables.registerAll(s, dir)
+      GraftFunctions.register(s)
+      s.sql(
+        """SELECT doc_id,
+          |  scrub_pii(text || ' reach me: a.b@c.io / 555-123-4567') AS scrubbed,
+          |  hash_bucket(doc_id, 100) AS bucket,
+          |  token_count(text) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
     // ---- as-of / range joins (operators stock Spark lacks) ----
     "ev_asof" -> { (s, dir) =>
       // every event annotated with the user's latest purchase value at or
@@ -654,6 +666,16 @@ object PipelineEntry {
            |  CAST(len(${sqlShingles(3)}) AS INT) AS n_shingles,
            |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
            |FROM h ORDER BY doc_id""".stripMargin,
+      "sql_curation" -> {
+        val scrubbed = TextFunctions.PiiPatterns.foldLeft(
+          "(text || ' reach me: a.b@c.io / 555-123-4567')") {
+          case (c, (re, repl)) => s"regexp_replace($c, '$re', '$repl', 'g')"
+        }
+        s"""SELECT doc_id, $scrubbed AS scrubbed,
+           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 100 AS bucket,
+           |  CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
       "ev_asof" ->
         """WITH r AS (SELECT user_id, ts, max(value) AS last_purchase_value
           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

@@ -44,9 +44,14 @@ object Cluster {
     // over those alone. For a dedup workload this is the decisive bound:
     // the near-dup graph is a sliver of the corpus, so each round is
     // O(|E|), not O(|V|); the (huge) isolated remainder joins back once
-    // at the end with label = id.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // at the end with label = id. Seed with min(self, neighbors): the
+    // same shuffle a plain distinct would cost, but it fuses the first
+    // propagation round — typical near-dup clusters (stars/pairs) arrive
+    // already converged and the loop only runs its confirming round.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("label"))
+      .localCheckpoint(true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
