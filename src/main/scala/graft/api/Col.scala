@@ -96,6 +96,13 @@ final case class Col(c: Column) {
     * the reference (its nunique is exact-only); rsd = relative error.
     */
   def nuniqueApprox(rsd: Double = 0.05): Col = Col(approx_count_distinct(c, rsd))
+  /** Approximate percentile (t-digest-style sketch) — the 100 TB scale
+    * path next to the exact interpolated `percentile` the oracle-checked
+    * queries use (exact percentile buffers per-group values; the sketch
+    * is bounded-memory). Extension beyond the reference.
+    */
+  def quantileApprox(p: Double, accuracy: Int = 10000): Col =
+    Col(percentile_approx(c, lit(p), lit(accuracy)))
   def any: Col = Col(org.apache.spark.sql.functions.max(c.cast(BooleanType)))
   def all: Col = Col(org.apache.spark.sql.functions.min(c.cast(BooleanType)))
   /** var with ddof: unbiased=true → sample variance (`reductions.py:142-191`). */

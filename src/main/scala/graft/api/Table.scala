@@ -160,6 +160,27 @@ final case class Table(df: DataFrame) {
       .select((keys ++ sums.map(_._1).sorted).map(col): _*))
   }
 
+  /** Replicated-salt equi-join for a SKEWED join key (extension): the
+    * hot-key complement to [[saltedSumBy]]. The big (this) side salts
+    * each row by a deterministic hash of `spreadCol` (NOT rand — retry
+    * safety, same reasoning as saltedSumBy); the small side is
+    * replicated `salts` times; the join runs on (key, salt), so one hot
+    * key spreads over `salts` reducers instead of melting one. Result ==
+    * plain inner join (asserted in the unit suite). AQE's skew handling
+    * covers sort-merge rebalancing after the fact; explicit salting is
+    * the plan-level fix when the small side can't be broadcast whole but
+    * `salts`× replication fits.
+    */
+  def saltedJoin(small: Table, key: String, spreadCol: String, salts: Int): Table = {
+    require(salts > 1, "saltedJoin: need at least 2 salt buckets")
+    requireFields(Seq(key, spreadCol), "Join")
+    small.requireFields(Seq(key), "Join")
+    val big = df.withColumn("_salt", pmod(hash(df(spreadCol)), lit(salts)))
+    val rep = small.df.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    Table(big.join(rep, Seq(key, "_salt"), "inner").drop("_salt"))
+  }
+
   /** summary: one-row multi-reduction, fields alphabetical
     * (`reductions.py:226-296`).
     */

@@ -156,6 +156,31 @@ class CurationSpec extends SparkSpec {
       "curation pipeline must shuffle exactly twice (dedup window, pack window)")
   }
 
+  test("saltedJoin == plain inner join; text_stats scan prunes to doc_id,text") {
+    val li = Table(spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"))
+    val sup = Table(spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name")))
+    val salted = li.saltedJoin(sup, "l_suppkey", spreadCol = "l_orderkey", salts = 8).df
+    val plain = li.df.join(sup.df, Seq("l_suppkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val scan = SparkEntry.queries("text_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"text_stats must scan only (doc_id, text):\n${scan.takeRight(400)}")
+  }
+
+  test("quantileApprox tracks exact percentile") {
+    val q = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(Col(col("l_extendedprice")).quantileApprox(0.5).c.as("approx"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact"))
+      .collect().head
+    val (a, e) = (q.getDouble(0), q.getDouble(1))
+    assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+  }
+
   test("intersect/except have SQL distinct semantics and enforce schema match") {
     val a = Table(Seq(1, 1, 2, 3).toDF("k"))
     val b = Table(Seq(2, 2, 3, 4).toDF("k"))
