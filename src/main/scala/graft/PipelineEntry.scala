@@ -86,6 +86,35 @@ object PipelineEntry {
           count(lit(1)).as("n"))
         .orderBy("lang")
     },
+    "text_topngrams" -> { (s, dir) =>
+      // corpus-wide top-k bigrams by DOCUMENT frequency (distinct per
+      // doc — the native single-pass kernel): explode → partial/final
+      // count agg → TakeOrderedAndProject (never a global sort of the
+      // ngram space). The interpreted HOF shingle form costs ~6× more
+      // here (transform+concat_ws+slice per bigram outside codegen).
+      t(s, dir, "documents")
+        .select(explode(graft.plans.ShingleArray(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram"))
+        .limit(20)
+    },
+    "ev_gapfill" -> { (s, dir) =>
+      // time-series gap filling: per-user 5-min spine between first and
+      // last event, left join counts, zero-fill. Spine length is bounded
+      // by the observed per-user time range.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          (floor(unix_timestamp(col("ts")).cast(DoubleType) / 300) * 300)
+            .cast(LongType).as("bucket"))
+      val counts = ev.groupBy(col("user_id"), col("bucket")).agg(count(lit(1)).as("n"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"), lit(300L))).as("bucket"))
+      spine.join(counts, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
     "text_fingerprint" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -460,6 +489,21 @@ object PipelineEntry {
            |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95,
            |  COUNT(*) AS n
            |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+      "text_topngrams" ->
+        s"""WITH t AS (SELECT $sqlTokens AS ts FROM documents),
+           |s AS (SELECT unnest(${sqlShingles(2)}) AS ngram FROM t)
+           |SELECT ngram, COUNT(*) AS n_docs FROM s
+           |GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+      "ev_gapfill" ->
+        """WITH e AS (SELECT user_id,
+          |  CAST(FLOOR(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE) / 300) * 300 AS BIGINT) AS bucket
+          |FROM events),
+          |c AS (SELECT user_id, bucket, COUNT(*) AS n FROM e GROUP BY user_id, bucket),
+          |r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM e GROUP BY user_id),
+          |sp AS (SELECT user_id, unnest(range(b0, b1 + 300, 300)) AS bucket FROM r)
+          |SELECT sp.user_id, sp.bucket, COALESCE(c.n, 0) AS n
+          |FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.bucket = c.bucket
+          |ORDER BY sp.user_id, sp.bucket""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text,
            |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)

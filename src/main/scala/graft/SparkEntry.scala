@@ -684,6 +684,16 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     },
 
+    // ---- HAVING: filter on an aggregate (Blaze composes this as
+    // selection-over-By; the plan is agg → filter, no extra shuffle) ----
+    "by_having" -> { (s, dir) =>
+      Table(t(s, dir, "orders"))
+        .byFields(Seq("o_custkey"), "n" -> Col(count(lit(1))),
+          "total" -> Col(dsum(col("o_totalprice"))))
+        .filter(Col(col("n") >= 10))
+        .sort(Seq("o_custkey")).df
+    },
+
     // ---- correlation/covariance via exact decimal moments (extension;
     // Spark's corr() sums doubles, whose cross-partition order is
     // nondeterministic — composing from DECIMAL-exact Σx,Σy,Σxy,Σx²,Σy²
@@ -1118,6 +1128,11 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "by_having" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+        |ORDER BY o_custkey""".stripMargin,
     "red_corr" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
