@@ -115,6 +115,21 @@ object PipelineEntry {
         .select(col("user_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("user_id", "bucket")
     },
+    "text_filter_quantile" -> { (s, dir) =>
+      import TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      // the filtering step text_quantiles informs: keep docs inside the
+      // per-language [p05, p95] length band. percent_rank (= exact
+      // (rank-1)/(n-1) rational) makes the band edge engine-deterministic
+      // where an interpolated-quantile threshold comparison would not be.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      docs.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    },
     "text_fingerprint" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -504,6 +519,11 @@ object PipelineEntry {
           |SELECT sp.user_id, sp.bucket, COALESCE(c.n, 0) AS n
           |FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.bucket = c.bucket
           |ORDER BY sp.user_id, sp.bucket""".stripMargin,
+      "text_filter_quantile" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+           |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)
+           |SELECT doc_id, lang, n_tokens FROM r
+           |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text,
            |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)
