@@ -193,17 +193,21 @@ object PipelineEntry {
       // shard-local packing. Narrow ops fuse into one codegen stage; the
       // only shuffles are the dedup window (fp) and the pack window
       // (source) — the minimal set for these semantics.
+      // n_tokens is computed BEFORE the fp window so the (wide) text
+      // column never rides the dedup shuffle — only fixed-width columns
+      // cross the exchanges
       val scored = t(s, dir, "documents").select(
-        col("doc_id"), col("source"), col("text"),
+        col("doc_id"), col("source"),
         langId(col("text")).as("lang_pred"),
         qualityScore(col("text")).as("quality"),
-        fingerprintMd5(col("text")).as("fp"))
+        fingerprintMd5(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
       val kept = scored.filter(col("quality") >= 0.40)
         .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
         .filter(col("doc_id") === col("keeper"))
       val sampled = Sampling.stratified(kept, "doc_id", "lang_pred",
         rates = Map("en" -> 50), defaultPct = 30)
-      Pack.packSequences(sampled, budget = 1024L, tokens = tokenCount(col("text")))
+      Pack.packSequences(sampled, budget = 1024L, tokens = col("n_tokens"))
         .select(col("doc_id"), col("lang_pred"), col("quality"),
           col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")

@@ -117,15 +117,20 @@ final case class Table(df: DataFrame) {
     * full table at scale.
     *
     * `valueCol` is what to aggregate, `aggFn` how: count = `(lit(1),
-    * _.count)`, sum = `(x, _.sum)`.
+    * _.count)`, sum = `(x, _.sum)`. `emptyAs` fills cells whose combo has
+    * no rows; the default 0 is right for count/sum — pass `None` for
+    * aggregates where absence must stay NULL (min/max/avg), since a
+    * fabricated 0 would read as an observed value.
     */
   def pivotAgg(groupCol: String, pivotCol: String, values: Seq[String],
-               aggName: String, valueCol: Col, aggFn: Col => Col): Table = {
+               aggName: String, valueCol: Col, aggFn: Col => Col,
+               emptyAs: Option[Any] = Some(0)): Table = {
     requireFields(Seq(groupCol, pivotCol), "Pivot")
     require(values.nonEmpty, "pivotAgg: explicit pivot values required")
     // column names <aggName>_<sanitized value>: identifier-safe for any sink
     val cols = values.map { v =>
-      coalesce(aggFn(Col(when(df(pivotCol) === v, valueCol.c))).c, lit(0))
+      val agg = aggFn(Col(when(df(pivotCol) === v, valueCol.c))).c
+      emptyAs.fold(agg)(z => coalesce(agg, lit(z)))
         .as(s"${aggName}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
     }
     Table(df.groupBy(df(groupCol)).agg(cols.head, cols.tail: _*))
@@ -173,6 +178,11 @@ final case class Table(df: DataFrame) {
     */
   def saltedJoin(small: Table, key: String, spreadCol: String, salts: Int): Table = {
     require(salts > 1, "saltedJoin: need at least 2 salt buckets")
+    // the salt must VARY within a hot key, or nothing spreads: hashing
+    // the key itself (or any per-key constant) leaves the hot key on one
+    // reducer while the small side still pays `salts`× replication
+    require(spreadCol != key,
+      "saltedJoin: spreadCol must differ from the join key (and must vary within a key)")
     requireFields(Seq(key, spreadCol), "Join")
     small.requireFields(Seq(key), "Join")
     val big = df.withColumn("_salt", pmod(hash(df(spreadCol)), lit(salts)))

@@ -114,6 +114,10 @@ object Similarity {
       cents = assigned.groupBy(col("cid"))
         .agg(sums.head, sums.tail: _*)
         .select(col("cid"), array((0 until dim).map(i => col(s"_c$i")): _*).as("cv"))
+        // k tiny rows, but checkpointing them truncates the lineage so
+        // the plan stays one round deep however many iterations run
+        // (each round otherwise nests the previous crossJoin+window+agg)
+        .localCheckpoint(true)
     }
     assigned.select(col(idCol), col("cid"))
   }

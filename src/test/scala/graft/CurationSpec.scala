@@ -133,9 +133,16 @@ class CurationSpec extends SparkSpec {
     assert(a1.size == emb.count()) // every vector assigned exactly once
     val cids = a1.values.toSet
     assert(cids.size > 1 && cids.size <= 4, s"clusters: $cids")
-    // Lloyd's invariant: identical vectors land in the same cluster
-    val dup = emb.limit(1).collect().head
-    assert(a1(dup.getLong(0)) == a1(dup.getLong(0)))
+    // Lloyd's invariant: identical vectors land in the same cluster —
+    // synthetic corpus with two distinct ids carrying the same embedding
+    val vecs = (0L until 10L).map { i =>
+      val base = if (i >= 8L) 99L else i // ids 8 and 9 share a vector
+      (i, Array.tabulate(64)(d => ((base * 31 + d) % 7).toFloat - 3f))
+    }
+    val synth = vecs.toDF("vec_id", "embedding")
+    val sa = Similarity.kmeansAssign(synth, k = 2, iters = 2, dim = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(sa(8L) == sa(9L), s"identical vectors split across clusters: $sa")
   }
 
   test("plan shapes: cube/pivot aggregate in ONE shuffle; pipeline shuffles only on its two windows") {
