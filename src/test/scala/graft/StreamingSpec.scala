@@ -143,6 +143,28 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.withCachedData.toString.contains("InMemoryRelation"))
   }
 
+  test("curation functions run unchanged on a stream (stateless column ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L to 40L).map(i => (i, s"doc $i mail x$i@spam.io")): _*)
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("scrubbed"))
+      .filter(Sampling.hashBucket(col("doc_id"), 100) < 50)
+    val got = StreamOps.runToMemory(spark, stream, "t_curation", outputMode = "append")
+      .collect()
+    // same rows as the identical batch pipeline
+    val batch = (1L to 40L).map(i => (i, s"doc $i mail x$i@spam.io"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("scrubbed"))
+      .filter(Sampling.hashBucket(col("doc_id"), 100) < 50)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      batch.map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(got.nonEmpty && got.forall(_.getString(1).contains("<EMAIL>")))
+  }
+
   test("batch sessionization assigns gap-separated sessions") {
     val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Sessionize.sessions(batch, 300L).orderBy("user_id", "session_id").collect()
