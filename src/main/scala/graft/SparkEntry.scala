@@ -716,6 +716,15 @@ object SparkEntry {
             sqrt(m("syy") - m("sy") * m("sy") / m("n")))).as("corr"))
     },
 
+    "by_unpivot" -> { (s, dir) =>
+      // melt: the wide→long inverse of by_pivot (common-typed values)
+      Table(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice")))
+        .melt(ids = Seq("p_partkey"), values = Seq("p_retailprice", "p_size")).df
+        .orderBy("p_partkey", "variable")
+    },
+
     // ---- intersect / except (extension; SURVEY §2.11) ----
     "set_union" -> { (s, dir) =>
       // distinct union (UNION vs concat's UNION ALL): two overlapping
@@ -1147,6 +1156,11 @@ object SparkEntry {
         |  ((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n))) AS corr
         |FROM m""".stripMargin,
 
+    "by_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, variable""".stripMargin,
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
         |UNION

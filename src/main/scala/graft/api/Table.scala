@@ -165,6 +165,18 @@ final case class Table(df: DataFrame) {
       .select((keys ++ sums.map(_._1).sorted).map(col): _*))
   }
 
+  /** MELT / UNPIVOT (extension; inverse of [[pivotAgg]]): wide → long,
+    * one row per (id row × value column). Narrow generate-side op — no
+    * shuffle; value columns must share (or be cast to) a common type.
+    */
+  def melt(ids: Seq[String], values: Seq[String], varName: String = "variable",
+           valueName: String = "value"): Table = {
+    requireFields(ids ++ values, "Melt")
+    require(values.nonEmpty, "melt: at least one value column required")
+    Table(df.unpivot(ids.map(df(_)).toArray, values.map(df(_)).toArray,
+      varName, valueName))
+  }
+
   /** Replicated-salt equi-join for a SKEWED join key (extension): the
     * hot-key complement to [[saltedSumBy]]. The big (this) side salts
     * each row by a deterministic hash of `spreadCol` (NOT rand — retry
