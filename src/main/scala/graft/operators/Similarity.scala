@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`). North-star extension (BASELINE.json).
@@ -35,9 +34,27 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
 
+  /** two-stage distributed ranking shared by every search variant: a
+    * bounded [[graft.plans.TopKByScore]] aggregate keeps the best k
+    * candidates per query INSIDE the partial (map-side) aggregate, so
+    * the exchange carries ≤ k rows per (query, map partition) and no
+    * task ever sorts a query's full candidate set. The previous
+    * `row_number().over(Window.partitionBy(q_id))` formulation funneled
+    * every candidate for a query through ONE task — for brute force
+    * that is a single-task sort of the whole corpus per query.
+    * Candidates with NULL score (zero-norm / malformed vectors) are
+    * dropped rather than ranked last.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.TopKByScore(col("cos"), col("c_id"), k).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.c_id").as("c_id"), col("col.cos").as("cos"))
+
   /** exact top-k cosine neighbors for each query id.
     * The query side is expected to be small → broadcast; the corpus is
-    * scanned once; ranking is a per-query-partition window (k small).
+    * scanned once; ranking is the bounded two-stage [[rankTopK]].
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -45,10 +62,7 @@ object Similarity {
     val c = emb.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style coarse search: restrict candidates to the query's coarse
@@ -62,10 +76,7 @@ object Similarity {
     val c = emb.select(col(idCol).as("c_id"), col(coarseCol).as("c_blk"), col(vecCol).as("cv"))
     val scored = q.join(c, col("q_blk") === col("c_blk") && col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic k-means (Lloyd's) coarse quantizer for IVF — the
@@ -81,8 +92,10 @@ object Similarity {
     * RNG-seeded trainer could be. Init = the first k vectors by id.
     *
     * Scale shape per iteration: centroids broadcast (k rows) against a
-    * corpus scan, argmin via a per-vector window (k candidate rows), and
-    * a k-group aggregate — no corpus self-join, no unbounded state.
+    * corpus scan, argmin via a `min_by` aggregate (the k candidate rows
+    * per vector partial-aggregate to 1 MAP-SIDE, so the exchange moves N
+    * rows — the earlier row_number-window form shuffled and sorted k×N),
+    * and a k-group aggregate — no corpus self-join, no unbounded state.
     */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int, dim: Int,
                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -91,7 +104,11 @@ object Similarity {
     val qvExpr = transform(col(vecCol),
       x => floor(x.cast(DoubleType) * S).cast(LongType))
     val base = emb.select(col(idCol), qvExpr.as("qv"))
-    var cents = base.filter(col(idCol) < k)
+    // seeds = FIRST k vectors by id (TakeOrdered of k rows) — robust to
+    // sparse/offset id spaces, where an `id < k` filter would silently
+    // yield fewer than k (possibly zero) centroids (ADVICE r03). A corpus
+    // with fewer than k vectors legitimately trains that many centroids.
+    var cents = base.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast(LongType).as("cid"), col("qv").as("cv"))
     var assigned: DataFrame = base.select(col(idCol), col("qv"), lit(0L).as("cid"))
     for (_ <- 1 to iters) {
@@ -99,24 +116,32 @@ object Similarity {
         val d = element_at(col("qv"), i + 1) - element_at(col("cv"), i + 1)
         d * d
       }.reduce(_ + _)
-      val w = Window.partitionBy(col(idCol)).orderBy(col("_d"), col("cid"))
+      // argmin over the k broadcast candidates; ordering struct is unique
+      // per (vector, cid) so the cid-tiebreak is engine-deterministic
       assigned = base.crossJoin(broadcast(cents))
         .withColumn("_d", dist)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col(idCol), col("qv"), col("cid"))
+        .groupBy(col(idCol))
+        .agg(min_by(struct(col("qv"), col("cid")), struct(col("_d"), col("cid"))).as("_b"))
+        .select(col(idCol), col("_b.qv").as("qv"), col("_b.cid").as("cid"))
       // integer centroid update: floor(Σ qv / n) per dimension (sums fit
       // int64: |qv| < 2^21, so even 2^31 rows stay under 2^52; the double
       // division is exact below 2^53)
       val sums = (0 until dim).map(i =>
         floor(sum(element_at(col("qv"), i + 1)).cast(DoubleType) / count(lit(1)))
           .cast(LongType).as(s"_c$i"))
-      cents = assigned.groupBy(col("cid"))
+      val fresh = assigned.groupBy(col("cid"))
         .agg(sums.head, sums.tail: _*)
         .select(col("cid"), array((0 until dim).map(i => col(s"_c$i")): _*).as("cv"))
+      // a centroid whose cluster went empty emits NO row from the update
+      // aggregate; carry it forward unchanged (k-row left join) so k never
+      // silently shrinks — reachable when duplicate vectors sit among the
+      // seeds, since ties all break to the lowest cid
+      cents = cents.select(col("cid"), col("cv").as("_prev"))
+        .join(fresh.select(col("cid"), col("cv").as("_new")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("_new"), col("_prev")).as("cv"))
         // k tiny rows, but checkpointing them truncates the lineage so
         // the plan stays one round deep however many iterations run
-        // (each round otherwise nests the previous crossJoin+window+agg)
+        // (each round otherwise nests the previous crossJoin+agg)
         .localCheckpoint(true)
     }
     assigned.select(col(idCol), col("cid"))
@@ -153,9 +178,6 @@ object Similarity {
     val c = withB.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -145,6 +145,43 @@ class CurationSpec extends SparkSpec {
     assert(sa(8L) == sa(9L), s"identical vectors split across clusters: $sa")
   }
 
+  test("kmeansAssign: empty cluster carried forward (duplicate seeds keep k alive)") {
+    import graft.operators.Similarity
+    // seeds v0, v1 are identical → iteration 1 assigns everything to cid 0
+    // (ties break low) and centroid 1 goes EMPTY. After centroid 0 moves to
+    // the mean (~33), the carried-forward centroid 1 (still at 0) must win
+    // v0/v1 back in iteration 2 — without the carry-forward, k collapses
+    // to 1 and every vector stays in cid 0.
+    val df = Seq((0L, Seq(0f)), (1L, Seq(0f)), (2L, Seq(100f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(df, k = 2, iters = 2, dim = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(a == Map(0L -> 1L, 1L -> 1L, 2L -> 0L), s"got $a")
+  }
+
+  test("kmeansAssign: sparse/offset id space still seeds k centroids") {
+    import graft.operators.Similarity
+    // ids start at 1000: the old `id < k` seed filter matched NOTHING and
+    // degenerated to an empty assignment (ADVICE r03)
+    val df = Seq((1000L, Seq(0f)), (2000L, Seq(10f)), (3000L, Seq(11f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(df, k = 2, iters = 2, dim = 1)
+      .as[(Long, Long)].collect()
+    assert(a.length == 3)
+    assert(a.map(_._2).distinct.sorted.toSeq == Seq(1000L, 2000L))
+  }
+
+  test("plan shapes: similarity ranking is a bounded aggregate, not a per-query window sort") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected map-side partial TopKByScore aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"ranking must not funnel a query's candidates through one window sort:\n$plan")
+  }
+
   test("plan shapes: cube/pivot aggregate in ONE shuffle; pipeline shuffles only on its two windows") {
     def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange hashpartitioning".r
