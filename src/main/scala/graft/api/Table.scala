@@ -127,11 +127,19 @@ final case class Table(df: DataFrame) {
                emptyAs: Option[Any] = Some(0)): Table = {
     requireFields(Seq(groupCol, pivotCol), "Pivot")
     require(values.nonEmpty, "pivotAgg: explicit pivot values required")
-    // column names <aggName>_<sanitized value>: identifier-safe for any sink
-    val cols = values.map { v =>
+    // column names <aggName>_<sanitized value>: identifier-safe for any sink.
+    // Sanitization is lossy ("1-URGENT" and "1 urgent" both map to
+    // "1_urgent"), so collisions must fail LOUDLY here — otherwise the
+    // result silently carries duplicate column names and any downstream
+    // select-by-name reads the wrong cell.
+    val names = values.map(v => s"${aggName}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
+    val dupes = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupes.isEmpty,
+      s"pivotAgg: pivot values collide after sanitization: ${dupes.mkString(", ")} " +
+        s"(values ${values.mkString("[", ", ", "]")}) — rename values or pivot separately")
+    val cols = values.zip(names).map { case (v, n) =>
       val agg = aggFn(Col(when(df(pivotCol) === v, valueCol.c))).c
-      emptyAs.fold(agg)(z => coalesce(agg, lit(z)))
-        .as(s"${aggName}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}")
+      emptyAs.fold(agg)(z => coalesce(agg, lit(z))).as(n)
     }
     Table(df.groupBy(df(groupCol)).agg(cols.head, cols.tail: _*))
   }

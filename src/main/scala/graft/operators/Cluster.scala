@@ -55,18 +55,24 @@ object Cluster {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // min over {self} ∪ {neighbor labels}: one shuffle on `id`
+      // min over {self} ∪ {neighbor labels}: one shuffle on `id`. The
+      // previous label rides the SAME aggregate (self rows carry it,
+      // neighbor rows carry a typed null that min() ignores), so the
+      // convergence test below needs no join back onto `labels` — just a
+      // scan of the freshly materialized checkpoint blocks.
       val viaEdges = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          when(lit(false), col("label")).as("prev"))
+      val next = labels.select(col("id"), col("label"), col("label").as("prev"))
         .unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev"))
-        .isEmpty
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      // `next` is materialized (eager checkpoint), so the previous round's
+      // blocks are garbage — release them or storage grows per iteration
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
       labels = next
       it += 1
     }
@@ -74,9 +80,11 @@ object Cluster {
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
           "(component diameter exceeds maxIter — raise it, or use star-contraction)")
+    // the converged labels no longer depend on the edge checkpoint
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
     // isolated vertices: their own label, via one left join (no iteration)
     nodes.select(col("id"))
-      .join(labels, Seq("id"), "left")
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 

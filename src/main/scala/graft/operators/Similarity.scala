@@ -43,7 +43,11 @@ object Similarity {
     * every candidate for a query through ONE task — for brute force
     * that is a single-task sort of the whole corpus per query.
     * Candidates with NULL score (zero-norm / malformed vectors) are
-    * dropped rather than ranked last.
+    * dropped rather than ranked last; a query whose candidates ALL score
+    * NULL (e.g. a zero-norm query vector) is therefore ABSENT from the
+    * result, not emitted with null neighbors. Ids ride the aggregate as
+    * BIGINT — see [[graft.plans.TopKByScore.apply]] for the non-numeric
+    * id contract.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
@@ -111,6 +115,11 @@ object Similarity {
     var cents = base.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast(LongType).as("cid"), col("qv").as("cv"))
     var assigned: DataFrame = base.select(col(idCol), col("qv"), lit(0L).as("cid"))
+    // checkpoint retirement lags ONE round: the (lazy) `assigned` of round
+    // i still references round i-1's centroid blocks, so only the round
+    // i-2 checkpoint is garbage when round i completes. k tiny rows each,
+    // but the no-leak pattern should match Cluster.connectedComponents.
+    var retirable: DataFrame = null
     for (_ <- 1 to iters) {
       val dist = (0 until dim).map { i =>
         val d = element_at(col("qv"), i + 1) - element_at(col("cv"), i + 1)
@@ -136,6 +145,7 @@ object Similarity {
       // aggregate; carry it forward unchanged (k-row left join) so k never
       // silently shrinks — reachable when duplicate vectors sit among the
       // seeds, since ties all break to the lowest cid
+      val prev = cents
       cents = cents.select(col("cid"), col("cv").as("_prev"))
         .join(fresh.select(col("cid"), col("cv").as("_new")), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("_new"), col("_prev")).as("cv"))
@@ -143,6 +153,8 @@ object Similarity {
         // the plan stays one round deep however many iterations run
         // (each round otherwise nests the previous crossJoin+agg)
         .localCheckpoint(true)
+      if (retirable ne null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
+      retirable = prev
     }
     assigned.select(col(idCol), col("cid"))
   }

@@ -105,6 +105,10 @@ case class TopKByScore(
   }
 
   override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    // final compact before the buffer crosses the exchange: update() only
+    // compacts lazily at `compactAt`, so without this up to 4k-1 entries
+    // per (group, partition) would ride the shuffle instead of ≤ k
+    compact(buf)
     val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 16)
     bb.putInt(buf.length)
     buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
@@ -130,7 +134,14 @@ case class TopKByScore(
 }
 
 object TopKByScore {
-  /** `TopKByScore(score, id, k)` as an aggregate Column. */
+  /** `TopKByScore(score, id, k)` as an aggregate Column.
+    *
+    * `id` is cast to BIGINT: candidate ids must be (or losslessly cast
+    * to) integral — a string/UUID id column would fail under ANSI mode.
+    * The output `c_id` field is always bigint. Callers with non-numeric
+    * ids should join a dense surrogate id first (the scale-safe move
+    * anyway: an 8-byte id beats a 36-byte UUID across every exchange).
+    */
   def apply(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKByScore(
       GraftBridge.expression(score.cast(DoubleType)),

@@ -122,6 +122,44 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == byHand)
   }
 
+  test("pivotAgg: sanitized-name collisions fail loudly, not as duplicate columns") {
+    val o = Table(spark.read.parquet(s"$sf/orders.parquet"))
+    // "1-URGENT" and "1 urgent" both sanitize to n_1_urgent — must throw,
+    // never silently emit two columns with the same name
+    val ex = intercept[IllegalArgumentException] {
+      o.pivotAgg("o_orderstatus", "o_orderpriority",
+        Seq("1-URGENT", "1 urgent"), "n", Col(lit(1)), _.count)
+    }
+    assert(ex.getMessage.contains("collide"), ex.getMessage)
+    assert(ex.getMessage.contains("n_1_urgent"), ex.getMessage)
+  }
+
+  test("iterative operators release superseded checkpoints (bounded executor storage)") {
+    import graft.operators.Similarity
+    val sc = spark.sparkContext
+    // long chain → many hash-min rounds; without per-round release the
+    // persistent-RDD count grows by one per round
+    val n = 16L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    val labs = Cluster.connectedComponents(nodes, edges, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(labs.forall(_._2 == 1L))
+    val afterCc = sc.getPersistentRDDs.size
+    assert(afterCc - before <= 2,
+      s"connectedComponents leaked checkpoints: $before -> $afterCc persistent RDDs")
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.kmeansAssign(emb, k = 4, iters = 4, dim = 64)
+    assert(a.count() == emb.count())
+    val afterKm = sc.getPersistentRDDs.size
+    // retirement lags one round, so at most the last two centroid
+    // checkpoints may remain — never one per iteration
+    assert(afterKm - afterCc <= 2,
+      s"kmeansAssign leaked checkpoints: $afterCc -> $afterKm persistent RDDs")
+  }
+
   test("kmeansAssign: deterministic total partition into <= k clusters") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
