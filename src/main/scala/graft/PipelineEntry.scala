@@ -100,17 +100,30 @@ object PipelineEntry {
     },
     "ev_gapfill" -> { (s, dir) =>
       // time-series gap filling: per-user 5-min spine between first and
-      // last event, left join counts, zero-fill. Spine length is bounded
-      // by the observed per-user time range.
+      // last event, left join counts, zero-fill. The spine is generated in
+      // TWO levels — day starts first, then ≤288 five-minute buckets
+      // within each day — so no row ever materializes more than a day's
+      // array, however long a user's [first, last] range is (a single
+      // flat sequence(b0, b1, 300) holds ~315k elements in one row for a
+      // 3-year user: an executor-OOM shape at corpus scale).
+      val day = 86400L
       val ev = t(s, dir, "events")
         .select(col("user_id"),
           (floor(unix_timestamp(col("ts")).cast(DoubleType) / 300) * 300)
             .cast(LongType).as("bucket"))
       val counts = ev.groupBy(col("user_id"), col("bucket")).agg(count(lit(1)).as("n"))
-      val spine = ev.groupBy(col("user_id"))
+      val ranges = ev.groupBy(col("user_id"))
         .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-        .select(col("user_id"),
-          explode(sequence(col("b0"), col("b1"), lit(300L))).as("bucket"))
+      // all values are 300-aligned and day = 288×300, so the per-day
+      // unions reproduce sequence(b0, b1, 300) element-for-element
+      val days = ranges.select(col("user_id"), col("b0"), col("b1"),
+        explode(sequence(col("b0") - pmod(col("b0"), lit(day)), col("b1"), lit(day)))
+          .as("day0"))
+      val spine = days.select(col("user_id"),
+        explode(sequence(
+          greatest(col("day0"), col("b0")),
+          least(col("day0") + (day - 300L), col("b1")),
+          lit(300L))).as("bucket"))
       spine.join(counts, Seq("user_id", "bucket"), "left")
         .select(col("user_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("user_id", "bucket")
@@ -127,6 +140,28 @@ object PipelineEntry {
       val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
       docs.withColumn("pr", percent_rank().over(w))
         .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    },
+    "text_filter_thresholds" -> { (s, dir) =>
+      import TextFunctions._
+      // the SCALE-SAFE formulation of the same band filter: per-language
+      // p05/p95 thresholds from a tiny percentile AGGREGATE (partial/
+      // final, shuffles |langs| rows) broadcast back as a filter — no
+      // per-language window, so the dominant language of a real corpus
+      // never funnels through one task's sort. round(6) on both engines
+      // absorbs sub-ulp interpolation differences; thresholds are exact-
+      // math rationals far coarser than 1e-6, so rounding is stable.
+      // Band-edge semantics differ from percent_rank by at most the
+      // interpolated endpoints — text_filter_quantile remains the exact-
+      // band reference.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      val th = docs.groupBy(col("lang")).agg(
+        round(percentile(col("n_tokens"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("n_tokens"), lit(0.95)), 6).as("hi"))
+      docs.join(broadcast(th), Seq("lang"))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     },
@@ -226,7 +261,7 @@ object PipelineEntry {
       // the redaction path is actually exercised end-to-end
       val withPii = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
-          lit("@example.com or 555-123-4567 at 10.0.0."),
+          lit("@example.com or 555-123-4567 or (555) 987-6543 or 555 111 2222 at 10.0.0."),
           (col("doc_id") % 256).cast(StringType)).as("text"))
       withPii.select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
         .orderBy("doc_id")
@@ -528,6 +563,13 @@ object PipelineEntry {
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)
            |SELECT doc_id, lang, n_tokens FROM r
            |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
+      "text_filter_thresholds" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+           |th AS (SELECT lang, ROUND(quantile_cont(n_tokens, 0.05), 6) AS lo,
+           |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS hi FROM t GROUP BY lang)
+           |SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN th ON t.lang = th.lang
+           |WHERE t.n_tokens >= th.lo AND t.n_tokens <= th.hi
+           |ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text,
            |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)
@@ -576,7 +618,7 @@ object PipelineEntry {
         }
         s"""WITH t AS (SELECT doc_id,
            |  text || ' contact user' || CAST(doc_id AS VARCHAR)
-           |       || '@example.com or 555-123-4567 at 10.0.0.'
+           |       || '@example.com or 555-123-4567 or (555) 987-6543 or 555 111 2222 at 10.0.0.'
            |       || CAST(doc_id % 256 AS VARCHAR) AS text
            |FROM documents)
            |SELECT doc_id, $scrubbed AS scrubbed

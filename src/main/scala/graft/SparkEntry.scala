@@ -743,6 +743,60 @@ object SparkEntry {
       val n = Table(t(s, dir, "nation").select(col("n_nationkey").as("nationkey")))
       val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       n.except(sup).sort(Seq("nationkey")).df
+    },
+
+    // ---- skew / co-location tools as oracle-checked queries (§2.15).
+    // Each is result-IDENTICAL to its plain formulation — that identity
+    // is the contract, so the plain GROUP BY / JOIN is the exact oracle ----
+    "salted_sum" -> { (s, dir) =>
+      // two-stage salted aggregation: one hot l_returnflag spreads over
+      // 16 reducers in stage 1, stage 2 merges 16 partials per key
+      Table(t(s, dir, "lineitem"))
+        .saltedSumBy(Seq("l_returnflag"), saltBuckets = 16,
+          "n" -> Col(lit(1L)),
+          "sum_qty" -> Col(col("l_quantity").cast(D)))
+        .df.select(col("l_returnflag"), col("n"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    "salted_join" -> { (s, dir) =>
+      // replicated-salt equi-join: supplier replicated 8×, lineitem salted
+      // by a within-key-varying column, so a hot suppkey spreads over 8
+      // reducers (equality to the plain join is also unit-asserted)
+      val li = Table(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")))
+      val sup = Table(t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name")))
+      li.saltedJoin(sup, "l_suppkey", spreadCol = "l_orderkey", salts = 8)
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+    "bucketed_join" -> { (s, dir) =>
+      // pay the shuffle at WRITE time: both sides bucketed + sorted on the
+      // join key, so the join itself plans with ZERO exchanges (the
+      // repeated-daily-join pattern for 100 TB fact tables; exchange-free
+      // plan asserted in the unit suite). Stale dirs from a previous JVM
+      // are cleared first — the in-memory catalog forgets them.
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("graft_orders_b", "graft_customer_b").foreach { tb =>
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val dir = new java.io.File(wh, tb)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(dir)
+        }
+      }
+      Table.writeBucketed(Table(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+        "graft_orders_b", Seq("o_custkey"), numBuckets = 8)
+      Table.writeBucketed(Table(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))),
+        "graft_customer_b", Seq("c_custkey"), numBuckets = 8)
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_name"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -1175,6 +1229,21 @@ object SparkEntry {
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT
         |SELECT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    // the salted/bucketed formulations are result-identical to the plain
+    // GROUP BY / JOIN — which is therefore their exact oracle
+    "salted_sum" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "salted_join" ->
+      """SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -142,7 +142,12 @@ object TextFunctions {
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
-    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+    // NANP forms: separated triplets (hyphen/dot/space) and the
+    // parenthesized area code. A bare 10-digit run is deliberately NOT
+    // matched — on numeric corpora it redacts ids/amounts far more often
+    // than phones (documented false-negative trade-off).
+    "\\(\\d{3}\\) ?\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
 
   /** redact emails / IPv4s / phone numbers — pure codegen'd
     * `regexp_replace` chain (replace-all), no shuffle, linear scans.

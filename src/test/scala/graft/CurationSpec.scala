@@ -85,12 +85,33 @@ class CurationSpec extends SparkSpec {
     val r = Seq(
       "mail me at john.doe+x@sub.example.org today",
       "server 10.1.2.3 and phone 555-123-4567 or 555.867.5309",
-      "no pii here, just 1234 and 12.5")
+      "call (555) 123-4567 or (555)123-4567 or 555 867 5309 now",
+      "no pii here, just 1234 and 12.5",
+      "order 5551234567 is a bare digit run, NOT redacted by design")
       .toDF("text").select(TextFunctions.scrubPii(col("text")))
       .as[String].collect().toSeq
     assert(r(0) == "mail me at <EMAIL> today")
     assert(r(1) == "server <IP> and phone <PHONE> or <PHONE>")
-    assert(r(2) == "no pii here, just 1234 and 12.5")
+    assert(r(2) == "call <PHONE> or <PHONE> or <PHONE> now")
+    assert(r(3) == "no pii here, just 1234 and 12.5")
+    assert(r(4) == "order 5551234567 is a bare digit run, NOT redacted by design")
+  }
+
+  test("text_filter_thresholds: no per-language window; broadcast threshold join") {
+    val df = SparkEntry.queries("text_filter_thresholds")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"threshold variant must not sort per-language partitions in a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-language thresholds must broadcast back as a filter:\n$plan")
+    // semantic agreement with the exact percent_rank band: interior rows
+    // identical, differences only possible at interpolated endpoints
+    val exact = SparkEntry.queries("text_filter_quantile")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val got = df.select("doc_id").as[Long].collect().toSet
+    val diff = (exact diff got) union (got diff exact)
+    assert(diff.size <= exact.size / 20,
+      s"threshold band diverges from percent_rank band on ${diff.size} of ${exact.size} docs")
   }
 
   // ---- grouping sets / pivot / set ops ----
