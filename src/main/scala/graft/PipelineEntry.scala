@@ -302,6 +302,17 @@ object PipelineEntry {
       Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents")))
         .orderBy("media_id")
     },
+    "mm_decode_png" -> { (s, dir) =>
+      // REAL codec roundtrip: synthesize an actual PNG per document with
+      // dimensions derived from doc_id, then decode it back with
+      // javax.imageio — the oracle recomputes the dimensions from doc_id
+      // directly, so the encode→decode path is differentially verified
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 31 + 1).as("w"), (col("doc_id") % 17 + 1).as("h"))
+      Multimodal.decodeImageMetaReal(s,
+        Multimodal.synthesizePng(s, dims, "doc_id", "w", "h"))
+        .orderBy("media_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 1024L)
         .orderBy("media_id", "frame_idx")
@@ -719,6 +730,12 @@ object PipelineEntry {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  CAST(concat('0x', substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS width,
           |  CAST(concat('0x', substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS height,
+          |  CAST(3 AS BIGINT) AS channels
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_decode_png" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(doc_id % 31 + 1 AS BIGINT) AS width,
+          |  CAST(doc_id % 17 + 1 AS BIGINT) AS height,
           |  CAST(3 AS BIGINT) AS channels
           |FROM documents ORDER BY media_id""".stripMargin,
       "mm_frames" ->

@@ -935,7 +935,8 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "str_slice_pad" ->
       """SELECT c_custkey,
-        |  RPAD(LPAD(c_name, CAST(LEAST(LENGTH(c_name) + CAST(FLOOR(GREATEST(25 - LENGTH(c_name), 0) / 2.0) AS INT), 25) AS INT), '.'), 25, '.') AS s_bpad,
+        |  CASE WHEN LENGTH(c_name) >= 25 THEN c_name
+        |       ELSE RPAD(LPAD(c_name, CAST(LENGTH(c_name) + FLOOR((25 - LENGTH(c_name)) / 2.0) + ((25 - LENGTH(c_name)) & 25 & 1) AS INT), '.'), 25, '.') END AS s_bpad,
         |  c_name || '|' || c_mktsegment AS s_cat,
         |  LPAD(c_name, 25, '.') AS s_lpad,
         |  REPEAT(SUBSTRING(c_name, 1, 2), 3) AS s_repeat,

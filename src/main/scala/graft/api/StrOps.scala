@@ -51,16 +51,25 @@ final class StrOps(private val c: Column) extends AnyVal {
   def replace(oldSub: String, newSub: String): Column =
     org.apache.spark.sql.functions.replace(c, lit(oldSub), lit(newSub))
 
-  /** Pad(width, side, fillchar) (`strings.py:157-169`). */
+  /** Pad(width, side, fillchar) (`strings.py:157-169`).
+    * left/right lower to SQL LPAD/RPAD (which TRUNCATE strings longer
+    * than `width` — the reference SQL backend's semantics). `both` has no
+    * SQL analogue, so it follows pandas `str.center` exactly instead:
+    * longer strings pass through UNCHANGED, and the left margin is
+    * CPython's `marg//2 + (marg & width & 1)` (the quirk that sends the
+    * odd fill char LEFT when width is odd — `'ab'.center(5)` = `'  ab '`).
+    */
   def pad(width: Int, side: String = "left", fillchar: String = " "): Column =
     side match {
       case "left"  => lpad(c, width, fillchar)
       case "right" => rpad(c, width, fillchar)
       case "both" =>
-        val totalPad = greatest(lit(width) - length(c), lit(0))
-        val leftPad = (totalPad / 2).cast(IntegerType)
-        rpad(lpad(c, least(length(c) + leftPad, lit(width)).cast(IntegerType), lit(fillchar)),
-             width, fillchar)
+        val marg = greatest(lit(width) - length(c), lit(0))
+        val leftPad = (marg / 2).cast(IntegerType) +
+          marg.cast(IntegerType).bitwiseAND(lit(width)).bitwiseAND(lit(1))
+        when(length(c) >= width, c)
+          .otherwise(rpad(lpad(c, (length(c) + leftPad).cast(IntegerType), lit(fillchar)),
+            width, fillchar))
       case other => throw new IllegalArgumentException(
         s"Pad side must be left/right/both, got $other")
     }

@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are deterministic STUBS (clearly marked). What is real
-  * and tested: the schema shape (payload + struct metadata), the
-  * per-partition batch processing path (`mapPartitions` — the Scala
+  * Image decode is REAL where the JVM ships a codec
+  * ([[decodeImageMetaReal]]: PNG/BMP/GIF/JPEG via javax.imageio,
+  * exercised end-to-end by an encode→decode roundtrip query). Codec
+  * families the JVM lacks (video/audio) remain deterministic STUBS
+  * (clearly marked); around them the schema shape (payload + struct
+  * metadata), the per-partition batch path (`mapPartitions` — the Scala
   * analogue of `mapInPandas` batching), partitioning behavior, and the
-  * frame-sampling plumbing. Swapping the stub for a real decoder is a
-  * one-function change.
+  * frame-sampling plumbing are all production-shaped and tested.
   */
 object Multimodal {
 
@@ -87,6 +88,67 @@ object Multimodal {
     meta.select(col("media_id"), col("width"), col("height"),
       floor(col("width").cast(DoubleType) * scale).cast(LongType).as("out_w"),
       floor(col("height").cast(DoubleType) * scale).cast(LongType).as("out_h"))
+  }
+
+  /** REAL image decode over the pure-JVM codecs that ship with the JDK
+    * (javax.imageio: PNG/BMP/GIF/JPEG): actual (width, height, channels)
+    * from the payload bytes. `mapPartitions` so a per-partition decoder
+    * context initializes once — the same batch shape as
+    * [[extractFeatures]]. Null or undecodable payloads yield NULL
+    * dimensions instead of failing the batch: at corpus scale some
+    * fraction of files is always corrupt, and one bad blob must not kill
+    * a 10^5-row task. Complements the [[decodeImageMeta]] stub, which
+    * stays for codec families the JVM lacks (video/audio).
+    */
+  def decodeImageMetaReal(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img =
+            try {
+              if (payload == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            } catch { case _: java.io.IOException => null }
+          if (img == null) (id, None: Option[Long], None: Option[Long], None: Option[Long])
+          else (id, Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+            Some(img.getColorModel.getNumComponents.toLong))
+        }
+      }.toDF("media_id", "width", "height", "channels")
+  }
+
+  /** deterministic REAL-PNG payload synthesis: each input row becomes an
+    * actual encoded PNG of the row's (width, height), with content a pure
+    * function of (id, x, y) — so an encode→decode roundtrip is exactly
+    * reproducible on any engine and the expected dimensions are
+    * computable without decoding (the oracle recipe for
+    * [[decodeImageMetaReal]]).
+    */
+  def synthesizePng(spark: SparkSession, rows: DataFrame,
+                    idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    rows.select(col(idCol).cast(LongType), col(wCol).cast(IntegerType),
+        col(hCol).cast(IntegerType))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 131 + x * 31 + y * 17) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("media_id", "payload")
   }
 
   /** per-partition batched feature extraction — the real distribution

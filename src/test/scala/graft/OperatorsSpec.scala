@@ -135,6 +135,25 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1024L, 2048L))
   }
 
+  test("multimodal: real PNG encode→decode roundtrip; corrupt payloads yield nulls") {
+    import spark.implicits._
+    val dims = Seq((7L, 12, 5), (8L, 1, 1), (9L, 31, 17)).toDF("doc_id", "w", "h")
+    val png = Multimodal.synthesizePng(spark, dims, "doc_id", "w", "h")
+    val got = Multimodal.decodeImageMetaReal(spark, png)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (7L, Some(12L), Some(5L), Some(3L)),
+      (8L, Some(1L), Some(1L), Some(3L)),
+      (9L, Some(31L), Some(17L), Some(3L))))
+    // a corrupt blob must yield NULL dimensions, not kill the task
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeImageMetaReal(spark, junk).orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(bad == Seq((1L, None, None, None), (2L, None, None, None)))
+  }
+
   test("native text kernels match HOF formulations bit-for-bit") {
     import org.apache.spark.sql.types._
     // include whitespace edges, unicode, short docs, repeats
