@@ -104,6 +104,10 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // per-partition decoder init: ImageIO's default stream cache spills
+        // EVERY image to a temp file — in-memory streams are ~10× faster
+        // for small payloads and don't hammer executor local disks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
           val img =
             try {
@@ -131,6 +135,7 @@ object Multimodal {
         col(hCol).cast(IntegerType))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see decode)
         it.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
