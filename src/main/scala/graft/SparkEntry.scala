@@ -32,6 +32,17 @@ object SparkEntry {
 
   // =====================================================================
   // Query inventory
+  //
+  // Coverage note: every operator with deterministic output has a query
+  // here and a DuckDB oracle below. Two operators are deliberately
+  // unit-tested only, because no cross-engine oracle can exist for them:
+  //  - Col.nuniqueApprox (HyperLogLog++) — the estimate depends on
+  //    Spark's HLL hash/register layout; DuckDB's approx_count_distinct
+  //    uses a different sketch. Unit-tested against exact nunique within
+  //    the configured rsd.
+  //  - Col.quantileApprox (Greenwald-Khanna) — same class of
+  //    engine-specific sketch; unit-tested against the exact percentile.
+  // misc_sample (engine RNG) is rows-only-checked for the same reason.
   // =====================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++ PipelineEntry.queries
 
