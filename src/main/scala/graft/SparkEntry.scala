@@ -290,6 +290,16 @@ object SparkEntry {
           "s_rpad", "s_rstrip", "s_slice", "s_strip", "s_replace")
         .sort(Seq("c_custkey")).df
     },
+    "str_replace_max" -> { (s, dir) =>
+      // bounded replace (first-N occurrences, Python str.replace(count)
+      // semantics) over a string with guaranteed repeats: name || name
+      val x = concat(col("c_name"), lit(" "), col("c_name"))
+      val so = new graft.api.StrOps(x)
+      t(s, dir, "customer").select(col("c_custkey"),
+          so.replace("Customer", "Cust", 1).as("r1"),
+          so.replace("0", "#", 3).as("r3"))
+        .orderBy("c_custkey")
+    },
     "str_predicates" -> { (s, dir) =>
       val c = Table(t(s, dir, "customer"))
       val seg = c("c_mktsegment")
@@ -957,6 +967,20 @@ object SparkEntry {
         |  TRIM('  pad  ') AS s_strip,
         |  REPLACE(c_name, 'Customer', 'Cust') AS s_replace
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_replace_max" -> {
+      // replace-first-occurrence step, unrolled per max (sequential
+      // first-match == Python first-N because the replacements here never
+      // create new matches); strpos = 0 when absent → pass through
+      def once(x: String, old: String, nw: String) =
+        s"CASE WHEN strpos($x, '$old') > 0 THEN substr($x, 1, strpos($x, '$old') - 1) " +
+          s"|| '$nw' || substr($x, strpos($x, '$old') + ${old.length}) ELSE $x END"
+      s"""WITH t0 AS (SELECT c_custkey, c_name || ' ' || c_name AS x FROM customer),
+         |t1 AS (SELECT c_custkey, x, ${once("x", "0", "#")} AS y1 FROM t0),
+         |t2 AS (SELECT c_custkey, x, ${once("y1", "0", "#")} AS y2 FROM t1),
+         |t3 AS (SELECT c_custkey, x, ${once("y2", "0", "#")} AS y3 FROM t2)
+         |SELECT c_custkey, ${once("x", "Customer", "Cust")} AS r1, y3 AS r3
+         |FROM t3 ORDER BY c_custkey""".stripMargin
+    },
     "str_predicates" ->
       """SELECT c_custkey, c_mktsegment,
         |  regexp_matches(c_mktsegment, '^[A-Za-z0-9]+$') AS p_isalnum,

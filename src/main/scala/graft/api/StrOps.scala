@@ -45,11 +45,24 @@ final class StrOps(private val c: Column) extends AnyVal {
     */
   def find(sub: String): Column = (instr(c, sub) - 1).cast(LongType)
 
-  /** Replace(old, new) (`strings.py:144-155`); `max` arg is a pandas-only
-    * edge in the reference and is unsupported here too.
-    */
+  /** Replace(old, new) (`strings.py:144-155`). */
   def replace(oldSub: String, newSub: String): Column =
     org.apache.spark.sql.functions.replace(c, lit(oldSub), lit(newSub))
+
+  /** Replace(old, new, max) (`strings.py:144-155`; pandas-only in the
+    * reference, `compute/pandas.py:308-310`): replace the FIRST `max`
+    * non-overlapping occurrences, Python `str.replace(old, new, count)`
+    * semantics. Lowered to `split(limit = max+1)` + `array_join` — with a
+    * positive limit Java split keeps the unsplit tail (separators
+    * included) in the last element, so rejoining with `new` replaces
+    * exactly the first `max` occurrences. Codegen'd, no UDF.
+    */
+  def replace(oldSub: String, newSub: String, max: Int): Column = {
+    require(oldSub.nonEmpty, "replace: old substring must be non-empty")
+    require(max > 0, "replace: max must be positive (omit it to replace all)")
+    array_join(
+      split(c, java.util.regex.Pattern.quote(oldSub), max + 1), newSub)
+  }
 
   /** Pad(width, side, fillchar) (`strings.py:157-169`).
     * left/right lower to SQL LPAD/RPAD (which TRUNCATE strings longer
