@@ -374,6 +374,56 @@ object PipelineEntry {
           |FROM documents ORDER BY doc_id""".stripMargin)
     },
 
+    // ---- Structured Streaming end-to-end (§2.13): a REAL streaming
+    // query per operator family — file stream source → watermarked
+    // transform → memory sink, run to completion. Because the input is
+    // bounded and the semantics are event-time (order-free), the batch
+    // SQL over the same parquet is an exact oracle. statefulSessions
+    // stays unit-only: its Append-mode emission depends on watermark
+    // advancement across batches, which a single bounded batch can't
+    // replay deterministically. ----
+    "stream_tumbling" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val agg = StreamOps.tumblingAgg(src, widthSeconds = 300L)
+      StreamOps.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
+        .orderBy("window_start", "event_type")
+    },
+    "stream_dedup" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        // synthetic event time (fixture has none): doc_id seconds, offset
+        // a day past epoch 0 — the initial watermark IS epoch 0, and a
+        // row timestamped exactly at the watermark is dropped as late
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+      val deduped = StreamOps.streamingExactDedup(src, "ts")
+      // WHICH duplicate survives depends on in-batch arrival order, so
+      // project the (deterministic) fingerprint set, not survivor rows
+      StreamOps.runToMemory(s, deduped
+          .select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp")),
+        "stream_dedup_sink", "append", statePartitions = Some(8))
+        .orderBy("fp")
+    },
+    "stream_interval_join" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val views = src().filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val j = StreamOps.intervalJoin(views, purchases, "user_id", windowSeconds = 600L)
+      StreamOps.runToMemory(s, j, "stream_ij_sink", "append", statePartitions = Some(8))
+        .select(col("event_id_l"), col("event_id_r"))
+        .orderBy("event_id_l", "event_id_r")
+    },
+
     // ---- as-of / range joins (operators stock Spark lacks) ----
     "ev_asof" -> { (s, dir) =>
       // every event annotated with the user's latest purchase value at or
@@ -803,6 +853,23 @@ object PipelineEntry {
            |  CAST(len($sqlTokens) AS BIGINT) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+      // streaming queries: bounded input + event-time semantics ⇒ the
+      // batch SQL over the same parquet is the exact oracle
+      "stream_tumbling" ->
+        """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+          |  event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+      "stream_dedup" ->
+        """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |FROM documents ORDER BY fp""".stripMargin,
+      "stream_interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+          |SELECT l.event_id AS event_id_l, r.event_id AS event_id_r
+          |FROM e l JOIN e r ON l.user_id = r.user_id
+          |  AND l.event_type = 'view' AND r.event_type = 'purchase'
+          |  AND r.us >= l.us AND r.us <= l.us + 600000000
+          |ORDER BY event_id_l, event_id_r""".stripMargin,
       "ev_asof" ->
         """WITH r AS (SELECT user_id, ts, max(value) AS last_purchase_value
           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

@@ -166,13 +166,27 @@ object StreamOps {
 
   /** run a streaming query over a bounded source to completion into a
     * memory sink and return the result table (test/driver utility).
+    *
+    * `statePartitions` overrides `spark.sql.shuffle.partitions` for the
+    * query's lifetime: every stateful operator commits one state-store
+    * instance per shuffle partition per micro-batch, so a bounded replay
+    * with few distinct keys pays ~linear overhead in partition count
+    * (32 → 8 cuts a one-batch stream-stream join ~4×). On a live cluster
+    * size it to cores/keys instead; the partitioning is frozen into the
+    * checkpoint at first start.
     */
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
-                  outputMode: String = "complete"): DataFrame = {
-    val q = streaming.writeStream
-      .format("memory").queryName(name).outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
+                  outputMode: String = "complete",
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = streaming.writeStream
+        .format("memory").queryName(name).outputMode(outputMode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
