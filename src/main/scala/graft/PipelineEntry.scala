@@ -438,6 +438,33 @@ object PipelineEntry {
         .select(col("event_id"), col("user_id"), col("last_purchase_value"))
         .orderBy("event_id")
     },
+    "ev_asof_fwd" -> { (s, dir) =>
+      // forward as-of with a 1-hour tolerance: the NEXT purchase within
+      // the hour (attribution lookahead); beyond-horizon matches null out
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("next_purchase_value"))
+      AsOf.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", Seq("next_purchase_value"),
+        direction = "forward", tolerance = Some(3600.0))
+        .select(col("event_id"), col("user_id"), col("next_purchase_value"))
+        .orderBy("event_id")
+    },
+    "ev_asof_nearest" -> { (s, dir) =>
+      // nearest-in-time purchase, either direction; ties go backward
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("near_purchase_value"))
+      AsOf.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", Seq("near_purchase_value"),
+        direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("near_purchase_value"))
+        .orderBy("event_id")
+    },
     "ev_range" -> { (s, dir) =>
       // events inside per-user daily maintenance windows (two overlapping
       // window sets) via the bucketized interval join
@@ -875,6 +902,28 @@ object PipelineEntry {
           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
           |SELECT e.event_id, e.user_id, r.last_purchase_value
           |FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+          |ORDER BY event_id""".stripMargin,
+      "ev_asof_fwd" ->
+        """WITH r AS (SELECT user_id, ts, max(value) AS next_purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id,
+          |  CASE WHEN epoch_us(r.ts) - epoch_us(e.ts) <= 3600000000
+          |       THEN r.next_purchase_value END AS next_purchase_value
+          |FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts <= r.ts
+          |ORDER BY event_id""".stripMargin,
+      "ev_asof_nearest" ->
+        """WITH r AS (SELECT user_id, ts, max(value) AS v
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |b AS (SELECT e.event_id, e.user_id, e.ts, r.ts AS bts, r.v AS bv
+          |      FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts),
+          |f AS (SELECT e.event_id, r.ts AS fts, r.v AS fv
+          |      FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts <= r.ts)
+          |SELECT b.event_id, b.user_id,
+          |  CASE WHEN bts IS NULL THEN fv
+          |       WHEN fts IS NULL THEN bv
+          |       WHEN (epoch_us(fts) - epoch_us(b.ts)) < (epoch_us(b.ts) - epoch_us(bts)) THEN fv
+          |       ELSE bv END AS near_purchase_value
+          |FROM b JOIN f USING (event_id)
           |ORDER BY event_id""".stripMargin,
       "ev_range" ->
         """WITH p AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),

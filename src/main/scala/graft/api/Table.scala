@@ -369,9 +369,22 @@ object Table {
       else if (uri.endsWith(".json")) spark.read.json(uri)
       else if (uri.endsWith(".orc")) spark.read.orc(uri)
       else if (uri.endsWith(".txt") || uri.endsWith(".text")) spark.read.text(uri)
+      else if (uri.contains("/") && isDir(spark, uri))
+        // a DIRECTORY (hive-partitioned parquet layout — what
+        // writePartitioned produces, and the standard shape of a large
+        // dataset): partition columns are discovered from the dir names
+        // and filters on them prune whole directories at plan time
+        spark.read.parquet(uri)
       else spark.table(uri)
     Table(t)
   }
+
+  private def isDir(spark: SparkSession, uri: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    } catch { case _: Exception => false }
 
   /** hive-style partitioned sink: one directory per distinct key value,
     * so filters on the partition columns PRUNE whole directories at plan

@@ -12,48 +12,96 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** as-of join: for every left row, attach `valCols` from the LATEST
-    * right row with `right.ts <= left.ts` within the same `key` (nulls
-    * when no prior right row exists).
+  /** as-of join: for every left row, attach `valCols` from the matching
+    * right row within the same `key` (nulls when none matches) —
+    * pandas `merge_asof` semantics:
+    *
+    *  - `direction = "backward"` (default): LATEST right with
+    *    `right.ts <= left.ts`
+    *  - `direction = "forward"`: EARLIEST right with `right.ts >= left.ts`
+    *  - `direction = "nearest"`: whichever of the two is closer in time;
+    *    exact ties go BACKWARD (pandas tie rule)
+    *  - `tolerance`: maximum allowed |left.ts − right.ts| — a match
+    *    farther away yields NULL (no fallback to the next candidate,
+    *    matching pandas). Seconds for timestamp columns, the column's own
+    *    units for numeric ones.
     *
     * Plan shape (the 100 TB consideration): tag both inputs, UNION, one
     * shuffle on `key`, running `last(_, ignoreNulls)` over
     * (ts, tag)-ordered rows, keep left rows. This is one exchange +
-    * one sort — the same cost as a sort-merge join — and never builds
-    * the |left| × |right-per-key| intermediate a naive
+    * one sort per needed direction (two sorts, still one exchange, for
+    * "nearest") — the same cost class as a sort-merge join — and never
+    * builds the |left| × |right-per-key| intermediate a naive
     * `ts >= ts' AND rank = 1` formulation explodes into.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               valCols: Seq[String]): DataFrame = {
+               valCols: Seq[String], direction: String = "backward",
+               tolerance: Option[Double] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward/forward/nearest, got $direction")
+    require(tolerance.forall(_ > 0), "asofJoin: tolerance must be positive")
     val lCols = left.columns.toSeq
     require(!valCols.exists(lCols.contains), s"asofJoin: value columns $valCols collide with left")
-    // right rows sort BEFORE left rows at equal ts (tag 0 < 1), so a
-    // right row at exactly left.ts is visible to it (<= semantics).
-    // Values ride inside ONE struct ("_rv"): the running last(ignoreNulls)
-    // skips only the left-row padding (null struct), never a right row
-    // whose value column is legitimately NULL — that row must win and
-    // deliver its null, as DuckDB ASOF JOIN / pandas merge_asof do.
+    // right rows sort BEFORE left rows at equal ts (tag 0 < 1 ascending,
+    // and tag stays ascending in the descending-ts window), so a right
+    // row at exactly left.ts is visible in BOTH directions (<=' / '>='
+    // semantics). Values ride inside ONE struct ("_rv") together with the
+    // right row's ts ("_rts", needed for tolerance/nearest): the running
+    // last(ignoreNulls) skips only the left-row padding (null struct),
+    // never a right row whose value column is legitimately NULL — that
+    // row must win and deliver its null, as DuckDB ASOF JOIN / pandas
+    // merge_asof do.
     val l = left.withColumn("_tag", lit(1))
     val taggedR = right.select(
       (Seq(col(key), col(tsCol), lit(0).as("_tag")) ++ valCols.map(col)): _*)
     val rvType = org.apache.spark.sql.types.StructType(
-      valCols.map(v => taggedR.schema(v).copy(name = v)))
+      valCols.map(v => taggedR.schema(v).copy(name = v)) :+
+        taggedR.schema(tsCol).copy(name = "_rts"))
     val lPadded = l.select(
       (Seq(col(key), col(tsCol), col("_tag"),
         lit(null).cast(rvType).as("_rv")) ++
         lCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
     val rPadded = taggedR.select(
       (Seq(col(key), col(tsCol), col("_tag"),
-        struct(valCols.map(col): _*).as("_rv")) ++
+        struct(valCols.map(col) :+ col(tsCol).as("_rts"): _*).as("_rv")) ++
         lCols.filterNot(c => c == key || c == tsCol)
           .map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def running(ord: Column*) =
+      last(col("_rv"), ignoreNulls = true).over(
+        Window.partitionBy(col(key)).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val cands =
+      (if (needB) Seq(running(col(tsCol).asc, col("_tag").asc).as("_cb")) else Nil) ++
+        (if (needF) Seq(running(col(tsCol).desc, col("_tag").asc).as("_cf")) else Nil)
     val filled = lPadded.unionByName(rPadded)
-      .select((Seq(col(key), col(tsCol), col("_tag"),
-        last(col("_rv"), ignoreNulls = true).over(w).as("_rv")) ++
+      .select((Seq(col(key), col(tsCol), col("_tag")) ++ cands ++
         lCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
-    filled.filter(col("_tag") === 1)
+      .filter(col("_tag") === 1)
+    // elapsed time, always non-negative by construction of each direction
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, DoubleType}
+    def secs(a: Column, b: Column): Column = taggedR.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType =>
+        (unix_micros(a) - unix_micros(b)).cast(DoubleType) / 1e6
+      case _ => a.cast(DoubleType) - b.cast(DoubleType)
+    }
+    def inTol(cand: Column, dist: Column): Column = tolerance match {
+      case Some(t) => when(cand.isNotNull && dist <= t, cand)
+      case None    => cand
+    }
+    val distB = secs(col(tsCol), col("_cb")("_rts"))
+    val distF = secs(col("_cf")("_rts"), col(tsCol))
+    val rv = direction match {
+      case "backward" => inTol(col("_cb"), distB)
+      case "forward"  => inTol(col("_cf"), distF)
+      case "nearest" =>
+        val cb = inTol(col("_cb"), distB)
+        val cf = inTol(col("_cf"), distF)
+        when(cb.isNull, cf).when(cf.isNull, cb)
+          .when(distF < distB, cf).otherwise(cb) // tie → backward
+    }
+    filled.withColumn("_rv", rv)
       .select((lCols.map(col) ++ valCols.map(v => col("_rv")(v).as(v))): _*)
   }
 

@@ -207,6 +207,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "-")))
   }
 
+  test("asofJoin forward/nearest/tolerance follow merge_asof semantics") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 10L, 10L), (2L, 10L, 20L), (3L, 10L, 30L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 12L, "a"), (10L, 29L, "b")).toDF("k", "t", "v")
+    def run(dir: String, tol: Option[Double]) =
+      AsOf.asofJoin(left, right, "k", "t", Seq("v"), dir, tol)
+        .orderBy("id").collect()
+        .map(x => Option(x.getString(3)).getOrElse("-")).toSeq
+    assert(run("backward", None) == Seq("-", "a", "b")) // latest at-or-before
+    assert(run("forward", None) == Seq("a", "b", "-"))  // earliest at-or-after
+    // nearest: t=10 → 12 (only side); t=20 → |20-12|=8 < |29-20|=9 → back;
+    // t=30 → |30-29|=1 → back
+    assert(run("nearest", None) == Seq("a", "a", "b"))
+    // tolerance nulls matches beyond the horizon without falling back
+    assert(run("forward", Some(5.0)) == Seq("a", "-", "-"))
+    assert(run("backward", Some(2.0)) == Seq("-", "-", "b"))
+    // nearest with an exact tie goes backward (pandas tie rule)
+    val tied = AsOf.asofJoin(
+      Seq((1L, 10L, 20L)).toDF("id", "k", "t"),
+      Seq((10L, 15L, "back"), (10L, 25L, "fwd")).toDF("k", "t", "v"),
+      "k", "t", Seq("v"), "nearest").collect()(0).getString(3)
+    assert(tied == "back")
+  }
+
   test("asofJoin: a latest right row with NULL value wins and delivers its null") {
     val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
     val right = Seq((10L, 100L, Some("a")), (10L, 200L, None))
