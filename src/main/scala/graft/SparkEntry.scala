@@ -766,6 +766,14 @@ object SparkEntry {
       n.except(sup).sort(Seq("nationkey")).df
     },
 
+    "by_topk" -> { (s, dir) =>
+      // per-group top-k via the bounded partial aggregate — never a
+      // per-group window sort (plan-guarded in the unit suite)
+      Table(t(s, dir, "orders"))
+        .topKBy(Seq("o_orderpriority"), Col(col("o_totalprice")), "o_orderkey", k = 3)
+        .sort(Seq("o_orderpriority", "rank")).df
+    },
+
     // ---- skew / co-location tools as oracle-checked queries (§2.15).
     // Each is result-IDENTICAL to its plain formulation — that identity
     // is the contract, so the plain GROUP BY / JOIN is the exact oracle ----
@@ -1266,6 +1274,15 @@ object SparkEntry {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "by_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders)
+        |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey,
+        |  o_totalprice AS score
+        |FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
     // the salted/bucketed formulations are result-identical to the plain
     // GROUP BY / JOIN — which is therefore their exact oracle

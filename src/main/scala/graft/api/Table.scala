@@ -173,6 +173,27 @@ final case class Table(df: DataFrame) {
       .select((keys ++ sums.map(_._1).sorted).map(col): _*))
   }
 
+  /** per-group TOP-K (extension): the k best rows of each group by
+    * `score` (higher wins; ties to the LOWER `idCol`), WITHOUT a window —
+    * the standard window formulation (`row_number().over(partitionBy
+    * (group).orderBy(score))`) sorts every group inside one task, which
+    * is a scale-killer when one group dominates. This lowers to the
+    * bounded [[graft.plans.TopKByScore]] partial aggregate instead: ≤ k
+    * rows per (group, map partition) cross the exchange and no task ever
+    * sorts a full group. `idCol` must be integral (bigint ids — join a
+    * surrogate first otherwise) and unique per row for deterministic
+    * ties. Output: groupers, rank (1-based), idCol, score (double).
+    */
+  def topKBy(groupers: Seq[String], score: Col, idCol: String, k: Int): Table = {
+    requireFields(groupers :+ idCol, "topKBy")
+    Table(df.groupBy(groupers.map(df(_)): _*)
+      .agg(graft.plans.TopKByScore(score.c, df(idCol), k).as("_top"))
+      .select(groupers.map(col) :+ posexplode(col("_top")): _*)
+      .select(groupers.map(col) ++ Seq(
+        (col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rank"),
+        col("col.c_id").as(idCol), col("col.cos").as("score")): _*))
+  }
+
   /** MELT / UNPIVOT (extension; inverse of [[pivotAgg]]): wide → long,
     * one row per (id row × value column). Narrow generate-side op — no
     * shuffle; value columns must share (or be cast to) a common type.

@@ -181,6 +181,23 @@ class CurationSpec extends SparkSpec {
       s"kmeansAssign leaked checkpoints: $afterCc -> $afterKm persistent RDDs")
   }
 
+  test("topKBy: bounded aggregate plan, window-formulation parity") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Table(spark.read.parquet(s"$sf/orders.parquet"))
+    val top = o.topKBy(Seq("o_orderpriority"), Col(col("o_totalprice")), "o_orderkey", 3)
+    val plan = top.df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"topKBy must be a bounded partial aggregate, not a window sort:\n$plan")
+    val viaWindow = o.df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice").as("score"))
+    assert(top.df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(top.df).isEmpty,
+      "topKBy must equal the row_number window formulation")
+  }
+
   test("kmeansAssign: deterministic total partition into <= k clusters") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
