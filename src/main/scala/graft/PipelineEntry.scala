@@ -255,6 +255,15 @@ object PipelineEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "sample_weighted" -> { (s, dir) =>
+      import TextFunctions._
+      // quality-weighted deterministic sampling: P(keep) = quality score,
+      // zero RNG — the curriculum-shaping sampler, fully oracle-checked
+      Sampling.weighted(t(s, dir, "documents"), "doc_id",
+        qualityScore(col("text")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
     "text_scrub" -> { (s, dir) =>
       import TextFunctions._
       // fixture text has no PII — inject deterministic synthetic PII so
@@ -697,6 +706,13 @@ object PipelineEntry {
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 100
           |  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
           |ORDER BY doc_id""".stripMargin,
+      "sample_weighted" ->
+        s"""WITH t AS (SELECT doc_id, lang, text, $sqlTokens AS ts FROM documents),
+           |q AS (SELECT doc_id, lang, $sqlQuality AS quality FROM t)
+           |SELECT doc_id, lang FROM q
+           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 1000000
+           |  < CAST(FLOOR(LEAST(GREATEST(quality, 0.0), 1.0) * 1000000) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin,
       "text_scrub" -> {
         // regexp_replace chain generated from the SAME PiiPatterns
         // constants the Scala operator folds over (single-backslash RE2

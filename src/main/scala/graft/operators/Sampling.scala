@@ -41,4 +41,22 @@ object Sampling {
     }
     df.filter(bucket < pct)
   }
+
+  /** PER-ROW-weighted deterministic sampling: keep each row with
+    * probability `weightCol` (clamped to [0, 1]) — e.g. a quality score,
+    * so better documents are proportionally more likely to survive.
+    * Same plan shape as [[stratified]] (pure codegen'd filter, no
+    * shuffle/RNG/state), same subset property: raising a row's weight
+    * can only ADD it, never swap it for a different row, so curriculum
+    * reweighting between runs is monotone. Bucket granularity is 10^6
+    * (weight resolution 1e-6).
+    */
+  def weighted(df: DataFrame, keyCol: String, weightCol: Column): DataFrame = {
+    val M = 1000000
+    val w = least(greatest(weightCol.cast(DoubleType), lit(0.0)), lit(1.0))
+    // floor(w*M): a row needs bucket < floor — conservative at the edge,
+    // and exactly mirrored in the oracle SQL (both engines floor the same
+    // double product of the same inputs)
+    df.filter(hashBucket(col(keyCol), M) < floor(w * M).cast(LongType))
+  }
 }

@@ -80,6 +80,21 @@ class CurationSpec extends SparkSpec {
     assert(s1.subsetOf(wider))
   }
 
+  test("weighted sampling: extremes exact, monotone in weight, deterministic") {
+    val df = (1L to 2000L).map(i => (i, i / 2000.0)).toDF("doc_id", "w")
+    def keep(wc: org.apache.spark.sql.Column) =
+      Sampling.weighted(df, "doc_id", wc).select("doc_id").as[Long].collect().toSet
+    assert(keep(lit(1.0)).size == 2000) // weight 1 keeps everything
+    assert(keep(lit(0.0)).isEmpty)      // weight 0 keeps nothing
+    assert(keep(lit(2.5)).size == 2000) // clamped
+    val half = keep(lit(0.5))
+    assert(half.size > 800 && half.size < 1200, s"~half expected, got ${half.size}")
+    assert(half == keep(lit(0.5)))      // pure function of the data
+    // raising weights only ADDS rows (monotone curriculum reweighting)
+    val lo = keep(col("w")); val hi = keep(least(col("w") * 2, lit(1.0)))
+    assert(lo.subsetOf(hi), s"${(lo diff hi).size} rows lost when weights rose")
+  }
+
   // ---- PII scrubbing ----
   test("scrubPii redacts emails, IPs, phones; leaves clean text alone") {
     val r = Seq(
