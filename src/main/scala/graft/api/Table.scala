@@ -186,6 +186,10 @@ final case class Table(df: DataFrame) {
     */
   def topKBy(groupers: Seq[String], score: Col, idCol: String, k: Int): Table = {
     requireFields(groupers :+ idCol, "topKBy")
+    // same silent-duplicate hazard class as pivotAgg's sanitized names
+    val reserved = (groupers :+ idCol).filter(Set("rank", "score"))
+    require(reserved.isEmpty,
+      s"topKBy: column(s) ${reserved.mkString(", ")} collide with the generated rank/score output")
     Table(df.groupBy(groupers.map(df(_)): _*)
       .agg(graft.plans.TopKByScore(score.c, df(idCol), k).as("_top"))
       .select(groupers.map(col) :+ posexplode(col("_top")): _*)

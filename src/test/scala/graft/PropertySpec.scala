@@ -87,6 +87,60 @@ class PropertySpec extends SparkSpec {
     assert(counts.max < 60, s"hot bucket: ${counts.max} of 2000") // E[x]=20
   }
 
+  test("replace(old, new, max): Spark == JVM reference on random strings") {
+    // strings over a tiny alphabet maximize overlapping/consecutive matches
+    val s = Gen.listOf(Gen.oneOf('a', 'b', '.', '*')).map(_.mkString)
+    val cases = draw(for {
+      str <- s
+      old <- Gen.oneOf("a", "ab", "..", "*", "aba")
+      nw <- Gen.oneOf("", "X", "ab", "aa")
+      m <- Gen.choose(1, 4)
+    } yield (str, old, nw, m), 300)
+    // JVM reference: literal first-N replacement, left-to-right
+    def jvmReplace(s: String, o: String, n: String, max: Int): String = {
+      val sb = new StringBuilder; var i = 0; var done = 0
+      while (i < s.length) {
+        if (done < max && s.startsWith(o, i)) { sb ++= n; i += o.length; done += 1 }
+        else { sb += s.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
+    cases.zipWithIndex.foreach { case ((str, o, n, m), i) =>
+      val got = Seq(str).toDF("x")
+        .select(new graft.api.StrOps(col("x")).replace(o, n, m)).as[String].head()
+      assert(got == jvmReplace(str, o, n, m),
+        s"case $i: '$str'.replace('$o','$n',$m): got '$got' want '${jvmReplace(str, o, n, m)}'")
+    }
+  }
+
+  test("topKBy: rank ordering, group bound, and membership on random groups") {
+    val rows = draw(for {
+      g <- Gen.oneOf("g1", "g2", "g3", "g4")
+      sc <- Gen.choose(0, 1000)
+    } yield (g, sc.toDouble), 600).zipWithIndex
+      .map { case ((g, sc), i) => (i.toLong, g, sc) }
+    val k = 5
+    val got = rows.toDF("id", "g", "sc")
+      .transform(df => Table(df).topKBy(Seq("g"), Col(col("sc")), "id", k).df)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val byId = rows.map(r => r._1 -> r).toMap
+    got.groupBy(_._1).foreach { case (g, grp) =>
+      assert(grp.size <= k)
+      assert(grp.map(_._2).sorted == (1L to grp.size).toSeq, s"ranks not dense in $g")
+      // rank order == (score desc, id asc); scores match the source rows
+      val ordered = grp.sortBy(_._2)
+      assert(ordered.map(r => (-r._4, r._3)) == ordered.map(r => (-r._4, r._3)).sorted)
+      ordered.foreach { case (_, _, id, sc) => assert(byId(id)._3 == sc && byId(id)._2 == g) }
+      // the k-th kept score dominates every dropped score in the group
+      val dropped = rows.filter(r => r._2 == g && !grp.exists(_._3 == r._1))
+      if (grp.size == k && dropped.nonEmpty) {
+        val worstKept = ordered.last
+        assert(dropped.forall(d => d._3 < worstKept._4 ||
+          (d._3 == worstKept._4 && d._1 > worstKept._3)))
+      }
+    }
+  }
+
   test("packSequences invariants on random corpora") {
     val rows = draw(for {
       shard <- Gen.oneOf("s1", "s2", "s3")
