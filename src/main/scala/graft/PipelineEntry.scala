@@ -165,6 +165,23 @@ object PipelineEntry {
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     },
+    "text_chunks" -> { (s, dir) =>
+      // overlapping context-window chunking (window 32, stride 16):
+      // narrow generate-side op, no shuffle — output ~2× corpus tokens
+      Pack.chunkTokens(t(s, dir, "documents"), window = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    "text_repetition" -> { (s, dir) =>
+      import TextFunctions._
+      // Gopher-style repeated-content signals, one native pass per row
+      t(s, dir, "documents")
+        .select(col("doc_id"), repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.dup_token_frac").as("dup_token_frac"),
+          col("r.top_bigram_frac").as("top_bigram_frac"),
+          col("r.dup_bigram_frac").as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
     "text_fingerprint" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -667,6 +684,27 @@ object PipelineEntry {
            |SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN th ON t.lang = th.lang
            |WHERE t.n_tokens >= th.lo AND t.n_tokens <= th.hi
            |ORDER BY doc_id""".stripMargin,
+      "text_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |c AS (SELECT doc_id, ts, unnest(range(0, len(ts), 16)) AS tok_start FROM t)
+           |SELECT doc_id, tok_start // 16 AS chunk_idx, tok_start,
+           |  CAST(len(list_slice(ts, tok_start + 1, tok_start + 32)) AS BIGINT) AS n_tokens,
+           |  array_to_string(list_slice(ts, tok_start + 1, tok_start + 32), ' ') AS chunk_text
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |b AS (SELECT doc_id, ts,
+           |  list_transform(range(1, greatest(len(ts)-1,0)+1), i -> ts[i] || ' ' || ts[i+1]) AS bg
+           |FROM t)
+           |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           |  CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE) / len(ts) AS dup_token_frac,
+           |  CASE WHEN len(bg) = 0 THEN 0.0
+           |       ELSE CAST(list_max(list_transform(bg, x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+           |  END AS top_bigram_frac,
+           |  CASE WHEN len(bg) = 0 THEN 0.0
+           |       ELSE CAST(len(list_filter(bg, x -> len(list_filter(bg, y -> y = x)) > 1)) AS DOUBLE) / len(bg)
+           |  END AS dup_bigram_frac
+           |FROM b ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text,
            |  list_transform($sqlTokens, tk -> ${sqlHash("tk")}) AS hs FROM documents)

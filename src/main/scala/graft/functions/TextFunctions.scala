@@ -132,6 +132,15 @@ object TextFunctions {
       lit(0.3) * least(meanTokenLen(text) / 10.0, lit(1.0)) +
       lit(0.3) * alphaRatio(text)
 
+  // ---- repetition signals (Gopher-style quality filters) ----
+  /** struct(n_tokens, dup_token_frac, top_bigram_frac, dup_bigram_frac):
+    * the standard repeated-content filters for corpus curation, computed
+    * in ONE native pass per row (hashmap counts — the HOF formulation is
+    * O(tokens²) per row). All fractions are exact small-integer ratios,
+    * bit-identical across engines.
+    */
+  def repetitionStats(text: Column): Column = graft.plans.RepetitionStats(text)
+
   // ---- PII scrubbing ----
   /** redaction patterns, ordered (emails first — a phone/IP inside an
     * address is impossible, but an email local-part can contain digits).

@@ -38,4 +38,32 @@ object Pack {
       .withColumn("pack_id", expr(s"tok_offset DIV $budget"))
       .withColumn("pack_pos", col("tok_offset") % budget)
   }
+
+  /** Overlapping token-window chunking: split each document into windows
+    * of `window` whitespace tokens starting every `stride` tokens (the
+    * context-window chunking step of RAG indexing / long-doc training
+    * prep; stride < window gives overlap). One output row per chunk:
+    * doc_id, chunk_idx, tok_start, n_tokens (≤ window — the tail chunk
+    * may be short), chunk_text.
+    *
+    * Scale shape: a narrow generate-side op — tokenize, explode the
+    * per-doc start sequence, slice — all inside one projection over the
+    * scan, NO shuffle; per-row memory is bounded by the document itself.
+    * Chunks-per-doc is ceil(n_tokens / stride), so output size is
+    * ~(window/stride)× the corpus — the caller picks the overlap factor.
+    */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"chunkTokens: window and stride must be positive, got $window/$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol), toks.as("_ts"))
+      .select(col(idCol), col("_ts"),
+        posexplode(sequence(lit(0), size(col("_ts")) - 1, lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("tok_start"),
+        size(slice(col("_ts"), col("col") + 1, lit(window))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_ts"), col("col") + 1, lit(window))).as("chunk_text"))
+  }
 }

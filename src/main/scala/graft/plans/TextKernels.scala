@@ -145,6 +145,47 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Gopher-style repetition signals in ONE pass (hashmap counts,
+    * O(tokens) per row — the HOF formulation is O(tokens²) per row via
+    * nested `filter` scans and outside whole-stage codegen):
+    *   - n_tokens
+    *   - dup_token_frac   = (n_tokens − distinct tokens) / n_tokens
+    *   - top_bigram_frac  = occurrences of the most frequent bigram / n_bigrams
+    *   - dup_bigram_frac  = bigram instances whose bigram occurs >1× / n_bigrams
+    * All three fractions are ratios of small exact integers, so the
+    * doubles are bit-identical across engines (no summation-order
+    * sensitivity). A zero bigram denominator (single-token doc) yields
+    * 0.0 — "no repetition", not null.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = tokenize(text.toString)
+    // split("") yields [""]: the empty doc counts 1 (empty) token, matching
+    // tokenCount / DuckDB len(string_split_regex(...)) exactly
+    val nTok = toks.length
+    val tokCounts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < nTok) { tokCounts.merge(toks(i), 1, Integer.sum); i += 1 }
+    val dupTokFrac =
+      if (nTok == 0) 0.0 else (nTok - tokCounts.size).toDouble / nTok
+    val nBg = math.max(nTok - 1, 0)
+    val bgCounts = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < nBg) {
+      bgCounts.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum); i += 1
+    }
+    var top = 0; var dupInstances = 0
+    val it = bgCounts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1) dupInstances += c
+    }
+    val topBgFrac = if (nBg == 0) 0.0 else top.toDouble / nBg
+    val dupBgFrac = if (nBg == 0) 0.0 else dupInstances.toDouble / nBg
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok.toLong, dupTokFrac, topBgFrac, dupBgFrac))
+  }
+
   /** simhash over distinct-token hashes: bit i set iff the majority of
     * hashes have bit i set (== the 28-term HOF formulation).
     */
@@ -256,4 +297,25 @@ case class SimHashSignature(child: Expression, bits: Int) extends TextKernelExpr
 object SimHashSignature {
   def apply(text: Column, bits: Int): Column =
     GraftBridge.column(SimHashSignature(GraftBridge.expression(text), bits))
+}
+
+/** Gopher-style repetition signals as one struct (native single pass). */
+case class RepetitionStats(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.repetitionStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(text: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
 }

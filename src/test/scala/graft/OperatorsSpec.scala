@@ -288,4 +288,41 @@ class OperatorsSpec extends SparkSpec {
       .select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
     assert(r == Seq("en", "de"))
   }
+
+  test("chunkTokens: overlapping windows cover every token; tail chunk short") {
+    // 7 tokens, window 4 stride 2 → starts 0,2,4,6
+    val r = graft.operators.Pack.chunkTokens(
+      docsOf((1L, "t0 t1 t2 t3 t4 t5 t6")), window = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 2L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, 3L, "t4 t5 t6"),
+      (1L, 3L, 6L, 1L, "t6")))
+    // every token appears in at least one chunk
+    val covered = r.flatMap(_._5.split(" ")).toSet
+    assert(covered == (0 to 6).map(i => s"t$i").toSet)
+  }
+
+  test("repetitionStats: hand-computed fractions; single token → zero bigram fracs") {
+    // tokens [a b a b c]: n=5, distinct=3 → dup_token 2/5
+    // bigrams [a b, b a, a b, b c]: top count 2/4, dup instances 2/4
+    val r = docsOf((1L, "a b a b c"), (2L, "solo"))
+      .select(col("doc_id"), TextFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.dup_token_frac"),
+        col("r.top_bigram_frac"), col("r.dup_bigram_frac"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r(0) == ((1L, 5L, 0.4, 0.5, 0.5)))
+    assert(r(1) == ((2L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("repetitionStats: all-repeated doc maxes every fraction") {
+    val r = docsOf((1L, "x x x x"))
+      .select(TextFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("r.dup_token_frac"), col("r.top_bigram_frac"), col("r.dup_bigram_frac"))
+      .as[(Double, Double, Double)].collect().head
+    assert(r == ((0.75, 1.0, 1.0)))
+  }
 }
