@@ -826,6 +826,63 @@ object SparkEntry {
         .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_name"))
         .orderBy("o_orderkey")
+    },
+
+    "fk_hop" -> { (s, dir) =>
+      // foreign-key field traversal (expressions.py:136-142, sql.py:272-276):
+      // orders.o_custkey is an FK into customer — accessing customer
+      // fields through it auto-joins the (broadcast) dimension
+      Table(t(s, dir, "orders"))
+        .fkField("o_custkey", Table(t(s, dir, "customer")), "c_custkey",
+          "c_name", "c_mktsegment")
+        .project("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .sort(Seq("o_orderkey")).df
+    },
+    "src_iterable" -> { (s, dir) =>
+      // Iterables source (§2.1): a driver-local Seq as a first-class
+      // table — tiny reference data (here a priority ranking) belongs
+      // inline + broadcast, never in a file
+      import s.implicits._
+      val prio = Seq(
+        ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+        ("4-NOT SPECIFIED", 4), ("5-LOW", 5))
+        .toDF("o_orderpriority", "prio_rank")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .join(broadcast(prio), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("prio_rank"), col("n"))
+        .orderBy("prio_rank")
+    },
+
+    "q5_region_revenue" -> { (s, dir) =>
+      // TPC-H Q5 shape: the 6-table join — tiny dims (region, nation)
+      // broadcast; the fact chain customer ⋈ orders ⋈ lineitem ⋈ supplier
+      // shuffles on its join keys with AQE free to reorder/rebalance; the
+      // local-supplier predicate (c_nationkey = s_nationkey) closes the
+      // cycle as a join condition, not a post-filter
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1995-01-01").cast(TimestampType))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    "misc_profile" -> { (s, dir) =>
+      // one-pass per-column table profile (exact distincts → Expand; the
+      // approx_count_distinct swap is the 100 TB path, documented on the op)
+      Table(t(s, dir, "orders")).profile.sort(Seq("col_name")).df
     }
   )
 
@@ -1297,6 +1354,44 @@ object SparkEntry {
     "bucketed_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // FK traversal lowers to the reference's WHERE-join (inner)
+    "fk_hop" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_iterable" ->
+      """WITH p(o_orderpriority, prio_rank) AS (VALUES
+        |  ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+        |  ('4-NOT SPECIFIED', 4), ('5-LOW', 5)),
+        |a AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT a.o_orderpriority, p.prio_rank, a.n
+        |FROM a JOIN p ON a.o_orderpriority = p.o_orderpriority
+        |ORDER BY prio_rank""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "misc_profile" -> {
+      val fields = Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+        ("o_totalprice", true), ("o_orderdate", false), ("o_orderpriority", false))
+      fields.map { case (f, isNum) =>
+        val mn = if (isNum) s"CAST(MIN($f) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (isNum) s"CAST(MAX($f) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$f' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($f) AS n_null, COUNT(DISTINCT $f) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+    }
   )
 }

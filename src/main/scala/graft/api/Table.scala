@@ -244,6 +244,40 @@ final case class Table(df: DataFrame) {
     Table(df.agg(sorted.head, sorted.tail: _*))
   }
 
+  /** One-pass table profile (extension; the table-wide generalization of
+    * [[summary]]): one output row per column with n_rows, n_null,
+    * n_distinct, and min/max (numeric columns only — cast to double;
+    * null for other types). Everything rides ONE aggregate: the
+    * per-column distincts make Catalyst plan an Expand (input ×
+    * #distinct-aggs map-side, still a single shuffle) — exact and
+    * oracle-able, the right default for profiling a sample or a
+    * dimension. For a 100 TB fact-table profile swap the exact distinct
+    * for `approx_count_distinct` ([[Col.nuniqueApprox]]'s HLL++): single
+    * pass, no Expand, bounded memory.
+    */
+  def profile: Table = {
+    val fs = df.schema.fields.toSeq
+    val aggs = fs.zipWithIndex.flatMap { case (f, i) =>
+      val c = df(f.name)
+      val isNum = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      Seq(
+        count(c).as(s"_c$i"),
+        count_distinct(c).as(s"_d$i"),
+        (if (isNum) min(c).cast(org.apache.spark.sql.types.DoubleType)
+         else lit(null).cast(org.apache.spark.sql.types.DoubleType)).as(s"_mn$i"),
+        (if (isNum) max(c).cast(org.apache.spark.sql.types.DoubleType)
+         else lit(null).cast(org.apache.spark.sql.types.DoubleType)).as(s"_mx$i"))
+    } :+ count(lit(1)).as("_n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fs.zipWithIndex.map { case (f, i) =>
+      struct(lit(f.name).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_c$i")).as("n_null"),
+        col(s"_d$i").as("n_distinct"),
+        col(s"_mn$i").as("min_num"), col(s"_mx$i").as("max_num"))
+    }
+    Table(one.select(explode(array(rows: _*)).as("p")).select(col("p.*")))
+  }
+
   /** count_values (`split_apply_combine.py:91-101`). */
   def countValues(field: String): Table = {
     requireFields(Seq(field), "count_values")
@@ -350,6 +384,33 @@ final case class Table(df: DataFrame) {
   def tensordot(other: Table): Table =
     throw new UnsupportedOperationException(
       "tensordot: N-D array operations are out of scope (SURVEY §2.12)")
+
+  /** Field access THROUGH a foreign key (the `Map[key, Record]` dshape
+    * traversal, `expr/expressions.py:136-142`; SQL lowering
+    * `compute/sql.py:272-276`: `SELECT dim.field WHERE fk = dim.key`):
+    * auto-join the referenced dimension on `localKey = dimKey` and
+    * append the requested dimension field(s) to this table's columns.
+    * Inner-join semantics, matching the reference's WHERE-clause
+    * lowering — rows whose FK dangles are dropped (a dangling FK is a
+    * referential-integrity violation, not a query-time case to paper
+    * over with nulls).
+    *
+    * The dimension side is BROADCAST: an FK target is a dimension table
+    * by construction — orders of magnitude smaller than the fact side
+    * carrying the key — so the hop costs one map-side hash join, no
+    * shuffle of the fact table. Only `dimKey` + the requested fields
+    * ride the broadcast, never the whole dimension row.
+    */
+  def fkField(localKey: String, dim: Table, dimKey: String, dimFields: String*): Table = {
+    requireFields(Seq(localKey), "Field")
+    dim.requireFields(dimKey +: dimFields, "Field")
+    require(dimFields.nonEmpty, "fkField: at least one referenced field required")
+    val clash = dimFields.filter(fields.contains)
+    require(clash.isEmpty,
+      s"fkField: referenced field(s) ${clash.mkString(", ")} already exist on this table — relabel first")
+    val d = broadcast(dim.df.select((dimKey +: dimFields).map(dim.df(_)): _*))
+    Table(df.join(d, df(localKey) === d(dimKey), "inner").drop(d(dimKey)))
+  }
 
   // --- isin via semi-join for large key sets (`collections.py:868-911`) ---
   def isinTable(field: String, keys: Table, keyField: String): Table =
