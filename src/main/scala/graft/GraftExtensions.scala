@@ -55,6 +55,15 @@ object GraftFunctions {
     ("normalized_md5",
       new ExpressionInfo(classOf[NormalizedMd5].getName, "normalized_md5"),
       (es: Seq[Expression]) => NormalizedMd5(es(0))),
+    ("repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (es: Seq[Expression]) => RepetitionStats(es(0))),
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression, same as Spark's own registry builders
+    ("heavy_hitters",
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (es: Seq[Expression]) =>
+        HeavyHitters(Cast(es(0), StringType), intArg(es(1), "heavy_hitters"))),
     // compositions (not native kernels) exposed through the same SQL
     // surface as raw catalyst trees — the registry builder must return
     // analyzable Expressions, so these mirror the Column formulations in

@@ -883,6 +883,16 @@ object SparkEntry {
       // one-pass per-column table profile (exact distincts → Expand; the
       // approx_count_distinct swap is the 100 TB path, documented on the op)
       Table(t(s, dir, "orders")).profile.sort(Seq("col_name")).df
+    },
+    "misc_heavyhitters" -> { (s, dir) =>
+      // one-pass bounded-memory frequent items (Misra-Gries): capacity 64
+      // ≫ 5 distinct priorities → EXACT regime, so the plain GROUP BY is
+      // the oracle; the approximation bounds are property-tested
+      t(s, dir, "orders")
+        .agg(graft.plans.HeavyHitters(col("o_orderpriority"), 64).as("_hh"))
+        .select(explode(col("_hh")).as("e"))
+        .select(col("e.key").as("o_orderpriority"), col("e.cnt").as("n"))
+        .orderBy(desc("n"), asc("o_orderpriority"))
     }
   )
 
@@ -1392,6 +1402,10 @@ object SparkEntry {
            |  COUNT(*) - COUNT($f) AS n_null, COUNT(DISTINCT $f) AS n_distinct,
            |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL ", "\nORDER BY col_name")
-    }
+    },
+    // exact-regime Misra-Gries == the plain GROUP BY it bounds
+    "misc_heavyhitters" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
   )
 }

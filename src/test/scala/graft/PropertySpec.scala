@@ -163,4 +163,39 @@ class PropertySpec extends SparkSpec {
       offsets(sh) = expOff + n
     }
   }
+
+  test("heavyHitters: exact when capacity covers the key space (== groupBy)") {
+    val rows = draw(Gen.oneOf("a", "b", "c", "d", "e", "f"), 2000)
+    val got = rows.toDF("k").repartition(8)
+      .agg(graft.plans.HeavyHitters(col("k"), 16).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.key", "e.cnt")
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exact)
+  }
+
+  test("heavyHitters: MG bounds under skew with tiny capacity") {
+    // zipf-ish: one hot key ~50%, a long tail of rare keys
+    val rows = draw(Gen.frequency(
+      10 -> Gen.const("HOT"), 4 -> Gen.const("warm"),
+      6 -> Gen.choose(0, 500).map(i => s"cold$i")), 4000)
+    val n = rows.size.toLong
+    val cap = 8
+    val got = rows.toDF("k").repartition(8)
+      .agg(graft.plans.HeavyHitters(col("k"), cap).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.key", "e.cnt")
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.size <= cap)
+    // reported counts are lower bounds within the n/(cap+1) slack
+    got.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k over-counted: $c > ${exact(k)}")
+      assert(exact(k) - c <= n / (cap + 1), s"$k slack too large")
+    }
+    // no false negatives above the frequency threshold
+    exact.filter(_._2 > n / (cap + 1)).keys.foreach { k =>
+      assert(got.contains(k), s"heavy key $k missing")
+    }
+    assert(got.contains("HOT") && got.contains("warm"))
+  }
 }
