@@ -121,10 +121,11 @@ object Similarity {
     // but the no-leak pattern should match Cluster.connectedComponents.
     var retirable: DataFrame = null
     for (_ <- 1 to iters) {
-      val dist = (0 until dim).map { i =>
-        val d = element_at(col("qv"), i + 1) - element_at(col("cv"), i + 1)
-        d * d
-      }.reduce(_ + _)
+      // pure-int64 squared distance, native kernel: exact in any engine
+      // and any order (the unrolled element_at sum it replaces compiled a
+      // dim-term expression tree per stage; same integers either way, so
+      // the DuckDB oracle replay is untouched)
+      val dist = graft.plans.QuantizedL2(col("qv"), col("cv"))
       // argmin over the k broadcast candidates; ordering struct is unique
       // per (vector, cid) so the cid-tiebreak is engine-deterministic
       assigned = base.crossJoin(broadcast(cents))

@@ -154,3 +154,67 @@ object CosineSimilarity {
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Σ (aᵢ−bᵢ)² over `array<bigint>` in pure int64 — the k-means distance
+  * kernel for integer-QUANTIZED vectors ([[graft.operators.Similarity
+  * .kmeansAssign]]). Exact integer arithmetic: identical in any engine
+  * and any evaluation order, so swapping in this kernel cannot move the
+  * oracle (the unrolled `element_at` formulation it replaces compiled a
+  * dim×k-term expression tree per stage — a codegen-size cost, not a
+  * semantics one). NULL on length mismatch, like the double kernels.
+  * Safe range: |elements| < 2²¹ over ≤ 2¹⁰ dims keeps the sum < 2⁵²;
+  * quantized embeddings (floor(x·2²⁰), |x| ≤ 1) are well inside.
+  */
+case class QuantizedL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<bigint>, array<bigint>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedL2 {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(QuantizedL2(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

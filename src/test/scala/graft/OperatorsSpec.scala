@@ -289,6 +289,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq("en", "de"))
   }
 
+  test("QuantizedL2: exact int64 squared distance; length mismatch → NULL") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextLong() % (1L << 20)),
+        Array.fill(16)(rnd.nextLong() % (1L << 20)))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), graft.plans.QuantizedL2(col("a"), col("b")).as("d"))
+      .orderBy("id").as[(Long, Long)].collect()
+    rows.zip(got).foreach { case ((_, a, b), (_, d)) =>
+      val want = a.zip(b).map { case (x, y) => val t = x - y; t * t }.sum
+      assert(d == want)
+    }
+    val mism = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.plans.QuantizedL2(col("a"), col("b"))).collect()(0)
+    assert(mism.isNullAt(0))
+  }
+
   test("chunkTokens: overlapping windows cover every token; tail chunk short") {
     // 7 tokens, window 4 stride 2 → starts 0,2,4,6
     val r = graft.operators.Pack.chunkTokens(
