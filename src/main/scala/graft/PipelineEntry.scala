@@ -405,9 +405,10 @@ object PipelineEntry {
     // transform → memory sink, run to completion. Because the input is
     // bounded and the semantics are event-time (order-free), the batch
     // SQL over the same parquet is an exact oracle. statefulSessions
-    // stays unit-only: its Append-mode emission depends on watermark
-    // advancement across batches, which a single bounded batch can't
-    // replay deterministically. ----
+    // (the custom flatMapGroupsWithState path) is driven through a
+    // MULTI-batch MemoryStream replay so the watermark advances across
+    // micro-batches and Append emits closed sessions — see
+    // stream_sessions below. ----
     "stream_tumbling" -> { (s, dir) =>
       import graft.streaming.StreamOps
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -448,6 +449,19 @@ object PipelineEntry {
       StreamOps.runToMemory(s, j, "stream_ij_sink", "append", statePartitions = Some(8))
         .select(col("event_id_l"), col("event_id_r"))
         .orderBy("event_id_l", "event_id_r")
+    },
+    "stream_sessions" -> { (s, dir) =>
+      // custom-state sessionization (flatMapGroupsWithState) as a REAL
+      // multi-batch stream: 4 event-time-ordered micro-batches + a
+      // sentinel advance the watermark so Append emits every closed
+      // session; oracle = the SAME batch sessionization SQL as
+      // ev_sessions (totals exact via integer-cents state)
+      import graft.streaming.StreamOps
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+      StreamOps.replayStatefulSessions(s, ev, gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("total_value"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_id")
     },
 
     // ---- as-of / range joins (operators stock Spark lacks) ----
@@ -951,6 +965,21 @@ object PipelineEntry {
           |  AND l.event_type = 'view' AND r.event_type = 'purchase'
           |  AND r.us >= l.us AND r.us <= l.us + 600000000
           |ORDER BY event_id_l, event_id_r""".stripMargin,
+      // the stream closes every session (sentinel-advanced watermark), so
+      // the batch sessionization IS the exact oracle. The stateful fold
+      // orders same-µs events arbitrarily where the batch window orders by
+      // (us, event_id) — gap assignment and all aggregates are
+      // tie-order-insensitive, so the results coincide.
+      "stream_sessions" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+          |g AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+          |       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+          |       THEN 1 ELSE 0 END AS new_session FROM e),
+          |s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+          |  MIN(us) AS start_us, MAX(us) AS end_us
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "ev_asof" ->
         """WITH r AS (SELECT user_id, ts, max(value) AS last_purchase_value
           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

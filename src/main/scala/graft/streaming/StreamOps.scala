@@ -4,8 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** open session being accumulated for one user (stateful sessionization). */
-case class OpenSession(start_us: Long, end_us: Long, n: Long, total: Double)
+/** open session being accumulated for one user (stateful sessionization).
+  * `cents` carries the value sum as exact integer cents (the input is
+  * pre-cast to decimal(18,2)·100): a Double running sum would depend on
+  * fold order across micro-batches, while the cents sum equals the batch
+  * engine's decimal SUM in any order — what makes the streaming result
+  * differentially checkable against the batch oracle.
+  */
+case class OpenSession(start_us: Long, end_us: Long, n: Long, cents: Long)
 
 /** per-user sessionization state: next session number + the open session.
   * Keeping the counter after a session closes preserves the batch
@@ -77,22 +83,26 @@ object StreamOps {
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
 
+    // value rides the fold as exact integer cents (decimal(18,2)·100):
+    // the same decimal cast the batch Sessionize.sessions aggregate uses,
+    // so the closed-session totals are bit-identical to the batch/oracle
+    // result in ANY fold order — a Double running sum would not be.
     val typed = events
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"),
-        col("value").cast("double"))
-      .as[(Long, java.sql.Timestamp, Double)]
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
 
     typed.flatMapGroupsWithState[SessState, ClosedSession](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
        state: GroupState[SessState]) =>
         val st = state.getOption.getOrElse(SessState(1L, None))
         if (it.isEmpty) {
           // watermark passed session_end + gap: close the open session
           val out = st.open.map(o =>
-            ClosedSession(user, st.nextId, o.n, o.total, o.start_us, o.end_us))
+            ClosedSession(user, st.nextId, o.n, o.cents / 100.0, o.start_us, o.end_us))
           state.update(SessState(st.nextId + (if (st.open.isDefined) 1 else 0), None))
           out.iterator
         } else {
@@ -103,20 +113,20 @@ object StreamOps {
           var nextId = st.nextId
           var open = st.open
           val closed = Seq.newBuilder[ClosedSession]
-          evs.foreach { case (_, t, v) =>
+          evs.foreach { case (_, t, cents) =>
             val us = usOf(t)
             open match {
               case Some(o) if us - o.end_us <= gapUs =>
                 // a late-but-within-watermark event may precede the open
                 // session's start (cross-batch reordering): extend BOTH ends
                 open = Some(OpenSession(math.min(o.start_us, us),
-                  math.max(o.end_us, us), o.n + 1, o.total + v))
+                  math.max(o.end_us, us), o.n + 1, o.cents + cents))
               case Some(o) =>
-                closed += ClosedSession(user, nextId, o.n, o.total, o.start_us, o.end_us)
+                closed += ClosedSession(user, nextId, o.n, o.cents / 100.0, o.start_us, o.end_us)
                 nextId += 1
-                open = Some(OpenSession(us, us, 1L, v))
+                open = Some(OpenSession(us, us, 1L, cents))
               case None =>
-                open = Some(OpenSession(us, us, 1L, v))
+                open = Some(OpenSession(us, us, 1L, cents))
             }
           }
           state.update(SessState(nextId, open))
@@ -162,6 +172,60 @@ object StreamOps {
       col(s"${key}_l") === col(s"${key}_r") &&
         col(s"${tsCol}_r") >= col(s"${tsCol}_l") &&
         col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
+  /** Replay a bounded events table through [[statefulSessions]] as a
+    * REAL multi-batch stream: events are fed to a MemoryStream in
+    * `nChunks` event-time-ordered micro-batches (so the watermark
+    * genuinely ADVANCES between batches and Append mode emits sessions
+    * as they close mid-stream), then a far-future sentinel row pushes the
+    * watermark past every open session's `end + gap` so the
+    * EventTimeTimeout path closes the tail. Because the chunks are
+    * time-ordered and the watermark delay is 1 s, no row is ever late —
+    * the result matches the batch [[graft.operators.Sessionize.sessions]]
+    * exactly (the differential-oracle contract).
+    *
+    * This is a replay HARNESS (driver/test utility): the `.collect()` is
+    * the harness's bounded-input feed, not part of the operator — the
+    * operator itself ([[statefulSessions]]) holds O(active users) state
+    * and never materializes the stream.
+    */
+  def replayStatefulSessions(spark: SparkSession, events: DataFrame,
+                             gapSeconds: Long, nChunks: Int = 4,
+                             name: String = "stream_sessions_sink",
+                             statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(r => (r._2.getTime, r._2.getNanos))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val sessions = statefulSessions(spark, stream, gapSeconds, watermark = "1 second").toDF()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = sessions.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+      rows.grouped(chunkSize).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      if (rows.nonEmpty) {
+        // sentinel user (Long.MinValue — can't collide with real ids)
+        // a day past the last event: watermark passes every end + gap
+        val maxMs = rows.map(_._2.getTime).max
+        mem.addData(Seq((Long.MinValue,
+          new java.sql.Timestamp(maxMs + (gapSeconds + 86400L) * 1000L), 0.0)))
+        q.processAllAvailable()
+      }
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name).filter(col("user_id") =!= Long.MinValue)
   }
 
   /** run a streaming query over a bounded source to completion into a
