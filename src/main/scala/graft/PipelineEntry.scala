@@ -135,6 +135,11 @@ object PipelineEntry {
       // per-language [p05, p95] length band. percent_rank (= exact
       // (rank-1)/(n-1) rational) makes the band edge engine-deterministic
       // where an interpolated-quantile threshold comparison would not be.
+      // ⚠ SCALE: the per-language window funnels each language through
+      // ONE task's sort — retained only as the exact-band REFERENCE
+      // semantics. At corpus scale use text_filter_thresholds (window-
+      // free percentile aggregate broadcast back; plan-guarded in
+      // CurationSpec), which is what pipe_curation-class compositions use.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         tokenCount(col("text")).as("n_tokens"))
       val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
@@ -339,6 +344,18 @@ object PipelineEntry {
         Multimodal.synthesizePng(s, dims, "doc_id", "w", "h"))
         .orderBy("media_id")
     },
+    "mm_decode_wav" -> { (s, dir) =>
+      // REAL audio codec roundtrip (the WAV sibling of mm_decode_png):
+      // synthesize an actual RIFF/WAVE payload per document with frame
+      // count and channel layout derived from doc_id, decode the header
+      // back with javax.sound.sampled — the oracle recomputes the
+      // metadata from doc_id directly
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 200 + 1).as("nf"), (col("doc_id") % 2 + 1).as("ch"))
+      Multimodal.decodeAudioMetaReal(s,
+        Multimodal.synthesizeWav(s, dims, "doc_id", "nf", "ch"))
+        .orderBy("media_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 1024L)
         .orderBy("media_id", "frame_idx")
@@ -540,9 +557,16 @@ object PipelineEntry {
         .toDF("l_orderkey", "l_linenumber", "qty2")
       rows.orderBy("l_orderkey", "l_linenumber")
     },
-    "misc_sample" -> { (s, dir) => // rows-only: engine-specific RNG
-      t(s, dir, "lineitem").sample(0.1, 42L)
+    "misc_sample" -> { (s, dir) =>
+      // Sample(frac) surfaced through the DETERMINISTIC hash sampler so
+      // even the sampling row is fully oracle-checked (the engine-RNG
+      // `Table.sample` parity API remains, unit-tested — its row set is
+      // inherently engine-specific and was the one rows-only query)
+      Sampling.sampleHash(t(s, dir, "lineitem"),
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+          frac = 0.1, seed = 42L)
         .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // ---- sources: round-trips through other formats (§2.1) ----
@@ -883,6 +907,12 @@ object PipelineEntry {
           |  CAST(doc_id % 17 + 1 AS BIGINT) AS height,
           |  CAST(3 AS BIGINT) AS channels
           |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_decode_wav" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          |  CAST(doc_id % 200 + 1 AS BIGINT) AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin,
       "mm_frames" ->
         """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
           |  CAST(f * 1024 AS BIGINT) AS byte_offset
@@ -1022,6 +1052,12 @@ object PipelineEntry {
       "misc_apply" ->
         """SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS qty2
           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      // same md5-bucket recipe as sample_stratified/sample_weighted, with
+      // the seed folded into the hashed key (frac 0.1 → 100000/1000000)
+      "misc_sample" ->
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || ':42'),1,7)) AS BIGINT) % 1000000 < 100000
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "src_csv_roundtrip" ->
         "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",

@@ -180,9 +180,11 @@ final case class Table(df: DataFrame) {
     * is a scale-killer when one group dominates. This lowers to the
     * bounded [[graft.plans.TopKByScore]] partial aggregate instead: ≤ k
     * rows per (group, map partition) cross the exchange and no task ever
-    * sorts a full group. `idCol` must be integral (bigint ids — join a
-    * surrogate first otherwise) and unique per row for deterministic
-    * ties. Output: groupers, rank (1-based), idCol, score (double).
+    * sorts a full group. `idCol` may be any integral type or string
+    * (UUIDs/natural keys work; integral surrogates still shuffle 4×
+    * leaner) and must be unique per row for deterministic ties.
+    * Output: groupers, rank (1-based), idCol (input type), score
+    * (double).
     */
   def topKBy(groupers: Seq[String], score: Col, idCol: String, k: Int): Table = {
     requireFields(groupers :+ idCol, "topKBy")

@@ -42,6 +42,24 @@ object Sampling {
     df.filter(bucket < pct)
   }
 
+  /** Deterministic Bernoulli(frac) sample keyed on `key` — the
+    * oracle-able counterpart of the reference's RNG `Sample(frac)`
+    * (`collections.py:319-356`; `Table.sample` keeps the engine-RNG
+    * parity surface). The seed is folded into the hashed key, so
+    * different seeds draw INDEPENDENT samples while any single seed is a
+    * pure function of the data: stable across runs, engines,
+    * partitionings, and task retries — the property a training-data
+    * pipeline needs from its subsampling step. Plan: one codegen'd
+    * filter over the scan; no shuffle, no RNG state. Resolution 1e-6
+    * (same bucket granularity as [[weighted]]).
+    */
+  def sampleHash(df: DataFrame, key: Column, frac: Double, seed: Long): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "sampleHash: frac must be in [0, 1]")
+    val M = 1000000
+    df.filter(hashBucket(concat(key.cast(StringType), lit(":" + seed)), M)
+      < math.floor(frac * M).toLong)
+  }
+
   /** PER-ROW-weighted deterministic sampling: keep each row with
     * probability `weightCol` (clamped to [0, 1]) — e.g. a quality score,
     * so better documents are proportionally more likely to survive.

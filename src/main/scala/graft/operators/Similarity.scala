@@ -45,9 +45,10 @@ object Similarity {
     * Candidates with NULL score (zero-norm / malformed vectors) are
     * dropped rather than ranked last; a query whose candidates ALL score
     * NULL (e.g. a zero-norm query vector) is therefore ABSENT from the
-    * result, not emitted with null neighbors. Ids ride the aggregate as
-    * BIGINT — see [[graft.plans.TopKByScore.apply]] for the non-numeric
-    * id contract.
+    * result, not emitted with null neighbors. Ids ride the aggregate
+    * with their OWN type — integral or string both work (output c_id
+    * mirrors the id type); integral surrogates remain the scale
+    * preference (8 bytes/entry on the exchange vs a 36-byte UUID).
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))

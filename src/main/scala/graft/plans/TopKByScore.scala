@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded distributed top-k aggregate: keeps the best k (score, id)
   * candidates per group with the buffer capped at a small multiple of k,
@@ -31,8 +32,18 @@ import org.apache.spark.sql.types._
   * than any real score (java.lang.Double.compare), matching Spark's
   * descending sort; NULL scores or ids are skipped.
   *
-  * Result: array<struct<c_id: long, cos: double>> sorted best-first;
-  * `posexplode` turns it into (rank, c_id, cos) rows.
+  * Id type is GENERIC over the orderable scalar types a ranking key
+  * realistically has — any integral type (tinyint…bigint) or string
+  * (UUIDs, doc keys) — and the output `c_id` field mirrors the input id
+  * type exactly. Integral ids serialize as 8 bytes; string ids as
+  * length-prefixed UTF-8 (and are defensively copied on update, since
+  * Catalyst reuses the backing buffer of a UTF8String between rows).
+  * Note the scale preference still holds: an 8-byte surrogate id beats a
+  * 36-byte UUID across every exchange — but a string id now WORKS
+  * instead of throwing under ANSI mode (ADVICE r5).
+  *
+  * Result: array<struct<c_id: <id type>, cos: double>> sorted
+  * best-first; `posexplode` turns it into (rank, c_id, cos) rows.
   */
 case class TopKByScore(
     score: Expression,
@@ -40,7 +51,7 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Any)]] {
 
   require(k > 0, "TopKByScore: k must be positive")
 
@@ -48,27 +59,35 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("c_id", LongType, nullable = false),
+      StructField("c_id", id.dataType, nullable = false),
       StructField("cos", DoubleType, nullable = false))),
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (score.dataType, id.dataType) match {
-      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, ByteType | ShortType | IntegerType | LongType | StringType) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"TopKByScore expects (double, bigint), got $other")
+        s"TopKByScore expects (double, <integral or string>), got $other")
     }
+
+  private def isString: Boolean = id.dataType == StringType
 
   // buffer is allowed to grow to 4k, then compacted back to k: amortized
   // O(log k) per insert, memory strictly O(k) per group per task
   private val compactAt = math.max(4 * k, 32)
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+  private def cmpId(a: Any, b: Any): Int =
+    if (isString) a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    else java.lang.Long.compare(
+      a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+
+  private def lt(a: (Double, Any), b: (Double, Any)): Boolean = {
     val c = java.lang.Double.compare(b._1, a._1) // desc score
-    c < 0 || (c == 0 && a._2 < b._2)             // asc id tiebreak
+    c < 0 || (c == 0 && cmpId(a._2, b._2) < 0)   // asc id tiebreak
   }
 
-  private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+  private def compact(buf: ArrayBuffer[(Double, Any)]): ArrayBuffer[(Double, Any)] = {
     if (buf.length > k) {
       val sorted = buf.sortWith(lt)
       buf.clear()
@@ -77,50 +96,85 @@ case class TopKByScore(
     buf
   }
 
-  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
-    new ArrayBuffer[(Double, Long)](math.min(compactAt, 256))
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Any)] =
+    new ArrayBuffer[(Double, Any)](math.min(compactAt, 256))
 
-  override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
+  override def update(buf: ArrayBuffer[(Double, Any)], input: InternalRow): ArrayBuffer[(Double, Any)] = {
     val s = score.eval(input)
     if (s != null) {
       val i = id.eval(input)
       if (i != null) {
-        buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+        // UTF8String may point into a reused row buffer — copy it out
+        val stored = if (isString) i.asInstanceOf[UTF8String].clone() else i
+        buf += ((s.asInstanceOf[Double], stored))
         if (buf.length >= compactAt) compact(buf)
       }
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[(Double, Long)], other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+  override def merge(buf: ArrayBuffer[(Double, Any)], other: ArrayBuffer[(Double, Any)]): ArrayBuffer[(Double, Any)] = {
     buf ++= other
     compact(buf)
   }
 
-  override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
+  override def eval(buf: ArrayBuffer[(Double, Any)]): Any = {
     val top = buf.sortWith(lt).take(k)
     new GenericArrayData(top.map { case (s, i) =>
       new GenericInternalRow(Array[Any](i, s)): Any
     }.toArray)
   }
 
-  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: ArrayBuffer[(Double, Any)]): Array[Byte] = {
     // final compact before the buffer crosses the exchange: update() only
     // compacts lazily at `compactAt`, so without this up to 4k-1 entries
     // per (group, partition) would ride the shuffle instead of ≤ k
     compact(buf)
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 16)
-    bb.putInt(buf.length)
-    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
-    bb.array()
+    if (isString) {
+      val entries = buf.map { case (s, i) =>
+        (s, i.asInstanceOf[UTF8String].getBytes)
+      }
+      val bb = java.nio.ByteBuffer.allocate(
+        4 + entries.iterator.map(e => 12 + e._2.length).sum)
+      bb.putInt(entries.length)
+      entries.foreach { case (s, b) =>
+        bb.putDouble(s); bb.putInt(b.length); bb.put(b)
+      }
+      bb.array()
+    } else {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 16)
+      bb.putInt(buf.length)
+      buf.foreach { case (s, i) =>
+        bb.putDouble(s); bb.putLong(i.asInstanceOf[Number].longValue)
+      }
+      bb.array()
+    }
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Any)] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val buf = new ArrayBuffer[(Double, Long)](n)
+    val buf = new ArrayBuffer[(Double, Any)](n)
+    // re-box integrals to the input type so eval's rows match dataType
+    val rebox: Long => Any = id.dataType match {
+      case ByteType => l => java.lang.Byte.valueOf(l.toByte)
+      case ShortType => l => java.lang.Short.valueOf(l.toShort)
+      case IntegerType => l => java.lang.Integer.valueOf(l.toInt)
+      case _ => l => java.lang.Long.valueOf(l)
+    }
     var j = 0
-    while (j < n) { buf += ((bb.getDouble(), bb.getLong())); j += 1 }
+    while (j < n) {
+      val s = bb.getDouble()
+      val i: Any =
+        if (isString) {
+          val len = bb.getInt()
+          val arr = new Array[Byte](len)
+          bb.get(arr)
+          UTF8String.fromBytes(arr)
+        } else rebox(bb.getLong())
+      buf += ((s, i))
+      j += 1
+    }
     buf
   }
 
@@ -136,14 +190,14 @@ case class TopKByScore(
 object TopKByScore {
   /** `TopKByScore(score, id, k)` as an aggregate Column.
     *
-    * `id` is cast to BIGINT: candidate ids must be (or losslessly cast
-    * to) integral — a string/UUID id column would fail under ANSI mode.
-    * The output `c_id` field is always bigint. Callers with non-numeric
-    * ids should join a dense surrogate id first (the scale-safe move
-    * anyway: an 8-byte id beats a 36-byte UUID across every exchange).
+    * `id` passes through with its own type: integral ids (the scale-safe
+    * default — 8 bytes per entry on the exchange) and string ids (UUIDs,
+    * natural keys) are both supported, and the output `c_id` field
+    * mirrors the id's type. Other id types fail analysis with a clear
+    * TypeCheckFailure rather than an ANSI cast error.
     */
   def apply(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKByScore(
       GraftBridge.expression(score.cast(DoubleType)),
-      GraftBridge.expression(id.cast(LongType)), k).toAggregateExpression())
+      GraftBridge.expression(id), k).toAggregateExpression())
 }

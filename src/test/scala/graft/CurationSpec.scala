@@ -95,6 +95,26 @@ class CurationSpec extends SparkSpec {
     assert(lo.subsetOf(hi), s"${(lo diff hi).size} rows lost when weights rose")
   }
 
+  test("sampleHash: deterministic, rate-shaped, seed-independent draws") {
+    val df = (1L to 2000L).map(i => (i, s"doc$i")).toDF("doc_id", "name")
+    def draw(frac: Double, seed: Long) =
+      Sampling.sampleHash(df, col("doc_id"), frac, seed)
+        .select("doc_id").as[Long].collect().toSet
+    val a = draw(0.5, 42L)
+    assert(a == draw(0.5, 42L))          // pure function of (data, seed)
+    assert(a.size > 800 && a.size < 1200, s"~half expected, got ${a.size}")
+    assert(draw(1.0, 42L).size == 2000 && draw(0.0, 42L).isEmpty)
+    // a different seed draws an effectively independent sample: the
+    // overlap of two 50% draws should be ~25% of the table, not ~50%
+    val b = draw(0.5, 7L)
+    val overlap = (a intersect b).size
+    assert(overlap > 350 && overlap < 650, s"seed draws too correlated: $overlap")
+    // no shuffle: the sample is a pure filter over the scan
+    val plan = Sampling.sampleHash(df, col("doc_id"), 0.5, 42L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampleHash must not shuffle:\n$plan")
+  }
+
   // ---- PII scrubbing ----
   test("scrubPii redacts emails, IPs, phones; leaves clean text alone") {
     val r = Seq(
@@ -213,6 +233,40 @@ class CurationSpec extends SparkSpec {
       "topKBy must equal the row_number window formulation")
   }
 
+  test("topKBy: string ids ride the aggregate (UUID/natural-key path, ADVICE r5)") {
+    import org.apache.spark.sql.expressions.Window
+    // string id column; repartition forces the serialize/merge path so
+    // the length-prefixed codec and the defensive UTF8String copy are
+    // both exercised across a real exchange
+    val o = Table(spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("o_key_str", concat(lit("ord-"), col("o_orderkey")))
+      .repartition(5))
+    val top = o.topKBy(Seq("o_orderpriority"), Col(col("o_totalprice")), "o_key_str", 3)
+    assert(top.df.schema("o_key_str").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "output id column must mirror the input string type")
+    val viaWindow = o.df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_key_str"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_key_str"),
+        col("o_totalprice").as("score"))
+    assert(top.df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(top.df).isEmpty,
+      "string-id topKBy must equal the row_number window formulation")
+    // the whole similarity path accepts string ids too: same neighbors
+    // as the bigint formulation, modulo the id representation
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embS = emb.withColumn("vid_s", col("vec_id").cast("string"))
+    val gotS = Similarity.bruteForceTopK(embS, embS.filter(col("vec_id") < 3), 5,
+        idCol = "vid_s")
+      .select(col("q_id").cast("long"), col("rank"), col("c_id").cast("long"), col("cos"))
+    val gotL = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    assert(gotS.exceptAll(gotL).isEmpty && gotL.exceptAll(gotS).isEmpty,
+      "string-id similarity search must match the bigint-id results")
+  }
+
   test("kmeansAssign: deterministic total partition into <= k clusters") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -289,6 +343,28 @@ class CurationSpec extends SparkSpec {
     val pipe = SparkEntry.queries("pipe_curation")(spark, sf)
     assert(hashExchanges(pipe) == 2,
       "curation pipeline must shuffle exactly twice (dedup window, pack window)")
+  }
+
+  test("plan shapes: scale-path quantile band filter is WINDOW-FREE (thresholds variant)") {
+    // text_filter_thresholds is the 100 TB formulation: per-language
+    // thresholds come from a tiny percentile AGGREGATE broadcast back as
+    // a filter. Guard that it never regresses into a per-language window
+    // (percent_rank funnels the dominant language through ONE task's
+    // sort — that is what the retained exact-band reference
+    // text_filter_quantile does, and why compositions must use THIS one).
+    val th = SparkEntry.queries("text_filter_thresholds")(spark, sf)
+    val thPlan = th.queryExecution.executedPlan.toString
+    assert(!thPlan.contains("Window"),
+      s"thresholds variant must stay window-free:\n$thPlan")
+    assert(thPlan.contains("BroadcastHashJoin"),
+      s"thresholds must join back via broadcast, not shuffle:\n$thPlan")
+    // pipe_curation-class compositions must not smuggle in a per-language
+    // window either: its only windows partition by fp (dedup keeper) and
+    // source (packing) — never by the language/stratum column
+    val pipe = SparkEntry.queries("pipe_curation")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!pipe.contains("windowspecdefinition(lang"),
+      s"curation pipeline must never sort per-language in one task:\n$pipe")
   }
 
   test("saltedJoin == plain inner join; text_stats scan prunes to doc_id,text") {

@@ -154,6 +154,29 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == Seq((1L, None, None, None), (2L, None, None, None)))
   }
 
+  test("multimodal: real WAV encode→decode roundtrip; corrupt payloads yield nulls") {
+    import spark.implicits._
+    val dims = Seq((7L, 120, 1), (8L, 1, 2), (9L, 8000, 2)).toDF("doc_id", "nf", "ch")
+    val wav = Multimodal.synthesizeWav(spark, dims, "doc_id", "nf", "ch")
+    val got = Multimodal.decodeAudioMetaReal(spark, wav)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (7L, Some(8000L), Some(1L), Some(120L)),
+      (8L, Some(8000L), Some(2L), Some(1L)),
+      (9L, Some(8000L), Some(2L), Some(8000L))))
+    // a corrupt / truncated / null blob must yield NULL metadata
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, "RIFF1234WAVE".getBytes("US-ASCII"))) // valid magic, truncated
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeAudioMetaReal(spark, junk).orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(bad == Seq((1L, None, None, None), (2L, None, None, None),
+      (3L, None, None, None)))
+  }
+
   test("native text kernels match HOF formulations bit-for-bit") {
     import org.apache.spark.sql.types._
     // include whitespace edges, unicode, short docs, repeats
