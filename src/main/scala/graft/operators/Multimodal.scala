@@ -250,11 +250,22 @@ object Multimodal {
   def synthesizeMp4(spark: SparkSession, rows: DataFrame,
                     idCol: String, timescaleCol: String, durationCol: String): DataFrame = {
     import spark.implicits._
-    rows.select(col(idCol).cast(LongType), col(timescaleCol).cast(IntegerType),
-        col(durationCol).cast(IntegerType))
-      .as[(Long, Int, Int)]
+    rows.select(col(idCol).cast(LongType), col(timescaleCol).cast(LongType),
+        col(durationCol).cast(LongType))
+      .as[(Long, Long, Long)]
       .mapPartitions { it =>
-        it.map { case (id, timescale, duration) =>
+        it.map { case (id, ts, dur) =>
+          // v0 mvhd carries unsigned 32-bit fields, but an Int cast would
+          // silently wrap values ≥ 2^31 negative and disagree with any
+          // oracle computing from the original input — reject loudly
+          // instead (a v1 writer would be the fix if large durations were
+          // ever needed)
+          require(ts >= 0L && ts < Int.MaxValue.toLong + 1,
+            s"mvhd v0 timescale out of [0, 2^31): $ts")
+          require(dur >= 0L && dur < Int.MaxValue.toLong + 1,
+            s"mvhd v0 duration out of [0, 2^31): $dur")
+          val timescale = ts.toInt
+          val duration = dur.toInt
           val bb = java.nio.ByteBuffer.allocate(20 + 116 + 16) // BE by default
           // ftyp: major brand isom, minor version 0, one compatible brand
           bb.putInt(20).put("ftyp".getBytes("US-ASCII"))
@@ -301,9 +312,9 @@ object Multimodal {
     // returns (timescale, duration) or null; boxes are [size:4][type:4]
     // big-endian, size==1 → 64-bit largesize follows, size==0 → to EOF
     def findMvhd(b: Array[Byte], from: Long, to: Long, depth: Int): (Long, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(b)
       var pos = from
       while (pos + 8 <= to) {
-        val bb = java.nio.ByteBuffer.wrap(b)
         val size32 = bb.getInt(pos.toInt).toLong & 0xffffffffL
         val typ = new String(b, pos.toInt + 4, 4, "US-ASCII")
         val (boxSize, hdr) =
@@ -319,10 +330,11 @@ object Multimodal {
           val version = b(p) & 0xff
           if (version == 0) {
             if (p + 20 > to) return null
-            (bb.getInt(p + 12).toLong & 0xffffffffL, bb.getInt(p + 16).toLong & 0xffffffffL)
+            return (bb.getInt(p + 12).toLong & 0xffffffffL,
+              bb.getInt(p + 16).toLong & 0xffffffffL)
           } else if (version == 1) {
             if (p + 32 > to) return null
-            (bb.getInt(p + 20).toLong & 0xffffffffL, bb.getLong(p + 24))
+            return (bb.getInt(p + 20).toLong & 0xffffffffL, bb.getLong(p + 24))
           } else return null
         } else if (typ == "moov" && depth == 0) {
           val r = findMvhd(b, pos + hdr, pos + boxSize, depth + 1)

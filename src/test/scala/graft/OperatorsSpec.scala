@@ -177,6 +177,68 @@ class OperatorsSpec extends SparkSpec {
       (3L, None, None, None)))
   }
 
+  test("multimodal: real MP4 encode→decode roundtrip (v0 mvhd)") {
+    import spark.implicits._
+    val dims = Seq((7L, 600L, 12345L), (8L, 1L, 1L), (9L, 90000L, 2700000L))
+      .toDF("doc_id", "ts", "dur")
+    val mp4 = Multimodal.synthesizeMp4(spark, dims, "doc_id", "ts", "dur")
+    val got = Multimodal.decodeVideoMetaReal(spark, mp4)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (7L, Some(600L), Some(12345L), Some(12345.0 / 600.0)),
+      (8L, Some(1L), Some(1L), Some(1.0)),
+      (9L, Some(90000L), Some(2700000L), Some(30.0))))
+    // v0 fields are unsigned 32-bit: inputs ≥ 2^31 must be rejected
+    // loudly, never wrapped negative (would silently disagree with any
+    // oracle computing from the original value)
+    val big = Seq((1L, 600L, Int.MaxValue.toLong + 1)).toDF("doc_id", "ts", "dur")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.synthesizeMp4(spark, big, "doc_id", "ts", "dur").collect()
+    }
+    assert(e.getMessage.contains("out of [0, 2^31)")
+      || Option(e.getCause).exists(_.getMessage.contains("out of [0, 2^31)")))
+  }
+
+  test("multimodal: MP4 v1 mvhd, largesize framing, truncated/non-BMFF → nulls") {
+    import spark.implicits._
+    def be32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def box(typ: String, body: Array[Byte]) =
+      be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    // size32 == 1 → real size is the 64-bit largesize after the type
+    def largeBox(typ: String, body: Array[Byte]) =
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(16L + body.length) ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0L) ++ "isom".getBytes("US-ASCII"))
+    // v1 mvhd: version=1, 64-bit creation/modification/duration, 32-bit
+    // timescale — duration deliberately > 2^32 to prove the 64-bit read
+    val dur64 = 10_000_000_000L
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++ be32(90000L) ++ be64(dur64))
+    // v0 mvhd: minimal 20-byte body the decoder reads
+    val mvhd0 = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++ be32(600L) ++ be32(4242L))
+    val v1Payload = ftyp ++ box("moov", mvhd1)
+    val largePayload = ftyp ++ largeBox("moov", mvhd0)
+    // moov declares more bytes than the payload holds → corrupt framing
+    val truncated = ftyp ++ be32(4096L) ++ "moov".getBytes("US-ASCII")
+    val nonBmff = "this is not an mp4 container at all".getBytes("US-ASCII")
+    val media = Seq(
+      (1L, v1Payload), (2L, largePayload), (3L, truncated), (4L, nonBmff),
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeVideoMetaReal(spark, media)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, Some(90000L), Some(dur64), Some(dur64.toDouble / 90000.0)),
+      (2L, Some(600L), Some(4242L), Some(4242.0 / 600.0)),
+      (3L, None, None, None),
+      (4L, None, None, None),
+      (5L, None, None, None)))
+  }
+
   test("native text kernels match HOF formulations bit-for-bit") {
     import org.apache.spark.sql.types._
     // include whitespace edges, unicode, short docs, repeats
