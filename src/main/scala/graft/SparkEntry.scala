@@ -42,7 +42,10 @@ object SparkEntry {
   //    the configured rsd.
   //  - Col.quantileApprox (Greenwald-Khanna) — same class of
   //    engine-specific sketch; unit-tested against the exact percentile.
-  // misc_sample (engine RNG) is rows-only-checked for the same reason.
+  // misc_sample avoids the engine-RNG problem entirely: sampling is a
+  // deterministic seed-keyed hash filter (Sampling.sampleHash), so its
+  // oracle replays the same md5 bucket in SQL and the check is
+  // hash-exact like every other query.
   // =====================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++ PipelineEntry.queries
 
