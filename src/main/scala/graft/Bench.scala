@@ -21,7 +21,13 @@ object Bench {
     // A failed query is reported as time -1 plus an entry in "errors" —
     // never silently folded into the totals as a fast success.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for isolated re-timing of a
+    // suspect query (same contract as Verify; driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       spark.catalog.clearCache() // no cross-query cache pollution
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
 import graft.operators.{AsOf, Cluster, Dedup, Multimodal, Pack, Sampling, Sessionize, Similarity}
+import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
   * search, text analysis, multimodal plumbing, event sessionization.
@@ -446,7 +447,7 @@ object PipelineEntry {
       val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       val agg = StreamOps.tumblingAgg(src, widthSeconds = 300L)
-      StreamOps.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
+      StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
     },
     "stream_dedup" -> { (s, dir) =>
@@ -460,7 +461,7 @@ object PipelineEntry {
       val deduped = StreamOps.streamingExactDedup(src, "ts")
       // WHICH duplicate survives depends on in-batch arrival order, so
       // project the (deterministic) fingerprint set, not survivor rows
-      StreamOps.runToMemory(s, deduped
+      StreamReplay.runToMemory(s, deduped
           .select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp")),
         "stream_dedup_sink", "append", statePartitions = Some(8))
         .orderBy("fp")
@@ -476,7 +477,7 @@ object PipelineEntry {
       val purchases = src().filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val j = StreamOps.intervalJoin(views, purchases, "user_id", windowSeconds = 600L)
-      StreamOps.runToMemory(s, j, "stream_ij_sink", "append", statePartitions = Some(8))
+      StreamReplay.runToMemory(s, j, "stream_ij_sink", "append", statePartitions = Some(8))
         .select(col("event_id_l"), col("event_id_r"))
         .orderBy("event_id_l", "event_id_r")
     },
@@ -488,7 +489,7 @@ object PipelineEntry {
       // ev_sessions (totals exact via integer-cents state)
       import graft.streaming.StreamOps
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
-      StreamOps.replayStatefulSessions(s, ev, gapSeconds = 1800L)
+      StreamReplay.replayStatefulSessions(s, ev, gapSeconds = 1800L)
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("total_value"), col("start_us"), col("end_us"))
         .orderBy("user_id", "session_id")

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture scale-up for the sf1 rehearsal (VERDICT r7 #2): replicates the
+  * read-only driver fixtures N× with key shifts that preserve referential
+  * integrity (lineitem→orders/part/supplier, orders→customer), so every
+  * gate query runs unmodified against the scaled directory.
+  *
+  * Replication is workload-faithful, not naive: identical copies of
+  * `documents`/`embeddings` would hand the dedup/similarity operators a
+  * quadratic explosion of cross-replica near-duplicate pairs that no real
+  * corpus has. Instead each replica k>0 gets
+  *  - a disjoint token space for `text` (every token suffixed `zz<k>`) —
+  *    Jaccard/MinHash/SimHash structure WITHIN a replica is exactly the
+  *    original's, while cross-replica similarity collapses to ~0;
+  *  - a rotated `embedding` (circular shift by (k*7) mod dim) — rotation
+  *    is orthogonal, so all within-replica cosines (cluster structure,
+  *    near-dup pairs) are preserved bit-for-bit while cross-replica
+  *    cosines decorrelate.
+  * `events` shifts `user_id`, modelling more users over the same time
+  * range — per-user session/sort sizes stay constant, group count grows,
+  * which is how a real event stream scales.
+  *
+  * `events.ts` is read as raw nanos (LongType) and written back as plain
+  * INT64, exactly what [[Tables]] expects to `DIV 1000` at load time.
+  *
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> <factor>
+  */
+object ScaleUp {
+  private val Stride = 1000000000L // > any sf0.1 key; replica k adds k*Stride
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def raw(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+    // replica index column k = 0..factor-1; k=0 is the untouched original
+    def rep(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(spark.range(factor.toLong).toDF("k")))
+    def shifted(c: String) = (col(c) + col("k") * Stride).as(c)
+    def write(df: DataFrame, name: String, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name done")
+    }
+
+    // fixed dimensions: nation/region don't scale in TPC-H either
+    write(raw("region"), "region", 1)
+    write(raw("nation"), "nation", 1)
+
+    write(rep(raw("customer")).select(
+      shifted("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")), "customer", 4)
+
+    write(rep(raw("supplier")).select(
+      shifted("s_suppkey"), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")), "supplier", 4)
+
+    write(rep(raw("part")).select(
+      shifted("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), col("p_retailprice")), "part", 4)
+
+    write(rep(raw("orders")).select(
+      shifted("o_orderkey"), shifted("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders", 8)
+
+    write(rep(raw("lineitem")).select(
+      shifted("l_orderkey"), shifted("l_partkey"), shifted("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem", 32)
+
+    // ts stays a raw nanos LongType end-to-end (see scaladoc)
+    write(rep(raw("events")).select(
+      shifted("event_id"), col("ts"), shifted("user_id"),
+      col("event_type"), col("value"), col("props")), "events", 16)
+
+    val docText = when(col("k") === 0, col("text")).otherwise(
+      array_join(
+        transform(split(col("text"), " "), t => concat(t, lit("zz"), col("k"))),
+        " "))
+    write(rep(raw("documents")).select(
+      shifted("doc_id"), docText.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .select("doc_id", "text", "lang", "source", "n_chars"), "documents", 8)
+
+    val dim = raw("embeddings").selectExpr("max(size(embedding))")
+      .collect()(0).getInt(0)
+    val rot = pmod(col("k") * 7, lit(dim)).cast("int")
+    val rotated = when(col("k") === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
+             slice(col("embedding"), lit(1), rot)))
+    write(rep(raw("embeddings")).select(
+      shifted("vec_id"), rotated.as("embedding"), col("label")),
+      "embeddings", 8)
+
+    spark.stop()
+  }
+}

@@ -178,6 +178,18 @@ object Multimodal {
         col(channelsCol).cast(IntegerType))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
+        // resolve the WAVE writer ONCE per partition: AudioSystem.write
+        // routes every call through JDK13Services.getProviders, a global
+        // synchronized lookup — fine for one stream, a lock convoy when
+        // 32 tasks synthesize 10^4 rows each (profiled at sf1: ~10×
+        // per-row slowdown). ServiceLoader is the public API for the
+        // same provider set.
+        import scala.jdk.CollectionConverters._
+        val wavWriter = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala
+          .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          .getOrElse(throw new IllegalStateException("no WAVE writer on this JVM"))
         it.map { case (id, nFrames, channels) =>
           val fmt = new javax.sound.sampled.AudioFormat(
             8000f, 16, channels, true, false) // PCM signed, little-endian
@@ -197,7 +209,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
           val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          wavWriter.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
           (id, out.toByteArray)
         }
@@ -220,16 +232,39 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // same provider set AudioSystem.getAudioFileFormat consults, but
+        // resolved once per partition instead of through the JDK's global
+        // synchronized lookup on every row (see synthesizeWav). The array
+        // is kept MOST-RECENTLY-SUCCESSFUL-FIRST: a non-matching reader
+        // signals "not mine" by THROWING, and exception construction under
+        // Spark's deep task stacks costs ~1 ms — per-row misses made this
+        // decode 25× slower than the same loop standalone (profiled at
+        // sf1). With MRU ordering a homogeneous partition pays the miss
+        // exceptions once, then hits on the first try for every row.
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toArray
         it.map { case (id, payload) =>
-          val aff =
-            try {
-              if (payload == null) null
-              else javax.sound.sampled.AudioSystem.getAudioFileFormat(
-                new java.io.ByteArrayInputStream(payload))
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
+          var aff: javax.sound.sampled.AudioFileFormat = null
+          if (payload != null) {
+            var i = 0
+            while (aff == null && i < readers.length) {
+              try {
+                aff = readers(i).getAudioFileFormat(
+                  new java.io.ByteArrayInputStream(payload))
+                if (i > 0) { // MRU: winner to front
+                  val w = readers(i)
+                  System.arraycopy(readers, 0, readers, 1, i)
+                  readers(0) = w
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+                case _: java.io.IOException => ()
+              }
+              i += 1
             }
+          }
           if (aff == null) (id, None: Option[Long], None: Option[Long], None: Option[Long])
           else (id, Some(aff.getFormat.getSampleRate.toLong),
             Some(aff.getFormat.getChannels.toLong),

@@ -174,83 +174,8 @@ object StreamOps {
         col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
-  /** Replay a bounded events table through [[statefulSessions]] as a
-    * REAL multi-batch stream: events are fed to a MemoryStream in
-    * `nChunks` event-time-ordered micro-batches (so the watermark
-    * genuinely ADVANCES between batches and Append mode emits sessions
-    * as they close mid-stream), then a far-future sentinel row pushes the
-    * watermark past every open session's `end + gap` so the
-    * EventTimeTimeout path closes the tail. Because the chunks are
-    * time-ordered and the watermark delay is 1 s, no row is ever late —
-    * the result matches the batch [[graft.operators.Sessionize.sessions]]
-    * exactly (the differential-oracle contract).
-    *
-    * This is a replay HARNESS (driver/test utility): the `.collect()` is
-    * the harness's bounded-input feed, not part of the operator — the
-    * operator itself ([[statefulSessions]]) holds O(active users) state
-    * and never materializes the stream.
-    */
-  def replayStatefulSessions(spark: SparkSession, events: DataFrame,
-                             gapSeconds: Long, nChunks: Int = 4,
-                             name: String = "stream_sessions_sink",
-                             statePartitions: Option[Int] = Some(8)): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val rows = events
-      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
-      .as[(Long, java.sql.Timestamp, Double)].collect()
-      .sortBy(r => (r._2.getTime, r._2.getNanos))
-    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
-    val stream = mem.toDF().toDF("user_id", "ts", "value")
-    val sessions = statefulSessions(spark, stream, gapSeconds, watermark = "1 second").toDF()
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val q = sessions.writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-      rows.grouped(chunkSize).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-      if (rows.nonEmpty) {
-        // sentinel user (Long.MinValue — can't collide with real ids)
-        // a day past the last event: watermark passes every end + gap
-        val maxMs = rows.map(_._2.getTime).max
-        mem.addData(Seq((Long.MinValue,
-          new java.sql.Timestamp(maxMs + (gapSeconds + 86400L) * 1000L), 0.0)))
-        q.processAllAvailable()
-      }
-      q.stop()
-    } finally spark.conf.set(key, prev)
-    spark.table(name).filter(col("user_id") =!= Long.MinValue)
-  }
-
-  /** run a streaming query over a bounded source to completion into a
-    * memory sink and return the result table (test/driver utility).
-    *
-    * `statePartitions` overrides `spark.sql.shuffle.partitions` for the
-    * query's lifetime: every stateful operator commits one state-store
-    * instance per shuffle partition per micro-batch, so a bounded replay
-    * with few distinct keys pays ~linear overhead in partition count
-    * (32 → 8 cuts a one-batch stream-stream join ~4×). On a live cluster
-    * size it to cores/keys instead; the partitioning is frozen into the
-    * checkpoint at first start.
-    */
-  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
-                  outputMode: String = "complete",
-                  statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val q = streaming.writeStream
-        .format("memory").queryName(name).outputMode(outputMode).start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set(key, prev)
-    spark.table(name)
-  }
+  // The bounded-replay harnesses that drive these operators in the gate
+  // and the unit suite live in [[graft.testkit.StreamReplay]] — harness
+  // code (driver-side MemoryStream feeds) is kept out of the production
+  // streaming package (VERDICT r6 #4 / r7 #4).
 }

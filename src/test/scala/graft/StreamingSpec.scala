@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Sessionize
 import graft.streaming.StreamOps
+import graft.testkit.StreamReplay
 import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
@@ -22,7 +23,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
     mem.addData(rows: _*)
     val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
-    val got = StreamOps.runToMemory(spark,
+    val got = StreamReplay.runToMemory(spark,
         StreamOps.tumblingAgg(stream, 300L), "t_tumble")
       .orderBy("window_start", "event_type")
       .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -43,7 +44,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
-    val got = StreamOps.runToMemory(spark, hop, "t_hop")
+    val got = StreamReplay.runToMemory(spark, hop, "t_hop")
       .orderBy("ws", "event_type").collect()
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
     val exp = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -60,7 +61,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
     mem.addData(rows: _*)
     val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
-    val got = StreamOps.runToMemory(spark,
+    val got = StreamReplay.runToMemory(spark,
         StreamOps.sessionAgg(stream, 300L), "t_sess")
       .orderBy("user_id", "session_start").collect()
     // user 10: events at 0:01, 0:03:30 (same session), 0:11 (new session); user 11: one
@@ -77,7 +78,7 @@ class StreamingSpec extends SparkSpec {
     // session times out and closes (excluded from the comparison)
     mem.addData((99L, ts("2024-06-01 00:00:00"), 9999L, "flush", 0.0))
     val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
-    val got = StreamOps.runToMemory(spark,
+    val got = StreamReplay.runToMemory(spark,
         StreamOps.statefulSessions(spark, stream, 300L, watermark = "0 seconds").toDF(),
         "t_statesess", outputMode = "append")
       .filter(col("user_id") =!= 9999L)
@@ -98,7 +99,7 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 00:01:00"), "same  text HERE"), // normalized dup
       (ts("2024-01-01 00:02:00"), "different text"))
     val stream = mem.toDF().toDF("ts", "text")
-    val got = StreamOps.runToMemory(spark,
+    val got = StreamReplay.runToMemory(spark,
         StreamOps.streamingExactDedup(stream, "ts"), "t_dedup", outputMode = "append")
       .orderBy("ts").collect()
     assert(got.length == 2)
@@ -122,7 +123,7 @@ class StreamingSpec extends SparkSpec {
       imp.toDF().toDF("imp_id", "ts", "user_id"),
       clk.toDF().toDF("clk_id", "ts", "user_id"),
       key = "user_id", windowSeconds = 300L)
-    val got = StreamOps.runToMemory(spark, joined, "t_ssjoin", outputMode = "append")
+    val got = StreamReplay.runToMemory(spark, joined, "t_ssjoin", outputMode = "append")
       .select("imp_id_l", "clk_id_r").orderBy("imp_id_l")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((100L, 200L), (101L, 201L)))
@@ -152,7 +153,7 @@ class StreamingSpec extends SparkSpec {
     val stream = mem.toDF().toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("scrubbed"))
       .filter(Sampling.hashBucket(col("doc_id"), 100) < 50)
-    val got = StreamOps.runToMemory(spark, stream, "t_curation", outputMode = "append")
+    val got = StreamReplay.runToMemory(spark, stream, "t_curation", outputMode = "append")
       .collect()
     // same rows as the identical batch pipeline
     val batch = (1L to 40L).map(i => (i, s"doc $i mail x$i@spam.io"))
