@@ -316,6 +316,31 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_._2).distinct.sorted.toSeq == Seq(1000L, 2000L))
   }
 
+  test("TopKByScore: decimal score widens to double (documented), non-numeric fails analysis") {
+    import graft.plans.TopKByScore
+    val df = Seq((1L, 10L, "3.50"), (1L, 11L, "9.25"), (1L, 12L, "1.00"),
+      (2L, 20L, "5.00"))
+      .toDF("q_id", "c_id", "s")
+      .withColumn("score", col("s").cast("decimal(18,2)"))
+    // DECIMAL score: accepted, ranked by its exact double image, emitted
+    // as the widened double — no silent API-boundary cast involved
+    val top = df.groupBy(col("q_id"))
+      .agg(TopKByScore(col("score"), col("c_id"), 2).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.c_id").as("c_id"), col("col.cos").as("cos"))
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(top == Seq((1L, 1L, 11L, 9.25), (1L, 2L, 10L, 3.50), (2L, 1L, 20L, 5.0)))
+    // non-numeric score: loud analysis-time TypeCheckFailure, not a
+    // runtime ANSI cast error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("q_id"))
+        .agg(TopKByScore(col("s"), col("c_id"), 2).as("_top")).collect()
+    }
+    assert(e.getMessage.contains("TopKByScore expects"), e.getMessage)
+  }
+
   test("plan shapes: similarity ranking is a bounded aggregate, not a per-query window sort") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
