@@ -7,15 +7,24 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * (`blaze/cached.py:17-58`): computing the same expression against a
   * cached dataset reuses the previous result instead of recomputing.
   *
-  * Spark analogue: the memo key is the CANONICALIZED analyzed plan, so a
-  * re-issued equivalent construction (fresh Column objects, different
-  * alias/expression ids) hits the same entry — the same contract the
-  * reference gets from hash-consed expression interning. Operator-order
-  * cosmetics (filter-then-project vs project-then-filter) are distinct
-  * analyzed plans and miss the memo deliberately: keying on the
-  * OPTIMIZED plan would make the key depend on what is already cached
-  * (cache substitution runs before optimization). On first touch the
-  * result is `persist()`-ed, so even plan-level misses that share a
+  * Spark analogue: the memo key is the CANONICALIZED analyzed plan PLUS
+  * the output field names, so a re-issued equivalent construction (fresh
+  * Column objects, different expression ids, commuted `&&` operands)
+  * hits the same entry — the same contract the reference gets from
+  * hash-consed expression interning. The names component matters because
+  * Spark's canonicalization ERASES alias names: without it an
+  * alias-only-different request (`v as x` vs `v as y`) would hit the
+  * memo and come back with the FIRST caller's column names. With it,
+  * relabels are distinct expressions — exactly the reference's contract,
+  * where a relabel builds a new expr node (`blaze/expr/core.py`) — but
+  * the recompute cost is still O(cached-scan), not O(recompute): the
+  * relabeled plan's subtree `sameResult`s the persisted entry, so
+  * Spark's CacheManager substitutes the InMemoryRelation underneath.
+  * Operator-order cosmetics (filter-then-project vs project-then-filter)
+  * are distinct analyzed plans and miss the memo deliberately: keying on
+  * the OPTIMIZED plan would make the key depend on what is already
+  * cached (cache substitution runs before optimization). On first touch
+  * the result is `persist()`-ed, so even plan-level misses that share a
   * cached subtree benefit via Spark's own CacheManager.
   * `release()` unpersists everything — callers own the
   * memory lifecycle (see the misc_cached query for why leaving caches
@@ -25,11 +34,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * externally if shared.
   */
 final class Cached {
-  private val memo = scala.collection.mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
+  private val memo =
+    scala.collection.mutable.LinkedHashMap.empty[(LogicalPlan, Seq[String]), DataFrame]
 
   /** memoized, persisted view of `df`. */
   def apply(df: DataFrame): DataFrame = {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.queryExecution.analyzed.canonicalized,
+      df.schema.fieldNames.toSeq)
     memo.getOrElseUpdate(key, df.persist())
   }
 

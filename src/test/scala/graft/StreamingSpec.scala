@@ -144,6 +144,56 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.withCachedData.toString.contains("InMemoryRelation"))
   }
 
+  test("Cached canonicalization: hits on exprid/commutation cosmetics, misses on semantics") {
+    val cache = new graft.api.Cached
+    try {
+      val base = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+      // HIT: filter commutation — `p && q` vs `q && p` canonicalize equal
+      val pq = cache(base.filter(col("value") > 2.0 && col("user_id") === 10L)
+        .select("event_id"))
+      cache(base.filter(col("user_id") === 10L && col("value") > 2.0)
+        .select("event_id"))
+      assert(cache.size == 1, "commuted && must canonicalize to the same memo entry")
+      assert(pq.count() == 2)
+
+      // MISS (semantic): a different literal is a different expression
+      cache(base.filter(col("value") > 3.0 && col("user_id") === 10L)
+        .select("event_id"))
+      assert(cache.size == 2, "different predicate constant must be a distinct entry")
+
+      // MISS (reference contract): alias-only difference is a distinct
+      // expression (a relabel builds a new expr node in the reference) —
+      // and the SECOND request must come back with ITS OWN names, not
+      // the first caller's. Canonicalization alone erases alias names,
+      // which is why the memo key carries output field names too.
+      val ax = cache(base.select(col("value").as("x")))
+      val ay = cache(base.select(col("value").as("y")))
+      assert(cache.size == 4)
+      assert(ax.columns.toSeq == Seq("x") && ay.columns.toSeq == Seq("y"))
+      // ...but the relabel does NOT pay a recompute: its plan subtree
+      // sameResults the persisted entry, so CacheManager substitutes the
+      // InMemoryRelation underneath the rename
+      assert(ay.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+        "alias-only variant should reuse the persisted data via CacheManager")
+
+      // MISS (semantic): column reorder is a different output schema
+      val iv = cache(base.select("event_id", "value"))
+      val vi = cache(base.select("value", "event_id"))
+      assert(cache.size == 6)
+      assert(iv.columns.toSeq == Seq("event_id", "value"))
+      assert(vi.columns.toSeq == Seq("value", "event_id"))
+
+      // MISS (documented cosmetics cut): filter∘project vs project∘filter
+      // are distinct ANALYZED plans — the memo keys pre-optimization so
+      // the key cannot depend on what is already cached
+      cache(base.filter(col("value") > 2.0).select("event_id", "value"))
+      cache(base.select("event_id", "value").filter(col("value") > 2.0))
+      assert(cache.size == 8)
+    } finally cache.release()
+    assert(cache.size == 0)
+  }
+
   test("curation functions run unchanged on a stream (stateless column ops)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.TextFunctions
