@@ -45,7 +45,13 @@ object SparkEntry {
   // misc_sample avoids the engine-RNG problem entirely: sampling is a
   // deterministic seed-keyed hash filter (Sampling.sampleHash), so its
   // oracle replays the same md5 bucket in SQL and the check is
-  // hash-exact like every other query.
+  // hash-exact like every other query. Oracle-independence: the mirrored
+  // part is the bucket FORMULA only — Spark's and DuckDB's md5 are
+  // unrelated implementations, and CurationSpec ("sampleHash:
+  // deterministic, rate-shaped, seed-independent draws") witnesses the
+  // statistical contract without md5 at all. The full audit of
+  // formula-mirroring oracles lives at PipelineEntry's shared-SQL-
+  // fragment block.
   // =====================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++ PipelineEntry.queries
 
@@ -1048,7 +1054,12 @@ object SparkEntry {
     "str_replace_max" -> {
       // replace-first-occurrence step, unrolled per max (sequential
       // first-match == Python first-N because the replacements here never
-      // create new matches); strpos = 0 when absent → pass through
+      // create new matches); strpos = 0 when absent → pass through.
+      // Oracle-independence: this CASE chain mirrors the operator's
+      // unrolling idea, so it is not an independent spec — the second
+      // witness is PropertySpec "replace(old, new, max): Spark == JVM
+      // reference on random strings" (java.lang.String as the third
+      // implementation; see the audit block in PipelineEntry)
       def once(x: String, old: String, nw: String) =
         s"CASE WHEN strpos($x, '$old') > 0 THEN substr($x, 1, strpos($x, '$old') - 1) " +
           s"|| '$nw' || substr($x, strpos($x, '$old') + ${old.length}) ELSE $x END"
