@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Cluster, Dedup, Multimodal, Pack, Sampling, Sessionize, Similarity}
+import graft.operators.{AsOf, Cluster, Dedup, Multimodal, Pack, Sampling, Sessionize, Similarity, Tensor}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -654,6 +654,43 @@ object PipelineEntry {
       t(s, dir, "supplier").write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("s_suppkey")
     },
+    // ---- N-D arrays over coordinate representation (§2.12) ----
+    "arr_transpose" -> { (s, dir) =>
+      // embeddings as a (vec × dim) matrix in coordinate form, then the
+      // numpy-default all-axes-reversed transpose — a pure projection,
+      // no shuffle (the plan is Scan→Generate→Project, codegen'd)
+      val coo = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"), col("col").as("v"))
+      Tensor.transpose(coo, Seq("vec_id", "pos"), "v")
+        .orderBy("d0", "d1")
+    },
+    "arr_matmul" -> { (s, dir) =>
+      // Gram matrix Eᵀ·E over QUANTIZED embeddings (floor(v·1000) —
+      // integer products sum exactly in any order, so the cross-engine
+      // check is bit-exact; float Gram would depend on reduction order).
+      // tensordot contracts the vec axis: shuffle join on vec_id,
+      // partial-aggregated sum over the (dim × dim) free axes.
+      val coo = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          floor(col("col").cast(DoubleType) * 1000).cast(LongType).as("q"))
+      Tensor.tensordot(coo, coo, Seq("vec_id", "pos"), Seq("vec_id", "pos"),
+          contract = Seq("vec_id" -> "vec_id"), "q", "q")
+        .orderBy("d0", "d1")
+    },
+
+    "src_xml_roundtrip" -> { (s, dir) =>
+      // Spark 4 ships XML as a CORE data source (the former spark-xml
+      // package): one <ROW> element per record. Numbers infer back as
+      // long, so cast to the parquet schema like the JSON roundtrip.
+      val out = "/root/repo/target/roundtrip/nation_xml"
+      t(s, dir, "nation").write.mode("overwrite").option("rowTag", "ROW").xml(out)
+      graft.api.Table.data(s, out + "/part-*.xml").df
+        .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+          col("n_regionkey").cast(IntegerType))
+        .orderBy("n_nationkey")
+    },
 
     // ---- caching (§1.1 CachedDataset) ----
     "misc_cached" -> { (s, dir) =>
@@ -1138,6 +1175,21 @@ object PipelineEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
       "src_orc_roundtrip" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+      "src_xml_roundtrip" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+      "arr_transpose" ->
+        """SELECT generate_subscripts(embedding, 1) - 1 AS d0, vec_id AS d1,
+          |  unnest(embedding) AS v
+          |FROM embeddings ORDER BY d0, d1""".stripMargin,
+      "arr_matmul" ->
+        """WITH c0 AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+          |    unnest(embedding) AS ev FROM embeddings),
+          |coo AS (SELECT vec_id, pos,
+          |    CAST(floor(CAST(ev AS DOUBLE) * 1000) AS BIGINT) AS q FROM c0)
+          |SELECT a.pos AS d0, b.pos AS d1, CAST(SUM(a.q * b.q) AS BIGINT) AS v
+          |FROM coo a JOIN coo b USING (vec_id)
+          |GROUP BY 1, 2 ORDER BY d0, d1""".stripMargin,
 
       "misc_cached" ->
         """SELECT l_returnflag, COUNT(*) AS n,

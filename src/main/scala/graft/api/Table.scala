@@ -378,14 +378,19 @@ final case class Table(df: DataFrame) {
     Table(df.withColumn(field, shifted))
   }
 
-  // --- N-D array surface (`expr/arrays.py:13-129`) — out of scope for a
-  // tabular engine (SURVEY §7.4 cut 3); fail loudly rather than silently.
+  // --- N-D array surface (`expr/arrays.py:13-129`) — a TABLE has no
+  // axis order, so transpose/tensordot on `Table` fail loudly; the real
+  // array semantics live in graft.operators.Tensor over the coordinate
+  // representation (one row per cell), which is the shape that actually
+  // distributes (SURVEY §2.12).
   def transpose: Table =
     throw new UnsupportedOperationException(
-      "transpose: N-D array operations are out of scope (SURVEY §2.12)")
+      "transpose: a Table is an unordered relation; for array semantics " +
+        "use graft.operators.Tensor.transpose over coordinate form (SURVEY §2.12)")
   def tensordot(other: Table): Table =
     throw new UnsupportedOperationException(
-      "tensordot: N-D array operations are out of scope (SURVEY §2.12)")
+      "tensordot: a Table is an unordered relation; for array semantics " +
+        "use graft.operators.Tensor.tensordot over coordinate form (SURVEY §2.12)")
 
   /** Field access THROUGH a foreign key (the `Map[key, Record]` dshape
     * traversal, `expr/expressions.py:136-142`; SQL lowering
@@ -456,6 +461,9 @@ object Table {
       else if (uri.endsWith(".csv")) spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
       else if (uri.endsWith(".json")) spark.read.json(uri)
       else if (uri.endsWith(".orc")) spark.read.orc(uri)
+      // built-in XML source (Spark 4 core); rowTag is the element that
+      // maps to one row — "ROW" matches what the writer emits by default
+      else if (uri.endsWith(".xml")) spark.read.option("rowTag", "ROW").xml(uri)
       else if (uri.endsWith(".txt") || uri.endsWith(".text")) spark.read.text(uri)
       else if (uri.contains("/") && isDir(spark, uri))
         // a DIRECTORY (hive-partitioned parquet layout — what

@@ -428,4 +428,66 @@ class OperatorsSpec extends SparkSpec {
       .as[(Double, Double, Double)].collect().head
     assert(r == ((0.75, 1.0, 1.0)))
   }
+
+  test("Tensor.transpose permutes axes; invalid permutation fails loudly") {
+    import graft.operators.Tensor
+    // 2×3 matrix [[1,2,3],[4,5,6]] in coordinate form
+    val m = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 3.0),
+      (1L, 0L, 4.0), (1L, 1L, 5.0), (1L, 2L, 6.0)).toDF("i", "j", "v")
+    val tr = Tensor.transpose(m, Seq("i", "j"), "v")
+      .orderBy("d0", "d1").as[(Long, Long, Double)].collect().toSeq
+    assert(tr == Seq((0L, 0L, 1.0), (0L, 1L, 4.0), (1L, 0L, 2.0),
+      (1L, 1L, 5.0), (2L, 0L, 3.0), (2L, 1L, 6.0)))
+    // identity permutation keeps cells, renames to positional d0/d1
+    val id = Tensor.transpose(m, Seq("i", "j"), Seq(0, 1), "v")
+    assert(id.columns.toSeq == Seq("d0", "d1", "v") && id.count() == 6)
+    // transpose is projection-only: no exchange in the plan
+    val plan = Tensor.transpose(m, Seq("i", "j"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"transpose must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Tensor.transpose(m, Seq("i", "j"), Seq(0, 0), "v")
+    }
+  }
+
+  test("Tensor.tensordot: hand matmul, self-Gram, full contraction, sparse zeros") {
+    import graft.operators.Tensor
+    // A: 2×3 [[1,2,3],[4,5,6]]; B: 3×2 [[7,8],[9,10],[11,12]]
+    val a = Seq((0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 3L),
+      (1L, 0L, 4L), (1L, 1L, 5L), (1L, 2L, 6L)).toDF("i", "k", "v")
+    val b = Seq((0L, 0L, 7L), (0L, 1L, 8L), (1L, 0L, 9L), (1L, 1L, 10L),
+      (2L, 0L, 11L), (2L, 1L, 12L)).toDF("k", "j", "v")
+    val ab = Tensor.tensordot(a, b, Seq("i", "k"), Seq("k", "j"),
+        Seq("k" -> "k"), "v", "v")
+      .orderBy("d0", "d1").as[(Long, Long, Long)].collect().toSeq
+    // A·B = [[58,64],[139,154]]
+    assert(ab == Seq((0L, 0L, 58L), (0L, 1L, 64L), (1L, 0L, 139L), (1L, 1L, 154L)))
+    // self-contraction (Gram AᵀA) — same plan on both sides must not
+    // trip Spark's ambiguous-self-join analysis
+    val gram = Tensor.tensordot(a, a, Seq("i", "k"), Seq("i", "k"),
+        Seq("i" -> "i"), "v", "v")
+      .orderBy("d0", "d1").as[(Long, Long, Long)].collect().toSeq
+    // AᵀA = [[17,22,27],[22,29,36],[27,36,45]]
+    assert(gram == Seq((0L, 0L, 17L), (0L, 1L, 22L), (0L, 2L, 27L),
+      (1L, 0L, 22L), (1L, 1L, 29L), (1L, 2L, 36L),
+      (2L, 0L, 27L), (2L, 1L, 36L), (2L, 2L, 45L)))
+    // contracting ALL axes yields the scalar Frobenius inner product
+    val frob = Tensor.tensordot(a, a, Seq("i", "k"), Seq("i", "k"),
+        Seq("i" -> "i", "k" -> "k"), "v", "v")
+      .as[Long].collect().toSeq
+    assert(frob == Seq(1 + 4 + 9 + 16 + 25 + 36))
+    // sparse semantics: a pairing with no matching contraction rows
+    // produces no output row (implicit zero), not a null
+    val sparseA = Seq((0L, 0L, 2L)).toDF("i", "k", "v") // only k=0
+    val sparseB = Seq((1L, 0L, 3L)).toDF("k", "j", "v") // only k=1
+    assert(Tensor.tensordot(sparseA, sparseB, Seq("i", "k"), Seq("k", "j"),
+      Seq("k" -> "k"), "v", "v").count() == 0)
+    intercept[IllegalArgumentException] {
+      Tensor.tensordot(a, b, Seq("i", "k"), Seq("k", "j"), Nil, "v", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Tensor.tensordot(a, b, Seq("i", "k"), Seq("k", "j"),
+        Seq("nope" -> "k"), "v", "v")
+    }
+  }
 }
