@@ -368,6 +368,12 @@ object PipelineEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
+    "sim_lsh_probe" -> { (s, dir) => // multi-probe: Hamming-1 bucket expansion
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKProbe(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
     "sim_ivf_trained" -> { (s, dir) =>
       // IVF over a TRAINED coarse quantizer: deterministic integer
       // k-means (oracle replays the same Lloyd's iterations in SQL)
@@ -994,6 +1000,18 @@ object PipelineEntry {
            |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+      "sim_lsh_probe" -> {
+        val masks = (0L +: (0 until 8).map(i => 1L << i)).mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("embedding", 64, 8)} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, xor(bucket, m) AS bucket
+           |  FROM b, unnest($masks) AS t(m) WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b),
+           |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos
+           |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      },
 
       "mm_decode_meta" ->
         """SELECT doc_id AS media_id,

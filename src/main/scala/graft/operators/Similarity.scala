@@ -194,4 +194,31 @@ object Similarity {
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Multi-probe sign-LSH: each query also probes every bucket at
+    * Hamming distance 1 from its own (bucket XOR one sign bit) — the
+    * standard recall-vs-cost knob for sign LSH. A near neighbor that
+    * landed on the wrong side of ONE hyperplane is recovered; the
+    * candidate set grows by at most (nBits+1)× and stays bucket-local,
+    * so the 100 TB shape is unchanged: the (small) query side explodes
+    * to nBits+1 probe rows BEFORE the broadcast, the corpus is neither
+    * re-bucketed nor re-scanned per probe, and each (query, candidate)
+    * pair can match at most once (a candidate lives in exactly one
+    * bucket). Recall ≥ single-probe [[lshTopK]] by construction
+    * (probe set is a superset) — asserted in the unit suite.
+    */
+  def lshTopKProbe(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   nBits: Int = 8, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val withB = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val masks = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val q = broadcast(withB.join(queries.select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket")))
+    val c = withB.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    rankTopK(scored, k)
+  }
 }

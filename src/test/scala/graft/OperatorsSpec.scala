@@ -120,6 +120,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall") // 4-bit buckets ≈ 1/16 corpus scanned
   }
 
+  test("multi-probe LSH recall >= single-probe (probe set is a superset)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (bf intersect df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+        .size.toDouble / bf.size
+    val single = recall(Similarity.lshTopK(emb, q, 5, dim = 64, nBits = 4))
+    val multi = recall(Similarity.lshTopKProbe(emb, q, 5, dim = 64, nBits = 4))
+    assert(multi >= single, s"multi=$multi single=$single")
+    // Hamming-1 probing over 4-bit buckets scans ~5/16 of the corpus —
+    // recall should be substantially better than the 0.2 floor
+    assert(multi > 0.4, s"multi-probe recall=$multi")
+  }
+
   test("multimodal: feature extraction matches per-byte math") {
     val media = Multimodal.asMedia(docsOf((1L, "ab")).withColumn("lang", lit("en")))
     val r = Multimodal.extractFeatures(spark, media).collect()(0)

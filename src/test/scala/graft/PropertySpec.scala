@@ -198,4 +198,28 @@ class PropertySpec extends SparkSpec {
     }
     assert(got.contains("HOT") && got.contains("warm"))
   }
+
+  test("tensordot == plain-JVM sparse matmul on random sparse matrices") {
+    import graft.operators.Tensor
+    // random SPARSE coordinate matrices (some cells absent → implicit 0),
+    // duplicate-free coordinates, integer values so sums are exact
+    val coord = for {
+      i <- Gen.choose(0L, 7L); k <- Gen.choose(0L, 9L)
+      v <- Gen.choose(-50L, 50L)
+    } yield ((i, k), v)
+    val aCells = draw(coord, 40, seed = 7L).toMap   // ≤ 40 of 80 cells
+    val bCells = draw(coord, 40, seed = 11L).toMap.map { case ((k, j), v) => ((k % 10, j % 8), v) }
+    val a = aCells.toSeq.map { case ((i, k), v) => (i, k, v) }.toDF("i", "k", "v")
+    val b = bCells.toSeq.map { case ((k, j), v) => (k, j, v) }.toDF("k", "j", "v")
+    val got = Tensor.tensordot(a, b, Seq("i", "k"), Seq("k", "j"),
+        Seq("k" -> "k"), "v", "v")
+      .as[(Long, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    // reference: dense accumulate over the sparse cells
+    val exp = (for {
+      ((i, k), av) <- aCells.toSeq
+      ((k2, j), bv) <- bCells.toSeq if k2 == k
+    } yield ((i, j), av * bv))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == exp, s"got ${got.size} cells, expected ${exp.size}")
+  }
 }
