@@ -384,6 +384,18 @@ object PipelineEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
+    "sim_ivf_probe" -> { (s, dir) =>
+      // multi-probe IVF: each query searches its nprobe=2 nearest cells
+      // of the trained quantizer (oracle replays training AND the probe
+      // ranking — both pure integer arithmetic, engine-deterministic)
+      val emb = t(s, dir, "embeddings")
+      val (assign, cents) = Similarity.kmeansTrain(emb, k = 4, iters = 2, dim = 64)
+      val emb2 = emb.join(assign, "vec_id")
+      Similarity.ivfTopKProbe(emb2, emb2.filter(col("vec_id") < 10), k = 5,
+          nprobe = 2, centroids = cents, coarseCol = "cid")
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
 
     // ---- multimodal plumbing ----
     "mm_decode_meta" -> { (s, dir) =>
@@ -1000,6 +1012,31 @@ object PipelineEntry {
            |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+      "sim_ivf_probe" -> {
+        // same Lloyd's replay as sim_ivf_trained, plus the probe ranking:
+        // queries take rn <= 2 cells from the SAME j2 ranking whose rn = 1
+        // row is the corpus assignment — probing replays the exact
+        // geometry that defined the cells
+        val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
+        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
+           |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
+           |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
+           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
+           |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
+           |wp AS (SELECT vec_id, cid FROM j2 WHERE rn <= 2),
+           |e AS (SELECT em.vec_id, em.embedding, w2.cid FROM embeddings em JOIN w2 ON em.vec_id = w2.vec_id),
+           |q AS (SELECT e0.vec_id AS q_id, wp.cid AS q_blk, e0.embedding AS qv2
+           |  FROM embeddings e0 JOIN wp ON e0.vec_id = wp.vec_id WHERE e0.vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, cid AS c_blk, embedding AS cv2 FROM e),
+           |scored AS (SELECT q_id, c_id, ${sqlCos("qv2", "cv2")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      },
 
       "sim_lsh_probe" -> {
         val masks = (0L +: (0 until 8).map(i => 1L << i)).mkString("[", ", ", "]")

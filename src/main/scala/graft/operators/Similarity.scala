@@ -103,7 +103,18 @@ object Similarity {
     * and a k-group aggregate — no corpus self-join, no unbounded state.
     */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int, dim: Int,
-                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    kmeansTrain(emb, k, iters, dim, vecCol, idCol)._1
+
+  /** [[kmeansAssign]] plus the centroids `(cid, cv)` the FINAL
+    * assignment was computed against (each Lloyd's round assigns against
+    * the incoming centroids, then updates them — the post-update set
+    * describes no row's cell). `cv` is in the trainer's `floor(x·2^20)`
+    * integer quantization, so probe-time distances ([[ivfTopKProbe]])
+    * replay exactly the geometry that defined the cells.
+    */
+  def kmeansTrain(emb: DataFrame, k: Int, iters: Int, dim: Int,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, "kmeansAssign: k and iters must be positive")
     val S = 1L << 20
     val qvExpr = transform(col(vecCol),
@@ -158,7 +169,45 @@ object Similarity {
       if (retirable ne null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
       retirable = prev
     }
-    assigned.select(col(idCol), col("cid"))
+    // `retirable` holds the centroids the LAST assignment ran against
+    // (the loop updates cents after assigning); non-null since iters ≥ 1
+    (assigned.select(col(idCol), col("cid")), retirable)
+  }
+
+  /** Multi-probe IVF: each query searches its `nprobe` NEAREST coarse
+    * cells instead of only the closest — the production recall knob for
+    * IVF indexes. Scale shape: the probe assignment is a k-row broadcast
+    * against the (small) query set, the corpus keeps its single
+    * partition-cell assignment, and the candidate join stays
+    * cell-local — candidates grow by at most nprobe×, never to a full
+    * scan. Distances replay the trainer's exact integer quantization
+    * (`floor(x·2^20)` + [[graft.plans.QuantizedL2]], cid tiebreak), so
+    * the probe choice is engine-deterministic and oracle-replayable.
+    */
+  def ivfTopKProbe(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                   centroids: DataFrame, coarseCol: String,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nprobe > 0, "ivfTopKProbe: nprobe must be positive")
+    val S = 1L << 20
+    val qv = transform(col(vecCol), x => floor(x.cast(DoubleType) * S).cast(LongType))
+    // rank the k centroids per query by exact integer L2 and keep
+    // nprobe. A row_number window is fine HERE: the partition is k rows
+    // per query on the already-broadcast-small query side, so the
+    // "window funnels everything through one task" concern that bans
+    // windows from corpus-side ranking does not apply.
+    val qq = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvf"), qv.as("qq"))
+    val ranked = qq.crossJoin(broadcast(centroids))
+      .withColumn("_d", graft.plans.QuantizedL2(col("qq"), col("cv")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("_d"), col("cid"))))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("qvf"), col("cid").as("q_blk"))
+    val c = emb.select(col(idCol).as("c_id"), col(coarseCol).as("c_blk"), col(vecCol).as("cv2"))
+    val scored = broadcast(ranked).join(c,
+        col("q_blk") === col("c_blk") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qvf"), col("cv2")).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** deterministic pseudo-random hyperplanes (shared constants; public so

@@ -136,6 +136,24 @@ class OperatorsSpec extends SparkSpec {
     assert(multi > 0.4, s"multi-probe recall=$multi")
   }
 
+  test("multi-probe IVF recall >= single-cell IVF on the trained quantizer") {
+    val emb = Tables(spark, sf, "embeddings")
+    val (assign, cents) = Similarity.kmeansTrain(emb, k = 4, iters = 2, dim = 64)
+    val emb2 = emb.join(assign, "vec_id")
+    val q = emb2.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (bf intersect df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+        .size.toDouble / bf.size
+    val single = recall(Similarity.ivfTopK(emb2, q, 5, coarseCol = "cid"))
+    val multi = recall(Similarity.ivfTopKProbe(emb2, q, 5, nprobe = 2,
+      centroids = cents, coarseCol = "cid"))
+    assert(multi >= single, s"multi=$multi single=$single")
+    // nprobe=2 of k=4 cells scans ~half the corpus per query
+    assert(multi > 0.5, s"nprobe=2 recall=$multi")
+  }
+
   test("multimodal: feature extraction matches per-byte math") {
     val media = Multimodal.asMedia(docsOf((1L, "ab")).withColumn("lang", lit("en")))
     val r = Multimodal.extractFeatures(spark, media).collect()(0)
