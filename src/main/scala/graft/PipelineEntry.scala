@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Cluster, Dedup, Multimodal, Pack, Sampling, Sessionize, Similarity, Tensor}
+import graft.operators.{AsOf, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Sampling, Sessionize, Similarity, Tensor}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -710,6 +710,55 @@ object PipelineEntry {
         .orderBy("n_nationkey")
     },
 
+    // ---- incremental refresh (MERGE primitives) + layout ----
+    "inc_upsert" -> { (s, dir) =>
+      // updates (price bump on keys %7) + inserts (shifted new keys);
+      // the change-key anti join is broadcast — no exchange on the base
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      Incremental.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    "inc_cdc" -> { (s, dir) =>
+      // one CDC batch: updates (op U), inserts (op I), tombstones (op D,
+      // disjoint from the update keys so each key has ONE operation)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes =
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"), lit("I").as("op")))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 7 =!= 0)
+          .withColumn("op", lit("D")))
+      Incremental.applyCdc(base, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    "dedup_incremental" -> { (s, dir) =>
+      // incoming batch (doc_id >= 250) deduped against the standing
+      // corpus (doc_id < 250): cross-set LSH candidates + jaccard verify
+      val docs = t(s, dir, "documents")
+      Incremental.dedupAgainstCorpus(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), threshold = 0.3)
+        .orderBy("doc_id")
+    },
+    "lay_zorder" -> { (s, dir) =>
+      // z-order sort key over (p_size, p_partkey mod 256) — the write-
+      // side clustering that keeps parquet min/max stats tight on both
+      // columns at once (see Layout.zorderBy for the file-level form)
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+          Layout.zValue(Seq(col("p_size"), col("p_partkey") % 256), 8).as("z"))
+        .orderBy("z", "p_partkey").limit(200)
+    },
+
     // ---- caching (§1.1 CachedDataset) ----
     "misc_cached" -> { (s, dir) =>
       // cache only the columns the two aggregates read — at 100 TB you
@@ -954,6 +1003,52 @@ object PipelineEntry {
            |SELECT doc_id, $simhashTerms AS simhash
            |FROM h ORDER BY doc_id""".stripMargin,
       "dedup_ngram_pairs" -> sqlMinhashPairs(n = 2, threshold = 0.5),
+      // cross-set form: pairs over the FULL corpus restricted to
+      // (corpus id < 250) × (incoming id >= 250) — band-key collision is
+      // a pairwise relation, so full-set LSH pairs restricted to the
+      // split equal the between-set candidates the operator generates
+      "dedup_incremental" ->
+        s"""WITH ${minhashPairCtes(n = 3, threshold = 0.3)},
+           |x AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM pairs
+           |      WHERE id_a < 250 AND id_b >= 250 GROUP BY id_b)
+           |SELECT d.doc_id, x.dup_of IS NOT NULL AS is_dup, x.dup_of
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+           |LEFT JOIN x USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+      "inc_upsert" ->
+        """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          |chg AS (
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+          |  FROM base WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 20000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+          |  FROM base WHERE o_orderkey % 1000 = 0)
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+          |  SELECT b.* FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
+          |  UNION ALL SELECT * FROM chg)
+          |ORDER BY o_orderkey""".stripMargin,
+      "inc_cdc" ->
+        """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          |chg AS (
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op
+          |  FROM base WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 20000000, 'N', o_totalprice, 'I' FROM base WHERE o_orderkey % 1000 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D'
+          |  FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 7 <> 0)
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+          |  SELECT b.* FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
+          |  UNION ALL
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D')
+          |ORDER BY o_orderkey""".stripMargin,
+      "lay_zorder" -> {
+        val zTerms = (0 until 8).flatMap(i => Seq(
+          s"(((CAST(p_size AS BIGINT) >> $i) & 1) << ${2 * i})",
+          s"(((CAST(p_partkey % 256 AS BIGINT) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""SELECT p_partkey, p_size, $zTerms AS z
+           |FROM part ORDER BY z, p_partkey LIMIT 200""".stripMargin
+      },
       "dedup_simhash_pairs" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |h AS (SELECT doc_id, list_transform(list_distinct(ts), tk -> ${sqlHash("tk")}) AS hs FROM t),

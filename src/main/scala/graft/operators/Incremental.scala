@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental-refresh operators (north-star extension): a training
+  * corpus is never rebuilt from scratch — each crawl/dump lands as a
+  * batch of changes against a 100 TB base table. These are the MERGE
+  * primitives a lakehouse engine exposes (upsert, CDC apply,
+  * dedup-new-against-corpus), expressed as plain deterministic Spark
+  * plans over parquet so they compose with every other graft operator.
+  *
+  * Scale shape, shared by all three:
+  *  - the base/corpus side is scanned ONCE and only ever anti/semi
+  *    joined on its key — no rewrite of unmatched data is implied
+  *    (writers pair this with partition overwrite so only touched
+  *    partitions rewrite);
+  *  - the change batch is assumed ≪ base (the incremental premise), so
+  *    its keys are broadcast: the anti join runs map-side with NO
+  *    exchange on the 100 TB side. Set `broadcastChanges=false` when a
+  *    backfill-sized batch would not fit the driver — the plan degrades
+  *    to one key-shuffle on both sides (co-locatable via bucketing,
+  *    see `bucketed_join`).
+  */
+object Incremental {
+
+  /** Upsert: rows of `changes` replace base rows sharing their key;
+    * unmatched change rows are appended. Column sets must match
+    * (enforced by unionByName). Keys must be unique within `changes` —
+    * "which of two same-key updates wins" is not defined here, exactly
+    * as SQL MERGE rejects it.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+             broadcastChanges: Boolean = true): DataFrame = {
+    val keyDf = changes.select(keys.map(col): _*)
+    val right = if (broadcastChanges) broadcast(keyDf) else keyDf
+    base.join(right, keys, "left_anti").unionByName(changes)
+  }
+
+  /** CDC apply: `changes` carries an operation column (`opCol`) with
+    * 'U'/'I' rows (new image, upserted) and 'D' rows (tombstones —
+    * removed from the base, payload ignored). One pass: a single
+    * anti join on ALL change keys, then the non-delete images append.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op", broadcastChanges: Boolean = true): DataFrame = {
+    val keyDf = changes.select(keys.map(col): _*)
+    val right = if (broadcastChanges) broadcast(keyDf) else keyDf
+    base.join(right, keys, "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
+  /** MinHash-LSH candidate pairs BETWEEN two disjoint document sets
+    * (corpus side → `id_a`, incoming side → `id_b`) — the cross-batch
+    * form of [[Dedup.minhashCandidates]]. Identical banding (same
+    * signature kernel, same posexplode, same first-matching-band
+    * arithmetic instead of a DISTINCT shuffle); the join is new-bands ×
+    * corpus-bands instead of a self-join, so candidate volume is linear
+    * in batch size × bucket occupancy, never corpus².
+    */
+  def minhashCandidatesBetween(corpus: DataFrame, incoming: DataFrame, n: Int = 3,
+                               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = Dedup.NumPerms / Dedup.BandRows
+    def bands(docs: DataFrame): DataFrame = {
+      val sig = Dedup.minhashSignatures(docs, n, textCol, idCol)
+      val bandArr = array((0 until nBands).map { b =>
+        concat_ws("_", (0 until Dedup.BandRows).map(r => col(s"mh${b * Dedup.BandRows + r}")): _*)
+      }: _*)
+      // same no-signature guard as the self-join form: all-NULL mh cols
+      // would band every short doc into one "" bucket
+      sig.filter(col("mh0").isNotNull)
+        .select(col(idCol), bandArr.as("bkeys"))
+        .select(col(idCol), col("bkeys"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .hint("shuffle_hash")
+    }
+    val firstMatch = coalesce(((0 until nBands).map { b =>
+      when(col("x.bkeys")(b) === col("y.bkeys")(b), lit(b))
+    } :+ lit(-1)): _*)
+    bands(corpus).as("x").join(bands(incoming).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .filter(col("x.band") === firstMatch)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+  }
+
+  /** Dedup an incoming batch against an existing corpus: every incoming
+    * doc is returned with `is_dup` (has a jaccard-verified near-dup in
+    * the corpus) and `dup_of` (the smallest matching corpus id, NULL if
+    * none). Batch-internal duplicates are [[Dedup.minhashPairs]]'s job —
+    * this operator answers only "is it already in the 100 TB corpus",
+    * which is the question every incremental crawl ingest asks.
+    *
+    * Scale: corpus is scanned twice (banding pass + shingle-verify
+    * pass), both narrow kernel scans; shuffles are the band-bucket
+    * exchange and the candidate↔shingle joins — same budget as one
+    * batch-internal minhashPairs run.
+    */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         threshold: Double = 0.3, n: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashCandidatesBetween(corpus, incoming, n, textCol, idCol)
+    val shC = corpus.select(col(idCol).as("id_a"),
+      graft.plans.ShingleHashArray(col(textCol), n).as("sh_a"))
+    val shI = incoming.select(col(idCol).as("id_b"),
+      graft.plans.ShingleHashArray(col(textCol), n).as("sh_b"))
+    val dups = cand.join(shC, "id_a").join(shI, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    incoming.select(col(idCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-layout operators (north-star extension): at 100 TB the scan is
+  * the dominant cost, and what a scan reads is decided at WRITE time by
+  * row-group min/max footer statistics. Z-order clustering interleaves
+  * the bits of several filter columns into one sort key, so sorting by
+  * it makes every output file a hyper-rectangle-ish tile in the
+  * multi-column space — min/max stats stay tight on ALL interleaved
+  * columns at once, and a selective filter on any of them prunes most
+  * files without reading them. (One-column sorts give perfect pruning on
+  * that column and none on the others.)
+  *
+  * The z-value is plain codegen'd bit arithmetic (shift/and/or on
+  * longs) — no UDF, fully pushed into whole-stage codegen, and simple
+  * enough that the DuckDB oracle recomputes it from the same published
+  * bit-interleaving definition.
+  */
+object Layout {
+
+  /** Morton/z-value of `cols` (each masked to its low `bits` bits; the
+    * caller maps columns onto a bounded non-negative integer range
+    * first — rank, bucket id, truncated value). Bit i of column j lands
+    * at output bit `i * cols.length + j`, the standard interleave.
+    * `bits * cols.length` must stay ≤ 63 (sign-free long).
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits > 0 && bits * cols.length <= 63,
+      s"zValue: need 0 < bits*${cols.length} <= 63, got bits=$bits")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast(LongType), i).bitwiseAND(lit(1L)),
+      i * cols.length + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Cluster `df` for writing: range-partition into `numFiles` splits of
+    * the z-value over `cols`, sorted within each split — each output
+    * file then covers one compact z-range (a spatial tile). Write the
+    * result with a plain parquet writer; the layout, not the writer,
+    * carries the skipping power. The z column is internal and dropped.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"zorderBy: numFiles must be positive, got $numFiles")
+    df.withColumn("_z", zValue(cols, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

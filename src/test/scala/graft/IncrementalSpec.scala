@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Incremental, Layout}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base3 =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+
+  test("upsert replaces matched keys and appends unmatched") {
+    val changes = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "s", "v")
+    val r = Incremental.upsert(base3, changes, Seq("k")).orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(r(1).getString(1) == "b2" && r(1).getDouble(2) == 21.0)
+    assert(r(3).getString(1) == "new")
+  }
+
+  test("upsert anti join broadcasts the change keys (no exchange on base)") {
+    val changes = Seq((2L, "b2", 21.0)).toDF("k", "s", "v")
+    val plan = Incremental.upsert(base3, changes, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("applyCdc: update replaces, insert appends, tombstone deletes") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U"), (9L, "new", 90.0, "I"), (3L, "", 0.0, "D")
+    ).toDF("k", "s", "v", "op")
+    val r = Incremental.applyCdc(base3, changes, Seq("k")).orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L)) // 3 deleted
+    assert(r(1).getString(1) == "b2" && r(2).getDouble(2) == 90.0)
+  }
+
+  test("dedupAgainstCorpus flags cross-set near-dups only") {
+    val mk = (hole: Int, tag: String) =>
+      (1 to 60).map(i => if (i == hole) tag else s"tok$i").mkString(" ")
+    val corpus = Seq((10L, mk(0, "")), (11L, (100 to 160).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (250L, mk(30, "CHANGED")),            // near-dup of corpus doc 10
+      (251L, (300 to 360).map(i => s"z$i").mkString(" ")), // novel
+      (252L, "a b")                          // too short for a signature
+    ).toDF("doc_id", "text")
+    val r = Incremental.dedupAgainstCorpus(corpus, incoming, threshold = 0.3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(250L, 251L, 252L)) // all incoming kept
+    assert(r(0).getBoolean(1) && r(0).getLong(2) == 10L)
+    assert(!r(1).getBoolean(1) && r(1).isNullAt(2))
+    assert(!r(2).getBoolean(1))
+  }
+
+  test("zValue interleaves bits (hand-computed) and validates bounds") {
+    // x=0b11 → out bits 0,2; y=0b01 → out bit 1: z = 1+2+4 = 7
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 2)).as[Long].collect()(0)
+    assert(z == 7L)
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y")), 32) // 64 bits > 63
+    }
+  }
+
+  test("zorderBy concentrates a 2-column box query into fewer files") {
+    val part = Tables(spark, sf, "part")
+    val zDir = "target/layout_z"
+    val hDir = "target/layout_hash"
+    Layout.zorderBy(part, Seq(col("p_size"), col("p_partkey") % 256), 8, 8)
+      .write.mode("overwrite").parquet(zDir)
+    part.repartition(8, col("p_partkey")).write.mode("overwrite").parquet(hDir)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("p_size").between(10, 12) && col("p_partkey") % 256 < 64)
+        .select(input_file_name()).distinct().count()
+    val (zf, hf) = (filesTouched(zDir), filesTouched(hDir))
+    // hash layout scatters the box across ~every file; z-order keeps it
+    // in a contiguous z-range → strictly fewer files hold matching rows
+    assert(zf < hf, s"z-order touched $zf files, hash layout $hf")
+  }
+}
