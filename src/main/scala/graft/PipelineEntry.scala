@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Sampling, Sessionize, Similarity, Tensor}
+import graft.operators.{AsOf, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -181,22 +181,19 @@ object PipelineEntry {
     },
     "text_filter_quantile" -> { (s, dir) =>
       import TextFunctions._
-      import org.apache.spark.sql.expressions.Window
       // the filtering step text_quantiles informs: keep docs inside the
       // per-language [p05, p95] length band. percent_rank (= exact
       // (rank-1)/(n-1) rational) makes the band edge engine-deterministic
       // where an interpolated-quantile threshold comparison would not be.
-      // ⚠ SCALE: the per-language window funnels each language through
-      // ONE task's sort — retained only as the exact-band REFERENCE
-      // semantics. At corpus scale use text_filter_thresholds (window-
-      // free percentile aggregate broadcast back; plan-guarded in
-      // CurationSpec), which is what pipe_curation-class compositions use.
+      // Computed by VALUE COUNTING (Quantile.percentRankBand): the only
+      // window runs over each language's distinct token counts (value
+      // domain, constant in corpus size), and the tiny (lang, value, pr)
+      // table broadcasts back — no per-language corpus sort. Replaces
+      // the rounds-3..7 weak-for-scale percent_rank window with the SAME
+      // exact semantics (parity-tested in CurationSpec).
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         tokenCount(col("text")).as("n_tokens"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
-      docs.withColumn("pr", percent_rank().over(w))
-        .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
-        .select("doc_id", "lang", "n_tokens")
+      Quantile.percentRankBand(docs, "lang", "n_tokens", 0.05, 0.95)
         .orderBy("doc_id")
     },
     "text_filter_thresholds" -> { (s, dir) =>

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact per-group percent-rank WITHOUT a per-group sort of the corpus.
+  *
+  * `percent_rank() OVER (PARTITION BY g ORDER BY v)` is
+  * `(rank-1)/(n-1)`, and rank gives ties the minimum rank — so every
+  * row sharing `(g, v)` receives the SAME percent_rank:
+  * `count(v' < v within g) / (n_g - 1)`. That makes percent_rank a
+  * function of the (group, value) pair, computable from per-value
+  * counts alone:
+  *
+  *   1. one partial-aggregated count per (g, v) — the only corpus-size
+  *      shuffle, and it exchanges ≤ |value domain| rows per group;
+  *   2. a running sum over each group's DISTINCT VALUES (a window whose
+  *      partition is the value domain, NOT the corpus — bounded and
+  *      constant in corpus size for integer metrics like token counts,
+  *      byte sizes, or fixed-precision scores);
+  *   3. a broadcast join of the tiny (g, v, pr) table back onto the
+  *      rows — map-side, no exchange on the corpus.
+  *
+  * This replaces the single-task-per-group sort that an exact
+  * percent_rank window costs at corpus scale (the round-3..7
+  * weak-for-scale item on `text_filter_quantile`). For UNBOUNDED
+  * continuous values, where distinct counts approach corpus size, use
+  * the approximate-threshold route instead (`text_filter_thresholds`).
+  */
+object Quantile {
+
+  /** The percent_rank every row with this (group, value) receives:
+    * `(group, value, pr)` with one row per distinct pair. Bit-identical
+    * to the window definition: both evaluate the same integer ratio in
+    * one double division (single-row groups get 0.0, as SQL defines).
+    */
+  def percentRankOfValues(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("_c"))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("_below", coalesce(
+        sum(col("_c")).over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .select(col(groupCol), col(valueCol),
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise(col("_below").cast(DoubleType) /
+            (col("_n") - 1L).cast(DoubleType)).as("pr"))
+  }
+
+  /** Keep the rows whose per-group percent_rank of `valueCol` lies in
+    * `[lo, hi]` — the quantile-band filter, exact, with the corpus never
+    * sorted: ranks come from [[percentRankOfValues]] and rejoin via
+    * broadcast. Output columns = input columns (pr is internal).
+    * Null-safe on the group key (a NULL group is one partition to the
+    * window formulation, so it must band-filter here too).
+    */
+  def percentRankBand(df: DataFrame, groupCol: String, valueCol: String,
+                      lo: Double, hi: Double): DataFrame = {
+    val pr = percentRankOfValues(df, groupCol, valueCol)
+      .withColumnRenamed(groupCol, "_g").withColumnRenamed(valueCol, "_v")
+    df.join(broadcast(pr),
+        col(groupCol) <=> col("_g") && col(valueCol) <=> col("_v"))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+      .select(df.columns.map(col): _*)
+  }
+}

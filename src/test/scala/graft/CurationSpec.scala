@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.api.{Col, Table}
 import graft.functions.TextFunctions
-import graft.operators.{Cluster, Pack, Sampling}
+import graft.operators.{Cluster, Pack, Quantile, Sampling}
 
 /** Round-3 corpus-curation operators: connected-component dedup
   * clustering, sequence packing, deterministic sampling, PII scrubbing,
@@ -147,6 +147,48 @@ class CurationSpec extends SparkSpec {
     val diff = (exact diff got) union (got diff exact)
     assert(diff.size <= exact.size / 20,
       s"threshold band diverges from percent_rank band on ${diff.size} of ${exact.size} docs")
+  }
+
+  test("percentRankOfValues == window percent_rank (ties, singleton groups)") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L), ("b", 7L))
+      .toDF("g", "v")
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("pr",
+        percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .select("g", "v", "pr").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Quantile.percentRankOfValues(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref) // ties share (rank-1)/(n-1); singleton group b → 0.0
+    // band filter keeps every original row (duplicates included):
+    // group a prs are {1→0, 2→2/3, 5→1}, so [0, 0.7] keeps both 1s and
+    // the 2; singleton b (pr 0) stays
+    val band = Quantile.percentRankBand(df, "g", "v", 0.0, 0.7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(band == Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 7L)))
+  }
+
+  test("text_filter_quantile: exact band via value counting, corpus never window-sorted") {
+    val df = SparkEntry.queries("text_filter_quantile")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus rows reach the band filter through a broadcast join of the
+    // tiny (lang, value, pr) table — the only Window sorts each
+    // language's DISTINCT token counts (value domain), not documents
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pr table must broadcast back onto the corpus:\n$plan")
+    // parity with the exact window formulation, doc for doc
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val ref = docs.withColumn("pr",
+        percent_rank().over(Window.partitionBy(col("lang")).orderBy(col("n_tokens"))))
+      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    val got = df.select("doc_id").as[Long].collect().toSet
+    assert(got == ref, s"counting band != window band (${got.size} vs ${ref.size} docs)")
+    // the window's input really is the aggregated value table
+    val nPairs = docs.select("lang", "n_tokens").distinct().count()
+    assert(Quantile.percentRankOfValues(docs, "lang", "n_tokens").count() == nPairs)
   }
 
   // ---- grouping sets / pivot / set ops ----
@@ -374,9 +416,9 @@ class CurationSpec extends SparkSpec {
     // text_filter_thresholds is the 100 TB formulation: per-language
     // thresholds come from a tiny percentile AGGREGATE broadcast back as
     // a filter. Guard that it never regresses into a per-language window
-    // (percent_rank funnels the dominant language through ONE task's
-    // sort — that is what the retained exact-band reference
-    // text_filter_quantile does, and why compositions must use THIS one).
+    // (percent_rank over raw docs funnels the dominant language through
+    // ONE task's sort; since round 8 even the exact text_filter_quantile
+    // avoids it via value counting — see Quantile.percentRankBand).
     val th = SparkEntry.queries("text_filter_thresholds")(spark, sf)
     val thPlan = th.queryExecution.executedPlan.toString
     assert(!thPlan.contains("Window"),
