@@ -73,6 +73,13 @@ object PipelineEntry {
   //   - str_replace_max CASE chain (SparkEntry): (b) PropertySpec
   //     "replace(old, new, max): Spark == JVM reference on random
   //     strings" — java.lang.String is the third implementation.
+  //   - dedup_incremental (reuses minhashPairCtes): (a) as for the other
+  //     minhash oracles; (b) IncrementalSpec's planted cross-set
+  //     near-dup / novel doc / short-doc fixtures pin the semantics.
+  //   - lay_zorder (bit-interleave mirrored in SQL): (a) spec is the
+  //     published Morton interleave, executions unrelated; (b)
+  //     PropertySpec "zValue: bijective bit interleave == JVM reference"
+  //     is the third implementation.
   // ---------------------------------------------------------------
   private def sqlHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"

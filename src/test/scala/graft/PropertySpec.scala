@@ -222,4 +222,37 @@ class PropertySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(got == exp, s"got ${got.size} cells, expected ${exp.size}")
   }
+
+  test("zValue: bijective bit interleave == JVM reference on random points") {
+    import graft.operators.Layout
+    val pt = for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L); z <- Gen.choose(0L, 255L)
+    } yield (x, y, z)
+    val pts = draw(pt, 300, seed = 13L)
+    def jvmZ(cs: Seq[Long], bits: Int): Long =
+      (for { (c, j) <- cs.zipWithIndex; i <- 0 until bits }
+        yield ((c >> i) & 1L) << (i * cs.length + j)).sum
+    val got = pts.toDF("x", "y", "z")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("z")), 8))
+      .as[Long].collect().toSeq
+    assert(got == pts.map(p => jvmZ(Seq(p._1, p._2, p._3), 8)))
+    // bijective on the masked domain: 300 distinct points → distinct zs
+    assert(got.toSet.size == pts.toSet.size)
+  }
+
+  test("percentRankOfValues == window percent_rank on random grouped data") {
+    import graft.operators.Quantile
+    import org.apache.spark.sql.expressions.Window
+    val row = for {
+      g <- Gen.oneOf("p", "q", "r", "s"); v <- Gen.choose(0L, 30L) // dense ties
+    } yield (g, v)
+    val df = draw(row, 400, seed = 17L).toDF("g", "v")
+    val ref = df.withColumn("pr",
+        percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .select("g", "v", "pr").distinct()
+      .as[(String, Long, Double)].collect().toSet
+    val got = Quantile.percentRankOfValues(df, "g", "v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == ref)
+  }
 }
