@@ -25,17 +25,35 @@ import org.apache.spark.sql.types._
   */
 object Incremental {
 
+  /** In-plan uniqueness guard: any change batch carrying two rows for
+    * one key trips `raise_error` during evaluation — "which same-key
+    * update wins" is undefined, exactly as SQL MERGE rejects it, and a
+    * loud failure beats a nondeterministic merge. The count window runs
+    * on the CHANGE side only (small by the incremental premise), never
+    * on the base. The guard lives in a FILTER so Catalyst cannot prune
+    * it (same pattern as Dedup.blockedJaccardPairs).
+    */
+  private def requireUniqueKeys(changes: DataFrame, keys: Seq[String], op: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    changes.withColumn("_kc", count(lit(1)).over(w))
+      .filter(when(col("_kc") > 1,
+        raise_error(concat(lit(s"$op: duplicate change key "),
+          concat_ws(",", keys.map(k => col(k).cast(StringType)): _*))))
+        .otherwise(lit(true)))
+      .drop("_kc")
+  }
+
   /** Upsert: rows of `changes` replace base rows sharing their key;
     * unmatched change rows are appended. Column sets must match
-    * (enforced by unionByName). Keys must be unique within `changes` —
-    * "which of two same-key updates wins" is not defined here, exactly
-    * as SQL MERGE rejects it.
+    * (enforced by unionByName). Duplicate keys in `changes` fail fast
+    * at evaluation time (see [[requireUniqueKeys]]).
     */
   def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
              broadcastChanges: Boolean = true): DataFrame = {
-    val keyDf = changes.select(keys.map(col): _*)
+    val chg = requireUniqueKeys(changes, keys, "upsert")
+    val keyDf = chg.select(keys.map(col): _*)
     val right = if (broadcastChanges) broadcast(keyDf) else keyDf
-    base.join(right, keys, "left_anti").unionByName(changes)
+    base.join(right, keys, "left_anti").unionByName(chg)
   }
 
   /** CDC apply: `changes` carries an operation column (`opCol`) with
@@ -45,10 +63,11 @@ object Incremental {
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String = "op", broadcastChanges: Boolean = true): DataFrame = {
-    val keyDf = changes.select(keys.map(col): _*)
+    val chg = requireUniqueKeys(changes, keys, "applyCdc")
+    val keyDf = chg.select(keys.map(col): _*)
     val right = if (broadcastChanges) broadcast(keyDf) else keyDf
     base.join(right, keys, "left_anti")
-      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(chg.filter(col(opCol) =!= "D").drop(opCol))
   }
 
   /** MinHash-LSH candidate pairs BETWEEN two disjoint document sets

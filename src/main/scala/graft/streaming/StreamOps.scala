@@ -174,6 +174,50 @@ object StreamOps {
         col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Apply a CDC change STREAM to a base table incrementally — the
+    * streaming face of [[graft.operators.Incremental.applyCdc]], via
+    * `foreachBatch` (the pattern every lakehouse MERGE-from-stream
+    * writer uses: each micro-batch is one transactional merge).
+    *
+    * Storage stays with the caller: `readBase` loads the current base,
+    * `writeBase` persists the merged result — at scale that is a
+    * partition-overwrite parquet/table writer, in tests a version
+    * flip-flop. `seqCol` (e.g. a CDC log sequence number) compacts each
+    * batch to the highest-seq image per key BEFORE merging, so a key
+    * changed twice inside one micro-batch applies its latest change
+    * instead of tripping the duplicate-key guard; ties on seq within a
+    * key are rejected by that same guard after compaction (a CDC log
+    * with non-unique sequence numbers is corrupt — fail loudly).
+    */
+  def applyCdcStream(changes: DataFrame, keys: Seq[String], opCol: String = "op",
+                     seqCol: Option[String] = None, broadcastChanges: Boolean = true)
+                    (readBase: () => DataFrame, writeBase: DataFrame => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val compacted = seqCol match {
+            case Some(sc) =>
+              val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sc).desc)
+              batch
+                // unique-(key,seq) check: row_number is nondeterministic
+                // on seq ties, so reject them loudly before compacting
+                .withColumn("_dups", count(lit(1)).over(
+                  Window.partitionBy((keys.map(col) :+ col(sc)): _*)))
+                .withColumn("_rn", row_number().over(w))
+                .filter(when(col("_dups") > 1,
+                  raise_error(lit("applyCdcStream: duplicate CDC sequence for a key")))
+                  .otherwise(col("_rn") === 1))
+                .drop("_rn", "_dups", sc)
+            case None => batch
+          }
+          writeBase(graft.operators.Incremental.applyCdc(
+            readBase(), compacted, keys, opCol, broadcastChanges))
+        }
+      }
+      .start()
+  }
+
   // The bounded-replay harnesses that drive these operators in the gate
   // and the unit suite live in [[graft.testkit.StreamReplay]] — harness
   // code (driver-side MemoryStream feeds) is kept out of the production

@@ -24,6 +24,16 @@ class IncrementalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("duplicate change keys fail fast instead of merging nondeterministically") {
+    val changes = Seq((2L, "first", 1.0), (2L, "second", 2.0)).toDF("k", "s", "v")
+    val e = intercept[Exception] {
+      Incremental.upsert(base3, changes, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate change key")), e.toString)
+  }
+
   test("applyCdc: update replaces, insert appends, tombstone deletes") {
     val changes = Seq(
       (2L, "b2", 21.0, "U"), (9L, "new", 90.0, "I"), (3L, "", 0.0, "D")

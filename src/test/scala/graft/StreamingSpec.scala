@@ -216,6 +216,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.getString(1).contains("<EMAIL>")))
   }
 
+  test("applyCdcStream folds micro-batches into the base; latest seq wins in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String, Long)]
+    val changes = mem.toDF().toDF("k", "s", "v", "op", "seq")
+    var base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val q = StreamOps.applyCdcStream(changes, Seq("k"), seqCol = Some("seq"))(
+      () => base,
+      merged => {
+        // eager materialization — the test's stand-in for the partition
+        // overwrite a production writer would do
+        val rows = merged.collect().toIndexedSeq
+        base = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), merged.schema)
+      })
+    try {
+      // batch 1: k=2 updated twice (seq 2 wins), k=9 inserted
+      mem.addData((2L, "stale", 0.0, "U", 1L), (2L, "b2", 21.0, "U", 2L),
+        (9L, "new", 90.0, "I", 3L))
+      q.processAllAvailable()
+      // batch 2: k=1 tombstoned (applies against the batch-1 result)
+      mem.addData((1L, "", 0.0, "D", 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = base.orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    assert(r(0).getString(1) == "b2" && r(0).getDouble(2) == 21.0)
+    assert(r(1).getString(1) == "new")
+  }
+
   test("batch sessionization assigns gap-separated sessions") {
     val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Sessionize.sessions(batch, 300L).orderBy("user_id", "session_id").collect()
