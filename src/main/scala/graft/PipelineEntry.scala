@@ -109,6 +109,21 @@ object PipelineEntry {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
+  // deterministic per-doc URL spliced into the fixture text for the
+  // text_domains / text_blocklist queries (the fixture carries no URLs;
+  // same synthesize-inputs recipe as the mm_* roundtrips). Mirrored
+  // into oracle SQL via sqlNoisyUrl below.
+  private def noisyUrlText: org.apache.spark.sql.Column =
+    concat(col("text"), lit(" read https://www.d"),
+      (col("doc_id") % 37).cast(StringType), lit(".example."),
+      when(col("doc_id") % 3 === 0, "com")
+        .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+      lit("/page/"), col("doc_id").cast(StringType), lit(" now"))
+  /** exact-domain blocklist used by text_blocklist (each entry blocks
+    * the docs whose (doc_id mod 37, mod 3) residues produce it). */
+  val BlockedDomains: Seq[String] =
+    Seq("d0.example.com", "d4.example.org", "d8.example.net", "d13.example.org")
+
   // =================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
@@ -155,6 +170,26 @@ object PipelineEntry {
         .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("ngram"))
         .limit(20)
+    },
+    "text_domains" -> { (s, dir) =>
+      import TextFunctions._
+      // per-domain doc counts — the fixture text carries no URLs, so the
+      // query splices a deterministic URL per doc into its text (the
+      // synthesize→decode recipe of the mm_* queries); BOTH engines then
+      // run their own regex extraction + normalization over the noisy
+      // text. Explode → partial/final count, one tiny shuffle.
+      t(s, dir, "documents")
+        .select(explode(extractDomains(noisyUrlText)).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    },
+    "text_blocklist" -> { (s, dir) =>
+      import TextFunctions._
+      // domain blocklist filter over the same synthesized noisy text:
+      // per-row array overlap against the literal blocklist — no shuffle
+      t(s, dir, "documents").withColumn("text", noisyUrlText)
+        .transform(filterBlockedDomains(_, BlockedDomains))
+        .select("doc_id").orderBy("doc_id")
     },
     "ev_gapfill" -> { (s, dir) =>
       // time-series gap filling: per-user 5-min spine between first and
@@ -785,6 +820,16 @@ object PipelineEntry {
   // =================================================================
   def oracleSql: Map[String, String] = {
     // ---- generated fragments from shared constants ----
+    // noisy URL synthesis + domain extraction (mirrors noisyUrlText /
+    // TextFunctions.extractDomains; the regex is the shared SPEC, the
+    // two regex engines and normalization executions are independent)
+    val sqlNoisyUrl =
+      "text || ' read https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.example.' || " +
+        "(CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) || " +
+        "'/page/' || CAST(doc_id AS VARCHAR) || ' now'"
+    val sqlDomains =
+      s"list_distinct(list_transform(regexp_extract_all(t2, '${TextFunctions.UrlPattern}', 0), " +
+        "u -> regexp_replace(regexp_replace(lower(u), '^(?:https?://)?(?:www\\.)?', ''), '\\.+$', '')))"
     val mhExprs = (0 until Dedup.NumPerms).map { j =>
       s"list_min(list_transform(hs, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % ${Dedup.MinhashP})) AS mh$j"
     }.mkString(",\n  ")
@@ -872,6 +917,17 @@ object PipelineEntry {
            |s AS (SELECT unnest(${sqlShingles(2)}) AS ngram FROM t)
            |SELECT ngram, COUNT(*) AS n_docs FROM s
            |GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+      "text_domains" ->
+        s"""WITH n AS (SELECT doc_id, $sqlNoisyUrl AS t2 FROM documents),
+           |d AS (SELECT unnest($sqlDomains) AS domain FROM n)
+           |SELECT domain, COUNT(*) AS n_docs FROM d
+           |GROUP BY domain ORDER BY domain""".stripMargin,
+      "text_blocklist" ->
+        s"""WITH n AS (SELECT doc_id, $sqlNoisyUrl AS t2 FROM documents)
+           |SELECT doc_id FROM n
+           |WHERE len(list_intersect($sqlDomains,
+           |  [${BlockedDomains.map(d => s"'$d'").mkString(", ")}])) = 0
+           |ORDER BY doc_id""".stripMargin,
       "ev_gapfill" ->
         """WITH e AS (SELECT user_id,
           |  CAST(FLOOR(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE) / 300) * 300 AS BIGINT) AS bucket

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -140,6 +140,37 @@ object TextFunctions {
     * bit-identical across engines.
     */
   def repetitionStats(text: Column): Column = graft.plans.RepetitionStats(text)
+
+  // ---- URL / domain analysis ----
+  /** URL-ish token: scheme'd or www-prefixed host. Same Java≡RE2
+    * discipline as [[PiiPatterns]] (non-capturing groups, explicit
+    * classes, no lookarounds) so the DuckDB oracle runs the identical
+    * pattern.
+    */
+  val UrlPattern: String = "(?:https?://|www\\.)[A-Za-z0-9.-]+"
+
+  /** distinct normalized domains mentioned in the text: extract
+    * URL-ish tokens, lowercase, strip scheme + leading `www.` +
+    * trailing dots. Pure codegen'd per-row work (regexp_extract_all +
+    * transform), no shuffle — the first half of every domain-level
+    * curation rule (blocklists, per-domain caps, provenance stats).
+    */
+  def extractDomains(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit(UrlPattern), lit(0)),
+      u => regexp_replace(
+        regexp_replace(lower(u), "^(?:https?://)?(?:www\\.)?", ""), "\\.+$", "")))
+
+  /** keep only docs mentioning NO blocklisted domain — the standard
+    * web-corpus safety/provenance filter. A per-row array overlap
+    * against a literal list: broadcast-free, shuffle-free, codegen'd.
+    * (At a real deployment's blocklist size, swap the literal array for
+    * a broadcast join against the blocklist table — same semantics.)
+    */
+  def filterBlockedDomains(docs: DataFrame, blocklist: Seq[String],
+                           textCol: String = "text"): DataFrame =
+    docs.filter(!arrays_overlap(extractDomains(col(textCol)),
+      array(blocklist.map(lit): _*)))
 
   // ---- PII scrubbing ----
   /** redaction patterns, ordered (emails first — a phone/IP inside an

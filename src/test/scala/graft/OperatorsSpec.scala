@@ -154,6 +154,23 @@ class OperatorsSpec extends SparkSpec {
     assert(multi > 0.5, s"nprobe=2 recall=$multi")
   }
 
+  test("extractDomains normalizes scheme/www/case/trailing dots; blocklist filters") {
+    val d = docsOf(
+      (1L, "see https://A.Example.COM/x and http://b.org?q=1"),
+      (2L, "bare www.c.net. trailing"),
+      (3L, "no urls here"),
+      (4L, "dup https://d.io https://d.io www.d.io"))
+    val r = d.select(col("doc_id"), TextFunctions.extractDomains(col("text")).as("doms"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(r(0)._2 == Seq("a.example.com", "b.org"))
+    assert(r(1)._2 == Seq("c.net"))
+    assert(r(2)._2.isEmpty)
+    assert(r(3)._2 == Seq("d.io")) // scheme'd and www forms collapse
+    val kept = TextFunctions.filterBlockedDomains(d, Seq("b.org"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("multimodal: feature extraction matches per-byte math") {
     val media = Multimodal.asMedia(docsOf((1L, "ab")).withColumn("lang", lit("en")))
     val r = Multimodal.extractFeatures(spark, media).collect()(0)
