@@ -780,6 +780,26 @@ object PipelineEntry {
       Incremental.applyCdc(base, changes, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
+    "inc_diff" -> { (s, dir) =>
+      // snapshotDiff recovers the change set between the base and its
+      // CDC-applied result (the inc_cdc scenario re-derived): I for the
+      // shifted inserts, D for the tombstoned keys, U where the price
+      // bump changed the row — unchanged rows omitted
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes =
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"), lit("I").as("op")))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 7 =!= 0)
+          .withColumn("op", lit("D")))
+      val after = Incremental.applyCdc(base, changes, Seq("o_orderkey"))
+      Incremental.snapshotDiff(base, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
     "dedup_incremental" -> { (s, dir) =>
       // incoming batch (doc_id >= 250) deduped against the standing
       // corpus (doc_id < 250): cross-set LSH candidates + jaccard verify
@@ -1102,6 +1122,32 @@ object PipelineEntry {
           |  UNION ALL
           |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D')
           |ORDER BY o_orderkey""".stripMargin,
+      "inc_diff" ->
+        """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          |chg AS (
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op
+          |  FROM base WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 20000000, 'N', o_totalprice, 'I' FROM base WHERE o_orderkey % 1000 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D'
+          |  FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 7 <> 0),
+          |aft AS (
+          |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+          |  FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
+          |  UNION ALL
+          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D'),
+          |d AS (
+          |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+          |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+          |    CASE WHEN b.o_orderkey IS NULL THEN 'I' WHEN a.o_orderkey IS NULL THEN 'D'
+          |         WHEN NOT (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+          |                   AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) THEN 'U'
+          |    END AS op
+          |  FROM base b FULL JOIN aft a ON b.o_orderkey = a.o_orderkey)
+          |SELECT o_orderkey, o_orderstatus, o_totalprice, op FROM d
+          |WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
       "lay_zorder" -> {
         val zTerms = (0 until 8).flatMap(i => Seq(
           s"(((CAST(p_size AS BIGINT) >> $i) & 1) << ${2 * i})",

@@ -70,6 +70,40 @@ object Incremental {
       .unionByName(chg.filter(col(opCol) =!= "D").drop(opCol))
   }
 
+  /** The inverse of [[applyCdc]]: the CDC change set that turns
+    * `before` into `after` — 'I' rows (keys only in `after`), 'D' rows
+    * (keys only in `before`, carrying the before-image), 'U' rows (keys
+    * in both whose non-key columns differ, null-safely; unchanged rows
+    * are omitted). The reconciliation/backfill primitive: diff a
+    * rebuilt snapshot against the incrementally-maintained base to
+    * extract what actually changed. Law (property-tested):
+    * `applyCdc(before, snapshotDiff(before, after), keys) == after`.
+    *
+    * Scale: ONE full-outer shuffle join on the key — co-locatable via
+    * bucketing on both snapshots; the struct comparison is codegen'd
+    * per-row work.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   opCol: String = "op"): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshotDiff: column sets differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val nonKeys = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_b"): _*)
+    val a = after.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn(opCol,
+        when(col("_b").isNull, "I")
+          .when(col("_a").isNull, "D")
+          .when(!(col("_a") <=> col("_b")), "U"))
+      .filter(col(opCol).isNotNull)
+      .select(keys.map(col) ++
+        // whole-image pick, NOT per-field coalesce: an update that sets
+        // a field to NULL must carry the after-image's NULL
+        nonKeys.map(n => when(col("_a").isNotNull, col(s"_a.$n"))
+          .otherwise(col(s"_b.$n")).as(n)) :+
+        col(opCol): _*)
+  }
+
   /** MinHash-LSH candidate pairs BETWEEN two disjoint document sets
     * (corpus side → `id_a`, incoming side → `id_b`) — the cross-batch
     * form of [[Dedup.minhashCandidates]]. Identical banding (same

@@ -43,6 +43,26 @@ class IncrementalSpec extends SparkSpec {
     assert(r(1).getString(1) == "b2" && r(2).getDouble(2) == 90.0)
   }
 
+  test("snapshotDiff classifies I/U/D, omits unchanged, carries NULL-ing updates") {
+    val before = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 10.0),          // unchanged
+      (2L, None: Option[String], 20.0),             // U: field set to NULL
+      (4L, Some("d2"), 40.0),                       // U
+      (9L, Some("new"), 90.0)).toDF("k", "s", "v")  // I  (3 deleted)
+    val d = Incremental.snapshotDiff(before, after, Seq("k")).orderBy("k").collect()
+    assert(d.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((2L, "U"), (3L, "D"), (4L, "U"), (9L, "I")))
+    assert(d(0).isNullAt(1))                        // after-image NULL carried
+    assert(d(1).getString(1) == "c")                // D carries the before-image
+    // roundtrip law: applying the diff reproduces `after` exactly
+    val replayed = Incremental.applyCdc(before,
+      Incremental.snapshotDiff(before, after, Seq("k")), Seq("k"))
+    assert(replayed.collect().map(_.toSeq).toSet == after.collect().map(_.toSeq).toSet)
+    // diff of identical snapshots is empty
+    assert(Incremental.snapshotDiff(before, before, Seq("k")).isEmpty)
+  }
+
   test("dedupAgainstCorpus flags cross-set near-dups only") {
     val mk = (hole: Int, tag: String) =>
       (1 to 60).map(i => if (i == hole) tag else s"tok$i").mkString(" ")
