@@ -141,7 +141,10 @@ object Incremental {
     * the corpus) and `dup_of` (the smallest matching corpus id, NULL if
     * none). Batch-internal duplicates are [[Dedup.minhashPairs]]'s job —
     * this operator answers only "is it already in the 100 TB corpus",
-    * which is the question every incremental crawl ingest asks.
+    * which is the question every incremental crawl ingest asks. The
+    * same call is the DECONTAMINATION primitive: pass the benchmark/
+    * eval set as `corpus` and training candidates as `incoming`, and
+    * `is_dup` flags contaminated examples.
     *
     * Scale: corpus is scanned twice (banding pass + shingle-verify
     * pass), both narrow kernel scans; shuffles are the band-bucket

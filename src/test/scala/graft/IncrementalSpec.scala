@@ -43,6 +43,13 @@ class IncrementalSpec extends SparkSpec {
     assert(r(1).getString(1) == "b2" && r(2).getDouble(2) == 90.0)
   }
 
+  test("upsert is idempotent: applying the same changes twice == once") {
+    val changes = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "s", "v")
+    val once = Incremental.upsert(base3, changes, Seq("k"))
+    val twice = Incremental.upsert(once, changes, Seq("k"))
+    assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
+  }
+
   test("snapshotDiff classifies I/U/D, omits unchanged, carries NULL-ing updates") {
     val before = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
       (3L, Some("c"), 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")
