@@ -800,6 +800,23 @@ object PipelineEntry {
       Incremental.snapshotDiff(base, after, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
+    "inc_agg_refresh" -> { (s, dir) =>
+      // maintained rollup: base = keys %5 != 0, batch = the %5 == 0
+      // appends folded in WITHOUT rescanning base facts. DECIMAL sums so
+      // the two-stage fold is bit-equal to the oracle's FULL RECOMPUTE
+      // over all orders — an independent formulation, not a mirror.
+      val orders = t(s, dir, "orders")
+      def dsum18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+      val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+      val agg0 = base.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(dsum18(col("o_totalprice"))).as("total"))
+      Incremental.refreshSumCounts(agg0, batch, Seq("o_orderstatus"),
+          Seq("total" -> dsum18(col("o_totalprice"))))
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus")
+    },
     "dedup_incremental" -> { (s, dir) =>
       // incoming batch (doc_id >= 250) deduped against the standing
       // corpus (doc_id < 250): cross-set LSH candidates + jaccard verify
@@ -1122,6 +1139,13 @@ object PipelineEntry {
           |  UNION ALL
           |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D')
           |ORDER BY o_orderkey""".stripMargin,
+      // INDEPENDENT formulation: the oracle recomputes the rollup from
+      // ALL facts in one pass; the engine folds a maintained aggregate
+      // with a batch. Agreement proves the incremental fold is exact.
+      "inc_agg_refresh" ->
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "inc_diff" ->
         """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
           |chg AS (

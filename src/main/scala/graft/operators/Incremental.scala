@@ -104,6 +104,26 @@ object Incremental {
         col(opCol): _*)
   }
 
+  /** Incremental rollup maintenance for append-only facts: fold a new
+    * batch into a maintained `(keys, nCol, sum columns)` aggregate
+    * WITHOUT rescanning the base facts — the materialized-view refresh
+    * a 100 TB fact table needs (refresh cost ∝ |aggregate| + |batch|,
+    * never |base|). `sums` maps each maintained sum column to the
+    * fact-side expression it sums; counts and sums are re-foldable
+    * because both are associative — use DECIMAL expressions for money
+    * so the two-stage fold is bit-equal to a full recompute (the unit
+    * law and the `inc_agg_refresh` oracle check exactly that, against
+    * an independent full-recompute formulation).
+    */
+  def refreshSumCounts(agg: DataFrame, appends: DataFrame, keys: Seq[String],
+                       sums: Seq[(String, Column)], nCol: String = "n"): DataFrame = {
+    val batchAgg = appends.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(nCol), sums.map { case (a, e) => sum(e).as(a) }: _*)
+    agg.unionByName(batchAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(nCol)).as(nCol), sums.map { case (a, _) => sum(col(a)).as(a) }: _*)
+  }
+
   /** MinHash-LSH candidate pairs BETWEEN two disjoint document sets
     * (corpus side → `id_a`, incoming side → `id_b`) — the cross-batch
     * form of [[Dedup.minhashCandidates]]. Identical banding (same

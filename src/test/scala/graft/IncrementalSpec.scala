@@ -70,6 +70,25 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.snapshotDiff(before, before, Seq("k")).isEmpty)
   }
 
+  test("refreshSumCounts == full recompute (fold law over two batches)") {
+    import org.apache.spark.sql.types.DecimalType
+    val facts = Seq(("A", 1.5), ("A", 2.5), ("B", 10.0), ("A", 3.0), ("B", 0.25))
+      .toDF("g", "v")
+    def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum(d(col("v"))).as("t"))
+    val base = facts.limit(2)
+    val batch1 = facts.offset(2).limit(2)
+    val batch2 = facts.offset(4)
+    val maintained = Incremental.refreshSumCounts(
+      Incremental.refreshSumCounts(full(base), batch1, Seq("g"), Seq("t" -> d(col("v")))),
+      batch2, Seq("g"), Seq("t" -> d(col("v"))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("n"), col("t").cast("double"))
+        .collect().map(_.toSeq).toSet
+    assert(canon(maintained) == canon(full(facts)))
+  }
+
   test("dedupAgainstCorpus flags cross-set near-dups only") {
     val mk = (hole: Int, tag: String) =>
       (1 to 60).map(i => if (i == hole) tag else s"tok$i").mkString(" ")
