@@ -133,6 +133,14 @@ object SparkEntry {
       // positional slice [100, 200) over an explicit total order (§7.4 note)
       Table(t(s, dir, "orders")).sort(Seq("o_orderkey")).slice(100, 200).df
     },
+    "sel_slice_sorted" -> { (s, dir) =>
+      // the scale-safe sibling: same [5000, 5100) answer via two-pass
+      // partition-offset pagination — no global LIMIT/OFFSET funnel
+      // (see Table.sliceSorted; parity with slice() unit-tested)
+      Table(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+        .sliceSorted(5000, 5100, Seq(col("o_orderkey"))).df
+        .orderBy("o_orderkey")
+    },
     "sel_coerce" -> { (s, dir) =>
       // scalar_coerce (arithmetic.py:251-306): string literals coerce to
       // the column dtype (timestamp / numeric) — no manual casts
@@ -953,6 +961,9 @@ object SparkEntry {
         |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey""".stripMargin,
     "sel_slice" ->
       "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100",
+    "sel_slice_sorted" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 5000""".stripMargin,
     "sel_coerce" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02' AND l_quantity > 45

@@ -327,6 +327,43 @@ final case class Table(df: DataFrame) {
     Table(df.offset(start).limit(stop - start))
   }
 
+  /** Scale-safe EXACT slice under an explicit total order — the
+    * distributed-pagination sibling of [[slice]] (which keeps the
+    * reference's LIMIT/OFFSET semantics and its global single-point
+    * funnel, ref `sql.py:1632-1644`). Two passes, no funnel:
+    * range-partition + local sort on `sortCols`, count rows per
+    * partition (a tiny one-row-per-partition aggregate), prefix-sum the
+    * counts on the driver, then each partition emits only its rows
+    * whose GLOBAL index lands in `[start, stop)` — partitions wholly
+    * outside the range emit nothing. `sortCols` must be a total order
+    * for the result to be deterministic (the same contract SQL OFFSET
+    * has with ORDER BY).
+    */
+  def sliceSorted(start: Long, stop: Long, sortCols: Seq[Column]): Table = {
+    require(start >= 0 && stop >= start, "sliceSorted: 0<=start<=stop")
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val counts = sorted.groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val starts: Map[Int, Long] = {
+      val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+      (0 to maxPid).scanLeft((0, 0L)) { case ((_, acc), p) =>
+        (p, acc + counts.getOrElse(p - 1, 0L))
+      }.tail.map { case (p, off) => p -> off }.toMap
+    }
+    val schema = sorted.schema
+    val sliced = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = starts.getOrElse(pid, 0L)
+      val cnt = counts.getOrElse(pid, 0L)
+      // partitions wholly outside [start, stop) emit nothing
+      if (base >= stop || base + cnt <= start) Iterator.empty
+      else it.zipWithIndex.collect {
+        case (row, i) if base + i >= start && base + i < stop => row
+      }
+    }
+    Table(df.sparkSession.createDataFrame(sliced, schema))
+  }
+
   // --- distinct / concat (`collections.py:176-252,776-865`) ---
   /** Distinct(*on): full-row dedupe, or by key subset when keys given.
     * (Single method: a 0-ary overload would make `distinct("k")` parse as
