@@ -87,6 +87,8 @@ object Incremental {
                    opCol: String = "op"): DataFrame = {
     require(before.columns.sorted.sameElements(after.columns.sorted),
       s"snapshotDiff: column sets differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    require(!before.columns.contains(opCol),
+      s"snapshotDiff: snapshots already have a '$opCol' column — pass a different opCol")
     val nonKeys = before.columns.filterNot(keys.contains).toSeq
     val b = before.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_b"): _*)
     val a = after.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_a"): _*)

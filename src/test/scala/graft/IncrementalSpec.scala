@@ -68,6 +68,11 @@ class IncrementalSpec extends SparkSpec {
     assert(replayed.collect().map(_.toSeq).toSet == after.collect().map(_.toSeq).toSet)
     // diff of identical snapshots is empty
     assert(Incremental.snapshotDiff(before, before, Seq("k")).isEmpty)
+    // a data column named like the marker column is rejected loudly
+    intercept[IllegalArgumentException] {
+      Incremental.snapshotDiff(before.withColumnRenamed("s", "op"),
+        after.withColumnRenamed("s", "op"), Seq("k"))
+    }
   }
 
   test("refreshSumCounts == full recompute (fold law over two batches)") {
