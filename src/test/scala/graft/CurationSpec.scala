@@ -149,23 +149,27 @@ class CurationSpec extends SparkSpec {
       s"threshold band diverges from percent_rank band on ${diff.size} of ${exact.size} docs")
   }
 
-  test("percentRankOfValues == window percent_rank (ties, singleton groups)") {
-    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L), ("b", 7L))
+  test("percentRankOfValues == window percent_rank (ties, singleton groups, nulls)") {
+    // NULL value: both formulations order nulls first (rank 1 → pr 0)
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)),
+      ("a", Some(5L)), ("a", None: Option[Long]), ("b", Some(7L)))
       .toDF("g", "v")
     import org.apache.spark.sql.expressions.Window
+    def vOf(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(1)) None else Some(r.getLong(1))
     val ref = df.withColumn("pr",
         percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
       .select("g", "v", "pr").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getString(0), vOf(r), r.getDouble(2))).toSet
     val got = Quantile.percentRankOfValues(df, "g", "v")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getString(0), vOf(r), r.getDouble(2))).toSet
     assert(got == ref) // ties share (rank-1)/(n-1); singleton group b → 0.0
-    // band filter keeps every original row (duplicates included):
-    // group a prs are {1→0, 2→2/3, 5→1}, so [0, 0.7] keeps both 1s and
-    // the 2; singleton b (pr 0) stays
+    // band filter keeps every original row (duplicates included): group a
+    // prs are {null→0, 1→1/4, 2→3/4, 5→1}, so [0, 0.7] keeps the null
+    // row and both 1s but drops the 2; singleton b (pr 0) stays
     val band = Quantile.percentRankBand(df, "g", "v", 0.0, 0.7)
-      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
-    assert(band == Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 7L)))
+      .collect().map(r => (r.getString(0), vOf(r).getOrElse(-1L))).sorted.toSeq
+    assert(band == Seq(("a", -1L), ("a", 1L), ("a", 1L), ("b", 7L)))
   }
 
   test("text_filter_quantile: exact band via value counting, corpus never window-sorted") {
