@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Incremental-refresh operators (north-star extension): a training
   * corpus is never rebuilt from scratch — each crawl/dump lands as a
   * batch of changes against a 100 TB base table. These are the MERGE
-  * primitives a lakehouse engine exposes (upsert, CDC apply,
-  * dedup-new-against-corpus), expressed as plain deterministic Spark
-  * plans over parquet so they compose with every other graft operator.
+  * primitives a lakehouse engine exposes (upsert, CDC apply, snapshot
+  * diff, incremental rollup refresh, dedup-new-against-corpus),
+  * expressed as plain deterministic Spark plans over parquet so they
+  * compose with every other graft operator.
   *
-  * Scale shape, shared by all three:
+  * Scale shape, shared across the family:
   *  - the base/corpus side is scanned ONCE and only ever anti/semi
   *    joined on its key — no rewrite of unmatched data is implied
   *    (writers pair this with partition overwrite so only touched
