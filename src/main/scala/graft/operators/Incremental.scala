@@ -127,6 +127,26 @@ object Incremental {
       .agg(sum(col(nCol)).as(nCol), sums.map { case (a, _) => sum(col(a)).as(a) }: _*)
   }
 
+  /** The write half of the incremental story: persist `df` into a
+    * partitioned parquet table overwriting ONLY the partitions `df`
+    * contains (dynamic partition overwrite) — the other partitions'
+    * files are not rewritten, which is what makes a merge affordable on
+    * a 100 TB table (unit-tested: untouched partitions keep their exact
+    * files). Pair with [[upsert]]/[[applyCdc]] restricted to the
+    * affected partitions.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** MinHash-LSH candidate pairs BETWEEN two disjoint document sets
     * (corpus side → `id_a`, incoming side → `id_b`) — the cross-batch
     * form of [[Dedup.minhashCandidates]]. Identical banding (same

@@ -112,6 +112,28 @@ class IncrementalSpec extends SparkSpec {
     assert(!r(2).getBoolean(1))
   }
 
+  test("overwritePartitions rewrites only the touched partitions") {
+    val dir = "target/inc_partitions"
+    val v1 = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("k", "p", "v")
+    Incremental.overwritePartitions(v1, dir, Seq("p"))
+    def files(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val aBefore = files("A")
+    Thread.sleep(1100) // ensure a rewrite would bump mtime
+    // merge touches only partition B
+    val patch = Seq((3L, "B", 31.0), (9L, "B", 90.0)).toDF("k", "p", "v")
+    Incremental.overwritePartitions(patch, dir, Seq("p"))
+    assert(files("A") == aBefore, "partition A must not be rewritten")
+    val back = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(1)))
+    assert(back.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(back.find(_._1 == 3L).get._3 == 31.0) // patched image read back
+  }
+
   test("zValue interleaves bits (hand-computed) and validates bounds") {
     // x=0b11 → out bits 0,2; y=0b01 → out bit 1: z = 1+2+4 = 7
     val z = Seq((3L, 1L)).toDF("x", "y")
