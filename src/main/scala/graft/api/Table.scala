@@ -341,27 +341,25 @@ final case class Table(df: DataFrame) {
     */
   def sliceSorted(start: Long, stop: Long, sortCols: Seq[Column]): Table = {
     require(start >= 0 && stop >= start, "sliceSorted: 0<=start<=stop")
+    paginateSorted(sortCols).slice(start, stop)
+  }
+
+  /** Pagination handle over one materialized total order: the range
+    * exchange + per-partition count pass run ONCE (at construction) and
+    * every [[SortedPages.slice]]/[[SortedPages.page]] reuses them. Both
+    * jobs — the count and every later slice — run over the SAME RDD
+    * instance, which is what makes this exact: `RangePartitioner`
+    * samples with a seed derived from the RDD id and AQE finalizes the
+    * plan per execution, so two independent `.rdd` materializations of
+    * the same DataFrame need not agree on partition boundaries. One
+    * instance = one set of boundaries = the counts provably describe
+    * the partitions the slices read (the exchange's map stage is
+    * computed once and reused as a skipped stage).
+    */
+  def paginateSorted(sortCols: Seq[Column]): SortedPages = {
+    require(sortCols.nonEmpty, "paginateSorted: at least one sort column")
     val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    import org.apache.spark.sql.functions.spark_partition_id
-    val counts = sorted.groupBy(spark_partition_id().as("_pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val starts: Map[Int, Long] = {
-      val maxPid = if (counts.isEmpty) -1 else counts.keys.max
-      (0 to maxPid).scanLeft((0, 0L)) { case ((_, acc), p) =>
-        (p, acc + counts.getOrElse(p - 1, 0L))
-      }.tail.map { case (p, off) => p -> off }.toMap
-    }
-    val schema = sorted.schema
-    val sliced = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val base = starts.getOrElse(pid, 0L)
-      val cnt = counts.getOrElse(pid, 0L)
-      // partitions wholly outside [start, stop) emit nothing
-      if (base >= stop || base + cnt <= start) Iterator.empty
-      else it.zipWithIndex.collect {
-        case (row, i) if base + i >= start && base + i < stop => row
-      }
-    }
-    Table(df.sparkSession.createDataFrame(sliced, schema))
+    new SortedPages(df.sparkSession, sorted.schema, sorted.rdd)
   }
 
   // --- distinct / concat (`collections.py:176-252,776-865`) ---
@@ -598,5 +596,72 @@ object Table {
     val common = lhs.fields.toSet.intersect(rhs.fields.toSet).toSeq.sorted
     require(common.nonEmpty, "join: no common fields to join on")
     join(lhs, rhs, common, common)
+  }
+}
+
+/** Exact distributed pagination over one materialized total order
+  * (built by [[Table.paginateSorted]]).
+  *
+  * Holds the single RDD instance of the range-partitioned + locally
+  * sorted data plus its per-partition row counts (one tiny count job,
+  * one row per partition). Every slice/page is then a one-job scan in
+  * which partitions wholly outside the requested global index range
+  * emit nothing — and, because the iterator is never consumed there,
+  * never even fetch their shuffle blocks. Repeated pagination over the
+  * same frame amortizes both the exchange and the count pass.
+  *
+  * Scale note: the driver state is one (pid, count) pair per partition —
+  * O(partitions), not O(rows). The two-job cost (count + slice) is the
+  * textbook price of exact OFFSET without a global single-point funnel.
+  */
+final class SortedPages private[api] (
+    spark: SparkSession,
+    val schema: org.apache.spark.sql.types.StructType,
+    rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
+
+  /** Global row count per partition, computed once over the SAME rdd
+    * instance later slices read (boundary-consistent by construction).
+    */
+  private val counts: Map[Int, Long] = rdd
+    .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
+      preservesPartitioning = true)
+    .collect().toMap
+
+  /** Exclusive prefix sum: global index of each partition's first row. */
+  private val starts: Map[Int, Long] = {
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    (0 to maxPid).scanLeft((0, 0L)) { case ((_, acc), p) =>
+      (p, acc + counts.getOrElse(p - 1, 0L))
+    }.tail.map { case (p, off) => p -> off }.toMap
+  }
+
+  /** Total rows in the paginated frame (free: sum of the count pass). */
+  val totalRows: Long = counts.values.sum
+
+  /** Rows with global index in `[start, stop)` under the total order. */
+  def slice(start: Long, stop: Long): Table = {
+    require(start >= 0 && stop >= start, "slice: 0<=start<=stop")
+    val (startsB, countsB) = (starts, counts)
+    val sliced = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = startsB.getOrElse(pid, 0L)
+      val cnt = countsB.getOrElse(pid, 0L)
+      // wholly outside [start, stop): emit nothing, never consume `it`
+      if (base >= stop || base + cnt <= start) Iterator.empty
+      else it.zipWithIndex.collect {
+        case (row, i) if base + i >= start && base + i < stop => row
+      }
+    }
+    Table(spark.createDataFrame(sliced, schema))
+  }
+
+  /** Page `pageIndex` (0-based) of size `pageSize`. */
+  def page(pageIndex: Long, pageSize: Int): Table = {
+    require(pageIndex >= 0 && pageSize > 0, "page: pageIndex>=0, pageSize>0")
+    slice(pageIndex * pageSize, pageIndex * pageSize + pageSize)
+  }
+
+  def numPages(pageSize: Int): Long = {
+    require(pageSize > 0, "numPages: pageSize>0")
+    (totalRows + pageSize - 1) / pageSize
   }
 }
