@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
 
 /** Expression→result memo — the reference's `CachedDataset`
   * (`blaze/cached.py:17-58`): computing the same expression against a
@@ -35,12 +36,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 final class Cached {
   private val memo =
-    scala.collection.mutable.LinkedHashMap.empty[(LogicalPlan, Seq[String]), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(LogicalPlan, StructType), DataFrame]
 
-  /** memoized, persisted view of `df`. */
+  /** memoized, persisted view of `df`. The names component is the FULL
+    * schema, not just top-level field names: canonicalization erases
+    * nested struct field aliases too (`struct(v as x)` vs
+    * `struct(v as y)`), and keying on names alone would hand the second
+    * caller the first caller's nested names back.
+    */
   def apply(df: DataFrame): DataFrame = {
-    val key = (df.queryExecution.analyzed.canonicalized,
-      df.schema.fieldNames.toSeq)
+    val key = (df.queryExecution.analyzed.canonicalized, df.schema)
     memo.getOrElseUpdate(key, df.persist())
   }
 

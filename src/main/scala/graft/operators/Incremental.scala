@@ -64,11 +64,19 @@ object Incremental {
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String = "op", broadcastChanges: Boolean = true): DataFrame = {
-    val chg = requireUniqueKeys(changes, keys, "applyCdc")
-    val keyDf = chg.select(keys.map(col): _*)
+    // Op codes outside {I,U,D} (or NULL) fail loudly at evaluation time:
+    // after the anti join has already removed the row's key from the
+    // base, a NULL/unknown op would otherwise silently behave as a
+    // tombstone (`=!= "D"` is NULL for NULL ops) or as an upsert.
+    val ops = requireUniqueKeys(changes, keys, "applyCdc")
+      .filter(when(col(opCol).isNull || !col(opCol).isin("I", "U", "D"),
+        raise_error(concat(lit("applyCdc: op must be one of I/U/D, got "),
+          coalesce(col(opCol).cast(StringType), lit("NULL")))))
+        .otherwise(lit(true)))
+    val keyDf = ops.select(keys.map(col): _*)
     val right = if (broadcastChanges) broadcast(keyDf) else keyDf
     base.join(right, keys, "left_anti")
-      .unionByName(chg.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(ops.filter(col(opCol) =!= "D").drop(opCol))
   }
 
   /** The inverse of [[applyCdc]]: the CDC change set that turns

@@ -30,10 +30,22 @@ object Layout {
   def zValue(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty && bits > 0 && bits * cols.length <= 63,
       s"zValue: need 0 < bits*${cols.length} <= 63, got bits=$bits")
+    // In-plan range guard: a negative input would interleave its
+    // two's-complement bits and an oversized one would be silently
+    // masked — either way the clustering order is meaningless, so
+    // violations fail loudly at evaluation. NULLs pass through (the
+    // z-value is NULL, sorting them together — same as any sort key).
+    val guarded = cols.map { c =>
+      val lc = c.cast(LongType)
+      when(lc < 0 || shiftrightunsigned(lc, bits) =!= 0,
+        raise_error(concat(lit(s"zValue: input outside [0, 2^$bits): "),
+          lc.cast(StringType))))
+        .otherwise(lc)
+    }
     val terms = for {
-      (c, j) <- cols.zipWithIndex
+      (c, j) <- guarded.zipWithIndex
       i <- 0 until bits
-    } yield shiftleft(shiftright(c.cast(LongType), i).bitwiseAND(lit(1L)),
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
       i * cols.length + j)
     terms.reduce(_ + _)
   }

@@ -43,10 +43,12 @@ class ConnectSmokeSpec extends SparkSpec {
   test("Column-only Table query runs unchanged over sc://localhost:15002") {
     assume(connectServerUp,
       "no Spark Connect server on 15002 — start with /opt/spark/sbin/start-connect-server.sh")
-    val dir = "/root/testdata/sf0.001"
+    // same fixture dir as every other suite (override for a server on
+    // another machine whose data lives elsewhere)
+    val dir = sys.env.getOrElse("GRAFT_CONNECT_DIR", sf)
     val remote = SparkSession.builder()
       .config("spark.api.mode", "connect")
-      .remote("sc://localhost:15002").create()
+      .remote(sys.env.getOrElse("GRAFT_CONNECT_URL", "sc://localhost:15002")).create()
     try {
       val got = pipeline(remote, dir)
       val exp = pipeline(spark, dir) // classic local session, same code path

@@ -43,6 +43,24 @@ class IncrementalSpec extends SparkSpec {
     assert(r(1).getString(1) == "b2" && r(2).getDouble(2) == 90.0)
   }
 
+  test("applyCdc rejects NULL and unknown op codes loudly") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // NULL op: without the guard the row's key is anti-joined away and
+    // the image is dropped by `op =!= "D"` — a silent tombstone
+    val nullOp = Seq((2L, "b2", 21.0, null.asInstanceOf[String])).toDF("k", "s", "v", "op")
+    val e1 = intercept[Exception] {
+      Incremental.applyCdc(base3, nullOp, Seq("k")).collect()
+    }
+    assert(messages(e1).exists(_.contains("op must be one of I/U/D")), e1.toString)
+    // unknown code: would otherwise silently behave as an upsert
+    val badOp = Seq((2L, "b2", 21.0, "X")).toDF("k", "s", "v", "op")
+    val e2 = intercept[Exception] {
+      Incremental.applyCdc(base3, badOp, Seq("k")).collect()
+    }
+    assert(messages(e2).exists(_.contains("op must be one of I/U/D")), e2.toString)
+  }
+
   test("upsert is idempotent: applying the same changes twice == once") {
     val changes = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "s", "v")
     val once = Incremental.upsert(base3, changes, Seq("k"))
@@ -142,6 +160,22 @@ class IncrementalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.zValue(Seq(col("x"), col("y")), 32) // 64 bits > 63
     }
+    // out-of-contract inputs fail at evaluation, not silently scramble:
+    // negative values would interleave two's-complement bits; oversized
+    // ones would be silently masked to their low bits
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (bad <- Seq((-1L, 1L), (4L, 1L))) { // 4 >= 2^2
+      val e = intercept[Exception] {
+        Seq(bad).toDF("x", "y")
+          .select(Layout.zValue(Seq(col("x"), col("y")), 2)).collect()
+      }
+      assert(messages(e).exists(_.contains("zValue: input outside")), e.toString)
+    }
+    // NULL inputs pass through as a NULL z-value (ordinary sort-key NULL)
+    val zn = Seq((Some(3L), None: Option[Long])).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 2)).collect()(0)
+    assert(zn.isNullAt(0))
   }
 
   test("zorderBy concentrates a 2-column box query into fewer files") {

@@ -184,12 +184,23 @@ class StreamingSpec extends SparkSpec {
       assert(iv.columns.toSeq == Seq("event_id", "value"))
       assert(vi.columns.toSeq == Seq("value", "event_id"))
 
+      // MISS (reference contract, nested): NESTED struct field aliases
+      // are erased by canonicalization too — the memo key carries the
+      // full schema, so the second caller gets its own nested names
+      val nx = cache(base.select(struct(col("value").as("x")).as("s")))
+      val ny = cache(base.select(struct(col("value").as("y")).as("s")))
+      assert(cache.size == 8)
+      assert(nx.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("x"))
+      assert(ny.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("y"))
+
       // MISS (documented cosmetics cut): filter∘project vs project∘filter
       // are distinct ANALYZED plans — the memo keys pre-optimization so
       // the key cannot depend on what is already cached
       cache(base.filter(col("value") > 2.0).select("event_id", "value"))
       cache(base.select("event_id", "value").filter(col("value") > 2.0))
-      assert(cache.size == 8)
+      assert(cache.size == 10)
     } finally cache.release()
     assert(cache.size == 0)
   }
