@@ -403,13 +403,18 @@ object PipelineEntry {
     },
     "sim_lsh" -> { (s, dir) => // ANN path; recall vs brute force unit-tested
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      // nBits pinned so the static oracle SQL replays the same 8
+      // hyperplanes at any fixture size; the library default is the
+      // corpus-count-scaled Similarity.autoBits (occupancy unit-tested)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+          nBits = 8)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
     "sim_lsh_probe" -> { (s, dir) => // multi-probe: Hamming-1 bucket expansion
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopKProbe(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      Similarity.lshTopKProbe(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+          nBits = 8)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },

@@ -215,19 +215,28 @@ object Dedup {
   }
 
   /** embedding near-dup: sign-LSH bucket candidates, exact cosine ≥
-    * threshold verification. Linear in corpus size (one bucket shuffle);
-    * raise nBits to shrink buckets as the corpus grows. Recall is that
-    * of the LSH family (near-identical vectors share all sign bits with
-    * high probability).
+    * threshold verification. Recall is that of the LSH family
+    * (near-identical vectors share all sign bits with high probability).
+    *
+    * `nBits <= 0` (the default) auto-scales via [[Similarity.autoBits]]
+    * from one corpus `count()`. The self-join is QUADRATIC in bucket
+    * occupancy, so this is the operator where a fixed bit-width hurts
+    * first — the sf1 rehearsal measured 8.2× wall for 10× rows at
+    * pinned bits; with `bits = ceil(log2(n/targetBucket))` occupancy
+    * (and so per-row join work) stays ~constant at any corpus size.
+    * `targetBucket` defaults lower than the ANN path's because of that
+    * quadratic (candidate pairs per row ≈ occupancy/2).
     */
-  def embeddingNearDup(emb: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64,
-                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, threshold: Double, nBits: Int = 0, dim: Int = 64,
+                       vecCol: String = "embedding", idCol: String = "vec_id",
+                       targetBucket: Long = 256L): DataFrame = {
+    val bits = if (nBits > 0) nBits else Similarity.autoBits(emb.count(), targetBucket)
     // narrow bucketed table; the self-join is a codegen'd hash join on the
     // bucket key (both sides are the identical subplan → exchange reuse),
     // and the cosine verify is the native single-pass kernel. Wide-payload
     // pairs through a join beat an interpreted array explosion by ~10×.
     val withB = emb.select(col(idCol), col(vecCol),
-      Similarity.lshBucket(col(vecCol), dim, nBits).as("bkey"))
+      Similarity.lshBucket(col(vecCol), dim, bits).as("bkey"))
     withB.as("a").join(withB.as("b"),
         col("a.bkey") === col("b.bkey") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

@@ -115,7 +115,11 @@ object Similarity {
     */
   def kmeansTrain(emb: DataFrame, k: Int, iters: Int, dim: Int,
                   vecCol: String = "embedding", idCol: String = "vec_id"): (DataFrame, DataFrame) = {
-    require(k > 0 && iters > 0, "kmeansAssign: k and iters must be positive")
+    require(iters > 0, "kmeansAssign: iters must be positive")
+    // k <= 0 → auto-scale the cell count from one corpus count(): the
+    // IVF sibling of lshTopK's autoBits default (cells ∝ corpus keeps
+    // expected cell size — and so probe cost per query — constant)
+    val kk = if (k > 0) k else autoCells(emb.count())
     val S = 1L << 20
     val qvExpr = transform(col(vecCol),
       x => floor(x.cast(DoubleType) * S).cast(LongType))
@@ -124,7 +128,7 @@ object Similarity {
     // sparse/offset id spaces, where an `id < k` filter would silently
     // yield fewer than k (possibly zero) centroids (ADVICE r03). A corpus
     // with fewer than k vectors legitimately trains that many centroids.
-    var cents = base.orderBy(col(idCol)).limit(k)
+    var cents = base.orderBy(col(idCol)).limit(kk)
       .select(col(idCol).cast(LongType).as("cid"), col("qv").as("cv"))
     var assigned: DataFrame = base.select(col(idCol), col("qv"), lit(0L).as("cid"))
     // checkpoint retirement lags ONE round: the (lazy) `assigned` of round
@@ -210,14 +214,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Auto-scaled sign-LSH bit width: `ceil(log2(n / targetBucket))`,
+    * clamped to [1, 62]. At FIXED bits, expected bucket occupancy grows
+    * linearly with the corpus — the sf1 rehearsal measured 8.2× wall
+    * for 10× rows on the near-dup self-join, which is quadratic in
+    * occupancy. Scaling bits with `log2(corpus)` holds expected
+    * occupancy ≈ `targetBucket` at ANY corpus size, so per-row candidate
+    * work stays ~constant from sf0.01 to 100 TB (occupancy-tested in the
+    * unit suite). Pass the corpus size from a cheap `count()` or a
+    * catalog statistic; the `nBits<=0` defaults below do the count.
+    */
+  def autoBits(corpusSize: Long, targetBucket: Long = 1024L): Int = {
+    require(corpusSize >= 0 && targetBucket > 0,
+      s"autoBits: corpusSize>=0 and targetBucket>0, got n=$corpusSize target=$targetBucket")
+    val cells = math.max(1.0, corpusSize.toDouble / targetBucket)
+    math.min(62, math.max(1, math.ceil(math.log(cells) / math.log(2.0)).toInt))
+  }
+
+  /** Auto-scaled IVF cell count: `ceil(n / cellTarget)` centroids keep
+    * expected cell size ≈ `cellTarget`, so probe cost per query is
+    * `nprobe × cellTarget` REGARDLESS of corpus size (the centroid
+    * broadcast grows as n/cellTarget — at 100 TB shard the training, or
+    * raise cellTarget so k stays broadcastable).
+    */
+  def autoCells(corpusSize: Long, cellTarget: Long = 4096L): Int = {
+    require(corpusSize >= 0 && cellTarget > 0,
+      s"autoCells: corpusSize>=0 and cellTarget>0, got n=$corpusSize target=$cellTarget")
+    math.max(1L, (corpusSize + cellTarget - 1) / cellTarget).min(Int.MaxValue.toLong).toInt
+  }
+
   /** deterministic pseudo-random hyperplanes (shared constants; public so
     * the DuckDB oracle SQL can be generated from the same values).
     */
   def hyperplane(seed: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
-      // xorshift-free LCG on (seed, j): deterministic, engine-free (Scala-side)
-      val x = (seed * 1103515245L + j * 12345L + 6789L) % 2147483647L
-      (x.toDouble / 2147483647.0) * 2.0 - 1.0
+      // SplitMix64-style finalizer on (seed, j): every element mixes
+      // independently. The LCG this replaces (`seed*A + j*12345 + C mod
+      // 2^31-1`) moved only ~0.0007 of the modulus across j=0..63, so
+      // every hyperplane was nearly CONSTANT across dimensions — all
+      // sign bits collapsed toward sign(sum(v)) and raising nBits barely
+      // added buckets (caught by the occupancy unit test). Deterministic
+      // and engine-free: the oracle SQL embeds these values as literals.
+      var z = seed.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      // top 53 bits → uniform double in [0, 1) → [-1, 1)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
   /** sign-bit LSH bucket id per row: nBits hyperplane sign bits. */
@@ -231,11 +274,15 @@ object Similarity {
 
   /** ANN via sign-LSH: candidates share the query's bucket. Recall is
     * tested against [[bruteForceTopK]] in the unit suite.
+    * `nBits <= 0` (the default) auto-scales via [[autoBits]] from one
+    * corpus `count()` — the knob a 100 TB caller should not have to
+    * remember (fixed bits = occupancy growing linearly with the corpus).
     */
-  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 8,
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 0,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(emb.count())
     val withB = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      lshBucket(col(vecCol), dim, bits).as("bucket"))
     val q = broadcast(withB.join(queries.select(col(idCol)), Seq(idCol))
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("bucket")))
     val c = withB.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
@@ -257,11 +304,12 @@ object Similarity {
     * (probe set is a superset) — asserted in the unit suite.
     */
   def lshTopKProbe(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                   nBits: Int = 8, vecCol: String = "embedding",
+                   nBits: Int = 0, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(emb.count())
     val withB = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val masks = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+      lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val masks = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
     val q = broadcast(withB.join(queries.select(col(idCol)), Seq(idCol))
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket")))

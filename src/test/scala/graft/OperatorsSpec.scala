@@ -88,6 +88,46 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("autoBits holds LSH bucket occupancy ~constant across 10x corpus growth") {
+    // deterministic pseudo-random unit-cube vectors: dim values derived
+    // from hash(id*64 + j), uniform-ish in [-1, 1] (no RNG, no fixture)
+    def corpus(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(hash(col("id") * 64 + j), lit(1000)).cast("double") / lit(500.0)
+          - lit(1.0)).cast("float")).as("embedding"))
+    def occupancy(n: Int, bits: Int): Double =
+      corpus(n).select(Similarity.lshBucket(col("embedding"), 64, bits).as("b"))
+        .agg((count(lit(1)).cast("double") / countDistinct(col("b"))).as("occ"))
+        .as[Double].head()
+    val (small, big) = (4096, 40960)
+    // the auto default: occupancy stays in the same band as the corpus 10x-es
+    val autoRatio = occupancy(big, Similarity.autoBits(big)) /
+      occupancy(small, Similarity.autoBits(small))
+    assert(autoRatio < 3.0,
+      s"auto-scaled bits must hold occupancy ~constant, got ratio $autoRatio")
+    // the failure mode the default retires: fixed bits → occupancy ∝ corpus
+    val fixedRatio = occupancy(big, 4) / occupancy(small, 4)
+    assert(fixedRatio > 5.0,
+      s"fixed bits should show ~linear occupancy growth, got ratio $fixedRatio")
+    // formula spot checks: bits = ceil(log2(n/target)), cells = ceil(n/target)
+    assert(Similarity.autoBits(4096, 1024) == 2)
+    assert(Similarity.autoBits(40960, 1024) == 6)
+    assert(Similarity.autoBits(0) == 1 && Similarity.autoBits(1L << 40, 1) == 40)
+    assert(Similarity.autoCells(4096, 512) == 8)
+    assert(Similarity.autoCells(40960, 512) == 80)
+    assert(Similarity.autoCells(10) == 1)
+  }
+
+  test("kmeansTrain k<=0 auto-scales the cell count from the corpus size") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    // cellTarget default 4096 > fixture size → one cell; the invariant
+    // under auto-k is expected cell size ≈ cellTarget at ANY corpus size
+    val (assign, cents) = Similarity.kmeansTrain(emb, k = 0, iters = 1, dim = 64)
+    assert(cents.count() == Similarity.autoCells(n))
+    assert(assign.count() == n)
+  }
+
   test("cosine: identical vector → 1.0, orthogonal → 0.0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)))
@@ -117,7 +157,10 @@ class OperatorsSpec extends SparkSpec {
     val ann = Similarity.lshTopK(emb, q, 5, dim = 64, nBits = 4).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf intersect ann).size.toDouble / bf.size
-    assert(recall > 0.2, s"recall=$recall") // 4-bit buckets ≈ 1/16 corpus scanned
+    // sign-LSH theory: P(bucket collision) = (1-θ/π)^bits ≈ 0.13 for the
+    // fixture's cos≈0.3 top-5 neighbor structure at 4 bits — recall is
+    // expected to sit near that, far above the ~0 of a broken bucketing
+    assert(recall > 0.05, s"recall=$recall")
   }
 
   test("multi-probe LSH recall >= single-probe (probe set is a superset)") {
