@@ -191,6 +191,18 @@ object PipelineEntry {
         .transform(filterBlockedDomains(_, BlockedDomains))
         .select("doc_id").orderBy("doc_id")
     },
+    "text_blocklist_join" -> { (s, dir) =>
+      import TextFunctions._
+      // the same filter with the blocklist as a TABLE (the
+      // million-row-blocklist form): explode → broadcast semi join →
+      // anti join on the doc key. Oracle replays it as a NOT IN
+      // anti-join — same keep set as text_blocklist.
+      import s.implicits._
+      val bl = BlockedDomains.toDF("domain")
+      t(s, dir, "documents").withColumn("text", noisyUrlText)
+        .transform(filterBlockedDomains(_, bl))
+        .select("doc_id").orderBy("doc_id")
+    },
     "ev_gapfill" -> { (s, dir) =>
       // time-series gap filling: per-user 5-min spine between first and
       // last event, left join counts, zero-fill. The spine is generated in
@@ -969,6 +981,13 @@ object PipelineEntry {
            |SELECT doc_id FROM n
            |WHERE len(list_intersect($sqlDomains,
            |  [${BlockedDomains.map(d => s"'$d'").mkString(", ")}])) = 0
+           |ORDER BY doc_id""".stripMargin,
+      "text_blocklist_join" ->
+        s"""WITH n AS (SELECT doc_id, $sqlNoisyUrl AS t2 FROM documents),
+           |bl AS (SELECT unnest([${BlockedDomains.map(d => s"'$d'").mkString(", ")}]) AS domain),
+           |d AS (SELECT doc_id, unnest($sqlDomains) AS domain FROM n)
+           |SELECT doc_id FROM n
+           |WHERE doc_id NOT IN (SELECT d.doc_id FROM d JOIN bl USING (domain))
            |ORDER BY doc_id""".stripMargin,
       "ev_gapfill" ->
         """WITH e AS (SELECT user_id,

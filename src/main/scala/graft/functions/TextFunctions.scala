@@ -172,6 +172,33 @@ object TextFunctions {
     docs.filter(!arrays_overlap(extractDomains(col(textCol)),
       array(blocklist.map(lit): _*)))
 
+  /** [[filterBlockedDomains]] with the blocklist as a TABLE — the form
+    * a real deployment needs: production blocklists run to millions of
+    * rows, where a literal array burned into the plan stops being a
+    * plan. Shape: docs explode to (id, domain) pairs, a BROADCAST semi
+    * join marks blocked ids map-side (no shuffle, no per-row scan of
+    * the blocklist — the equi-join is a hash probe, where a naive
+    * `array_contains` anti join would plan a BroadcastNestedLoopJoin
+    * that walks the whole blocklist per doc), then one anti join on the
+    * doc key removes them (blocked ids ≪ corpus → AQE broadcasts it).
+    * Same keep/drop semantics as the literal overload (oracle-proven by
+    * text_blocklist_join), with one edge difference: a NULL `textCol`
+    * extracts no domains and is KEPT here, while the literal form's
+    * `!arrays_overlap` is NULL on NULL text and drops the row.
+    */
+  def filterBlockedDomains(docs: DataFrame, blocklist: DataFrame,
+                           domainCol: String, textCol: String,
+                           idCol: String): DataFrame = {
+    val bl = broadcast(blocklist.select(col(domainCol).as("_bl_domain")).distinct())
+    val blockedIds = docs
+      .select(col(idCol), explode(extractDomains(col(textCol))).as("_doc_domain"))
+      .join(bl, col("_doc_domain") === col("_bl_domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
+  def filterBlockedDomains(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    filterBlockedDomains(docs, blocklist, "domain", "text", "doc_id")
+
   // ---- PII scrubbing ----
   /** redaction patterns, ordered (emails first — a phone/IP inside an
     * address is impossible, but an email local-part can contain digits).

@@ -214,6 +214,28 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("blocklist-as-table == literal blocklist; plans hash joins, never a loop join") {
+    val d = docsOf(
+      (1L, "see https://A.Example.COM/x and http://b.org?q=1"),
+      (2L, "bare www.c.net. trailing"),
+      (3L, "no urls here"),
+      (4L, "dup https://d.io https://d.io www.d.io"),
+      (5L, "two hits http://b.org and www.d.io")) // multi-domain doc dedups to one drop
+    for (blocked <- Seq(Seq("b.org"), Seq("b.org", "d.io"), Seq("nomatch.example"))) {
+      val lit = TextFunctions.filterBlockedDomains(d, blocked)
+        .select("doc_id").as[Long].collect().toSet
+      val tbl = TextFunctions.filterBlockedDomains(d, blocked.toDF("domain"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(tbl == lit, s"blocklist=$blocked: table=$tbl literal=$lit")
+    }
+    // scale shape: equi hash joins only — an array_contains join condition
+    // would plan a BroadcastNestedLoopJoin scanning the blocklist per doc
+    val plan = TextFunctions.filterBlockedDomains(d, Seq("b.org").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+  }
+
   test("multimodal: feature extraction matches per-byte math") {
     val media = Multimodal.asMedia(docsOf((1L, "ab")).withColumn("lang", lit("en")))
     val r = Multimodal.extractFeatures(spark, media).collect()(0)
