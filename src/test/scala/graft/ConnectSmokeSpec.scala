@@ -10,12 +10,15 @@ import graft.api.{Col, Table}
   * makes (reference: `blaze/server/server.py:578-692` ships expression
   * trees to a Flask server; Connect is Spark's native version of that).
   *
-  * The test needs a live server (`/opt/spark/sbin/start-connect-server.sh`,
-  * gRPC port 15002) and is CANCELED, not failed, when none is listening —
-  * the driver's `sbt test` gate stays hermetic while the smoke stays
-  * runnable on demand.
+  * The suite is self-sufficient: when no server listens on 15002 and a
+  * local Spark install is present, `beforeAll` STARTS one
+  * (`/opt/spark/sbin/start-connect-server.sh`, ~15 s cold start) and
+  * `afterAll` stops it again — so the smoke actually EXECUTES in the
+  * `sbt test` gate rather than permanently cancel-skipping. Only when
+  * neither a live server nor a startable install exists does it fall
+  * back to the hermetic assume-cancel.
   */
-class ConnectSmokeSpec extends SparkSpec {
+class ConnectSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private def connectServerUp: Boolean =
     try {
@@ -23,6 +26,37 @@ class ConnectSmokeSpec extends SparkSpec {
       try { s.connect(new java.net.InetSocketAddress("localhost", 15002), 1000); true }
       finally s.close()
     } catch { case _: java.io.IOException => false }
+
+  private val sbin = "/opt/spark/sbin"
+  private var startedHere = false
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val start = new java.io.File(s"$sbin/start-connect-server.sh")
+    if (!connectServerUp && start.canExecute) {
+      new ProcessBuilder(start.getAbsolutePath,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false")
+        .redirectErrorStream(true)
+        .redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+        .start().waitFor()
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!connectServerUp && System.nanoTime() < deadline) Thread.sleep(1000)
+      startedHere = connectServerUp
+    }
+  }
+
+  override def afterAll(): Unit = {
+    val stop = new java.io.File(s"$sbin/stop-connect-server.sh")
+    if (startedHere && stop.canExecute)
+      new ProcessBuilder(stop.getAbsolutePath)
+        .redirectErrorStream(true)
+        .redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+        .start().waitFor()
+    super.afterAll()
+  }
 
   // the same Column-only graft pipeline, against whichever session —
   // the point of the smoke is that this code has no idea whether it is
