@@ -455,7 +455,15 @@ object PipelineEntry {
 
     // ---- multimodal plumbing ----
     "mm_decode_meta" -> { (s, dir) =>
-      Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents")))
+      // REAL JPEG metadata decode (complements mm_decode_png's PNG
+      // path): a 1-frame MJPEG payload IS a plain JPEG image, so the
+      // image decoder reads it — grayscale (1 channel), dims derived
+      // from doc_id, oracle recomputes without a codec
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        lit(1).as("nf"),
+        ((col("doc_id") % 16 + 1) * 8).as("w"), ((col("doc_id") % 8 + 1) * 8).as("h"))
+      Multimodal.decodeImageMetaReal(s,
+        Multimodal.synthesizeMjpeg(s, dims, "doc_id", "nf", "w", "h"))
         .orderBy("media_id")
     },
     "mm_decode_png" -> { (s, dir) =>
@@ -495,6 +503,20 @@ object PipelineEntry {
         .orderBy("media_id")
     },
     "mm_frames" -> { (s, dir) =>
+      // REAL video frame decode (retires the last multimodal stub):
+      // synthesize a raw Motion-JPEG clip per document (doc_id%3+1
+      // solid grayscale frames, dims from doc_id), split on SOI/EOI,
+      // decode every frame with javax.imageio, and emit REAL pixel
+      // stats — the oracle recomputes width/height/mean from (id, f)
+      // because solid 8-aligned frames roundtrip JPEG bit-exactly
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 3 + 1).as("nf"),
+        ((col("doc_id") % 4 + 1) * 8).as("w"), ((col("doc_id") % 3 + 1) * 8).as("h"))
+      Multimodal.decodeVideoFramesReal(s,
+        Multimodal.synthesizeMjpeg(s, dims, "doc_id", "nf", "w", "h"))
+        .orderBy("media_id", "frame_idx")
+    },
+    "mm_frame_offsets" -> { (s, dir) => // byte-stride sampling plumbing
       Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 1024L)
         .orderBy("media_id", "frame_idx")
     },
@@ -503,7 +525,17 @@ object PipelineEntry {
         .orderBy("media_id")
     },
     "mm_resize" -> { (s, dir) =>
-      Multimodal.resizeMeta(Multimodal.asMedia(t(s, dir, "documents")), 224L, 224L)
+      // letterbox geometry over REAL decoded dimensions: synthesize
+      // PNGs whose width straddles the 224 target (so both the
+      // downscale and the never-upscale branches execute), decode them
+      // back, then compute the output box
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 300 + 1).as("w"), (col("doc_id") % 40 + 1).as("h"))
+      Multimodal.resizeGeometry(
+        Multimodal.decodeImageMetaReal(s,
+          Multimodal.synthesizePng(s, dims, "doc_id", "w", "h"))
+          .select(col("media_id"), col("width"), col("height")),
+        224L, 224L)
         .orderBy("media_id")
     },
 
@@ -1301,10 +1333,9 @@ object PipelineEntry {
 
       "mm_decode_meta" ->
         """SELECT doc_id AS media_id,
-          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |  CAST(concat('0x', substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS width,
-          |  CAST(concat('0x', substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS height,
-          |  CAST(3 AS BIGINT) AS channels
+          |  CAST((doc_id % 16 + 1) * 8 AS BIGINT) AS width,
+          |  CAST((doc_id % 8 + 1) * 8 AS BIGINT) AS height,
+          |  CAST(1 AS BIGINT) AS channels
           |FROM documents ORDER BY media_id""".stripMargin,
       "mm_decode_png" ->
         """SELECT doc_id AS media_id,
@@ -1327,7 +1358,17 @@ object PipelineEntry {
           |  CAST(doc_id % 100000 + 1 AS DOUBLE) / CAST(doc_id % 900 + 100 AS DOUBLE)
           |    AS duration_sec
           |FROM documents ORDER BY media_id""".stripMargin,
+      // mean_luma is exact: solid 8-aligned grayscale frames roundtrip
+      // JPEG bit-identically (single DC coefficient, quantizer 1), so
+      // the decoded mean is the synthesized value (id*131 + f*31) % 256
       "mm_frames" ->
+        """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+          |  CAST((doc_id % 4 + 1) * 8 AS BIGINT) AS width,
+          |  CAST((doc_id % 3 + 1) * 8 AS BIGINT) AS height,
+          |  CAST((doc_id * 131 + f * 31) % 256 AS DOUBLE) AS mean_luma
+          |FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(f)
+          |ORDER BY media_id, frame_idx""".stripMargin,
+      "mm_frame_offsets" ->
         """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
           |  CAST(f * 1024 AS BIGINT) AS byte_offset
           |FROM documents, unnest(range(0, CASE WHEN octet_length(encode(text)) <= 0 THEN 0
@@ -1335,8 +1376,8 @@ object PipelineEntry {
           |ORDER BY media_id, frame_idx""".stripMargin,
       "mm_resize" ->
         """WITH m AS (SELECT doc_id AS media_id,
-          |  CAST(concat('0x', substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS width,
-          |  CAST(concat('0x', substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS height
+          |  CAST(doc_id % 300 + 1 AS BIGINT) AS width,
+          |  CAST(doc_id % 40 + 1 AS BIGINT) AS height
           |FROM documents)
           |SELECT media_id, width, height,
           |  CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_w,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension).
   *
-  * Decode is REAL wherever the JVM can parse the format:
+  * Decode is REAL in every family:
   *  - images ([[decodeImageMetaReal]]: PNG/BMP/GIF/JPEG via
   *    javax.imageio),
   *  - audio ([[decodeAudioMetaReal]]: WAV/AIFF/AU headers via
@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   *  - video CONTAINER metadata ([[decodeVideoMetaReal]]: ISO BMFF/MP4
   *    box walk — ftyp/moov/mvhd → timescale + duration — a pure-JVM
   *    binary parse of the public ISO 14496-12 layout),
-  * each exercised end-to-end by an encode→decode roundtrip query. The
-  * ONE remaining stub is video FRAME/pixel decode (the JVM ships no
-  * video codec) — clearly marked in [[decodeImageMeta]]. Around every
-  * decoder the schema shape (payload + struct metadata), the
-  * per-partition batch path (`mapPartitions` — the Scala analogue of
-  * `mapInPandas` batching), partitioning behavior, and the
+  *  - video FRAME/pixel decode ([[decodeVideoFramesReal]]: raw
+  *    Motion-JPEG — the one video coding the JVM ships a codec for —
+  *    split on SOI/EOI framing, per-frame javax.imageio decode, real
+  *    pixel statistics),
+  * each exercised end-to-end by an encode→decode roundtrip query with
+  * an oracle recomputing expected values from the synthesis inputs.
+  * Around every decoder the schema shape (payload + struct metadata),
+  * the per-partition batch path (`mapPartitions` — the Scala analogue
+  * of `mapInPandas` batching), partitioning behavior, and the
   * frame-sampling plumbing are all production-shaped and tested.
   */
 object Multimodal {
@@ -46,22 +49,6 @@ object Multimodal {
         lit("image/stub").as("kind"),
         col("lang").as("tag")).as("meta"))
 
-  /** STUB image decode: derives fake (width, height, channels) from the
-    * payload deterministically. A real implementation would decode the
-    * codec header here; everything around it (schema, null handling,
-    * distribution) is production-shaped.
-    */
-  def decodeImageMeta(media: DataFrame): DataFrame =
-    media.select(
-      col("media_id"),
-      col("meta.n_bytes").as("n_bytes"),
-      // ??? real codec — stubbed: dimensions derived from content hash
-      (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast(LongType) % 1920 + 1)
-        .as("width"),
-      (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast(LongType) % 1080 + 1)
-        .as("height"),
-      lit(3L).as("channels"))
-
   /** frame sampling plumbing: one row per sampled frame offset
     * (every `strideBytes` bytes stands in for every Nth video frame).
     */
@@ -77,22 +64,22 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * strideBytes).as("byte_offset"))
 
-  /** STUB resize: computes the letterboxed output geometry for a target
-    * box (aspect-preserving, never upscaling) from the decoded
-    * dimensions. A real implementation would transform pixels in the
-    * same mapPartitions batch loop as [[extractFeatures]]; the geometry
-    * arithmetic — the part a pipeline filters and bills on — is real and
+  /** letterboxed output geometry for a target box (aspect-preserving,
+    * never upscaling) over ALREADY-DECODED dimensions — compose with
+    * [[decodeImageMetaReal]] (mm_resize runs it over real decoded PNG
+    * dims). A pixel-transforming resize would run in the same
+    * mapPartitions batch loop as [[extractFeatures]]; the geometry
+    * arithmetic — the part a pipeline filters and bills on — is
     * oracle-checked.
     */
-  def resizeMeta(media: DataFrame, targetW: Long, targetH: Long): DataFrame = {
-    val meta = decodeImageMeta(media)
+  def resizeGeometry(decoded: DataFrame, targetW: Long, targetH: Long): DataFrame = {
     // scale = min(tw/w, th/h, 1); small-integer double arithmetic is
     // bit-identical across engines
     val scale = least(
       lit(targetW.toDouble) / col("width").cast(DoubleType),
       lit(targetH.toDouble) / col("height").cast(DoubleType),
       lit(1.0))
-    meta.select(col("media_id"), col("width"), col("height"),
+    decoded.select(col("media_id"), col("width"), col("height"),
       floor(col("width").cast(DoubleType) * scale).cast(LongType).as("out_w"),
       floor(col("height").cast(DoubleType) * scale).cast(LongType).as("out_h"))
   }
@@ -393,6 +380,115 @@ object Multimodal {
           else (id, Some(r._1), Some(r._2), Some(r._2.toDouble / r._1.toDouble))
         }
       }.toDF("media_id", "timescale", "duration", "duration_sec")
+  }
+
+  /** deterministic REAL Motion-JPEG synthesis — frames are plain JPEG
+    * images back-to-back (raw MJPEG framing; the one video family the
+    * JVM CAN decode, since javax.imageio ships a JPEG codec). Each of
+    * `nFrames` frames is a solid grayscale tile of the row's (w, h)
+    * with value `v = (id*131 + f*31) mod 256` — a pure function of the
+    * inputs. Solid frames make the roundtrip BIT-EXACT through JPEG's
+    * lossy pipeline: a constant 8×8 block has a single DC coefficient
+    * and zero ACs, and at compression quality 1.0 the DC quantizer is
+    * 1, so dequantize∘quantize is the identity and the IDCT
+    * reconstructs the constant exactly (w, h are required 8-aligned so
+    * no edge block mixes values). That is what lets the DuckDB oracle
+    * recompute per-frame pixel stats from (id, f) without a codec —
+    * the same oracle recipe as [[synthesizePng]]/[[synthesizeWav]].
+    */
+  def synthesizeMjpeg(spark: SparkSession, rows: DataFrame, idCol: String,
+                      framesCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    rows.select(col(idCol).cast(LongType), col(framesCol).cast(IntegerType),
+        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see decode)
+        // one JPEG writer per partition (same provider-resolution
+        // discipline as synthesizeWav's once-per-partition WAVE writer)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f) // flat DC quantizer → exact solid blocks
+        it.map { case (id, nFrames, w, h) =>
+          require(nFrames >= 0, s"synthesizeMjpeg: nFrames >= 0, got $nFrames")
+          require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+            s"synthesizeMjpeg: frame dims must be positive multiples of 8 " +
+              s"(exact solid-block roundtrip), got ${w}x$h")
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val v = ((id * 131 + f * 31) % 256).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val line = Array.fill(w)(v)
+            var y = 0
+            while (y < h) { img.getRaster.setSamples(0, y, w, 1, 0, line); y += 1 }
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            ios.flush()
+            f += 1
+          }
+          (id, out.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL video frame/pixel decode over raw MJPEG payloads: split the
+    * byte stream on JPEG SOI/EOI markers (`FFD8`…`FFD9` — valid
+    * mid-frame only as stuffed `FF00`/RST bytes, so the scan is exact
+    * for well-formed streams; container formats like AVI carry an index
+    * instead, which a demuxer would read here), then decode each frame
+    * with javax.imageio and emit REAL pixel statistics: (width, height,
+    * band-0 mean). This retires the last multimodal stub — every
+    * family's decode now touches actual payload bytes. A frame that
+    * fails to decode yields a row with NULL stats (one bad frame must
+    * not kill the clip, same contract as the other decoders); a payload
+    * with no JPEG framing at all yields NO frame rows. O(payload bytes)
+    * per row, per-partition decoder init, no shuffle.
+    */
+  def decodeVideoFramesReal(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val b = if (payload == null) Array.empty[Byte] else payload
+          // SOI..EOI spans, in order
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var i = 0
+          var start = -1
+          while (i + 1 < b.length) {
+            if (b(i) == 0xff.toByte && b(i + 1) == 0xd8.toByte && start < 0) {
+              start = i; i += 2
+            } else if (b(i) == 0xff.toByte && b(i + 1) == 0xd9.toByte && start >= 0) {
+              frames += ((start, i + 2)); start = -1; i += 2
+            } else i += 1
+          }
+          frames.iterator.zipWithIndex.map { case ((s0, e0), idx) =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, s0, e0 - s0))
+              catch { case _: java.io.IOException | _: RuntimeException => null }
+            if (img == null)
+              (id, idx.toLong, None: Option[Long], None: Option[Long], None: Option[Double])
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              (id, idx.toLong, Some(w.toLong), Some(h.toLong),
+                Some(sum.toDouble / (w.toLong * h)))
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
   }
 
   /** per-partition batched feature extraction — the real distribution

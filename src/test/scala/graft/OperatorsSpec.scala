@@ -355,6 +355,53 @@ class OperatorsSpec extends SparkSpec {
       (5L, None, None, None)))
   }
 
+  test("multimodal: real MJPEG synth→frame decode roundtrip; corrupt payloads") {
+    val dims = Seq((1L, 3, 16, 8), (2L, 1, 32, 24), (3L, 0, 8, 8))
+      .toDF("doc_id", "nf", "w", "h")
+    val clips = Multimodal.synthesizeMjpeg(spark, dims, "doc_id", "nf", "w", "h")
+    val frames = Multimodal.decodeVideoFramesReal(spark, clips)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 3 synthesized zero frames → no rows
+    assert(frames.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    // decoded pixel stats equal the synthesized pure function of (id, f):
+    // solid 8-aligned grayscale frames roundtrip JPEG bit-exactly
+    for (r <- frames) {
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      val (w, h) = if (id == 1L) (16L, 8L) else (32L, 24L)
+      assert(r.getLong(2) == w && r.getLong(3) == h, r)
+      assert(r.getDouble(4) == ((id * 131 + f * 31) % 256).toDouble, r)
+    }
+    // non-8-aligned dims are rejected (solid-block exactness contract)
+    val e = intercept[Exception] {
+      Multimodal.synthesizeMjpeg(spark,
+        Seq((1L, 1, 10, 8)).toDF("doc_id", "nf", "w", "h"),
+        "doc_id", "nf", "w", "h").collect()
+    }
+    assert(e.toString.contains("multiples of 8") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiples of 8")))
+    // corrupt: garbage bytes carry no JPEG framing → no frame rows
+    val garbage = Seq((9L, Array.fill[Byte](64)(0x42))).toDF("media_id", "payload")
+    assert(Multimodal.decodeVideoFramesReal(spark, garbage).isEmpty)
+    // a decodable frame followed by a header-scrambled one: the good
+    // frame decodes, the bad one keeps its row with NULL stats
+    val good = clips.filter(col("media_id") === 2L)
+      .select("payload").as[Array[Byte]].head()
+    val bad = good.clone()
+    var i = 2
+    while (i < bad.length - 2) { // keep SOI/EOI, kill every interior marker
+      if (bad(i) == 0xff.toByte) bad(i) = 0x7f
+      i += 1
+    }
+    val rows = Multimodal.decodeVideoFramesReal(spark,
+        Seq((7L, good ++ bad)).toDF("media_id", "payload"))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 32L &&
+      rows(0).getDouble(4) == ((2L * 131) % 256).toDouble)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(4))
+  }
+
   test("native text kernels match HOF formulations bit-for-bit") {
     import org.apache.spark.sql.types._
     // include whitespace edges, unicode, short docs, repeats
