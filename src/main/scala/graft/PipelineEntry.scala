@@ -812,6 +812,19 @@ object PipelineEntry {
       Incremental.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
+    "inc_upsert_evolve" -> { (s, dir) =>
+      // schema evolution: the change batch carries a NEW column
+      // (crawl_tag) the base never had — old base rows come back with
+      // explicit NULLs for it, changed/inserted rows carry the value
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+        .withColumn("crawl_tag", concat(lit("crawl-"), (col("o_orderkey") % 3).cast(StringType)))
+      Incremental.upsert(base, changes, Seq("o_orderkey"),
+          allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
     "inc_cdc" -> { (s, dir) =>
       // one CDC batch: updates (op U), inserts (op I), tombstones (op D,
       // disjoint from the update keys so each key has ONE operation)
@@ -1178,6 +1191,18 @@ object PipelineEntry {
           |  FROM base WHERE o_orderkey % 1000 = 0)
           |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
           |  SELECT b.* FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
+          |  UNION ALL SELECT * FROM chg)
+          |ORDER BY o_orderkey""".stripMargin,
+      "inc_upsert_evolve" ->
+        """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          |chg AS (
+          |  SELECT o_orderkey, o_orderstatus,
+          |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+          |    'crawl-' || CAST(o_orderkey % 3 AS VARCHAR) AS crawl_tag
+          |  FROM base WHERE o_orderkey % 7 = 0)
+          |SELECT o_orderkey, o_orderstatus, o_totalprice, crawl_tag FROM (
+          |  SELECT b.*, CAST(NULL AS VARCHAR) AS crawl_tag
+          |  FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
           |  UNION ALL SELECT * FROM chg)
           |ORDER BY o_orderkey""".stripMargin,
       "inc_cdc" ->

@@ -44,26 +44,52 @@ object Incremental {
       .drop("_kc")
   }
 
+  /** Keys must exist on both sides whatever the evolution mode — a
+    * missing key null-filled by lenient union would silently corrupt
+    * the merge identity, so that one check is always strict.
+    */
+  private def requireKeys(df: DataFrame, keys: Seq[String], op: String, side: String): Unit = {
+    val missing = keys.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$op: $side is missing key column(s) ${missing.mkString(", ")}")
+  }
+
   /** Upsert: rows of `changes` replace base rows sharing their key;
     * unmatched change rows are appended. Column sets must match
-    * (enforced by unionByName). Duplicate keys in `changes` fail fast
-    * at evaluation time (see [[requireUniqueKeys]]).
+    * (enforced by unionByName) unless `allowMissingColumns` — the
+    * schema-evolution mode a crawl pipeline needs (each dump adds
+    * fields): columns present on one side only are null-filled on the
+    * other, with the result schema = base columns then new change
+    * columns, so old base rows carry explicit NULLs for the new fields.
+    * Law (unit-tested): evolving the base first (adding the new columns
+    * as NULLs) then strict-upserting equals the evolved upsert —
+    * evolve∘upsert == upsert∘evolve. Keys must exist on BOTH sides in
+    * either mode. Duplicate keys in `changes` fail fast at evaluation
+    * time (see [[requireUniqueKeys]]).
     */
   def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
-             broadcastChanges: Boolean = true): DataFrame = {
+             broadcastChanges: Boolean = true,
+             allowMissingColumns: Boolean = false): DataFrame = {
+    requireKeys(base, keys, "upsert", "base")
+    requireKeys(changes, keys, "upsert", "changes")
     val chg = requireUniqueKeys(changes, keys, "upsert")
     val keyDf = chg.select(keys.map(col): _*)
     val right = if (broadcastChanges) broadcast(keyDf) else keyDf
-    base.join(right, keys, "left_anti").unionByName(chg)
+    base.join(right, keys, "left_anti").unionByName(chg, allowMissingColumns)
   }
 
   /** CDC apply: `changes` carries an operation column (`opCol`) with
     * 'U'/'I' rows (new image, upserted) and 'D' rows (tombstones —
     * removed from the base, payload ignored). One pass: a single
     * anti join on ALL change keys, then the non-delete images append.
+    * `allowMissingColumns` enables the same schema-evolution semantics
+    * as [[upsert]] (one-side-only columns null-filled, keys strict).
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
-               opCol: String = "op", broadcastChanges: Boolean = true): DataFrame = {
+               opCol: String = "op", broadcastChanges: Boolean = true,
+               allowMissingColumns: Boolean = false): DataFrame = {
+    requireKeys(base, keys, "applyCdc", "base")
+    requireKeys(changes, keys, "applyCdc", "changes")
     // Op codes outside {I,U,D} (or NULL) fail loudly at evaluation time:
     // after the anti join has already removed the row's key from the
     // base, a NULL/unknown op would otherwise silently behave as a
@@ -76,7 +102,7 @@ object Incremental {
     val keyDf = ops.select(keys.map(col): _*)
     val right = if (broadcastChanges) broadcast(keyDf) else keyDf
     base.join(right, keys, "left_anti")
-      .unionByName(ops.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(ops.filter(col(opCol) =!= "D").drop(opCol), allowMissingColumns)
   }
 
   /** The inverse of [[applyCdc]]: the CDC change set that turns

@@ -61,6 +61,48 @@ class IncrementalSpec extends SparkSpec {
     assert(messages(e2).exists(_.contains("op must be one of I/U/D")), e2.toString)
   }
 
+  test("schema evolution: evolve-then-upsert == upsert-then-evolve (law); keys stay strict") {
+    val changes = Seq((2L, "b2", 21.0, "tag2"), (9L, "new", 90.0, "tag9"))
+      .toDF("k", "s", "v", "tag")
+    // evolved upsert: base rows get explicit NULL for the new column
+    val evolved = Incremental.upsert(base3, changes, Seq("k"),
+      allowMissingColumns = true)
+    assert(evolved.columns.toSeq == Seq("k", "s", "v", "tag"))
+    val rows = evolved.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(rows(0).isNullAt(3) && rows(2).isNullAt(3)) // untouched base rows
+    assert(rows(1).getString(3) == "tag2" && rows(3).getString(3) == "tag9")
+    // law: explicitly evolving the base first, then a STRICT upsert,
+    // produces the same table
+    val evolvedFirst = Incremental.upsert(
+      base3.withColumn("tag", lit(null).cast("string")), changes, Seq("k"))
+    assert(evolved.collect().map(_.toSeq).toSet ==
+      evolvedFirst.collect().map(_.toSeq).toSet)
+    // the reverse direction too: changes missing a base column get NULLs
+    val narrow = Seq((3L, "c3")).toDF("k", "s")
+    val r2 = Incremental.upsert(base3, narrow, Seq("k"), allowMissingColumns = true)
+      .orderBy("k").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r2(2).getString(1) == "c3" && r2(2).isNullAt(2)) // v null-filled
+    // keys are never null-fillable, whatever the evolution mode
+    val noKey = Seq(("x", 1.0)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.upsert(base3, noKey, Seq("k"), allowMissingColumns = true)
+    }
+    assert(e.getMessage.contains("missing key column"))
+    // strict mode still rejects mismatched schemas loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Incremental.upsert(base3, changes, Seq("k")).collect()
+    }
+    // applyCdc shares the semantics: evolved upserts + tombstones
+    val cdc = Seq((2L, "b2", 21.0, "tag2", "U"), (3L, "", 0.0, "t", "D"))
+      .toDF("k", "s", "v", "tag", "op")
+    val r3 = Incremental.applyCdc(base3, cdc, Seq("k"),
+      allowMissingColumns = true).orderBy("k").collect()
+    assert(r3.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r3(0).isNullAt(3) && r3(1).getString(3) == "tag2")
+  }
+
   test("upsert is idempotent: applying the same changes twice == once") {
     val changes = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "s", "v")
     val once = Incremental.upsert(base3, changes, Seq("k"))
