@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata probes every glob read path for a
+    // streaming _spark_metadata dir and WARN-logs the (expected) miss
+    // with a full FileNotFoundException stack - benign but alarming in
+    // driver logs, so that one logger is quieted to ERROR
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .setLevel(org.apache.log4j.Level.ERROR)
     // Warm up JVM/codegen/parquet footer caches so the first timed query
     // isn't charged for one-time session costs.
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -10,6 +10,13 @@ object MiniBench {
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata probes every glob read path for a
+    // streaming _spark_metadata dir and WARN-logs the (expected) miss
+    // with a full FileNotFoundException stack - benign but alarming in
+    // driver logs, so that one logger is quieted to ERROR
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .setLevel(org.apache.log4j.Level.ERROR)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     for (n <- Seq("q1_agg", "sim_ivf_trained", "sim_ivf_trained")) {

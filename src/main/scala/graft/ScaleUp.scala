@@ -43,6 +43,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata probes every glob read path for a
+    // streaming _spark_metadata dir and WARN-logs the (expected) miss
+    // with a full FileNotFoundException stack - benign but alarming in
+    // driver logs, so that one logger is quieted to ERROR
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .setLevel(org.apache.log4j.Level.ERROR)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")

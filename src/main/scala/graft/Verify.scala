@@ -15,6 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata probes every glob read path for a
+    // streaming _spark_metadata dir and WARN-logs the (expected) miss
+    // with a full FileNotFoundException stack - benign but alarming in
+    // driver logs, so that one logger is quieted to ERROR
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .setLevel(org.apache.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for fast local iteration
     // (driver leaves it unset → full run)
