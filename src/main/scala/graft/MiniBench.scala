@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object MiniBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -19,7 +19,10 @@ object MiniBench {
       .setLevel(org.apache.log4j.Level.ERROR)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    for (n <- Seq("q1_agg", "sim_ivf_trained", "sim_ivf_trained")) {
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q1_agg", "sim_ivf_trained", "sim_ivf_trained"))
+    for (n <- names) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()

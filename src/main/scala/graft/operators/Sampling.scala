@@ -20,11 +20,16 @@ import org.apache.spark.sql.types._
 object Sampling {
 
   /** uniform bucket in [0, buckets) from the md5 of the key's decimal
-    * string form — engine-portable, seed-free.
+    * string form — engine-portable, seed-free. Runs as the native
+    * [[graft.plans.HashBucket]] kernel (one digest per row); the
+    * composable `conv(substring(md5(x),1,7),16,10) % buckets` chain it
+    * replaces materialized a 32-char hex string and a base-16 parse per
+    * row — at 100 TB the sampler IS a full-corpus scan, so the per-row
+    * constant is the whole cost. Bit-identical semantics
+    * (property-tested), so the DuckDB oracle keeps the SQL form.
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast(StringType)), 1, 7), 16, 10)
-      .cast(LongType) % buckets
+    graft.plans.HashBucket(key.cast(StringType), buckets)
 
   /** keep rows whose hash bucket (out of 100) falls under the stratum's
     * percentage rate; `rates` maps stratum value → percent kept,

@@ -53,12 +53,22 @@ object TextKernels {
     trimSpaces(text).split("\\s+", -1)
 
   /** first 7 hex chars of md5 as a 28-bit long (== conv(substr(md5(x),1,7),16,10)). */
-  def hash28(s: String): Long = {
-    val d = digests.get().digest(s.getBytes(StandardCharsets.UTF_8))
+  def hash28(s: String): Long =
+    hash28Bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  private def hash28Bytes(bytes: Array[Byte]): Long = {
+    val d = digests.get().digest(bytes)
     // 7 hex chars = 28 bits = bytes 0..2 plus the high nibble of byte 3
     ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
   }
+
+  /** md5 bucket in [0, buckets): the native form of
+    * `conv(substr(md5(x),1,7),16,10) % buckets` — digests the UTF-8
+    * bytes directly (no hex-string materialization, no base-16 parse).
+    */
+  def hashBucket(text: UTF8String, buckets: Int): Long =
+    hash28Bytes(text.getBytes) % buckets
 
   private def eachShingle(text: String, n: Int)(f: String => Unit): Unit = {
     val toks = tokenize(text)
@@ -229,6 +239,31 @@ case class NormalizedMd5(child: Expression) extends TextKernelExpression {
 object NormalizedMd5 {
   def apply(text: Column): Column =
     GraftBridge.column(NormalizedMd5(GraftBridge.expression(text)))
+}
+
+/** md5 bucket in [0, buckets) (native) — the deterministic-sampling hot
+  * path ([[graft.operators.Sampling]]): one digest over the key's UTF-8
+  * bytes per row, versus the composable
+  * `conv(substring(md5(x), 1, 7), 16, 10) % buckets` chain that
+  * materializes a 32-char hex string and re-parses 7 chars base-16.
+  * Semantics bit-identical (property-tested) so the DuckDB oracle keeps
+  * running the conv/substr/md5 SQL form.
+  */
+case class HashBucket(child: Expression, buckets: Int) extends TextKernelExpression {
+  require(buckets > 0, s"HashBucket: buckets must be positive, got $buckets")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.hashBucket(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.hashBucket($c, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): HashBucket =
+    copy(child = newChild)
+}
+
+object HashBucket {
+  def apply(key: Column, buckets: Int): Column =
+    GraftBridge.column(HashBucket(GraftBridge.expression(key), buckets))
 }
 
 /** distinct n-gram shingles as array<string> (native). */

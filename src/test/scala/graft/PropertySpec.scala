@@ -87,6 +87,26 @@ class PropertySpec extends SparkSpec {
     assert(counts.max < 60, s"hot bucket: ${counts.max} of 2000") // E[x]=20
   }
 
+  test("HashBucket native kernel == conv(substr(md5)) SQL form (oracle parity)") {
+    // the native kernel digests UTF-8 bytes directly; the composable
+    // chain is what the DuckDB oracle runs — they must agree bit-for-bit
+    // on arbitrary strings (unicode included) and every bucket count
+    val s = draw(Gen.oneOf(
+      Gen.alphaNumStr, word.map(_ * 3),
+      Gen.listOfN(5, Gen.choose(' ', '퟿')).map(_.mkString)), 1000)
+    for (buckets <- Seq(2, 100, 1000000)) {
+      val got = s.toDF("k")
+        .select(graft.plans.HashBucket(col("k"), buckets)).as[Long].collect()
+      val ref = s.toDF("k")
+        .select((conv(substring(md5(col("k")), 1, 7), 16, 10)
+          .cast("long") % buckets).as("b")).as[Long].collect()
+      assert(got.toSeq == ref.toSeq, s"buckets=$buckets")
+    }
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("k")
+      .select(graft.plans.HashBucket(col("k"), 100)).collect()(0).isNullAt(0))
+  }
+
   test("replace(old, new, max): Spark == JVM reference on random strings") {
     // strings over a tiny alphabet maximize overlapping/consecutive matches
     val s = Gen.listOf(Gen.oneOf('a', 'b', '.', '*')).map(_.mkString)
