@@ -388,6 +388,16 @@ object PipelineEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "sample_cap_per_key" -> { (s, dir) =>
+      // per-language frequency cap (the corpus-balancing rule: at most
+      // N docs per domain/source/lang — lang is the fixture key whose
+      // groups actually exceed the cap): deterministic lowest-md5-bucket choice
+      // via the BOUNDED TopKByScore aggregate + semi join — never a
+      // row_number window over a hot domain's full row set
+      Sampling.capPerKey(t(s, dir, "documents"), "lang", "doc_id", n = 40)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
     "text_scrub" -> { (s, dir) =>
       import TextFunctions._
       // fixture text has no PII — inject deterministic synthetic PII so
@@ -1123,6 +1133,17 @@ object PipelineEntry {
            |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 1000000
            |  < CAST(FLOOR(LEAST(GREATEST(quality, 0.0), 1.0) * 1000000) AS BIGINT)
            |ORDER BY doc_id""".stripMargin,
+      // INDEPENDENT formulation: the oracle ranks with a window; the
+      // engine uses the bounded TopKByScore aggregate + semi join.
+      // Agreement proves the bounded plan selects exactly the window's
+      // rows (lowest md5 bucket, asc-id tiebreak, first n per key).
+      "sample_cap_per_key" ->
+        """WITH b AS (SELECT doc_id, lang,
+          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 1000000 AS bucket
+          |FROM documents),
+          |r AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
+          |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
       "text_scrub" -> {
         // regexp_replace chain generated from the SAME PiiPatterns
         // constants the Scala operator folds over (single-backslash RE2

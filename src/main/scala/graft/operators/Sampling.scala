@@ -82,4 +82,34 @@ object Sampling {
     // double product of the same inputs)
     df.filter(hashBucket(col(keyCol), M) < floor(w * M).cast(LongType))
   }
+
+  /** Per-key frequency cap — the corpus-balancing operator (at most `n`
+    * documents per domain/source/license, the standard web-corpus
+    * mixing rule). The kept rows are a DETERMINISTIC uniform choice:
+    * the `n` lowest md5 buckets of the id within each key (asc-id
+    * tiebreak), so re-runs, engines, and partitionings all keep the
+    * same rows, and raising the cap only ADDS rows (monotone, like
+    * [[weighted]] — bucket rank is cap-independent).
+    *
+    * Plan shape (the reason this is not a window): keep-set =
+    * [[graft.plans.TopKByScore]] — a BOUNDED partial aggregate (≤ n ids
+    * of map-side state per key, one shuffle of ≤ n rows per key) — then
+    * one semi join back on the id. A `row_number().over(partitionBy
+    * (key))` formulation would funnel every row of a hot domain through
+    * ONE task; a 100 TB crawl has million-document domains.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"capPerKey: n must be positive, got $n")
+    val M = 1000000
+    // TopKByScore keeps HIGHEST score: negate the bucket so the kept set
+    // is the n LOWEST buckets (ties to the lower id, its built-in order)
+    val keep = df
+      .select(col(keyCol), col(idCol),
+        (-hashBucket(col(idCol), M)).cast(DoubleType).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(graft.plans.TopKByScore(col("_s"), col(idCol), n).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e.c_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

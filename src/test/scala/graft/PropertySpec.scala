@@ -107,6 +107,54 @@ class PropertySpec extends SparkSpec {
       .select(graft.plans.HashBucket(col("k"), 100)).collect()(0).isNullAt(0))
   }
 
+  test("SortedPages.slice == funnel on random ranges (boundary consistency)") {
+    // the round-9 fix pinned count and slice jobs to ONE materialized
+    // RDD; this drives random ranges through one handle and checks each
+    // against the LIMIT/OFFSET funnel over the same total order
+    val orders = Table(spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey")))
+    val n = orders.df.count()
+    val expected = orders.df.select("o_orderkey").as[Long].collect().sorted.toSeq
+    val pages = orders.paginateSorted(Seq(col("o_orderkey")))
+    assert(pages.totalRows == n)
+    val ranges = draw(for {
+      a <- Gen.choose(0L, n + 10)
+      len <- Gen.choose(0L, n / 2)
+    } yield (a, a + len), 12)
+    for ((start, stop) <- ranges) {
+      val got = pages.slice(start, stop).df.select("o_orderkey")
+        .as[Long].collect().sorted.toSeq
+      val want = expected.slice(start.min(n).toInt, stop.min(n).toInt)
+      assert(got == want, s"range [$start, $stop) of $n")
+    }
+  }
+
+  test("capPerKey: cap respected, deterministic, monotone in n, no window in plan") {
+    val rows = draw(for {
+      key <- Gen.oneOf("a", "b", "c", "hot")
+      id <- Gen.choose(0L, 100000L)
+    } yield (id, key), 800).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "src")
+    val capped = Sampling.capPerKey(df, "src", "doc_id", 25)
+    val byKey = capped.groupBy("src").count().as[(String, Long)].collect().toMap
+    val inputByKey = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((k, cnt) <- inputByKey)
+      assert(byKey.getOrElse(k, 0L) == math.min(cnt, 25), s"key $k")
+    // deterministic: same keep set on re-run
+    val ids1 = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.capPerKey(df, "src", "doc_id", 25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // monotone: raising the cap only ADDS rows
+    val ids3 = Sampling.capPerKey(df, "src", "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.toSet.subsetOf(ids3))
+    // scale shape: bounded aggregate + semi join, never a window funnel
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(plan.contains("LeftSemi"), plan.take(400))
+  }
+
   test("replace(old, new, max): Spark == JVM reference on random strings") {
     // strings over a tiny alphabet maximize overlapping/consecutive matches
     val s = Gen.listOf(Gen.oneOf('a', 'b', '.', '*')).map(_.mkString)
