@@ -770,6 +770,35 @@ object PipelineEntry {
       t(s, dir, "supplier").write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("s_suppkey")
     },
+    "src_txt_roundtrip" -> { (s, dir) =>
+      // plain-text lines: the rawest source format (one string column)
+      val out = "/root/repo/target/roundtrip/region_txt"
+      t(s, dir, "region").select(col("r_name")).write.mode("overwrite").text(out)
+      graft.api.Table.data(s, out + "/part-*.txt").df
+        .select(col("value").as("r_name")).orderBy("r_name")
+    },
+    "src_binary_roundtrip" -> { (s, dir) =>
+      // binaryFile ingestion — the multimodal-corpus entry path: a
+      // directory of encoded image FILES → (path, content) rows → REAL
+      // decode. Files are materialized by a tiny setup loop (25 rows;
+      // binaryFile is a read-only source by design) and ids recovered
+      // from filenames, the layout a real image corpus has.
+      val out = new java.io.File("/root/repo/target/roundtrip/png_files")
+      out.mkdirs()
+      out.listFiles().foreach(_.delete())
+      val dims = t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("doc_id"),
+        (col("n_nationkey") % 31 + 1).as("w"), (col("n_nationkey") % 17 + 1).as("h"))
+      Multimodal.synthesizePng(s, dims, "doc_id", "w", "h").collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out.getPath, s"img_${r.getLong(0)}.png"),
+          r.getAs[Array[Byte]](1))
+      }
+      val files = graft.api.Table.dataBinary(s, out.getPath, glob = "*.png").df
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast(LongType).as("media_id"), col("content").as("payload"))
+      Multimodal.decodeImageMetaReal(s, files).orderBy("media_id")
+    },
     // ---- N-D arrays over coordinate representation (§2.12) ----
     "arr_transpose" -> { (s, dir) =>
       // embeddings as a (vec × dim) matrix in coordinate form, then the
@@ -1568,6 +1597,16 @@ object PipelineEntry {
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
       "src_xml_roundtrip" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      "src_txt_roundtrip" ->
+        "SELECT r_name FROM region ORDER BY r_name",
+      // the engine decodes REAL PNG files read back through binaryFile;
+      // the oracle recomputes the synthesized dimensions from the key
+      "src_binary_roundtrip" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(n_nationkey % 31 + 1 AS BIGINT) AS width,
+          |  CAST(n_nationkey % 17 + 1 AS BIGINT) AS height,
+          |  CAST(3 AS BIGINT) AS channels
+          |FROM nation ORDER BY media_id""".stripMargin,
 
       "arr_transpose" ->
         """SELECT generate_subscripts(embedding, 1) - 1 AS d0, vec_id AS d1,

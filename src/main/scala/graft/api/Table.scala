@@ -510,6 +510,17 @@ object Table {
     Table(t)
   }
 
+  /** binary-file ingestion — the entry path for multimodal corpora on
+    * disk/object storage: one row per file with (path, modificationTime,
+    * length, content). Pair with `graft.operators.Multimodal`'s real
+    * decoders; `pathGlobFilter` narrows to one media family. The source
+    * is read-only by design (files are written by whatever produced
+    * them); scans parallelize per-file and prune on the PATH column.
+    */
+  def dataBinary(spark: SparkSession, dir: String, glob: String = "*"): Table =
+    Table(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir))
+
   private def isDir(spark: SparkSession, uri: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(uri)
