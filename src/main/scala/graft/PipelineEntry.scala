@@ -109,6 +109,40 @@ object PipelineEntry {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
+  /** PQ/ADC replay shared by sim_pq and sim_pq_refined: `m` independent
+    * `sub`-dim Lloyd's trainings (one per subspace, mirroring
+    * Similarity.pqTrain's reuse of the integer k-means), encode = rn-1
+    * assignment vs the FINAL training centroids c1_j, ADC = per-query
+    * distance table qt_j joined on the stored code. Ends at CTE `r`
+    * with (q_id, c_id, adist, rank) — pure int64 throughout.
+    */
+  private def pqSqlCtes(m: Int, sub: Int, ksub: Int): String = {
+    def kmQv(lo: Int, hi: Int) =
+      s"list_transform(embedding[$lo:$hi], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+    val kmDist = (1 to sub).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
+    val kmCent = (1 to sub).map(i =>
+      s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+    val per = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = lo + sub - 1
+      s"""q0_$j AS (SELECT vec_id, ${kmQv(lo, hi)} AS qv FROM embeddings),
+         |c0_$j AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0_$j WHERE vec_id < $ksub),
+         |j1_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c0_$j),
+         |w1_$j AS (SELECT vec_id, qv, cid FROM j1_$j WHERE rn = 1),
+         |c1_$j AS (SELECT cid, $kmCent AS cv FROM w1_$j GROUP BY cid),
+         |j2_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c1_$j),
+         |w2_$j AS (SELECT vec_id, cid AS code_$j FROM j2_$j WHERE rn = 1),
+         |qt_$j AS (SELECT q.vec_id AS q_id, c.cid, $kmDist AS d FROM (SELECT vec_id, qv FROM q0_$j WHERE vec_id < 10) q CROSS JOIN c1_$j c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m).map(j => s"JOIN w2_$j ON w2_$j.vec_id = w2_0.vec_id").mkString(" ")
+    val qtJoin = (1 until m).map(j => s"JOIN qt_$j ON qt_$j.cid = s.code_$j AND qt_$j.q_id = qt_0.q_id").mkString(" ")
+    s"""$per,
+       |codes AS (SELECT w2_0.vec_id, ${(0 until m).map(j => s"code_$j").mkString(", ")} FROM w2_0 $codeJoin),
+       |scored AS (SELECT qt_0.q_id, s.vec_id AS c_id, ${(0 until m).map(j => s"qt_$j.d").mkString(" + ")} AS adist
+       |  FROM codes s JOIN qt_0 ON qt_0.cid = s.code_0 $qtJoin
+       |  WHERE qt_0.q_id <> s.vec_id),
+       |r AS (SELECT q_id, c_id, adist, row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rank FROM scored)""".stripMargin
+  }
+
   // deterministic per-doc URL spliced into the fixture text for the
   // text_domains / text_blocklist queries (the fixture carries no URLs;
   // same synthesize-inputs recipe as the mm_* roundtrips). Mirrored
@@ -447,6 +481,31 @@ object PipelineEntry {
       val assign = Similarity.kmeansAssign(emb, k = 4, iters = 2, dim = 64)
       val emb2 = emb.join(assign, "vec_id")
       Similarity.ivfTopK(emb2, emb2.filter(col("vec_id") < 10), k = 5, coarseCol = "cid")
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+    "sim_pq" -> { (s, dir) =>
+      // product-quantization ADC search: four deterministic per-subspace
+      // integer k-means codebooks (m=4 × 16 dims, ksub=4, 2 Lloyd's
+      // iterations — the oracle replays all four trainings in SQL),
+      // corpus encoded to 4 codes by a shuffle-free projection, ADC scan
+      // sums per-subspace lookup-table distances — int64 end to end, so
+      // the compare is hash-exact with no float columns at all
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2, dim = 64)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, model)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+    "sim_pq_refined" -> { (s, dir) =>
+      // PQ + exact re-rank (FAISS `refine`): ADC shortlists k×refine=40
+      // candidates per query, a broadcast join fetches just those
+      // vectors, exact cosine re-ranks to k — recall climbs with
+      // `refine` while the corpus pass still reads only codes
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2, dim = 64)
+      Similarity.pqTopKRefined(emb, emb.filter(col("vec_id") < 10), k = 5, model,
+          refine = 8)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
@@ -1394,6 +1453,17 @@ object PipelineEntry {
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       },
 
+      "sim_pq" ->
+        s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)}
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "sim_pq_refined" ->
+        s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)},
+           |shortlist AS (SELECT q_id, c_id FROM r WHERE rank <= 40),
+           |rr AS (SELECT s.q_id, s.c_id, ${sqlCos("qe.embedding", "ce.embedding")} AS cos
+           |  FROM shortlist s JOIN embeddings qe ON qe.vec_id = s.q_id
+           |  JOIN embeddings ce ON ce.vec_id = s.c_id),
+           |r2 AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r2 WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "sim_lsh_probe" -> {
         val masks = (0L +: (0 until 8).map(i => 1L << i)).mkString("[", ", ", "]")
         s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("embedding", 64, 8)} AS bucket FROM embeddings),

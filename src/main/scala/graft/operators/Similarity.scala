@@ -291,6 +291,129 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Trained product-quantization codebook: `m` per-subspace centroid
+    * tables, collected to the driver. A PQ codebook is a broadcast-sized
+    * model by construction — `m × ksub` centroids of `dim/m` int64
+    * components ≈ `ksub × dim` values REGARDLESS of corpus size — so
+    * holding it driver-side is the Spark-ML-estimator pattern (a fitted
+    * model), not a `.collect()` of data. `cents(j)` lists subspace j's
+    * `(cid, centroid)` pairs sorted by cid ascending (the trainer's
+    * tiebreak order); centroids are in the trainer's `floor(x·2^20)`
+    * integer quantization.
+    */
+  final case class PqModel(m: Int, dim: Int,
+      cents: IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]]) {
+    def sub: Int = dim / m
+  }
+
+  private val QScale = 1L << 20
+  private def quantizeVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * QScale).cast(LongType))
+
+  /** Train a product quantizer: split the `dim`-d vector into `m`
+    * subspaces of `dim/m` dims and run the deterministic integer
+    * [[kmeansTrain]] independently in each. Compression story at 100 TB:
+    * a 64-d float vector (256 B) becomes `m` small codes (m bytes at
+    * ksub ≤ 256) — 64× smaller — and the ADC scan reads ONLY the codes.
+    * Training cost is `m` trainers over the corpus; at real scale train
+    * on a uniform sample ([[graft.operators.Sampling]]) — the codebook
+    * quality needs sample coverage, not the full corpus.
+    */
+  def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
+    require(m > 0 && dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cents = (0 until m).map { j =>
+      val subEmb = emb.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+      val (_, c) = kmeansTrain(subEmb, ksub, iters, sub, vecCol, idCol)
+      c.orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).toIndexedSeq
+    }.toIndexedSeq
+    PqModel(m, dim, cents)
+  }
+
+  /** Encode every vector to its `m` nearest-sub-centroid codes — a PURE
+    * PROJECTION over the scan (no join, no shuffle: the codebook rides
+    * the plan as literals), which is what makes PQ the 100 TB path: the
+    * expensive full-corpus pass is map-side only. Codes are the
+    * centroid ids (trainer seeds' vec_ids); argmin tiebreaks to the
+    * LOWEST cid exactly like the trainer, so encoding reproduces the
+    * trainer's own final assignment. Output: (idCol, code_0..code_{m-1}).
+    */
+  def pqEncode(emb: DataFrame, model: PqModel,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sub = model.sub
+    val codeCols = (0 until model.m).map { j =>
+      val qv = quantizeVec(slice(col(vecCol), j * sub + 1, sub))
+      val dists = array(model.cents(j).map { case (_, cv) =>
+        graft.plans.QuantizedL2(qv, typedlit(cv)) }: _*)
+      // first index of the min distance = lowest cid (cents sorted by cid)
+      element_at(typedlit(model.cents(j).map(_._1)),
+        array_position(dists, array_min(dists)).cast(IntegerType)).as(s"code_$j")
+    }
+    emb.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): each query
+    * precomputes an `m × ksub` lookup table of exact integer L2
+    * distances from its subvectors to every sub-centroid (projection on
+    * the SMALL query side), then the corpus scan sums `m` table lookups
+    * per code row — O(m) work per corpus row instead of O(dim), over
+    * codes instead of vectors. The query side (with its tables)
+    * broadcasts; the corpus is scanned once, shuffle-free up to the
+    * bounded [[rankTopK]] aggregate. All arithmetic is int64 (sums stay
+    * < 2^53, so the score double round-trip is exact) — the DuckDB
+    * oracle replays training, encoding, and the ADC sums bit-exactly.
+    * Output: (q_id, rank, c_id, adist) ranked by ASCENDING approximate
+    * distance, ties to the lower c_id.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sub = model.sub
+    val codes = pqEncode(emb, model, vecCol, idCol).withColumnRenamed(idCol, "c_id")
+    val qCols = (0 until model.m).map { j =>
+      val qv = quantizeVec(slice(col(vecCol), j * sub + 1, sub))
+      map_from_arrays(
+        typedlit(model.cents(j).map(_._1)),
+        array(model.cents(j).map { case (_, cv) =>
+          graft.plans.QuantizedL2(qv, typedlit(cv)) }: _*)).as(s"qt_$j")
+    }
+    val q = broadcast(queries.select(col(idCol).as("q_id") +: qCols: _*))
+    val adist = (0 until model.m)
+      .map(j => element_at(col(s"qt_$j"), col(s"code_$j"))).reduce(_ + _)
+    val scored = q.join(codes, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), adist.as("adist"))
+    rankTopK(scored.select(col("q_id"), col("c_id"),
+        (-col("adist")).cast(DoubleType).as("cos")), k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        (-col("cos")).cast(LongType).as("adist"))
+  }
+
+  /** PQ with exact re-ranking (the production FAISS-style `refine`
+    * pattern): the cheap ADC scan shortlists `k × refine` candidates
+    * per query, their FULL vectors are fetched via a broadcast join of
+    * the (tiny: |Q|·k·refine rows) shortlist against the corpus — map-
+    * side, no corpus shuffle — and exact cosine re-ranks the shortlist
+    * down to k. Recall rises with `refine` while the expensive exact
+    * work stays bounded at k·refine vectors per query; the 100 TB scan
+    * still only reads codes. Output matches [[bruteForceTopK]]:
+    * (q_id, rank, c_id, cos).
+    */
+  def pqTopKRefined(emb: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+                    refine: Int, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(refine > 0, s"pqTopKRefined: refine must be positive, got $refine")
+    val short = pqTopK(emb, queries, k * refine, model, vecCol, idCol)
+      .select(col("q_id"), col("c_id"))
+    val qv = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv")))
+    val cand = broadcast(short)
+      .join(emb.select(col(idCol).as("c_id"), col(vecCol).as("_cv")), "c_id")
+      .join(qv, "q_id")
+      .select(col("q_id"), col("c_id"), cosine(col("_qv"), col("_cv")).as("cos"))
+    rankTopK(cand, k)
+  }
+
   /** Multi-probe sign-LSH: each query also probes every bucket at
     * Hamming distance 1 from its own (bucket XOR one sign bit) — the
     * standard recall-vs-cost knob for sign LSH. A near neighbor that

@@ -179,6 +179,40 @@ class OperatorsSpec extends SparkSpec {
     assert(multi > 0.4, s"multi-probe recall=$multi")
   }
 
+  test("PQ/ADC: encode is a shuffle-free projection; ADC ranking has useful recall") {
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2, dim = 64)
+    assert(model.cents.length == 4 && model.cents.forall(_.nonEmpty))
+    // codebook is a fitted model: every subspace centroid has sub dims
+    assert(model.cents.flatten.forall(_._2.length == model.sub))
+    // encoding must be map-side only — the whole point of PQ at scale is
+    // that the full-corpus pass is a projection with the codebook inlined
+    val codes = Similarity.pqEncode(emb, model)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqEncode plan shuffles:\n$plan")
+    assert(codes.columns.toSeq == Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    // every code is one of that subspace's centroid ids
+    val valid = model.cents.map(_.map(_._1).toSet)
+    val rows = codes.collect()
+    assert(rows.forall(r => (0 until 4).forall(j => valid(j).contains(r.getLong(j + 1)))))
+    // ADC recall vs exact cosine: PQ approximates L2 on quantized
+    // vectors with 4 codes — far above chance, below exact
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, q, 5, model).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall > 0.1, s"PQ recall=$recall")
+    // exact re-rank over an 8× shortlist recovers most of the loss while
+    // still scanning only codes (shortlist = 40 of the corpus per query)
+    val refined = Similarity.pqTopKRefined(emb, q, 5, model, refine = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rRec = (bf intersect refined).size.toDouble / bf.size
+    assert(rRec >= recall, s"refined=$rRec adc=$recall")
+    assert(rRec > 0.4, s"refined recall=$rRec")
+  }
+
   test("multi-probe IVF recall >= single-cell IVF on the trained quantizer") {
     val emb = Tables(spark, sf, "embeddings")
     val (assign, cents) = Similarity.kmeansTrain(emb, k = 4, iters = 2, dim = 64)
