@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
+import graft.operators.{AsOf, Bloom, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -985,6 +985,21 @@ object PipelineEntry {
           docs.filter(col("doc_id") >= 250), threshold = 0.3)
         .orderBy("doc_id")
     },
+    "dedup_bloom" -> { (s, dir) =>
+      // bloom-filter decontamination: one fixed-memory bitmap pass over
+      // the corpus half, then the incoming half is filtered MAP-SIDE
+      // against the broadcast-sized bitmap — no join, no corpus rescan.
+      // Output = incoming docs the bloom certifies DEFINITELY novel
+      // (no-false-negative side of the contract); the oracle replays
+      // the salted-md5 positions relationally (position-set semi join)
+      // — two unrelated formulations of the same membership math
+      val docs = t(s, dir, "documents")
+      val (mBits, k) = (1024, 5) // pinned (and small: the compare must also reproduce the exact false-positive pattern, not just the easy all-novel case)
+      val words = Bloom.build(docs.filter(col("doc_id") % 2 === 0), col("text"), mBits, k)
+      Bloom.filterNovel(docs.filter(col("doc_id") % 2 === 1), words, mBits, k, col("text"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "lay_zorder" -> { (s, dir) =>
       // z-order sort key over (p_size, p_partkey mod 256) — the write-
       // side clustering that keeps parquet min/max stats tight on both
@@ -1290,6 +1305,23 @@ object PipelineEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
            |LEFT JOIN x USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+      // relational replay of the bloom: the corpus's DISTINCT set bit
+      // positions, then an incoming row is "definitely novel" iff at
+      // least one of its k salted positions is missing from that set —
+      // same membership math as the bitmap, no bitmap
+      "dedup_bloom" -> {
+        val mBits = 1024; val k = 5
+        def p(i: Int) =
+          s"(CAST(concat('0x', substr(md5(concat('$i:', text)), 1, 7)) AS BIGINT) % $mBits)"
+        val plist = (0 until k).map(p).mkString("[", ", ", "]")
+        s"""WITH pos AS (SELECT DISTINCT unnest($plist) AS p
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |ip AS (SELECT doc_id, unnest($plist) AS p
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |novel AS (SELECT DISTINCT ip.doc_id FROM ip
+           |  LEFT JOIN pos ON pos.p = ip.p WHERE pos.p IS NULL)
+           |SELECT doc_id FROM novel ORDER BY doc_id""".stripMargin
+      },
       "inc_upsert" ->
         """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
           |chg AS (

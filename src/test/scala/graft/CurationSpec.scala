@@ -463,6 +463,38 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
   }
 
+  test("bloom decontamination: zero false negatives, bounded false-positive rate") {
+    import graft.operators.Bloom
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val n = corpus.count()
+    val (mBits, k) = Bloom.autoSize(n) // 10 bits/key, k=7
+    val words = Bloom.build(corpus, col("text"), mBits, k)
+    // the no-false-negative half of the contract: every corpus key probes positive
+    val misses = corpus.filter(!Bloom.mightContain(words, mBits, k, col("text"))).count()
+    assert(misses == 0, s"$misses corpus keys probed negative")
+    // filterNovel output must be genuinely novel (bloom may DROP novel
+    // rows — FPR — but must never PASS a seen one)
+    val novel = Bloom.filterNovel(incoming, words, mBits, k, col("text"))
+    val leaked = novel.join(corpus.select(col("text")), "text").count()
+    assert(leaked == 0, s"$leaked seen keys passed filterNovel")
+    // at 10 bits/key the FPR is ~1%: most genuinely novel rows survive
+    val nIn = incoming.count()
+    val nNovel = novel.count()
+    assert(nNovel >= (nIn * 0.9).toLong, s"only $nNovel of $nIn survived")
+    // probe predicate is map-side only: no shuffle in the filter plan
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"filterNovel plan shuffles:\n$plan")
+  }
+
+  test("bloom autoSize rejects bitmaps past the 2^31 single-bitmap ceiling") {
+    import graft.operators.Bloom
+    val (m, k) = Bloom.autoSize(1000)
+    assert(m % 64 == 0 && m >= 10000 && k == 7)
+    intercept[IllegalArgumentException](Bloom.autoSize(300000000L, 10))
+  }
+
   test("intersect/except have SQL distinct semantics and enforce schema match") {
     val a = Table(Seq(1, 1, 2, 3).toDF("k"))
     val b = Table(Seq(2, 2, 3, 4).toDF("k"))
