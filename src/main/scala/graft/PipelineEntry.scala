@@ -369,6 +369,17 @@ object PipelineEntry {
         .orderBy("doc_id")
     },
 
+    "sample_split_safe" -> { (s, dir) =>
+      // leakage-safe train/test split: whole near-dup clusters assigned
+      // to one side by a hash of the cluster label — a test doc can
+      // never have a near-copy in train. Oracle = recursive-CTE closure
+      // + the same md5 bucket on the component label
+      val docs = t(s, dir, "documents")
+      Sampling.splitByCluster(docs, Dedup.minhashPairs(docs, threshold = 0.3),
+          trainPct = 80)
+        .orderBy("doc_id")
+    },
+
     // ---- corpus curation: packing / sampling / scrubbing ----
     "pack_sequences" -> { (s, dir) =>
       import TextFunctions._
@@ -1286,6 +1297,18 @@ object PipelineEntry {
            |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "sample_split_safe" ->
+        s"""WITH RECURSIVE ${minhashPairCtes(n = 3, threshold = 0.3)},
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |      UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS lab FROM documents
+           |  UNION
+           |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
+           |SELECT id AS doc_id, MIN(lab) AS cluster_id,
+           |  CASE WHEN CAST(concat('0x', substr(md5(CAST(MIN(lab) AS VARCHAR) || ':0'), 1, 7)) AS BIGINT) % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),

@@ -98,6 +98,31 @@ object Sampling {
     * (key))` formulation would funnel every row of a hot domain through
     * ONE task; a 100 TB crawl has million-document domains.
     */
+  /** Leakage-safe train/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — every member of a connected component
+    * of the near-duplicate graph lands in the same split, so a
+    * test document can never have a near-copy in train (the standard
+    * eval-contamination failure of row-wise splits). Assignment hashes
+    * the cluster label ([[hashBucket]] of `cluster_id:seed`), so the
+    * split is deterministic across runs/engines/partitionings and
+    * different seeds draw independent splits.
+    *
+    * Scale shape: clustering is [[Cluster.dedupClusters]] (O(diameter)
+    * hash-min rounds over the pair graph — pairs come from LSH, never
+    * all-pairs); the split itself is one codegen'd projection over the
+    * cluster table. Output: (idCol, cluster_id, split∈{train,test}).
+    */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, trainPct: Int,
+                     seed: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100,
+      s"splitByCluster: trainPct must be in [0, 100], got $trainPct")
+    val clusters = Cluster.dedupClusters(docs, pairs, idCol)
+    val bucket = hashBucket(
+      concat(col("cluster_id").cast(StringType), lit(":" + seed)), 100)
+    clusters.select(col(idCol), col("cluster_id"),
+      when(bucket < trainPct, "train").otherwise("test").as("split"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"capPerKey: n must be positive, got $n")
     val M = 1000000

@@ -463,6 +463,35 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
   }
 
+  test("splitByCluster: near-dup clusters never straddle the train/test line") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables(spark, sf, "documents")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.3)
+    val split = Sampling.splitByCluster(docs, pairs, trainPct = 80)
+    // cluster-consistency: each cluster_id maps to exactly one split
+    val mixed = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(mixed == 0, s"$mixed clusters straddle the split")
+    // the leakage property stated directly: no near-dup PAIR crosses it
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("sp_a"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("sp_b"))
+    val crossing = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("sp_a") =!= col("sp_b")).count()
+    assert(crossing == 0, s"$crossing near-dup pairs cross the split")
+    // both sides populated at a plausible 80/20 (cluster-level hashing
+    // over ~500 docs: loose band, deterministic so never flaky)
+    val n = split.count().toDouble
+    val train = split.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95, s"train frac ${train / n}")
+    // different seeds draw different (still leakage-safe) splits
+    val s2 = Sampling.splitByCluster(docs, pairs, trainPct = 80, seed = 7)
+    val moved = split.select(col("doc_id"), col("split"))
+      .join(s2.select(col("doc_id"), col("split").as("s2")), "doc_id")
+      .filter(col("split") =!= col("s2")).count()
+    assert(moved > 0, "seed had no effect on the split")
+  }
+
   test("bloom decontamination: zero false negatives, bounded false-positive rate") {
     import graft.operators.Bloom
     val docs = Tables(spark, sf, "documents")
