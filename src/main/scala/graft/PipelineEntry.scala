@@ -369,6 +369,32 @@ object PipelineEntry {
         .orderBy("doc_id")
     },
 
+    "text_strip_html" -> { (s, dir) =>
+      // HTML boilerplate removal over synthesized markup (same
+      // synthesize-inputs recipe as the mm_* roundtrips: the fixture
+      // carries no HTML, so deterministic markup is wrapped around each
+      // doc and BOTH engines strip it with the same pattern chain)
+      val docs = t(s, dir, "documents")
+      val wrapped = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1 class=\"t\">Doc "),
+        col("doc_id").cast(StringType),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+        lit("<script>var x = 1 < 2;</script><!-- hidden --></body></html>"))
+      docs.select(col("doc_id"), TextFunctions.stripMarkup(wrapped).as("clean"))
+        .orderBy("doc_id")
+    },
+    "text_encode" -> { (s, dir) =>
+      // frequency-vocabulary token encoding: top-100 tokens by corpus
+      // count (total order: count desc, token asc) become ids 1..100,
+      // documents encode to (doc_id, pos, token_id) rows via one
+      // broadcast join, OOV → 0 — the tokenizer-to-ids step before
+      // sequence packing
+      val docs = t(s, dir, "documents")
+      val vocab = TextFunctions.buildVocab(docs, col("text"), 100)
+      TextFunctions.encodeTokens(docs, col("text"), vocab)
+        .orderBy("doc_id", "pos")
+    },
     "sample_split_safe" -> { (s, dir) =>
       // leakage-safe train/test split: whole near-dup clusters assigned
       // to one side by a hash of the cluster label — a test doc can
@@ -1298,6 +1324,28 @@ object PipelineEntry {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "text_strip_html" -> {
+        // the same MarkupPatterns chain, generated with DuckDB's
+        // explicit 'g' flag (Spark's regexp_replace is replace-all by
+        // default; RE2 and Java agree on the inline (?is) flags)
+        val wrapped =
+          """'<html><head><style>p{color:red}</style></head><body><h1 class="t">Doc ' || CAST(doc_id AS VARCHAR)""" +
+            """ || '</h1><p>' || text || '</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>'""" +
+            """ || '<script>var x = 1 < 2;</script><!-- hidden --></body></html>'"""
+        val chain = TextFunctions.MarkupPatterns.foldLeft(wrapped) { case (acc, (re, repl)) =>
+          s"regexp_replace($acc, '${re.replace("'", "''")}', '${repl.replace("'", "''")}', 'g')"
+        }
+        s"""SELECT doc_id, TRIM(regexp_replace($chain, '\\s+', ' ', 'g')) AS clean
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "text_encode" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |c2 AS (SELECT token, COUNT(*) AS c FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token),
+           |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS id FROM c2 ORDER BY c DESC, token LIMIT 100),
+           |ip AS (SELECT doc_id, unnest(ts) AS token, unnest(range(1, len(ts)+1)) AS pos FROM t)
+           |SELECT ip.doc_id, CAST(ip.pos AS BIGINT) AS pos, CAST(coalesce(v.id, 0) AS BIGINT) AS token_id
+           |FROM ip LEFT JOIN vocab v ON v.token = ip.token
+           |ORDER BY doc_id, pos""".stripMargin,
       "sample_split_safe" ->
         s"""WITH RECURSIVE ${minhashPairCtes(n = 3, threshold = 0.3)},
            |e AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -223,4 +223,66 @@ object TextFunctions {
     PiiPatterns.foldLeft(text) { case (c, (re, repl)) =>
       regexp_replace(c, re, repl)
     }
+
+  // ---- markup stripping (HTML boilerplate removal) ----
+  /** markup-removal patterns, ordered: script/style/comment BLOCKS go
+    * first (their content is noise, not text), then remaining tags,
+    * then the common entities. Same Java≡RE2 discipline as
+    * [[PiiPatterns]]: inline (?is) flags and lazy quantifiers behave
+    * identically in Spark and DuckDB, no lookarounds.
+    */
+  val MarkupPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'")
+
+  /** strip HTML/markup down to text: drop script/style/comment blocks,
+    * tags, decode common entities, collapse whitespace — the standard
+    * web-corpus boilerplate-removal pass, as a pure codegen'd
+    * `regexp_replace` chain over the scan (no shuffle, linear).
+    */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      MarkupPatterns.foldLeft(text) { case (c, (re, repl)) =>
+        regexp_replace(c, re, repl) },
+      "\\s+", " "))
+
+  // ---- token→id encoding (frequency vocabulary) ----
+  /** Frequency vocabulary over the corpus: the `k` most frequent
+    * whitespace tokens, ids 1..k dense by rank (count desc, token asc —
+    * a total order, so the vocabulary is deterministic across engines).
+    * Count/TakeOrdered is the heavy distributed part; the ranking
+    * window then runs over the k surviving rows only (a k-row model
+    * build, not a corpus window).
+    */
+  def buildVocab(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"buildVocab: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(k)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))).cast(LongType))
+      .select("token", "id")
+  }
+
+  /** Encode documents to (doc, pos, token_id) rows against a vocabulary
+    * (out-of-vocabulary → 0): posexplode + one BROADCAST join — the
+    * corpus pass stays map-side; `pos` is 1-based. This is the
+    * tokenizer-to-ids step of a training pipeline in relational form
+    * (downstream packing: [[graft.operators.Pack.packSequences]]).
+    */
+  def encodeTokens(docs: DataFrame, textCol: Column, vocab: DataFrame,
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), posexplode(tokens(textCol)).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        coalesce(col("id"), lit(0L)).as("token_id"))
 }

@@ -571,6 +571,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq("en", "de"))
   }
 
+  test("stripMarkup removes blocks/tags, decodes entities, keeps text") {
+    val r = docsOf(
+      (1L, "<p>Hello <b>world</b></p><script>alert('x &lt; y')</script> done"),
+      (2L, "<STYLE>p{}</STYLE>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;Z"),
+      (3L, "plain text, no markup"),
+      (4L, "<!-- note\nmultiline -->kept <div\n  class='x'>inner</div>"))
+      .select(TextFunctions.stripMarkup(col("text"))).as[String].collect().toSeq
+    assert(r == Seq(
+      "Hello world done",          // script content dropped entirely
+      "A & B <tag> \"q\" 's' Z",   // entities decode AFTER tag strip
+      "plain text, no markup",     // no-op on clean text
+      "kept inner"))               // multiline comment + multiline tag
+  }
+
+  test("encodeTokens: ranked vocab ids, OOV → 0, positions 1-based") {
+    val docs = docsOf(
+      (1L, "b b b a a c"),
+      (2L, "a zz b"))
+    val vocab = TextFunctions.buildVocab(docs, col("text"), 2)
+    // counts: b=4, a=3 → vocab; c and zz fall out
+    assert(vocab.orderBy("id").as[(String, Long)].collect().toSeq ==
+      Seq(("b", 1L), ("a", 2L)))
+    val enc = TextFunctions.encodeTokens(docs, col("text"), vocab)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 2L), (1L, 5L, 2L), (1L, 6L, 0L),
+      (2L, 1L, 2L), (2L, 2L, 0L), (2L, 3L, 1L)))
+  }
+
   test("QuantizedL2: exact int64 squared distance; length mismatch → NULL") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 50).map { i =>
