@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Bloom, Cluster, Dedup, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
+import graft.operators.{AsOf, Bloom, Cluster, Dedup, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -369,6 +369,24 @@ object PipelineEntry {
         .orderBy("doc_id")
     },
 
+    "graph_pagerank" -> { (s, dir) =>
+      // graph-centrality curation prior: PageRank over the customer↔
+      // supplier affinity graph (undirected — reversed edges unioned,
+      // so no dangling sinks), 3 power iterations in scaled-int64
+      // arithmetic; the oracle replays the iterations unrolled, so
+      // ranks are hash-exact across engines
+      // long node ids (customers even, suppliers odd): an 8-byte join
+      // key where a "c123"/"s45" string key would tax every hash and
+      // sort in the loop — the integral-surrogate rule from the sim_*
+      // operators applied to graph node ids
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerank(e, iters = 3).orderBy("id")
+    },
     "text_strip_html" -> { (s, dir) =>
       // HTML boilerplate removal over synthesized markup (same
       // synthesize-inputs recipe as the mm_* roundtrips: the fixture
@@ -1324,6 +1342,26 @@ object PipelineEntry {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "graph_pagerank" -> {
+        // unrolled power iterations, same scaled-int64 floor arithmetic
+        val iters = 3
+        val steps = (1 to iters).map { i =>
+          val p = s"p${i - 1}"
+          s"""c$i AS (SELECT e.dst AS id,
+             |  SUM(CAST(FLOOR(CAST(p.pr AS DOUBLE) / CAST(d.outdeg AS DOUBLE)) AS BIGINT)) AS s
+             |  FROM e JOIN $p p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |p$i AS (SELECT $p.id,
+             |  CAST(150000 + FLOOR(CAST(85 * coalesce(c$i.s, 0) AS DOUBLE) / 100.0) AS BIGINT) AS pr
+             |  FROM $p LEFT JOIN c$i ON c$i.id = $p.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |p0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+           |$steps
+           |SELECT id, pr FROM p$iters ORDER BY id""".stripMargin
+      },
       "text_strip_html" -> {
         // the same MarkupPatterns chain, generated with DuckDB's
         // explicit 'g' flag (Spark's regexp_replace is replace-all by

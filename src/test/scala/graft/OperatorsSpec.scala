@@ -571,6 +571,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq("en", "de"))
   }
 
+  test("pagerank: symmetry, centrality ordering, partitioning invariance") {
+    import graft.operators.Graph
+    def undirected(pairs: (String, String)*) = {
+      val e0 = pairs.toDF("src", "dst")
+      e0.union(e0.select(col("dst"), col("src")))
+    }
+    // two symmetric nodes → identical ranks
+    val two = Graph.pagerank(undirected(("a", "b")), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(two("a") == two("b"))
+    // star: the hub out-ranks every leaf, leaves are symmetric
+    val star = Graph.pagerank(
+      undirected(("hub", "x"), ("hub", "y"), ("hub", "z")), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(star("hub") > star("x") && star("x") == star("y") && star("y") == star("z"))
+    // every rank carries at least the teleport base mass
+    assert(star.values.forall(_ >= 150000L))
+    // deterministic across partitionings: int64 arithmetic has no
+    // float-summation order to disturb
+    val e = undirected(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val r1 = Graph.pagerank(e.repartition(1), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r13 = Graph.pagerank(e.repartition(13), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r1 == r13)
+  }
+
   test("stripMarkup removes blocks/tags, decodes entities, keeps text") {
     val r = docsOf(
       (1L, "<p>Hello <b>world</b></p><script>alert('x &lt; y')</script> done"),
