@@ -402,6 +402,12 @@ object PipelineEntry {
       docs.select(col("doc_id"), TextFunctions.stripMarkup(wrapped).as("clean"))
         .orderBy("doc_id")
     },
+    "text_tfidf" -> { (s, dir) =>
+      // per-doc distinctive terms: tf/df score (exact IEEE division, no
+      // ln — see tfidfTopK), bounded top-3 per doc via TopKByScore
+      TextFunctions.tfidfTopK(t(s, dir, "documents"), col("text"), k = 3)
+        .orderBy("doc_id", "rank")
+    },
     "text_encode" -> { (s, dir) =>
       // frequency-vocabulary token encoding: top-100 tokens by corpus
       // count (total order: count desc, token asc) become ids 1..100,
@@ -1040,6 +1046,12 @@ object PipelineEntry {
           docs.filter(col("doc_id") >= 250), threshold = 0.3)
         .orderBy("doc_id")
     },
+    "dedup_containment" -> { (s, dir) =>
+      // asymmetric containment near-dup (boilerplate / subset-duplicate
+      // detection): LSH candidates + exact |A∩B|/|A| both directions
+      Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
     "dedup_bloom" -> { (s, dir) =>
       // bloom-filter decontamination: one fixed-memory bitmap pass over
       // the corpus half, then the incoming half is filtered MAP-SIDE
@@ -1113,7 +1125,7 @@ object PipelineEntry {
     // keeps the raw hs list (duplicates cannot change a min).
     // Exposed as a CTE chain ending in `pairs` so dedup_clusters can
     // extend it with a recursive closure.
-    def minhashPairCtes(n: Int, threshold: Double): String =
+    def minhashCandCtes(n: Int): String =
       s"""t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
          |s AS (SELECT doc_id, ${sqlShingles(n)} AS sh FROM t),
          |h AS (SELECT doc_id, list_transform(sh, tk -> ${sqlHash("tk")}) AS hs FROM s),
@@ -1123,7 +1135,9 @@ object PipelineEntry {
          |FROM h),
          |bands AS ($bandSelects),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+    def minhashPairCtes(n: Int, threshold: Double): String =
+      s"""${minhashCandCtes(n)},
          |pairs AS (SELECT id_a, id_b,
          |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) AS jaccard
          |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b
@@ -1376,6 +1390,15 @@ object PipelineEntry {
         s"""SELECT doc_id, TRIM(regexp_replace($chain, '\\s+', ' ', 'g')) AS clean
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+      "text_tfidf" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+           |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+           |s AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+           |  FROM tf JOIN df USING (token)),
+           |r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
+           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "text_encode" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |c2 AS (SELECT token, COUNT(*) AS c FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token),
@@ -1414,6 +1437,14 @@ object PipelineEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
            |LEFT JOIN x USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+      "dedup_containment" ->
+        s"""WITH ${minhashCandCtes(n = 3)},
+           |cont AS (SELECT id_a, id_b,
+           |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(ha.hsd) AS DOUBLE) AS cont_a,
+           |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(hb.hsd) AS DOUBLE) AS cont_b
+           |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b)
+           |SELECT id_a, id_b, cont_a, cont_b FROM cont
+           |WHERE greatest(cont_a, cont_b) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       // relational replay of the bloom: the corpus's DISTINCT set bit
       // positions, then an incoming row is "definitely novel" iff at
       // least one of its k salted positions is missing from that set —

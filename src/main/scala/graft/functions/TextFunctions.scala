@@ -273,6 +273,37 @@ object TextFunctions {
       .select("token", "id")
   }
 
+  /** Per-document distinctive terms (TF-IDF-style): score each (doc,
+    * token) by `tf / df` and keep the top `k` per document. The score
+    * deliberately avoids `ln` — a single IEEE division of two exact
+    * integers is correctly rounded and therefore bit-identical in every
+    * engine, where libm `log` may differ in the last ulp; the ranking
+    * (and the oracle compare) stay exact.
+    *
+    * Scale shape: tf = one (doc, token) aggregate; df = distinct +
+    * token aggregate; the per-doc ranking is the bounded
+    * [[graft.plans.TopKByScore]] partial aggregate (≤ k terms per doc
+    * per map partition cross the exchange — never a per-doc window
+    * sort). Output: (idCol, rank, token, score), ties to the
+    * lexicographically smaller token.
+    */
+  def tfidfTopK(docs: DataFrame, textCol: Column, k: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"tfidfTopK: k must be positive, got $k")
+    val t = docs.select(col(idCol), explode(tokens(textCol)).as("token"))
+    val tf = t.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = t.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .select(col(idCol),
+        (col("tf").cast(DoubleType) / col("df").cast(DoubleType)).as("score"),
+        col("token"))
+    scored.groupBy(col(idCol))
+      .agg(graft.plans.TopKByScore(col("score"), col("token"), k).as("_top"))
+      .select(col(idCol), posexplode(col("_top")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.c_id").as("token"), col("col.cos").as("score"))
+  }
+
   /** Encode documents to (doc, pos, token_id) rows against a vocabulary
     * (out-of-vocabulary → 0): posexplode + one BROADCAST join — the
     * corpus pass stays map-side; `pos` is 1-based. This is the

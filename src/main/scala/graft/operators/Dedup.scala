@@ -127,6 +127,41 @@ object Dedup {
     jaccardVerify(docs, minhashCandidates(docs, n, textCol, idCol), n, threshold,
       textCol, idCol)
 
+  /** ASYMMETRIC containment over candidate pairs: `cont_a` =
+    * |sh(A)∩sh(B)| / |sh(A)| (how much of A sits inside B) and the
+    * mirror `cont_b`; pairs kept where either direction ≥ threshold.
+    * This is the boilerplate/subset-duplicate detector symmetric
+    * Jaccard misses — a short doc fully embedded in a long one has
+    * jaccard ≈ |A|/|B| (tiny) but cont_a = 1.0. Candidates still come
+    * from minhash banding (documented recall caveat: banding is tuned
+    * for symmetric similarity, so containment pairs with EXTREME size
+    * mismatch may not collide in any band — at 100 TB the fix is
+    * banding the shorter doc's shingles only, a windowed variant of the
+    * same kernel).
+    */
+  def containmentVerify(docs: DataFrame, cand: DataFrame, n: Int, threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      graft.plans.ShingleHashArray(col(textCol), n).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_a")).cast(DoubleType)).as("cont_a"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_b")).cast(DoubleType)).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /** LSH candidates verified by asymmetric containment ≥ threshold in
+    * either direction — same two-shuffle scale path as [[minhashPairs]].
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    containmentVerify(docs, minhashCandidates(docs, n, textCol, idCol), n, threshold,
+      textCol, idCol)
+
   /** exact n-gram jaccard near-dup with LSH candidate generation (the
     * 100 TB route: candidates come from minhash banding over the same
     * n-grams, never from an unbounded blocking key).

@@ -41,6 +41,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) > 0.8)
   }
 
+  test("containment finds a subset-duplicate that symmetric jaccard under-scores") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val superset = base + " " + (1 to 20).map(i => s"extra$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = docsOf((1L, base), (2L, superset), (3L, other))
+    val pairs = Dedup.containmentPairs(docs, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // every shingle of the base doc appears in the superset → cont_a = 1
+    assert(pairs(0).getDouble(2) == 1.0, s"cont_a=${pairs(0).getDouble(2)}")
+    assert(pairs(0).getDouble(3) < 1.0)
+    // the same pair's symmetric jaccard sits well below the containment
+    val j = Dedup.minhashPairs(docs, threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .collect()(0).getDouble(2)
+    assert(j < 0.9, s"jaccard=$j")
+  }
+
   test("simhash: identical docs equal, near-dup within small hamming") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extraword"
@@ -610,6 +627,22 @@ class OperatorsSpec extends SparkSpec {
       "A & B <tag> \"q\" 's' Z",   // entities decode AFTER tag strip
       "plain text, no markup",     // no-op on clean text
       "kept inner"))               // multiline comment + multiline tag
+  }
+
+  test("tfidfTopK: distinctive terms out-rank common ones, bounded plan") {
+    val docs = docsOf(
+      (1L, "a a a u"),     // tf(a)=3 df(a)=2 → 1.5; tf(u)=1 df(u)=1 → 1.0
+      (2L, "a b b b"))     // tf(b)=3 df(b)=1 → 3.0; tf(a)=1 df(a)=2 → 0.5
+    val r = TextFunctions.tfidfTopK(docs, col("text"), k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, "a", 1.5), (1L, 2L, "u", 1.0),
+      (2L, 1L, "b", 3.0), (2L, 2L, "a", 0.5)))
+    // ranking must be the bounded aggregate, not a per-doc window sort
+    val plan = TextFunctions.tfidfTopK(docs, col("text"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"tfidf plan uses a window:\n$plan")
   }
 
   test("encodeTokens: ranked vocab ids, OOV → 0, positions 1-based") {
