@@ -70,19 +70,55 @@ object Bloom {
       .head.getSeq[Long](0).toIndexedSeq
   }
 
+  /** the k codegen'd bit tests against a words-array COLUMN (shared by
+    * the literal-bitmap and sharded probes).
+    */
+  private def probeBits(words: Column, mBits: Int, k: Int, key: Column): Column =
+    (0 until k).map { i =>
+      val p = position(key, i, mBits)
+      element_at(words, (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType))) =!= 0
+    }.reduce(_ && _)
+
   /** map-side membership probe: all k probe bits set in the (literal)
     * bitmap. Codegen'd bit tests — no UDF, no join, no shuffle.
     */
   def mightContain(words: IndexedSeq[Long], mBits: Int, k: Int, key: Column): Column = {
     require(words.length.toLong * 64 == mBits,
       s"Bloom.mightContain: bitmap has ${words.length * 64} bits, expected $mBits")
-    val w = typedlit(words)
-    (0 until k).map { i =>
-      val p = position(key, i, mBits)
-      element_at(w, (p / 64).cast(IntegerType) + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType))) =!= 0
-    }.reduce(_ && _)
+    probeBits(typedlit(words), mBits, k, key)
   }
+
+  /** Per-shard bloom bitmaps AS DATA (one row per shard) — the form
+    * that scales past the single-bitmap ceiling [[autoSize]] enforces:
+    * shard the corpus (by partition key, date, source…), build one
+    * fixed-size bitmap per shard in the same one-pass aggregate, and
+    * keep the result as a (shard, words) table. Each shard's bitmap
+    * sizes to ITS key count, so no bitmap needs to cover the full
+    * corpus. Output: (_shard, _words).
+    */
+  def buildPerShard(corpus: DataFrame, shard: Column, key: Column,
+                    mBits: Int, k: Int): DataFrame = {
+    require(k > 0, s"Bloom.buildPerShard: k must be positive, got $k")
+    val pos = explode(array((0 until k).map(i => position(key, i, mBits)): _*))
+    corpus.select(shard.as("_shard"), pos.as("_p"))
+      .groupBy("_shard")
+      .agg(graft.plans.BloomBits(col("_p"), mBits).as("_words"))
+  }
+
+  /** [[filterNovel]] against a per-shard bloom table: one broadcast
+    * join on the shard key (the table is one bitmap row per shard),
+    * then the same codegen'd bit tests on the joined words. A row whose
+    * shard has no bloom is definitely novel. The no-false-negative
+    * guarantee holds per shard — a key seen under shard A and probed
+    * under shard B counts as novel, which is exactly the sharded-
+    * decontamination semantics (membership is scoped to the shard).
+    */
+  def filterNovelSharded(incoming: DataFrame, blooms: DataFrame, shard: Column,
+                         key: Column, mBits: Int, k: Int): DataFrame =
+    incoming.join(broadcast(blooms), shard === col("_shard"), "left")
+      .filter(col("_words").isNull || !probeBits(col("_words"), mBits, k, key))
+      .drop("_shard", "_words")
 
   /** rows of `incoming` whose key is DEFINITELY absent from the corpus
     * the bloom was built over (no-false-negative guarantee; a ~FPR

@@ -63,4 +63,40 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Small-files compaction — the OTHER write-time layout problem: a
+    * streaming sink or over-parallel job that left thousands of tiny
+    * files makes every later scan pay per-file open/footer/scheduling
+    * costs (and the 100 TB catalog lists them all). Rewrite a directory
+    * into `ceil(rows / rowsPerFile)` files:
+    *
+    * one `count()` + one round-robin `repartition(n)` (NOT `coalesce`:
+    * coalesce would chain the narrow read partitions onto few tasks —
+    * no parallelism in the rewrite and skew-sized outputs; the shuffle
+    * both parallelizes the write and evens file sizes). Ordered layouts
+    * compose via [[zorderBy]] instead — compaction is for UNordered
+    * data where only file count/size matters.
+    */
+  def compactTo(df: DataFrame, rowsPerFile: Long): DataFrame = {
+    require(rowsPerFile > 0, s"compactTo: rowsPerFile must be positive, got $rowsPerFile")
+    val n = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile)
+    require(n <= Int.MaxValue, s"compactTo: $n output files")
+    df.repartition(n.toInt)
+  }
+
+  /** read → compact → overwrite for a parquet directory (the in-place
+    * form: materializes the rewrite to `path + ".compact.tmp"` first,
+    * since Spark cannot overwrite a path it is reading).
+    */
+  def compactParquetDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                        rowsPerFile: Long): Long = {
+    val tmp = path + ".compact.tmp"
+    compactTo(spark.read.parquet(path), rowsPerFile)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    spark.read.parquet(path).count()
+  }
 }

@@ -517,6 +517,42 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"filterNovel plan shuffles:\n$plan")
   }
 
+  test("sharded bloom: per-shard no-false-negatives, missing shard → novel") {
+    import graft.operators.Bloom
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0 && col("lang") =!= "de")
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val (mBits, k) = (4096, 5)
+    val blooms = Bloom.buildPerShard(corpus, col("lang"), col("text"), mBits, k)
+    // corpus rows probe positive within their own shard
+    val kept = Bloom.filterNovelSharded(corpus, blooms, col("lang"), col("text"), mBits, k)
+    assert(kept.count() == 0, "a corpus key passed its own shard's bloom")
+    // nothing seen leaks through: novel output never shares (lang, text) with corpus
+    val novel = Bloom.filterNovelSharded(incoming, blooms, col("lang"), col("text"), mBits, k)
+    val leaked = novel.select(col("lang"), col("text"))
+      .join(corpus.select(col("lang"), col("text")), Seq("lang", "text")).count()
+    assert(leaked == 0)
+    // the shard with no bloom (de) passes entirely — scoped membership
+    val deIn = incoming.filter(col("lang") === "de").count()
+    val deNovel = novel.filter(col("lang") === "de").count()
+    assert(deIn > 0 && deNovel == deIn, s"de: $deNovel of $deIn")
+  }
+
+  test("compactTo/compactParquetDir rewrite small files into the target count") {
+    import graft.operators.Layout
+    val dir = "target/compact_test"
+    // 32 writer partitions of a 1000-row table → many small files
+    spark.range(1000).toDF("id").repartition(32).write.mode("overwrite").parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 8, s"precondition: expected many small files, got $nFiles")
+    val n = Layout.compactParquetDir(spark, dir, rowsPerFile = 500)
+    assert(n == 1000, s"row count changed: $n")
+    assert(nFiles == 2, s"expected 2 compacted files, got $nFiles")
+    // content preserved exactly
+    val ids = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 1000L))
+  }
+
   test("bloom autoSize rejects bitmaps past the 2^31 single-bitmap ceiling") {
     import graft.operators.Bloom
     val (m, k) = Bloom.autoSize(1000)
