@@ -322,15 +322,62 @@ object Similarity {
   def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
     require(m > 0 && dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    require(iters > 0, s"pqTrain: iters must be positive, got $iters")
     val sub = dim / m
-    val cents = (0 until m).map { j =>
-      val subEmb = emb.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-      val (_, c) = kmeansTrain(subEmb, ksub, iters, sub, vecCol, idCol)
-      c.orderBy(col("cid")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).toIndexedSeq
-    }.toIndexedSeq
-    PqModel(m, dim, cents)
+    // All m subspace trainers FUSED into one loop keyed by (subspace,
+    // cid): identical math to m independent kmeansTrain runs (each
+    // subspace's argmin/update never crosses the subspace key), but one
+    // Spark job per Lloyd's round instead of m — the m× scheduling
+    // overhead dominated the fixture profile. Seeds per subspace = the
+    // first ksub vectors by id, as in kmeansTrain.
+    val subCol = explode(array((0 until m).map { j =>
+      struct(lit(j).as("sub"),
+        transform(slice(col(vecCol), j * sub + 1, sub),
+          x => floor(x.cast(DoubleType) * QScale).cast(LongType)).as("qv"))
+    }: _*))
+    val base = emb.select(col(idCol), subCol.as("_s"))
+      .select(col(idCol), col("_s.sub").as("sub"), col("_s.qv").as("qv"))
+      .localCheckpoint(true)
+    // seeds: every subspace seeds from the SAME first-ksub ids, so one
+    // TakeOrdered + broadcast join covers all m (no corpus window)
+    val seeds = emb.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
+    var cents = base.join(broadcast(seeds), idCol)
+      .select(col("sub"), col(idCol).cast(LongType).as("cid"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    var retirable: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = base.join(broadcast(cents), "sub")
+        .withColumn("_d", graft.plans.QuantizedL2(col("qv"), col("cv")))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(struct(col("qv"), col("cid")), struct(col("_d"), col("cid"))).as("_b"))
+        .select(col("sub"), col("_b.qv").as("qv"), col("_b.cid").as("cid"))
+      val sums = (0 until sub).map(i =>
+        floor(sum(element_at(col("qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as(s"_c$i"))
+      val fresh = assigned.groupBy(col("sub"), col("cid"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("sub"), col("cid"),
+          array((0 until sub).map(i => col(s"_c$i")): _*).as("cv"))
+      // empty-cluster carry-forward, as in kmeansTrain
+      val prev = cents
+      cents = cents.select(col("sub"), col("cid"), col("cv").as("_prev"))
+        .join(fresh.select(col("sub"), col("cid"), col("cv").as("_new")),
+          Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("_new"), col("_prev")).as("cv"))
+        .localCheckpoint(true)
+      if (retirable ne null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
+      retirable = prev
+    }
+    // the model is `retirable` — the centroids the LAST assignment ran
+    // against (kmeansTrain's contract; the post-update set describes no
+    // row's cell, and the oracle replays exactly this choice)
+    val collected = retirable.orderBy(col("sub"), col("cid")).collect()
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(base)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(cents)
+    val bySub = collected.groupBy(_.getInt(0))
+    PqModel(m, dim, (0 until m).map { j =>
+      bySub(j).map(r => (r.getLong(1), r.getSeq[Long](2).toIndexedSeq)).toIndexedSeq
+    }.toIndexedSeq)
   }
 
   /** Encode every vector to its `m` nearest-sub-centroid codes — a PURE
