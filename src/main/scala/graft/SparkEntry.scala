@@ -424,6 +424,13 @@ object SparkEntry {
     "red_count_values" -> { (s, dir) =>
       Table(t(s, dir, "lineitem")).countValues("l_returnflag").df
     },
+    "red_mode" -> { (s, dir) =>
+      // exact mode with pinned tiebreak (count desc, value asc) — SQL
+      // mode() leaves ties engine-defined, so both sides spell it out
+      Table(t(s, dir, "lineitem")
+          .select(col("l_quantity").cast(LongType).as("l_quantity")))
+        .modeOf("l_quantity").df
+    },
 
     // ---- grouping (§2.8) ----
     "by_sum" -> { (s, dir) =>
@@ -1150,6 +1157,9 @@ object SparkEntry {
     "red_count_values" ->
       """SELECT l_returnflag, COUNT(*) AS count FROM lineitem
         |GROUP BY l_returnflag ORDER BY count DESC, l_returnflag""".stripMargin,
+    "red_mode" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS mode_val, COUNT(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY n DESC, mode_val LIMIT 1""".stripMargin,
 
     "by_sum" ->
       """SELECT l_returnflag,

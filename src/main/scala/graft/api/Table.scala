@@ -287,6 +287,18 @@ final case class Table(df: DataFrame) {
       .orderBy(desc("count"), asc(field)))
   }
 
+  /** exact mode of a column with a TOTAL tiebreak (count desc, value
+    * asc — SQL `mode()` leaves ties implementation-defined, so this
+    * pins them). Plan: one partial/final count aggregate then a 1-row
+    * TakeOrdered — no global sort of the distinct values.
+    */
+  def modeOf(field: String): Table = {
+    requireFields(Seq(field), "mode")
+    Table(df.groupBy(df(field)).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc(field)).limit(1)
+      .select(df(field).as("mode_val"), col("n")))
+  }
+
   // --- sorting / limits (`collections.py:80-316`) ---
   /** sort: single global ascending flag for all keys, per the reference
     * (`collections.py:80-173`).

@@ -308,6 +308,44 @@ class PropertySpec extends SparkSpec {
     assert(got.toSet.size == pts.toSet.size)
   }
 
+  test("bloom: no false negative over random unicode keys at any fill level") {
+    import graft.operators.Bloom
+    // keys deliberately include collisions-in-spirit: shared prefixes,
+    // empty-ish strings, unicode
+    val key = Gen.oneOf(
+      word, Gen.const(""), word.map(_ + "éß世"),
+      Gen.listOfN(2, word).map(_.mkString(":")))
+    val keys = draw(key, 600, seed = 23L).distinct
+    val (a, b) = keys.splitAt(keys.length / 2)
+    // tiny bitmap on purpose: heavy false-positive pressure, the
+    // no-false-negative side must STILL hold exactly
+    val (mBits, k) = (256, 4)
+    val corpus = a.toDF("k")
+    val words = Bloom.build(corpus, col("k"), mBits, k)
+    val misses = corpus.filter(!Bloom.mightContain(words, mBits, k, col("k"))).count()
+    assert(misses == 0, s"$misses false negatives")
+    // filterNovel never passes a seen key (b may overlap a only if the
+    // generator repeated — distinct() above rules that out)
+    val novel = Bloom.filterNovel(b.toDF("k"), words, mBits, k, col("k"))
+      .as[String].collect().toSet
+    assert(novel.intersect(a.toSet).isEmpty)
+  }
+
+  test("pqEncode: codes are partitioning-invariant and stable (fixture embeddings)") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2, dim = 64)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, model).collect()
+        .map(r => (r.getLong(0), (1 to 4).map(r.getLong(_)))).toMap
+    val c1 = codesOf(emb.repartition(1))
+    val c13 = codesOf(emb.repartition(13))
+    assert(c1 == c13, "codes differ across partitionings")
+    // training itself is partitioning-invariant too (int64 argmin/update)
+    val model13 = Similarity.pqTrain(emb.repartition(13), m = 4, ksub = 8, iters = 2, dim = 64)
+    assert(model13 == model, "trained codebook differs across partitionings")
+  }
+
   test("percentRankOfValues == window percent_rank on random grouped data") {
     import graft.operators.Quantile
     import org.apache.spark.sql.expressions.Window
