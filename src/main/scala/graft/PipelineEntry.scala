@@ -736,6 +736,24 @@ object PipelineEntry {
       StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
     },
+    "stream_bloom_novel" -> { (s, dir) =>
+      // the deployment shape of dedup_bloom: model built ONCE on the
+      // standing corpus (batch), incoming crawl filtered AS A STREAM —
+      // Bloom.filterNovel is a stateless map-side predicate, so it runs
+      // unchanged under structured streaming (no state store, no
+      // watermark; the whole filter rides inside each micro-batch)
+      val docs = t(s, dir, "documents")
+      val (mBits, k) = (1024, 5)
+      val words = Bloom.build(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), mBits, k)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .filter(col("doc_id") % 2 === 1)
+      StreamReplay.runToMemory(s,
+          Bloom.filterNovel(src, words, mBits, k, col("text")).select("doc_id"),
+          name = "stream_bloom_sink", outputMode = "append")
+        .orderBy("doc_id")
+    },
     "stream_dedup" -> { (s, dir) =>
       import graft.streaming.StreamOps
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
@@ -1437,6 +1455,22 @@ object PipelineEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
            |LEFT JOIN x USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+      // identical oracle to dedup_bloom — the streaming face must land
+      // on exactly the batch answer (stateless predicate ⇒ no
+      // batch/stream semantic gap to account for)
+      "stream_bloom_novel" -> {
+        val mBits = 1024; val k = 5
+        def p(i: Int) =
+          s"(CAST(concat('0x', substr(md5(concat('$i:', text)), 1, 7)) AS BIGINT) % $mBits)"
+        val plist = (0 until k).map(p).mkString("[", ", ", "]")
+        s"""WITH pos AS (SELECT DISTINCT unnest($plist) AS p
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |ip AS (SELECT doc_id, unnest($plist) AS p
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |novel AS (SELECT DISTINCT ip.doc_id FROM ip
+           |  LEFT JOIN pos ON pos.p = ip.p WHERE pos.p IS NULL)
+           |SELECT doc_id FROM novel ORDER BY doc_id""".stripMargin
+      },
       "dedup_containment" ->
         s"""WITH ${minhashCandCtes(n = 3)},
            |cont AS (SELECT id_a, id_b,
