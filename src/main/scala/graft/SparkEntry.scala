@@ -424,6 +424,13 @@ object SparkEntry {
     "red_count_values" -> { (s, dir) =>
       Table(t(s, dir, "lineitem")).countValues("l_returnflag").df
     },
+    "misc_checksum" -> { (s, dir) =>
+      // anti-entropy: per-source (n, xor-of-row-hash) checksums —
+      // order/partitioning-independent, so two copies of the corpus
+      // compare by exchanging one tiny table
+      Table(t(s, dir, "documents"))
+        .checksumBy("source", graft.functions.TextFunctions.tokenHash(col("text"))).df
+    },
     "red_mode" -> { (s, dir) =>
       // exact mode with pinned tiebreak (count desc, value asc) — SQL
       // mode() leaves ties engine-defined, so both sides spell it out
@@ -1160,6 +1167,10 @@ object SparkEntry {
     "red_mode" ->
       """SELECT CAST(l_quantity AS BIGINT) AS mode_val, COUNT(*) AS n FROM lineitem
         |GROUP BY 1 ORDER BY n DESC, mode_val LIMIT 1""".stripMargin,
+    "misc_checksum" ->
+      """SELECT source, COUNT(*) AS n,
+        |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 7)) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "by_sum" ->
       """SELECT l_returnflag,

@@ -287,6 +287,20 @@ final case class Table(df: DataFrame) {
       .orderBy(desc("count"), asc(field)))
   }
 
+  /** Order-independent per-group content checksum: row count + XOR of a
+    * row hash. XOR commutes and associates, so the checksum is
+    * identical at ANY partitioning/ordering — the anti-entropy
+    * primitive for verifying a 100 TB copy/sync/migration partition by
+    * partition without moving data (compare (n, checksum) pairs, chase
+    * only mismatched groups). One partial/final aggregate.
+    */
+  def checksumBy(group: String, rowHash: Column): Table = {
+    requireFields(Seq(group), "checksumBy")
+    Table(df.groupBy(df(group))
+      .agg(count(lit(1)).as("n"), bit_xor(rowHash).as("checksum"))
+      .orderBy(group))
+  }
+
   /** exact mode of a column with a TOTAL tiebreak (count desc, value
     * asc — SQL `mode()` leaves ties implementation-defined, so this
     * pins them). Plan: one partial/final count aggregate then a 1-row
