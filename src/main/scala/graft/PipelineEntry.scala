@@ -387,6 +387,17 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(e, iters = 3).orderBy("id")
     },
+    "text_winsorize" -> { (s, dir) =>
+      // clip per-language token counts to the [p05, p95] band edges —
+      // percentRankBand's keep-the-row sibling; same value-counting
+      // ranks, oracle uses DuckDB's NATIVE percent_rank window (an
+      // independent formulation of the same rational)
+      import TextFunctions._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      Quantile.winsorize(docs, "lang", "n_tokens", 0.05, 0.95)
+        .orderBy("doc_id")
+    },
     "text_strip_html" -> { (s, dir) =>
       // HTML boilerplate removal over synthesized markup (same
       // synthesize-inputs recipe as the mm_* roundtrips: the fixture
@@ -1249,6 +1260,16 @@ object PipelineEntry {
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)
            |SELECT doc_id, lang, n_tokens FROM r
            |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
+      "text_winsorize" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+           |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t),
+           |e AS (SELECT lang,
+           |  COALESCE(MIN(CASE WHEN pr >= 0.05 THEN n_tokens END), MIN(n_tokens)) AS lov,
+           |  COALESCE(MAX(CASE WHEN pr <= 0.95 THEN n_tokens END), MAX(n_tokens)) AS hiv
+           |  FROM r GROUP BY lang)
+           |SELECT t.doc_id, t.lang, t.n_tokens,
+           |  LEAST(GREATEST(t.n_tokens, e.lov), e.hiv) AS winsorized
+           |FROM t JOIN e ON t.lang = e.lang ORDER BY doc_id""".stripMargin,
       "text_filter_thresholds" ->
         s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
            |th AS (SELECT lang, ROUND(quantile_cont(n_tokens, 0.05), 6) AS lo,

@@ -66,4 +66,26 @@ object Quantile {
       .filter(col("pr") >= lo && col("pr") <= hi)
       .select(df.columns.map(col): _*)
   }
+
+  /** Winsorize: CLIP `valueCol` to the per-group [lo, hi] percent-rank
+    * band edges instead of dropping rows ([[percentRankBand]]'s
+    * sibling — outlier taming for features you still want to keep).
+    * Edge values are the smallest value with pr ≥ lo and the largest
+    * with pr ≤ hi, computed from the same value-counting ranks (the
+    * only window runs over each group's distinct values; edges
+    * broadcast back — corpus never sorted). A group whose rank mass
+    * cannot reach the band (e.g. single-value groups at pr 0.0)
+    * degrades to its own min/max, i.e. no clipping.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, outCol: String = "winsorized"): DataFrame = {
+    val edges = percentRankOfValues(df, groupCol, valueCol)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(
+        coalesce(min(when(col("pr") >= lo, col(valueCol))), min(col(valueCol))).as("_lov"),
+        coalesce(max(when(col("pr") <= hi, col(valueCol))), max(col(valueCol))).as("_hiv"))
+    df.join(broadcast(edges), col(groupCol) <=> col("_g"))
+      .withColumn(outCol, least(greatest(col(valueCol), col("_lov")), col("_hiv")))
+      .drop("_g", "_lov", "_hiv")
+  }
 }

@@ -463,6 +463,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
   }
 
+  test("winsorize == window-formulation clip; row count preserved") {
+    import graft.operators.Quantile
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("v"))
+    val got = Quantile.winsorize(docs, "lang", "v", 0.1, 0.9)
+      .select(col("doc_id"), col("winsorized"))
+    // reference: the textbook window formulation of the same clip
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+    val pr = docs.withColumn("pr", percent_rank().over(w))
+    val edges = pr.groupBy("lang").agg(
+      coalesce(min(when(col("pr") >= 0.1, col("v"))), min(col("v"))).as("lov"),
+      coalesce(max(when(col("pr") <= 0.9, col("v"))), max(col("v"))).as("hiv"))
+    val ref = docs.join(edges, "lang")
+      .select(col("doc_id"), least(greatest(col("v"), col("lov")), col("hiv")).as("ref"))
+    assert(got.count() == docs.count())
+    val mismatches = got.join(ref, "doc_id")
+      .filter(col("winsorized") =!= col("ref")).count()
+    assert(mismatches == 0, s"$mismatches rows differ from the window clip")
+  }
+
   test("splitByCluster: near-dup clusters never straddle the train/test line") {
     import graft.operators.{Dedup, Sampling}
     val docs = Tables(spark, sf, "documents")
