@@ -387,6 +387,24 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(e, iters = 3).orderBy("id")
     },
+    "text_url_canon" -> { (s, dir) =>
+      // URL canonicalization for crawl dedup: synthesize messy per-doc
+      // URL variants (case, www., query, fragment, trailing slash all
+      // cycling on doc_id), canonicalize, and count docs per canonical
+      // key — variants of the same page must collapse to one key
+      val docs = t(s, dir, "documents")
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, "HTTP://").otherwise("http://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        lit("site"), (col("doc_id") % 25).cast(StringType), lit(".example.com/p/"),
+        (col("doc_id") % 50).cast(StringType),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 7 === 0, "?utm_source=feed&ref=x").otherwise(""),
+        when(col("doc_id") % 11 === 0, "#frag").otherwise(""))
+      docs.select(col("doc_id"), TextFunctions.canonicalUrlKey(messy).as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("n"))
+        .orderBy("canon")
+    },
     "text_winsorize" -> { (s, dir) =>
       // clip per-language token counts to the [p05, p95] band edges —
       // percentRankBand's keep-the-row sibling; same value-counting
@@ -1260,6 +1278,24 @@ object PipelineEntry {
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)
            |SELECT doc_id, lang, n_tokens FROM r
            |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
+      "text_url_canon" -> {
+        val messy =
+          """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END ||
+            | CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+            | 'site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com/p/' ||
+            | CAST(doc_id % 50 AS VARCHAR) ||
+            | CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+            | CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END ||
+            | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin.replace("\n", "")
+        val canon = TextFunctions.UrlCanonPatterns.foldLeft(s"lower($messy)") {
+          // DuckDB standard strings keep backslashes verbatim — do NOT
+          // double them (same convention as sqlTokens' '\s+')
+          case (acc, (re, repl)) =>
+            s"regexp_replace($acc, '${re.replace("'", "''")}', '$repl', 'g')"
+        }
+        s"""SELECT $canon AS canon, COUNT(*) AS n FROM documents
+           |GROUP BY 1 ORDER BY canon""".stripMargin
+      },
       "text_winsorize" ->
         s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t),

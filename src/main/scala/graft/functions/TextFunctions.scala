@@ -254,6 +254,24 @@ object TextFunctions {
         regexp_replace(c, re, repl) },
       "\\s+", " "))
 
+  /** Canonical URL dedup key: drop query+fragment, lowercase, drop the
+    * `www.` subdomain, strip trailing slashes — the standard
+    * crawl-frontier/URL-dedup normalization (two fetches of
+    * `HTTP://WWW.X.com/a/?utm=1#f` and `http://x.com/a` must collide).
+    * Deliberately key-oriented (the canonical form need not be
+    * fetchable); backref-free Java≡RE2 patterns, replace-all, one
+    * codegen'd chain.
+    */
+  val UrlCanonPatterns: Seq[(String, String)] = Seq(
+    "[?#].*" -> "",      // query string + fragment never distinguish content
+    "://www\\." -> "://", // bare-host alias
+    "/+$" -> "")          // trailing slash(es)
+
+  def canonicalUrlKey(url: Column): Column =
+    UrlCanonPatterns.foldLeft(lower(url)) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
   // ---- token→id encoding (frequency vocabulary) ----
   /** Frequency vocabulary over the corpus: the `k` most frequent
     * whitespace tokens, ids 1..k dense by rank (count desc, token asc —

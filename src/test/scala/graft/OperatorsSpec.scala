@@ -615,6 +615,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 == r13)
   }
 
+  test("canonicalUrlKey collapses equivalent URL variants to one key") {
+    val urls = Seq(
+      "HTTP://WWW.X.com/a/?utm=1#f",
+      "http://x.com/a",
+      "http://x.com/a/",
+      "http://X.COM/a#other").toDF("u")
+    val keys = urls.select(TextFunctions.canonicalUrlKey(col("u")))
+      .as[String].collect().toSet
+    assert(keys == Set("http://x.com/a"))
+    // distinct pages stay distinct
+    val other = Seq("http://x.com/b", "https://x.com/a", "http://y.com/a").toDF("u")
+      .select(TextFunctions.canonicalUrlKey(col("u"))).as[String].collect().toSet
+    assert(other.size == 3 && !other.contains("http://x.com/a"))
+  }
+
   test("stripMarkup removes blocks/tags, decodes entities, keeps text") {
     val r = docsOf(
       (1L, "<p>Hello <b>world</b></p><script>alert('x &lt; y')</script> done"),
