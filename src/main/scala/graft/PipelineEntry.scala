@@ -977,6 +977,30 @@ object PipelineEntry {
       Tensor.transpose(coo, Seq("vec_id", "pos"), "v")
         .orderBy("d0", "d1")
     },
+    "arr_axis_sum" -> { (s, dir) =>
+      // axis-0 reduction over the COO matrix (column sums): quantized
+      // ints so the partial/final sum is exact in any order/engine —
+      // one partial-agg shuffle of ≤ dim rows per map partition
+      val coo = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("pos").cast(LongType).as("pos"),
+          floor(col("col").cast(DoubleType) * 1000).cast(LongType).as("q"))
+      coo.groupBy("pos").agg(sum(col("q")).as("v")).orderBy("pos")
+    },
+    "arr_normalize" -> { (s, dir) =>
+      // unit-normalize each vector: norm via the exact left-fold dot
+      // kernel, then one IEEE division per element (both correctly
+      // rounded → bit-identical cross-engine); zero vectors → NULLs
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+          Similarity.norm2(col("embedding")).as("norm"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          (col("col").cast(DoubleType) /
+            when(col("norm") =!= 0.0, col("norm"))).as("u"))
+        .filter(col("pos") < 3) // 3 dims keep the compare table small
+        .orderBy("vec_id", "pos")
+    },
     "arr_matmul" -> { (s, dir) =>
       // Gram matrix Eᵀ·E over QUANTIZED embeddings (floor(v·1000) —
       // integer products sum exactly in any order, so the cross-engine
@@ -1945,6 +1969,19 @@ object PipelineEntry {
         """SELECT generate_subscripts(embedding, 1) - 1 AS d0, vec_id AS d1,
           |  unnest(embedding) AS v
           |FROM embeddings ORDER BY d0, d1""".stripMargin,
+      "arr_axis_sum" ->
+        """WITH c0 AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+          |    unnest(embedding) AS ev FROM embeddings)
+          |SELECT pos, CAST(SUM(CAST(floor(CAST(ev AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS v
+          |FROM c0 GROUP BY pos ORDER BY pos""".stripMargin,
+      "arr_normalize" ->
+        s"""WITH n AS (SELECT vec_id, ${sqlNorm("embedding")} AS norm FROM embeddings),
+           |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           |    unnest(embedding) AS ev FROM embeddings)
+           |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
+           |  CAST(e.ev AS DOUBLE) / NULLIF(n.norm, 0.0) AS u
+           |FROM e JOIN n ON n.vec_id = e.vec_id WHERE e.pos < 3
+           |ORDER BY e.vec_id, pos""".stripMargin,
       "arr_matmul" ->
         """WITH c0 AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
           |    unnest(embedding) AS ev FROM embeddings),

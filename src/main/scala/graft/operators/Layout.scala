@@ -86,7 +86,10 @@ object Layout {
 
   /** read → compact → overwrite for a parquet directory (the in-place
     * form: materializes the rewrite to `path + ".compact.tmp"` first,
-    * since Spark cannot overwrite a path it is reading).
+    * since Spark cannot overwrite a path it is reading). NOT atomic:
+    * the delete→rename window can lose the directory if the driver
+    * dies between the two — on a production object store, compact into
+    * a NEW prefix and flip the table location/catalog pointer instead.
     */
   def compactParquetDir(spark: org.apache.spark.sql.SparkSession, path: String,
                         rowsPerFile: Long): Long = {
