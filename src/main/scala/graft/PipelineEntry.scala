@@ -1148,6 +1148,31 @@ object PipelineEntry {
         .orderBy("z", "p_partkey").limit(200)
     },
 
+    // ---- deterministic sketches (§2.7 approx-reduction extensions) ----
+    "red_nunique_kmv" -> { (s, dir) =>
+      // engine-portable approx distinct count: KMV over a 48-bit md5
+      // space, k=64 smallest via the bounded TopKByScore aggregate,
+      // (k-1)*space div h_k in exact int64 — the oracle replays the
+      // estimator verbatim (vs approx_count_distinct, whose HLL++
+      // register layout no other engine can reproduce)
+      graft.operators.Sketch.kmvDistinct(
+        t(s, dir, "orders").select(
+          year(col("o_orderdate")).cast(LongType).as("oyear"), col("o_custkey")),
+        col("o_custkey"), Seq("oyear"), k = 64)
+        .orderBy("oyear")
+    },
+    "red_quantile_sampled" -> { (s, dir) =>
+      // per-language median token count from a 25% deterministic hash
+      // sample: the sampled sibling of text_quantiles — the window sort
+      // runs over the sample only, never the full corpus
+      graft.operators.Sketch.quantileSampled(
+        t(s, dir, "documents"),
+        value = size(TextFunctions.tokens(col("text"))).cast(LongType),
+        key = col("doc_id"), groupCols = Seq("lang"), qNum = 1, qDen = 2,
+        frac = 0.25, seed = 7)
+        .orderBy("lang")
+    },
+
     // ---- caching (§1.1 CachedDataset) ----
     "misc_cached" -> { (s, dir) =>
       // cache only the columns the two aggregates read — at 100 TB you
@@ -1994,7 +2019,28 @@ object PipelineEntry {
       "misc_cached" ->
         """SELECT l_returnflag, COUNT(*) AS n,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      // KMV replay: same 48-bit md5 space, same k, same exact-int64
+      // estimator; row LEAST(64, n) is h_k when n >= k and the largest
+      // (hence count-revealing) hash otherwise
+      "red_nunique_kmv" ->
+        """WITH h AS (SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS oyear,
+          |  CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h FROM orders),
+          |r AS (SELECT oyear, h, row_number() OVER (PARTITION BY oyear ORDER BY h) AS rn,
+          |  count(*) OVER (PARTITION BY oyear) AS n FROM h)
+          |SELECT oyear, CAST(CASE WHEN n < 64 THEN n ELSE (63 * 281474976710656) // h END AS BIGINT) AS n_est
+          |FROM r WHERE rn = LEAST(64, n) ORDER BY oyear""".stripMargin,
+
+      // sampled-quantile replay: same md5 sample bucket (seed 7, 25%),
+      // same lower discrete quantile at 0-based position (n-1)//2
+      "red_quantile_sampled" ->
+        s"""WITH s AS (SELECT lang, CAST(len($sqlTokens) AS BIGINT) AS v FROM documents
+           |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'),1,7)) AS BIGINT) % 1000000 < 250000),
+           |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS n FROM s)
+           |SELECT lang, n AS n_sample, v AS quantile FROM r
+           |WHERE rn - 1 = (1 * (n - 1)) // 2 ORDER BY lang""".stripMargin
     )
   }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic cardinality / quantile sketches.
+  *
+  * The reference exposes RNG- or engine-specific approximations
+  * (`nunique` exact everywhere, pandas `approx` paths engine-private);
+  * Spark's own `approx_count_distinct` (HLL++) and `percentile_approx`
+  * are engine-specific sketches whose exact outputs no other engine can
+  * reproduce — which is why those two stayed unit-only extension rows
+  * until now. These operators close that gap with sketches that are
+  * PURE FUNCTIONS of the data: same estimate on any engine, any
+  * partitioning, any retry — so they carry full DuckDB-oracle queries
+  * AND give the production property a training pipeline needs
+  * (re-running the corpus census yields byte-identical manifests).
+  *
+  * - [[kmvDistinct]]: k-minimum-values distinct-count estimator
+  *   (Bar-Yossef et al. 2002): hash every value into a fixed 48-bit
+  *   space, keep the k smallest distinct hashes, estimate
+  *   `(k-1) * space / h_k` in exact int64 arithmetic.
+  * - [[quantileSampled]]: quantile over a deterministic hash sample
+  *   ([[Sampling.sampleHash]]) — discrete (lower) quantile, integer
+  *   position arithmetic, no interpolation.
+  */
+object Sketch {
+
+  /** 48-bit hash space: wide enough that estimates up to ~10^12
+    * distinct values don't saturate, narrow enough that
+    * `(k-1) * space` stays exact in int64 for any practical k
+    * (k ≤ 2^14). */
+  val KmvSpace: Long = 1L << 48
+
+  /** md5-prefix hash into [0, 2^48): the same engine-portable digest
+    * family as [[Sampling.hashBucket]], widened from bucket to full
+    * 48-bit value (12 hex digits). One digest per row — the sketch IS a
+    * full scan, nothing else. */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 12), 16, 10).cast(LongType)
+
+  /** Per-group distinct-count estimate from the k smallest distinct
+    * hashes. Output: (groupCols*, n_est).
+    *
+    * Scale shape: the pre-distinct on (group, hash) is a map-side
+    * partial aggregate whose key space is capped at 2^48 regardless of
+    * corpus size; the k-smallest selection is the bounded
+    * [[graft.plans.TopKByScore]] partial aggregate (≤ k values per
+    * group per map partition cross the exchange — never a per-group
+    * sort). Groups with fewer than k distinct values return their EXACT
+    * count (the sketch holds every hash).
+    *
+    * Estimator: `h_k` (the k-th smallest of n uniform draws on
+    * [0, space)) ≈ k/n · space, so `n ≈ (k-1) · space / h_k` (the k−1
+    * numerator is the standard unbiasing); relative error ~ 1/√k.
+    * All arithmetic is exact int64 (`(k-1)·2^48 < 2^63` for k ≤ 2^14),
+    * so every engine computes the identical estimate — the DuckDB
+    * oracle replays it verbatim (`red_nunique_kmv`).
+    */
+  def kmvDistinct(df: DataFrame, key: Column, groupCols: Seq[String],
+                  k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= (1 << 14), s"kmvDistinct: k must be in [2, 2^14], got $k")
+    val g = groupCols.map(col)
+    val distinctHashes = df.select((g :+ kmvHash(key).as("_h")): _*).distinct()
+    // score = -h: TopKByScore keeps the k LARGEST scores = k smallest
+    // hashes, array sorted score-desc = hash-ascending, so element k is
+    // h_k. h < 2^48 round-trips the double score exactly.
+    val mins = distinctHashes.groupBy(g: _*)
+      .agg(graft.plans.TopKByScore(-col("_h").cast(DoubleType), col("_h"), k).as("_mins"))
+    val est = when(size(col("_mins")) < k, size(col("_mins")).cast(LongType))
+      .otherwise(expr(s"${(k - 1).toLong * KmvSpace}L div element_at(_mins, $k).c_id"))
+    mins.select((g :+ est.as("n_est")): _*)
+  }
+
+  /** Per-group discrete quantile over a deterministic hash sample:
+    * keep rows whose [[Sampling.sampleHash]] bucket survives `frac`,
+    * sort the sample within each group, and take the value at position
+    * `⌊q·(n−1)⌋` (0-based, q = qNum/qDen in exact integer arithmetic —
+    * the lower discrete quantile, no interpolation). Output:
+    * (groupCols*, n_sample, quantile).
+    *
+    * Scale shape: the sample filter is a codegen'd scan predicate (no
+    * shuffle, no RNG state); the per-group window sort runs over the
+    * SAMPLE only (frac·N rows), which is the entire point — the exact
+    * per-group sort over the full corpus is what this operator avoids.
+    * Error: standard order-statistic bound, ~1/√(frac·n) quantile
+    * deviation. The value at a rank is deterministic even under ties
+    * (the sorted multiset has one value per position), so the estimate
+    * is a pure function of (data, frac, seed) and the DuckDB oracle
+    * replays it exactly (`red_quantile_sampled`).
+    */
+  def quantileSampled(df: DataFrame, value: Column, key: Column,
+                      groupCols: Seq[String], qNum: Int, qDen: Int,
+                      frac: Double, seed: Long): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantileSampled: q must be in [0, 1], got $qNum/$qDen")
+    val g = groupCols.map(col)
+    val sampled = Sampling.sampleHash(df, key, frac, seed)
+      .select((g :+ value.as("_v")): _*)
+    val byGroup = Window.partitionBy(g: _*)
+    val rn = row_number().over(byGroup.orderBy(col("_v")))
+    val n = count(lit(1)).over(byGroup)
+    sampled.withColumn("_rn", rn).withColumn("_n", n)
+      .filter(col("_rn") - 1 === expr(s"($qNum * (_n - 1)) div $qDen"))
+      .select((g :+ col("_n").as("n_sample") :+ col("_v").as("quantile")): _*)
+  }
+}

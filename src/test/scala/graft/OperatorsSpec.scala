@@ -791,4 +791,51 @@ class OperatorsSpec extends SparkSpec {
         Seq("nope" -> "k"), "v", "v")
     }
   }
+
+  test("kmvDistinct: exact below k, ~1/sqrt(k) accurate above, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // 40 distinct values with duplicates, k=64 → sketch holds every
+    // hash → EXACT count
+    val small = (0 until 120).map(i => ("g", (i % 40).toLong)).toDF("g", "v")
+    val exact = Sketch.kmvDistinct(small, col("v"), Seq("g"), k = 64)
+      .as[(String, Long)].collect().toMap
+    assert(exact("g") == 40L)
+    // 5000 distinct values, k=64 → estimate within 4/sqrt(64) = 50%
+    // (loose bound: md5 is fixed, so this is a deterministic check of
+    // THIS hash draw, not a statistical assertion that could flake)
+    val big = (0 until 10000).map(i => ("g", (i % 5000).toLong)).toDF("g", "v")
+    val est = Sketch.kmvDistinct(big, col("v"), Seq("g"), k = 64)
+      .as[(String, Long)].collect().toMap.apply("g")
+    assert(est > 2500 && est < 10000, s"KMV estimate $est far from 5000")
+    // pure function of the data: any partitioning yields the identical
+    // estimate (the property HLL++ register merges do NOT guarantee
+    // across engines)
+    val est2 = Sketch.kmvDistinct(big.repartition(13), col("v"), Seq("g"), k = 64)
+      .as[(String, Long)].collect().toMap.apply("g")
+    assert(est2 == est)
+  }
+
+  test("quantileSampled: frac=1 is the exact discrete quantile; endpoints; invariance") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val df = (1 to 101).map(i => ("g", i.toLong)).toDF("g", "v")
+    def q(num: Int, den: Int, frac: Double) =
+      Sketch.quantileSampled(df, col("v"), col("v"), Seq("g"), num, den, frac, seed = 1)
+        .select("quantile").as[Long].collect().head
+    // full sample: median of 1..101 is 51, q=0 → min, q=1 → max
+    assert(q(1, 2, 1.0) == 51L)
+    assert(q(0, 1, 1.0) == 1L)
+    assert(q(1, 1, 1.0) == 101L)
+    // sampled median is deterministic and within the order-statistic
+    // band for this fixed hash draw
+    val m = q(1, 2, 0.5)
+    assert(m == q(1, 2, 0.5))
+    assert(m > 30 && m < 72, s"sampled median $m implausible for 1..101")
+    // partitioning does not change the estimate
+    val m2 = Sketch.quantileSampled(df.repartition(7), col("v"), col("v"),
+        Seq("g"), 1, 2, 0.5, seed = 1)
+      .select("quantile").as[Long].collect().head
+    assert(m2 == m)
+  }
 }
