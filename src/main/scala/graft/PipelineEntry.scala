@@ -387,6 +387,23 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(e, iters = 3).orderBy("id")
     },
+    "graph_triangles" -> { (s, dir) =>
+      // clustering structure of the part co-purchase graph, on a
+      // node-induced 1-in-8 sample (parts ≡ 0 mod 8): per-order pair
+      // fan-out is bounded by order size, the sample keeps |E| linear
+      // in sf, and the count scales to the full graph as ~8^3. The
+      // library side orients edges by (degree, id) — wedge work stays
+      // Σ C(outdeg,2) on skewed graphs — while the oracle proves the
+      // same count from a plain id-ordered 3-way self-join.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.triangleCount(e)
+    },
     "text_url_canon" -> { (s, dir) =>
       // URL canonicalization for crawl dedup: synthesize messy per-doc
       // URL variants (case, www., query, fragment, trailing slash all
@@ -1500,6 +1517,14 @@ object PipelineEntry {
            |$steps
            |SELECT id, pr FROM p$iters ORDER BY id""".stripMargin
       },
+      // independent formulation: id-ordered edges + 3-way self-join
+      // (the engine orients by (degree, id) instead — same count)
+      "graph_triangles" ->
+        """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
+          |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+          |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
       "text_strip_html" -> {
         // the same MarkupPatterns chain, generated with DuckDB's
         // explicit 'g' flag (Spark's regexp_replace is replace-all by

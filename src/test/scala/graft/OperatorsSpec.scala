@@ -792,6 +792,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCount: K4, paths, dirty input, hub skew") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def tri(e: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(e.toDF("src", "dst")).as[Long].collect().head
+    // K4 has C(4,3) = 4 triangles
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(tri(k4) == 4L)
+    // a path has none
+    assert(tri(Seq((1L,2L),(2L,3L),(3L,4L))) == 0L)
+    // duplicates, reversed copies, and self-loops must not change the
+    // count — canonicalization handles dirty crawl-graph input
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq((2L,2L),(1L,2L))) == 4L)
+    // hub star (no triangles) + one closing edge = exactly the two
+    // triangles through the hub; exercises the degree-skew orientation
+    val star = (2L to 20L).map(i => (1L, i))
+    assert(tri(star :+ (2L -> 3L) :+ (3L -> 4L)) == 2L)
+  }
+
   test("kmvDistinct: exact below k, ~1/sqrt(k) accurate above, partition-invariant") {
     import spark.implicits._
     import graft.operators.Sketch
