@@ -1072,6 +1072,33 @@ object PipelineEntry {
           allowMissingColumns = true)
         .orderBy("o_orderkey")
     },
+    "inc_scd2" -> { (s, dir) =>
+      // versioned dimension merge: customers with synthesized history
+      // rows (every 11th key has a closed OLD version), a change batch
+      // that mixes real updates, no-op images (suppressed), and brand-
+      // new keys — one broadcast pass over the dim, full history kept
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          lit("1995-01-01 00:00:00").cast(TimestampType).as("valid_from"),
+          lit(null).cast(TimestampType).as("valid_to"),
+          lit(true).as("is_current"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey"), lit("OLD").as("segment"),
+            lit("1990-01-01 00:00:00").cast(TimestampType).as("valid_from"),
+            lit("1995-01-01 00:00:00").cast(TimestampType).as("valid_to"),
+            lit(false).as("is_current")))
+      val changes = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_mktsegment"))
+            .otherwise(concat(lit("SEG_"), (col("c_custkey") % 3).cast(StringType)))
+            .as("segment"))
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEWSEG").as("segment")))
+      Incremental.scdType2(dim, changes, Seq("c_custkey"),
+          effective = lit("2024-06-01 00:00:00").cast(TimestampType))
+        .orderBy("c_custkey", "valid_from")
+    },
     "inc_cdc" -> { (s, dir) =>
       // one CDC batch: updates (op U), inserts (op I), tombstones (op D,
       // disjoint from the update keys so each key has ONE operation)
@@ -1651,6 +1678,41 @@ object PipelineEntry {
           |  FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
           |  UNION ALL SELECT * FROM chg)
           |ORDER BY o_orderkey""".stripMargin,
+      // independent five-way set formulation of the SCD2 merge (the
+      // engine explodes per-row version arrays in one broadcast pass)
+      "inc_scd2" ->
+        """WITH dim AS (
+          |  SELECT c_custkey, c_mktsegment AS segment,
+          |    TIMESTAMP '1995-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+          |    TRUE AS is_current FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, 'OLD', TIMESTAMP '1990-01-01', TIMESTAMP '1995-01-01', FALSE
+          |  FROM customer WHERE c_custkey % 11 = 0),
+          |chg AS (
+          |  SELECT c_custkey,
+          |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+          |         ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END AS segment
+          |  FROM customer WHERE c_custkey % 5 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 97 = 0)
+          |SELECT * FROM (
+          |  SELECT * FROM dim WHERE NOT is_current
+          |  UNION ALL
+          |  SELECT d.* FROM dim d LEFT JOIN chg c USING (c_custkey)
+          |  WHERE d.is_current AND (c.c_custkey IS NULL OR c.segment IS NOT DISTINCT FROM d.segment)
+          |  UNION ALL
+          |  SELECT d.c_custkey, d.segment, d.valid_from, TIMESTAMP '2024-06-01', FALSE
+          |  FROM dim d JOIN chg c USING (c_custkey)
+          |  WHERE d.is_current AND c.segment IS DISTINCT FROM d.segment
+          |  UNION ALL
+          |  SELECT d.c_custkey, c.segment, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+          |  FROM dim d JOIN chg c USING (c_custkey)
+          |  WHERE d.is_current AND c.segment IS DISTINCT FROM d.segment
+          |  UNION ALL
+          |  SELECT c.c_custkey, c.segment, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+          |  FROM chg c WHERE NOT EXISTS (
+          |    SELECT 1 FROM dim d WHERE d.c_custkey = c.c_custkey AND d.is_current))
+          |ORDER BY c_custkey, valid_from""".stripMargin,
       "inc_cdc" ->
         """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
           |chg AS (

@@ -141,6 +141,77 @@ object Incremental {
         col(opCol): _*)
   }
 
+  /** Slowly-changing-dimension Type 2 merge: apply a batch of new
+    * attribute images to a versioned dimension, keeping full history.
+    * `dim` carries `(keys*, attrs*, fromCol, toCol, currentCol)`;
+    * `changes` carries `(keys*, attrs*)` — the attribute set is
+    * inferred as the change columns minus keys. For each change whose
+    * attributes differ (null-safely) from the key's CURRENT row, that
+    * row is closed (`toCol` = `effective`, `currentCol` = false) and a
+    * new open version is appended; no-op changes (identical attributes)
+    * are suppressed; keys with no current row — brand new, or retired
+    * and now reappearing — get a fresh open version. Historical rows
+    * are never touched.
+    *
+    * Scale shape: the change batch is broadcast, so the dimension is
+    * NEVER shuffled — one pass over `dim` (history and current in the
+    * same scan, each row exploding to its 0/1/2 output versions) plus
+    * one column-pruned semi-join pass to find which change keys already
+    * have a current row (that matched-key set is ≤ |changes| and rides
+    * back as a second broadcast). Duplicate change keys fail fast
+    * ([[requireUniqueKeys]]) — two images for one key in one batch
+    * have no defined version order.
+    */
+  def scdType2(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+               effective: Column,
+               fromCol: String = "valid_from", toCol: String = "valid_to",
+               currentCol: String = "is_current"): DataFrame = {
+    requireKeys(dim, keys, "scdType2", "dim")
+    requireKeys(changes, keys, "scdType2", "changes")
+    val attrs = changes.columns.filterNot(keys.contains).toSeq
+    val missing = attrs.filterNot(dim.columns.contains)
+    require(missing.isEmpty,
+      s"scdType2: change attributes ${missing.mkString(",")} not in dim")
+    for (c <- Seq(fromCol, toCol, currentCol))
+      require(dim.columns.contains(c), s"scdType2: dim lacks column '$c'")
+    val extra = dim.columns.filterNot(
+      (keys ++ attrs ++ Seq(fromCol, toCol, currentCol)).contains)
+    require(extra.isEmpty,
+      s"scdType2: dim columns ${extra.mkString(",")} have no change-side image " +
+        "(drop them or add them to the change batch)")
+    val chg = requireUniqueKeys(changes, keys, "scdType2")
+      .select(keys.map(col) ++ attrs.map(a => col(a).as(s"_chg_$a")): _*)
+      .withColumn("_chg_present", lit(true))
+    // version payload struct: attrs then validity triple, keys stay out
+    def version(attr: String => Column, from: Column, to: Column,
+                current: Column) =
+      struct(attrs.map(a => attr(a).as(a)) :+ from.as(fromCol) :+
+        to.as(toCol) :+ current.as(currentCol): _*)
+    val attrsEqual = attrs.map(a => col(a) <=> col(s"_chg_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val self = version(col, col(fromCol), col(toCol), col(currentCol))
+    val merged = dim.join(broadcast(chg), keys, "left")
+      .select(keys.map(col) :+ explode(
+        when(!col(currentCol) || col("_chg_present").isNull || attrsEqual,
+          array(self))
+          .otherwise(array(
+            version(col, col(fromCol), effective, lit(false)),
+            version(a => col(s"_chg_$a"), effective,
+              lit(null).cast(dim.schema(toCol).dataType), lit(true)))))
+        .as("_v"): _*)
+    // change keys with no CURRENT row → fresh open versions (the
+    // matched-key set is bounded by the batch, so it broadcasts back)
+    val matched = dim.filter(col(currentCol))
+      .join(broadcast(chg.select(keys.map(col): _*)), keys, "left_semi")
+      .select(keys.map(col): _*)
+    val fresh = chg.join(broadcast(matched), keys, "left_anti")
+      .select(keys.map(col) :+ version(a => col(s"_chg_$a"), effective,
+        lit(null).cast(dim.schema(toCol).dataType), lit(true)).as("_v"): _*)
+    merged.unionByName(fresh)
+      .select(keys.map(col) ++
+        (attrs :+ fromCol :+ toCol :+ currentCol).map(c => col(s"_v.$c").as(c)): _*)
+  }
+
   /** Incremental rollup maintenance for append-only facts: fold a new
     * batch into a maintained `(keys, nCol, sum columns)` aggregate
     * WITHOUT rescanning the base facts — the materialized-view refresh

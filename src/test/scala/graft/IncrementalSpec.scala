@@ -236,4 +236,61 @@ class IncrementalSpec extends SparkSpec {
     // in a contiguous z-range → strictly fewer files hold matching rows
     assert(zf < hf, s"z-order touched $zf files, hash layout $hf")
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def scdDim =
+    Seq((1L, "a", ts("1990-01-01 00:00:00"), Option(ts("1995-01-01 00:00:00")), false),
+      (1L, "a2", ts("1995-01-01 00:00:00"), None, true),
+      (2L, "b", ts("1995-01-01 00:00:00"), None, true),
+      (3L, "c", ts("1990-01-01 00:00:00"), Option(ts("1995-01-01 00:00:00")), false))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+
+  test("scdType2: close+reopen on change, suppress no-ops, revive retired keys, keep history") {
+    val eff = lit("2024-06-01 00:00:00").cast("timestamp")
+    // k=1 real change, k=2 identical image (no-op), k=3 retired key
+    // reappearing, k=9 brand new
+    val chg = Seq((1L, "a3"), (2L, "b"), (3L, "c3"), (9L, "z"))
+      .toDF("k", "seg")
+    val out = Incremental.scdType2(scdDim, chg, Seq("k"), eff)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "a", ts("1990-01-01 00:00:00"), Some(ts("1995-01-01 00:00:00")), false),
+      (1L, "a2", ts("1995-01-01 00:00:00"), Some(ts("2024-06-01 00:00:00")), false),
+      (1L, "a3", ts("2024-06-01 00:00:00"), None, true),
+      (2L, "b", ts("1995-01-01 00:00:00"), None, true),
+      (3L, "c", ts("1990-01-01 00:00:00"), Some(ts("1995-01-01 00:00:00")), false),
+      (3L, "c3", ts("2024-06-01 00:00:00"), None, true),
+      (9L, "z", ts("2024-06-01 00:00:00"), None, true)))
+    // idempotence: re-applying the same batch later changes nothing —
+    // every image now matches its current row, new keys are present
+    val again = Incremental.scdType2(out.toDF("k", "seg", "valid_from", "valid_to", "is_current"),
+        chg, Seq("k"), lit("2025-01-01 00:00:00").cast("timestamp"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(again == out)
+  }
+
+  test("scdType2: base never shuffles (broadcast joins only) and bad inputs fail fast") {
+    val chg = Seq((1L, "a3")).toDF("k", "seg")
+    val plan = Incremental.scdType2(scdDim, chg, Seq("k"),
+        lit("2024-06-01 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    // the CHANGE batch may shuffle (requireUniqueKeys windows over it);
+    // the dim side must only ever meet it through broadcast joins
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+    intercept[IllegalArgumentException] { // dim attr without change image
+      Incremental.scdType2(scdDim.withColumn("extra", lit(1)), chg, Seq("k"),
+        lit("2024-06-01 00:00:00").cast("timestamp"))
+    }
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "seg")
+    val e = intercept[Exception] {
+      Incremental.scdType2(scdDim, dup, Seq("k"),
+        lit("2024-06-01 00:00:00").cast("timestamp")).collect()
+    }
+    assert(e.getMessage.contains("duplicate change key"))
+  }
 }
