@@ -454,6 +454,15 @@ object PipelineEntry {
       TextFunctions.tfidfTopK(t(s, dir, "documents"), col("text"), k = 3)
         .orderBy("doc_id", "rank")
     },
+    "text_bm25" -> { (s, dir) =>
+      // BM25 ranking for a fixed 3-term query: rational idf (no ln —
+      // same cross-engine-exactness rule as text_tfidf), doc-length
+      // normalization, fixed-order term sum; global top-20 rides
+      // TakeOrdered, bounded like every top-k here
+      TextFunctions.bm25Scores(t(s, dir, "documents"), col("text"),
+          Seq("spark", "merge", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
     "text_encode" -> { (s, dir) =>
       // frequency-vocabulary token encoding: top-100 tokens by corpus
       // count (total order: count desc, token asc) become ids 1..100,
@@ -983,6 +992,21 @@ object PipelineEntry {
           .cast(LongType).as("media_id"), col("content").as("payload"))
       Multimodal.decodeImageMetaReal(s, files).orderBy("media_id")
     },
+    "src_spider" -> { (s, dir) =>
+      // dataset auto-discovery (the reference server's spider, as a
+      // catalog table): materialize a mixed-format data root — csv,
+      // json, and parquet datasets, each a Spark-written DIRECTORY —
+      // then walk it; the oracle derives the column counts
+      // independently from information_schema over the same tables
+      val root = "/root/repo/target/spider_fixture"
+      t(s, dir, "region").write.mode("overwrite")
+        .option("header", "true").csv(root + "/region")
+      t(s, dir, "nation").write.mode("overwrite").json(root + "/nation")
+      t(s, dir, "supplier").write.mode("overwrite").parquet(root + "/supplier")
+      graft.sources.Spider.discover(s, root)
+        .select(col("dataset"), col("format"), col("n_cols"))
+        .orderBy("dataset")
+    },
     // ---- N-D arrays over coordinate representation (§2.12) ----
     "arr_transpose" -> { (s, dir) =>
       // embeddings as a (vec × dim) matrix in coordinate form, then the
@@ -1166,6 +1190,13 @@ object PipelineEntry {
       // detection): LSH candidates + exact |A∩B|/|A| both directions
       Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+    "dedup_spans" -> { (s, dir) =>
+      // per-doc duplicated 5-gram span fraction (boilerplate signal):
+      // spans travel as 48-bit hashes, shared set = one partial
+      // aggregate + semi join — per-doc cost, never per-pair
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 5)
+        .orderBy("doc_id")
     },
     "dedup_bloom" -> { (s, dir) =>
       // bloom-filter decontamination: one fixed-memory bitmap pass over
@@ -1575,6 +1606,44 @@ object PipelineEntry {
            |  FROM tf JOIN df USING (token)),
            |r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
            |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // BM25 replay: same rational idf, same literal constants, same
+      // left-to-right expression tree and fixed-order pivot sum — every
+      // double op is identical, so scores are bit-exact
+      "text_bm25" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token FROM t),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(len(ts)) AS BIGINT) AS sumdl FROM t),
+           |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY doc_id, dl, token),
+           |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY token),
+           |sc AS (SELECT tf.doc_id, tf.token,
+           |  (CAST(2*st.n - 2*dfq.df + 1 AS DOUBLE) / CAST(2*dfq.df + 1 AS DOUBLE)) *
+           |  ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+           |    (CAST(tf.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS s
+           |  FROM tf, dfq, st WHERE dfq.token = tf.token),
+           |p AS (SELECT doc_id,
+           |  coalesce(MAX(CASE WHEN token = 'spark' THEN s END), 0.0)
+           |  + coalesce(MAX(CASE WHEN token = 'merge' THEN s END), 0.0)
+           |  + coalesce(MAX(CASE WHEN token = 'window' THEN s END), 0.0) AS score
+           |  FROM sc GROUP BY doc_id)
+           |SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // duplicated-span replay: same 5-gram instances (NON-distinct,
+      // unlike the minhash shingle fragment), same 48-bit md5 hash
+      "dedup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(ts)-4,0)+1),
+           |  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS sps FROM t),
+           |i0 AS (SELECT doc_id, unnest(sps) AS sp FROM sh),
+           |inst AS (SELECT doc_id, CAST(concat('0x', substr(md5(sp),1,12)) AS BIGINT) AS h FROM i0),
+           |shared AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS d FROM inst GROUP BY h) WHERE d >= 2),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM inst GROUP BY doc_id),
+           |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM inst WHERE h IN (SELECT h FROM shared) GROUP BY doc_id)
+           |SELECT tot.doc_id, tot.n_spans, CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+           |  CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / CAST(tot.n_spans AS DOUBLE) AS dup_frac
+           |FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id ORDER BY tot.doc_id""".stripMargin,
       "text_encode" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |c2 AS (SELECT token, COUNT(*) AS c FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token),
@@ -2068,6 +2137,17 @@ object PipelineEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
       "src_txt_roundtrip" ->
         "SELECT r_name FROM region ORDER BY r_name",
+      // spider: formats are the spec (the fixture writes them); the
+      // column counts are derived INDEPENDENTLY from information_schema
+      // over the registered views, not from the spidered files
+      "src_spider" ->
+        """SELECT 'nation' AS dataset, 'json' AS format,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM information_schema.columns WHERE table_name = 'nation') AS n_cols
+          |UNION ALL SELECT 'region', 'csv',
+          |  (SELECT CAST(count(*) AS BIGINT) FROM information_schema.columns WHERE table_name = 'region')
+          |UNION ALL SELECT 'supplier', 'parquet',
+          |  (SELECT CAST(count(*) AS BIGINT) FROM information_schema.columns WHERE table_name = 'supplier')
+          |ORDER BY dataset""".stripMargin,
       // the engine decodes REAL PNG files read back through binaryFile;
       // the oracle recomputes the synthesized dimensions from the key
       "src_binary_roundtrip" ->

@@ -322,6 +322,62 @@ object TextFunctions {
         col("col.c_id").as("token"), col("col.cos").as("score"))
   }
 
+  /** BM25 document ranking for a small fixed query-term set: the
+    * doc-length-normalized upgrade of [[tfidfTopK]]'s tf/df score
+    * (k1 = 1.2, b = 0.75, the standard Robertson constants). Like
+    * tfidf, the idf deliberately avoids `ln`: libm logs differ in the
+    * last ulp across engines, so the rational form
+    * `(N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)` — exact integers
+    * into one correctly-rounded IEEE division — keeps scores
+    * bit-identical everywhere (it is the argument of the standard
+    * BM25 idf, monotone in it, so rankings per term agree).
+    *
+    * Scale shape: one corpus-stats aggregate (N, avgdl — a single
+    * broadcast row), tf restricted to the query terms BEFORE the
+    * aggregate (the groupBy carries only matching (doc, term) rows,
+    * not the corpus vocabulary), df per term joined back as a
+    * broadcast of ≤ |terms| rows, and the per-doc term sum is a
+    * FIXED-ORDER pivot (`coalesce(s₀,0)+coalesce(s₁,0)+…`) — never a
+    * float aggregate whose partial order could vary. Output: all docs
+    * containing ≥1 query term, (idCol, score); rank/limit at the call
+    * site (global top-k via TakeOrdered stays bounded).
+    */
+  def bm25Scores(docs: DataFrame, textCol: Column, queryTerms: Seq[String],
+                 idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"bm25Scores: 1..16 query terms, got ${queryTerms.size}")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "bm25Scores: duplicate query terms")
+    val D = DoubleType
+    val toks = docs.select(col(idCol), size(tokens(textCol)).cast(LongType).as("_dl"),
+      explode(tokens(textCol)).as("_tok"))
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      sum(size(tokens(textCol)).cast(LongType)).as("_sumdl"))
+    val tf = toks.filter(col("_tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = toks.filter(col("_tok").isin(queryTerms: _*))
+      .select(col(idCol), col("_tok")).distinct()
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val scored = tf.join(broadcast(dfreq), "_tok").crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        (lit(2L) * col("_n") - lit(2L) * col("_df") + lit(1L)).cast(D) /
+          (lit(2L) * col("_df") + lit(1L)).cast(D))
+      .withColumn("_s", col("_idf") * ((col("_tf").cast(D) * lit(2.2)) /
+        (col("_tf").cast(D) + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("_dl").cast(D) / (col("_sumdl").cast(D) / col("_n").cast(D)))))))
+    // fixed-order pivot: one conditional singleton-max per term, then a
+    // left-to-right sum — immune to aggregate ordering
+    val pivots = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("_tok") === t, col("_s"))).as(s"_s$i")
+    }
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col(idCol)).agg(pivots.head, pivots.tail: _*)
+      .select(col(idCol), total.as("score"))
+  }
+
   /** Encode documents to (doc, pos, token_id) rows against a vocabulary
     * (out-of-vocabulary → 0): posexplode + one BROADCAST join — the
     * corpus pass stays map-side; `pos` is 1-based. This is the

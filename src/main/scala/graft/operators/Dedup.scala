@@ -262,6 +262,43 @@ object Dedup {
     * `targetBucket` defaults lower than the ANN path's because of that
     * quadratic (candidate pairs per row ≈ occupancy/2).
     */
+  /** Cross-document duplicated-span statistics: for each document, the
+    * fraction of its word n-gram instances that also occur in at least
+    * one OTHER document — the "duplicated n-gram char fraction" family
+    * of quality signals (boilerplate, licence blocks, templated pages
+    * score high and get filtered or down-weighted before training).
+    * Output: (idCol, n_spans, n_dup, dup_frac), one row per document
+    * with ≥ 1 shingle.
+    *
+    * Scale shape: shingle instances are linear in corpus tokens; spans
+    * travel as 48-bit md5 hashes ([[Sketch.kmvHash]] — ~10× narrower
+    * on the wire than raw 5-gram strings), the shared-span set is one
+    * (hash → distinct-doc-count) partial aggregate, and membership
+    * rides back via a semi join on the hash — no pairwise work
+    * anywhere, unlike [[minhashPairs]] this is per-DOC not per-PAIR.
+    * 48-bit collisions (~n²/2⁴⁹) are the accepted quantization, same
+    * trade as every hashed-shingle operator here; the oracle replays
+    * the identical hash so the compare stays exact.
+    */
+  def duplicatedSpanStats(docs: DataFrame, n: Int = 5, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"duplicatedSpanStats: n must be positive, got $n")
+    val inst = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), n)).as("_sp"))
+      .select(col(idCol), Sketch.kmvHash(col("_sp")).as("_h"))
+    val shared = inst.distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= 2).select("_h")
+    val totals = inst.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val dups = inst.join(shared, "_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    totals.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+          col("n_spans").cast(DoubleType)).as("dup_frac"))
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double, nBits: Int = 0, dim: Int = 64,
                        vecCol: String = "embedding", idCol: String = "vec_id",
                        targetBucket: Long = 256L): DataFrame = {

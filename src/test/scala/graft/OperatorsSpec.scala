@@ -792,6 +792,70 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Scores: term frequency, doc-length normalization, validation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "spark spark spark"),              // high tf, short
+      (2L, "spark noise noise noise noise"),  // tf 1, longer
+      (3L, "noise only here"),                // no query term
+      (4L, "spark spark noise")).toDF("doc_id", "text")
+    val r = TextFunctions.bm25Scores(docs, col("text"), Seq("spark"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    // doc 3 has no query term → absent; tf and length ordering: doc 1
+    // (tf 3, dl 3) > doc 4 (tf 2, dl 3) > doc 2 (tf 1, dl 5)
+    assert(r.map(_._1) == Seq(1L, 4L, 2L))
+    assert(r.forall(_._2 > 0))
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25Scores(docs, col("text"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25Scores(docs, col("text"), Seq("a", "a"))
+    }
+  }
+
+  test("duplicatedSpanStats: shared spans counted per instance, unique docs zero") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),   // spans: abcde..., shares abcde with doc 2
+      (2L, "a b c d e q r s t u"),
+      (3L, "completely different words here indeed")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(docs, n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // docs 1,2 have 10 - 5 + 1 = 6 spans and share exactly the
+    // "a b c d e" span (1 instance each); doc 3 (5 tokens → 1 span)
+    // shares nothing
+    assert(r == Seq(
+      (1L, 6L, 1L, 1.0 / 6.0),
+      (2L, 6L, 1L, 1.0 / 6.0),
+      (3L, 1L, 0L, 0.0)))
+    // short doc: fewer tokens than n → no row
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpanStats(short, n = 5).count() == 0)
+  }
+
+  test("Spider.discover: mixed-format tree, parquet dirs bound once, junk skipped") {
+    import graft.sources.Spider
+    val root = "target/spider_test"
+    val dir = new java.io.File(root)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    import spark.implicits._
+    val df3 = Seq((1, "x"), (2, "y")).toDF("a", "b")
+    df3.write.mode("overwrite").parquet(s"$root/pq")
+    df3.write.mode("overwrite").option("header", "true").csv(s"$root/nested/c")
+    df3.withColumn("c", lit(3)).write.mode("overwrite").json(s"$root/j")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/junk.bin"),
+      Array[Byte](1, 2, 3))
+    val got = Spider.discover(spark, root)
+      .select("dataset", "format", "n_cols")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("j", "json", 3L), ("nested.c", "csv", 2L),
+      ("pq", "parquet", 2L)), got.toString)
+  }
+
   test("triangleCount: K4, paths, dirty input, hub skew") {
     import spark.implicits._
     import graft.operators.Graph
