@@ -548,6 +548,16 @@ object PipelineEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "sample_temperature" -> { (s, dir) =>
+      // α=0.5 temperature rebalancing of the language mix: low-resource
+      // languages keep ~everything, the dominant one is downsampled —
+      // rates are exact int64 micro-fractions from driver-side stats,
+      // row choice is the seed-keyed md5 bucket (no RNG, no join)
+      Sampling.temperatureSample(t(s, dir, "documents"),
+          key = col("doc_id"), mixCol = "lang", targetRows = 200, seed = 11)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
     "text_scrub" -> { (s, dir) =>
       import TextFunctions._
       // fixture text has no PII — inject deterministic synthetic PII so
@@ -1508,6 +1518,17 @@ object PipelineEntry {
       // engine uses the bounded TopKByScore aggregate + semi join.
       // Agreement proves the bounded plan selects exactly the window's
       // rows (lowest md5 bucket, asc-id tiebreak, first n per key).
+      // temperature replay: same ⌊√(n_g·N)⌋ weights (one IEEE sqrt),
+      // same exact integer micro-rates, same seed-11 md5 bucket
+      "sample_temperature" ->
+        """WITH st AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+          |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM st),
+          |w AS (SELECT lang, ns, CAST(FLOOR(SQRT(CAST(ns AS DOUBLE) * CAST(tot.n AS DOUBLE))) AS BIGINT) AS w FROM st, tot),
+          |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+          |r AS (SELECT lang, LEAST(1000000, (200 * w * 1000000) // (sumw * ns)) AS rate FROM w, sw)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN r ON r.lang = d.lang
+          |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':11'),1,7)) AS BIGINT) % 1000000 < rate
+          |ORDER BY d.doc_id""".stripMargin,
       "sample_cap_per_key" ->
         """WITH b AS (SELECT doc_id, lang,
           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 1000000 AS bucket

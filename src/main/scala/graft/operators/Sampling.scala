@@ -123,6 +123,50 @@ object Sampling {
       when(bucket < trainPct, "train").otherwise("test").as("split"))
   }
 
+  /** Temperature-based mixture sampling (α = 0.5): rebalance a corpus
+    * across its `mixCol` groups (languages, sources) so each group's
+    * share of the ~`targetRows`-row output is proportional to
+    * `√share` instead of `share` — the standard up-weighting of
+    * low-resource groups when composing a training mix. Deterministic
+    * end-to-end: group weights are `⌊√(n_g · N)⌋` (one correctly-
+    * rounded IEEE sqrt, identical in every engine while the product
+    * stays below 2^52 — beyond that the floor is still deterministic,
+    * just not the exact integer root), per-group keep-rates are exact
+    * int64 micro-fractions, and row selection is the same seed-keyed
+    * md5 bucket as [[sampleHash]].
+    *
+    * Scale shape: one group-sized aggregate, rates computed DRIVER-side
+    * from it (a mixture table is config-sized — the same "fitted model
+    * on the driver" rule as the PQ/k-means trainers), then a single
+    * codegen'd filter over the scan: no join, no shuffle, no RNG.
+    * A group whose exact rate floors to zero micro-units is dropped
+    * entirely — raise `targetRows` if every group must survive.
+    * Output size concentrates near `targetRows` (hash-Bernoulli, not
+    * exact-n; [[capPerKey]] is the exact-count alternative).
+    */
+  def temperatureSample(df: DataFrame, key: Column, mixCol: String,
+                        targetRows: Long, seed: Long): DataFrame = {
+    require(targetRows > 0, s"temperatureSample: targetRows must be positive")
+    val M = 1000000L
+    val stats = df.groupBy(col(mixCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.get(0), r.getLong(1))).sortBy(_._1.toString)
+    val n = stats.map(_._2).sum
+    val w = stats.map { case (g, ns) =>
+      (g, ns, math.floor(math.sqrt(ns.toDouble * n.toDouble)).toLong)
+    }
+    val sumW = w.map(_._3).sum
+    // exact integer rate in micro-units; BigInt so the driver-side
+    // product can never overflow (the plan only sees the final Long)
+    val rates = w.map { case (g, ns, ws) =>
+      (g, (BigInt(targetRows) * ws * M / (BigInt(sumW) * ns)).min(BigInt(M)).toLong)
+    }
+    val rate = rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(mixCol) === lit(g), lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(concat(key.cast(StringType), lit(":" + seed)), M.toInt)
+      < rate)
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"capPerKey: n must be positive, got $n")
     val M = 1000000

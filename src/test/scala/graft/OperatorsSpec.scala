@@ -792,6 +792,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: low-resource groups upweighted, monotone in target, invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 90/10 imbalance; sqrt-temperature target shares are 75/25
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val kept = Sampling.temperatureSample(df, col("id"), "g", targetRows = 100, seed = 3)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val total = kept.values.sum
+    assert(total > 60 && total < 140, s"total $total far from target 100")
+    // raw share of 'small' is 10%; temperature must push it well up
+    assert(kept("small").toDouble / total > 0.15, kept.toString)
+    // monotone: a smaller target draws a SUBSET (rates scale with T,
+    // the hash bucket per row is fixed)
+    val ids100 = Sampling.temperatureSample(df, col("id"), "g", 100, seed = 3)
+      .select("id").as[Long].collect().toSet
+    val ids50 = Sampling.temperatureSample(df, col("id"), "g", 50, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids50.subsetOf(ids100))
+    // partitioning-invariant (pure function of the data)
+    val ids100b = Sampling.temperatureSample(df.repartition(17), col("id"), "g", 100, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids100b == ids100)
+  }
+
   test("bm25Scores: term frequency, doc-length normalization, validation") {
     import spark.implicits._
     import graft.functions.TextFunctions
