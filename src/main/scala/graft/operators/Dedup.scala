@@ -283,19 +283,23 @@ object Dedup {
   def duplicatedSpanStats(docs: DataFrame, n: Int = 5, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(n > 0, s"duplicatedSpanStats: n must be positive, got $n")
-    val inst = docs.select(col(idCol),
+    import org.apache.spark.sql.expressions.Window
+    // ONE explode+digest pass over the corpus: fold instances to
+    // per-(doc, span) counts (so rows-per-hash = docs-per-hash), read
+    // each span's doc count off a window over the hash partition —
+    // high-cardinality partitions, not a funnel — and fold straight
+    // down to per-doc stats. No join, no second corpus scan, no
+    // materialized intermediate.
+    val c = docs.select(col(idCol),
         explode(graft.functions.TextFunctions.shingles(col(textCol), n)).as("_sp"))
       .select(col(idCol), Sketch.kmvHash(col("_sp")).as("_h"))
-    val shared = inst.distinct()
-      .groupBy("_h").agg(count(lit(1)).as("_docs"))
-      .filter(col("_docs") >= 2).select("_h")
-    val totals = inst.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
-    val dups = inst.join(shared, "_h")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
-    totals.join(dups, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+      .groupBy(col(idCol), col("_h")).agg(count(lit(1)).as("_c"))
+      .withColumn("_docs", count(lit(1)).over(Window.partitionBy("_h")))
+    c.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_spans"),
+        sum(when(col("_docs") >= 2, col("_c")).otherwise(lit(0L))).as("n_dup"))
+      .select(col(idCol), col("n_spans"), col("n_dup"),
+        (col("n_dup").cast(DoubleType) /
           col("n_spans").cast(DoubleType)).as("dup_frac"))
   }
 
