@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Bloom, Cluster, Dedup, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor}
+import graft.operators.{AsOf, Bloom, Cluster, Dedup, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor, Validate}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -453,6 +453,17 @@ object PipelineEntry {
       // ln — see tfidfTopK), bounded top-3 per doc via TopKByScore
       TextFunctions.tfidfTopK(t(s, dir, "documents"), col("text"), k = 3)
         .orderBy("doc_id", "rank")
+    },
+    "text_bpe" -> { (s, dir) =>
+      // BPE vocabulary training in-engine: 5 merge rounds over the
+      // corpus, each = one pair-count aggregate + driver-side top-1 +
+      // codegen'd greedy fold rewrite (checkpointed with retirement
+      // lag). Output = the trained merge table; the oracle replays all
+      // five rounds unrolled with an independent string-encoded fold
+      import s.implicits._
+      val (merges, _) = graft.functions.Bpe.train(
+        t(s, dir, "documents"), col("text"), rounds = 5)
+      merges.toDF().orderBy("round")
     },
     "text_bm25" -> { (s, dir) =>
       // BM25 ranking for a fixed 3-term query: rational idf (no ln —
@@ -1233,6 +1244,26 @@ object PipelineEntry {
         .orderBy("z", "p_partkey").limit(200)
     },
 
+    // ---- data-quality validation gates ----
+    "misc_validate" -> { (s, dir) =>
+      // admission checks before a dump joins the corpus: all row-level
+      // predicates fold into ONE scan; uniqueness is one aggregate; the
+      // FK check runs against a deliberately holed dimension (every
+      // 97th key removed) so the dangling-reference path is exercised
+      val cust = t(s, dir, "customer")
+      Validate.checkRules(cust, Seq(
+          "acctbal_nonneg" -> (col("c_acctbal") >= 0),
+          "name_nonempty" -> (length(col("c_name")) > 0),
+          // HOUSEHOLD deliberately missing from the allowed set
+          "segment_known" -> col("c_mktsegment")
+            .isin("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")))
+        .unionByName(Validate.checkUnique(cust, Seq("c_custkey")))
+        .unionByName(Validate.checkForeignKey(t(s, dir, "orders"), "o_custkey",
+          cust.filter(col("c_custkey") % 97 =!= 0), "c_custkey",
+          rule = "fk_orders_holed_dim"))
+        .orderBy("rule")
+    },
+
     // ---- deterministic sketches (§2.7 approx-reduction extensions) ----
     "red_nunique_kmv" -> { (s, dir) =>
       // engine-portable approx distinct count: KMV over a 48-bit md5
@@ -1627,6 +1658,42 @@ object PipelineEntry {
            |  FROM tf JOIN df USING (token)),
            |r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
            |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // BPE training replay, 5 rounds unrolled. The greedy merge fold
+      // is an INDEPENDENT formulation: list_reduce with the pending
+      // token carried in a chr(1)-delimited string accumulator
+      // (DuckDB's reduce is homogeneous), vs the engine's typed
+      // struct-accumulator aggregate — only the SPEC (pair choice
+      // order, greedy left-to-right semantics, chr(2) joiner) is shared
+      "text_bpe" -> {
+        val rounds = 5
+        def fold(p: String) =
+          s"""list_reduce(list_prepend(chr(1), ts), (acc, x) -> CASE
+             | WHEN split_part(acc, chr(1), 2) = $p.a AND x = $p.b THEN split_part(acc, chr(1), 1) || ' ' || $p.m || chr(1)
+             | WHEN split_part(acc, chr(1), 2) = '' THEN split_part(acc, chr(1), 1) || chr(1) || x
+             | ELSE split_part(acc, chr(1), 1) || ' ' || split_part(acc, chr(1), 2) || chr(1) || x END)""".stripMargin
+        def toList(s: String) =
+          s"string_split(trim(CASE WHEN split_part($s, chr(1), 2) = '' THEN split_part($s, chr(1), 1) ELSE split_part($s, chr(1), 1) || ' ' || split_part($s, chr(1), 2) END), ' ')"
+        val ctes = (1 to rounds).map { r =>
+          val prev = s"d${r - 1}"
+          val rewrite =
+            if (r < rounds)
+              s""",
+                 |d$r AS (SELECT doc_id, ${toList(fold(s"p$r"))} AS ts FROM $prev, p$r)""".stripMargin
+            else ""
+          s"""pc$r AS (SELECT ts[i] AS a, ts[i+1] AS b, COUNT(*) AS c
+             |  FROM (SELECT unnest(range(1, len(ts))) AS i, ts FROM $prev) GROUP BY 1, 2),
+             |p$r AS (SELECT a, b, a || chr(2) || b AS m, c FROM pc$r ORDER BY c DESC, a, b LIMIT 1)$rewrite""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to rounds).map { r =>
+          if (r == 1) s"SELECT 1 AS round, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM p1"
+          else s"SELECT $r, a, b, CAST(c AS BIGINT) FROM p$r"
+        }.mkString("\nUNION ALL ")
+        s"""WITH d0 AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |$ctes
+           |$sel
+           |ORDER BY round""".stripMargin
+      },
 
       // BM25 replay: same rational idf, same literal constants, same
       // left-to-right expression tree and fixed-order pivot sum — every
@@ -2208,6 +2275,24 @@ object PipelineEntry {
         """SELECT l_returnflag, COUNT(*) AS n,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      // null-as-violation CASE folds, one branch per rule
+      "misc_validate" ->
+        """SELECT * FROM (
+          |SELECT 'acctbal_nonneg' AS rule,
+          |  CAST(SUM(CASE WHEN coalesce(c_acctbal >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM customer
+          |UNION ALL SELECT 'name_nonempty',
+          |  CAST(SUM(CASE WHEN coalesce(length(c_name) > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+          |UNION ALL SELECT 'segment_known',
+          |  CAST(SUM(CASE WHEN coalesce(c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+          |UNION ALL SELECT 'unique(c_custkey)',
+          |  CAST(coalesce(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+          |  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+          |UNION ALL SELECT 'fk_orders_holed_dim',
+          |  CAST(COUNT(*) AS BIGINT) FROM orders
+          |  WHERE o_custkey IS NOT NULL
+          |    AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
+          |) ORDER BY rule""".stripMargin,
 
       // KMV replay: same 48-bit md5 space, same k, same exact-int64
       // estimator; row LEAST(64, n) is h_k when n >= k and the largest

@@ -792,6 +792,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Bpe.train: greedy merges, total-order pair choice, early stop") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val docs = Seq((1L, "a b c a b a b"), (2L, "b c a b c"), (3L, "x y a b"))
+      .toDF("doc_id", "text")
+    val (merges, corpus) = Bpe.train(docs, col("text"), rounds = 2, joiner = "+")
+    // round 1: (a,b) ×5; round 2: the fused token pairs with c ×2
+    assert(merges == Seq(Bpe.Merge(1, "a", "b", 5L), Bpe.Merge(2, "a+b", "c", 2L)))
+    val ts = corpus.orderBy("doc_id").select("ts")
+      .as[Seq[String]].collect().toSeq
+    assert(ts == Seq(Seq("a+b+c", "a+b", "a+b"), Seq("b", "c", "a+b+c"),
+      Seq("x", "y", "a+b")))
+    // overlapping runs merge greedily left-to-right: a a a -> [aa, a]
+    val (m2, c2) = Bpe.train(Seq((1L, "a a a")).toDF("doc_id", "text"),
+      col("text"), rounds = 1, joiner = "")
+    assert(m2 == Seq(Bpe.Merge(1, "a", "a", 2L)))
+    assert(c2.select("ts").as[Seq[String]].collect().head == Seq("aa", "a"))
+    // early stop: corpus collapses to single tokens before 64 rounds
+    val (m3, _) = Bpe.train(Seq((1L, "p q")).toDF("doc_id", "text"),
+      col("text"), rounds = 10, joiner = "+")
+    assert(m3 == Seq(Bpe.Merge(1, "p", "q", 1L)))
+  }
+
+  test("Validate: null counts as violation, duplicate rows counted, dangling FKs found") {
+    import spark.implicits._
+    import graft.operators.Validate
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None), (2L, Some(2.0)))
+      .toDF("k", "v")
+    val rules = Validate.checkRules(df, Seq(
+        "v_nonneg" -> (col("v") >= 0), "k_small" -> (col("k") < 100)))
+      .as[(String, Long)].collect().toMap
+    // -1 violates; NULL is "not provably valid" → also a violation
+    assert(rules == Map("v_nonneg" -> 2L, "k_small" -> 0L))
+    // key 2 occurs twice → BOTH rows are violations
+    val uniq = Validate.checkUnique(df, Seq("k")).as[(String, Long)].collect().head
+    assert(uniq == ("unique(k)", 2L))
+    // empty input: zero violations, not an empty result
+    assert(Validate.checkUnique(df.filter(col("k") < 0), Seq("k"))
+      .as[(String, Long)].collect().head._2 == 0L)
+    val dim = Seq(1L, 2L).toDF("id")
+    val fk = Validate.checkForeignKey(df, "k", dim, "id")
+      .as[(String, Long)].collect().head
+    assert(fk._2 == 1L) // only k=3 dangles (its two rows... one row: k=3 once)
+    intercept[IllegalArgumentException] {
+      Validate.checkRules(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("temperatureSample: low-resource groups upweighted, monotone in target, invariant") {
     import spark.implicits._
     import graft.operators.Sampling
