@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Bloom, Cluster, Dedup, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Tensor, Validate}
+import graft.operators.{AsOf, Behavior, Bloom, Cluster, Dedup, Features, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Skyline, Tensor, Validate}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -266,6 +266,51 @@ object PipelineEntry {
       spine.join(counts, Seq("user_id", "bucket"), "left")
         .select(col("user_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("user_id", "bucket")
+    },
+    // ---- behavioral analytics (funnel / retention / transitions / interpolate) ----
+    "ev_funnel" -> { (s, dir) =>
+      Behavior.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+    },
+    "ev_retention" -> { (s, dir) =>
+      Behavior.retention(t(s, dir, "events")).orderBy("cohort_week", "week_offset")
+    },
+    "ev_transitions" -> { (s, dir) =>
+      Behavior.transitions(t(s, dir, "events")).orderBy("prev_type", "next_type")
+    },
+    "ev_interpolate" -> { (s, dir) =>
+      // deterministic mask (id % 7 == 0 → missing) replayed identically
+      // in the oracle; output = the reconstructed rows only
+      val masked = t(s, dir, "events").withColumn("value",
+        when(pmod(col("event_id"), lit(7L)) =!= 0L, col("value")))
+      Behavior.interpolate(masked, "value")
+        .filter(pmod(col("event_id"), lit(7L)) === 0L)
+        .select("event_id", "user_id", "value").orderBy("event_id")
+    },
+    // ---- feature engineering (one-hot / hashing trick / z-score / histogram) ----
+    "feat_onehot" -> { (s, dir) =>
+      val oh = Features.oneHot(t(s, dir, "customer"), "c_mktsegment")
+      val hot = oh.columns.filter(_.startsWith("is_")).sorted
+      oh.select("c_custkey", hot: _*).orderBy("c_custkey")
+    },
+    "feat_hashing" -> { (s, dir) =>
+      Features.hashingTrick(t(s, dir, "documents"), 64).orderBy("doc_id", "dim")
+    },
+    "feat_scale" -> { (s, dir) =>
+      Features.standardize(t(s, dir, "customer"), "c_acctbal", Seq("c_mktsegment"))
+        .select("c_custkey", "c_mktsegment", "zscore").orderBy("c_custkey")
+    },
+    "red_histogram" -> { (s, dir) =>
+      Features.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20).orderBy("bin")
+    },
+    "sel_skyline" -> { (s, dir) =>
+      Skyline.skyline2(t(s, dir, "orders"), "o_totalprice", "o_orderdate")
+        .orderBy("x", "y")
+    },
+    "dedup_fuzzy" -> { (s, dir) =>
+      Dedup.fuzzyPairs(
+        t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
+        maxDist = 1)
+        .orderBy("id_a", "id_b")
     },
     "text_filter_quantile" -> { (s, dir) =>
       import TextFunctions._
@@ -1438,6 +1483,105 @@ object PipelineEntry {
           |SELECT sp.user_id, sp.bucket, COALESCE(c.n, 0) AS n
           |FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.bucket = c.bucket
           |ORDER BY sp.user_id, sp.bucket""".stripMargin,
+      // ordered funnel: step-i time = earliest step-i event strictly
+      // after the step-(i-1) time, chained windows (mirrors Behavior.funnel)
+      "ev_funnel" ->
+        """WITH w1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t0 FROM events),
+          |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w1),
+          |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w2)
+          |SELECT count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS step_1,
+          |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step_2,
+          |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step_3
+          |FROM w3""".stripMargin,
+      "ev_retention" ->
+        """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week FROM events),
+          |c AS (SELECT *, min(active_week) OVER (PARTITION BY user_id) AS cohort_week FROM e)
+          |SELECT cohort_week,
+          |  CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+          |  count(DISTINCT user_id) AS users
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "ev_transitions" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
+          |SELECT prev_type, event_type AS next_type, count(*) AS transitions
+          |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // linear interpolation over the id%7 deterministic mask; time math
+      // in exact int64 micros, only the final fraction is IEEE double
+      "ev_interpolate" ->
+        """WITH m AS (SELECT user_id, event_id, ts,
+          |  CASE WHEN event_id % 7 <> 0 THEN value END AS v FROM events),
+          |f AS (SELECT *,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_v,
+          |  last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_t,
+          |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_v,
+          |  first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+          |FROM m)
+          |SELECT event_id, user_id,
+          |  CASE WHEN p_v IS NOT NULL AND n_v IS NOT NULL
+          |    THEN p_v + (n_v - p_v) * (CAST(epoch_us(ts) - p_t AS DOUBLE) / CAST(n_t - p_t AS DOUBLE))
+          |    ELSE COALESCE(p_v, n_v) END AS value
+          |FROM f WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin,
+      "feat_onehot" ->
+        """SELECT c_custkey,
+          |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS is_automobile,
+          |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_building,
+          |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS is_furniture,
+          |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS is_household,
+          |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS is_machinery
+          |FROM customer ORDER BY c_custkey""".stripMargin,
+      // hashing trick: same 28-bit md5-prefix hash family as the bloom probes
+      "feat_hashing" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+           |h AS (SELECT doc_id, ${sqlHash("token")} % 64 AS dim FROM tok WHERE token <> '')
+           |SELECT doc_id, dim, count(*) AS weight FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // exact decimal moments, IEEE-only final formula (same pattern as red_var_std)
+      "feat_scale" ->
+        """WITH m AS (SELECT c_mktsegment,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+          |  CAST(COUNT(c_acctbal) AS DOUBLE) AS n
+          |FROM customer GROUP BY 1)
+          |SELECT c_custkey, c.c_mktsegment,
+          |  CASE WHEN (sx2 - sx * sx / n) / n > 0
+          |    THEN (c_acctbal - sx / n) / SQRT((sx2 - sx * sx / n) / n) END AS zscore
+          |FROM customer c JOIN m ON c.c_mktsegment = m.c_mktsegment
+          |ORDER BY c_custkey""".stripMargin,
+      "red_histogram" ->
+        """WITH mm AS (SELECT min(l_extendedprice) AS h_min, max(l_extendedprice) AS h_max FROM lineitem),
+          |b AS (SELECT CASE WHEN h_max = h_min THEN 0
+          |    ELSE CAST(least(floor((l_extendedprice - h_min) / ((h_max - h_min) / 20.0)), 19) AS BIGINT) END AS bin,
+          |  h_min, h_max FROM lineitem, mm)
+          |SELECT bin,
+          |  h_min + CAST(bin AS DOUBLE) * (h_max - h_min) / 20.0 AS lo,
+          |  h_min + CAST(bin + 1 AS DOUBLE) * (h_max - h_min) / 20.0 AS hi,
+          |  count(*) AS n
+          |FROM b GROUP BY bin, h_min, h_max ORDER BY bin""".stripMargin,
+      // INDEPENDENT formulation: NOT EXISTS dominance test vs the Spark
+      // side's bucketed running-max algorithm (oracle-independence (b))
+      "sel_skyline" ->
+        """WITH pts AS (SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders
+          |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+          |SELECT x, y FROM pts p
+          |WHERE NOT EXISTS (SELECT 1 FROM pts q
+          |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+          |ORDER BY x, y""".stripMargin,
+      // INDEPENDENT formulation: brute-force all-pairs edit distance vs
+      // the Spark side's deletion-neighborhood candidate join (the
+      // length-diff predicate is a Levenshtein lower bound, pure pruning)
+      "dedup_fuzzy" ->
+        """WITH r AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+          |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist
+          |FROM r a JOIN r b
+          |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
+          |WHERE levenshtein(a.name, b.name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin,
       "text_filter_quantile" ->
         s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / sequence analytics over an event log: funnel
+  * conversion, cohort retention, transition (Markov) counts, and
+  * time-series linear interpolation.
+  *
+  * These are the event-log counterparts of the reference's
+  * collection operators (grouping + window reductions,
+  * `blaze/expr/collections.py`, `blaze/expr/reductions.py`) applied to
+  * the sessionization family (see [[Sessionize]]); none exist as
+  * first-class reference operators, but they are the queries a
+  * training-data/telemetry pipeline runs daily.
+  *
+  * Scale notes, uniform across the family: every operator shuffles
+  * once on the entity key (`user`) and reuses that single Exchange
+  * across its chained window passes (same partitioning → Spark plans
+  * one shuffle). No driver-side collection, no global windows; output
+  * is either per-entity (bounded by users) or a small aggregate.
+  */
+object Behavior {
+
+  /** Ordered-funnel conversion: for each step i > 1, the step-i
+    * timestamp is the user's earliest `steps(i)` event STRICTLY AFTER
+    * their step-(i-1) timestamp (the classic "unordered counts lie"
+    * fix — a purchase before the first view does not convert).
+    *
+    * Returns one row: `step_1 … step_n` = distinct users reaching each
+    * step. Chained `min(when(...)).over(user)` windows — one shuffle,
+    * n window passes over the same partitioning, then a tiny
+    * all-column aggregate.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             typeCol: String = "event_type", tsCol: String = "ts",
+             userCol: String = "user_id"): DataFrame = {
+    require(steps.size >= 2, s"funnel: need >= 2 steps, got ${steps.size}")
+    val w = Window.partitionBy(userCol)
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"t_${i - 1}")
+      df.withColumn(s"t_$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val aggs = steps.indices.map(i =>
+      countDistinct(when(col(s"t_$i").isNotNull, col(userCol)))
+        .as(s"step_${i + 1}"))
+    withTs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
+    * the user's first event; for each (cohort_week, week_offset) the
+    * number of distinct users from that cohort active in that week.
+    * Offsets are exact multiples of 7 days, so the day-diff / 7
+    * division is integral (no floating slop).
+    */
+  def retention(events: DataFrame, tsCol: String = "ts",
+                userCol: String = "user_id"): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    val withCohort = events
+      .withColumn("active_week", wk)
+      .withColumn("cohort_week",
+        min(col("active_week")).over(Window.partitionBy(userCol)))
+    withCohort
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
+  /** First-order transition counts (empirical Markov chain): per user,
+    * order events by (ts, id) and count (previous type → type) pairs.
+    * The id tiebreak makes the lag deterministic under equal
+    * timestamps. One shuffle on user; output is |types|² rows.
+    */
+  def transitions(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  userCol: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+  }
+
+  /** Linear interpolation of missing values in a per-entity time
+    * series: for each row where `valueCol` is NULL, interpolate
+    * between the nearest non-null neighbours (ordered by ts, id):
+    *
+    *   v = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    *
+    * Edge rows with only one neighbour take that neighbour
+    * (forward/backward fill); rows with a present value keep it.
+    * Time arithmetic is exact int64 microseconds; only the final
+    * fraction is IEEE double. Two window passes (backward + forward)
+    * over one user shuffle.
+    */
+  def interpolate(events: DataFrame, valueCol: String,
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  userCol: String = "user_id"): DataFrame = {
+    val asc = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col(tsCol))
+    val vOrNull = col(valueCol)
+    val tOrNull = when(vOrNull.isNotNull, us)
+    val prevV = last(vOrNull, ignoreNulls = true).over(asc)
+    val prevT = last(tOrNull, ignoreNulls = true).over(asc)
+    val nextV = first(vOrNull, ignoreNulls = true).over(desc)
+    val nextT = first(tOrNull, ignoreNulls = true).over(desc)
+    val frac = (us - col("p_t")).cast("double") /
+      (col("n_t") - col("p_t")).cast("double")
+    events
+      .withColumn("p_v", prevV).withColumn("p_t", prevT)
+      .withColumn("n_v", nextV).withColumn("n_t", nextT)
+      .withColumn(valueCol,
+        when(vOrNull.isNotNull, vOrNull)
+          .when(col("p_v").isNotNull && col("n_v").isNotNull,
+            col("p_v") + (col("n_v") - col("p_v")) * frac)
+          .otherwise(coalesce(col("p_v"), col("n_v"))))
+      .drop("p_v", "p_t", "n_v", "n_t")
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Behavior, Dedup, Features, Skyline}
+
+/** Second-witness coverage for the behavioral-analytics and
+  * feature-engineering families: hand-computed fixtures (independent of
+  * the DuckDB oracle formulas) plus a brute-force cross-check for the
+  * skyline algorithm.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String, Long)*) =
+    rows.map { case (id, t, typ, u) => (id, ts(t), typ, u) }
+      .toDF("event_id", "ts", "event_type", "user_id")
+
+  test("funnel: out-of-order steps do not convert") {
+    val events = ev(
+      // user 1: view -> click -> purchase (full conversion)
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (2L, "2024-01-01 10:01:00", "click", 1L),
+      (3L, "2024-01-01 10:02:00", "purchase", 1L),
+      // user 2: purchase BEFORE view — reaches step 1 only
+      (4L, "2024-01-02 09:00:00", "purchase", 2L),
+      (5L, "2024-01-02 10:00:00", "view", 2L),
+      // user 3: view then click, no purchase
+      (6L, "2024-01-03 10:00:00", "view", 3L),
+      (7L, "2024-01-03 10:30:00", "click", 3L),
+      // user 4: click only — reaches nothing
+      (8L, "2024-01-04 10:00:00", "click", 4L))
+    val r = Behavior.funnel(events, Seq("view", "click", "purchase")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("retention: cohort week from first event, offsets in whole weeks") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L), // Mon wk0 cohort
+      (2L, "2024-01-10 10:00:00", "view", 1L), // wk1 for user 1
+      (3L, "2024-01-17 10:00:00", "view", 1L), // wk2
+      (4L, "2024-01-03 10:00:00", "view", 2L), // same cohort week as u1
+      (5L, "2024-01-18 10:00:00", "view", 2L)) // wk2
+    val r = Behavior.retention(events)
+      .orderBy("cohort_week", "week_offset")
+      .select("week_offset", "users").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("transitions: lag is per-user and tie-broken by event id") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (2L, "2024-01-01 10:00:00", "b", 1L), // same ts — id orders it after a
+      (3L, "2024-01-01 11:00:00", "c", 1L),
+      (9L, "2024-01-01 10:00:00", "a", 2L)) // other user: no transition
+    val r = Behavior.transitions(events)
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("interpolate: linear between neighbours, edge rows take nearest fill") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some(10.0)),
+      (2L, ts("2024-01-01 00:00:10"), 1L, None), // 1/4 of the 40s gap
+      (3L, ts("2024-01-01 00:00:40"), 1L, Some(50.0)),
+      (4L, ts("2024-01-01 00:00:50"), 1L, None), // trailing edge -> 50.0
+      (5L, ts("2024-01-01 00:00:00"), 2L, None), // leading edge -> 7.0
+      (6L, ts("2024-01-01 00:01:00"), 2L, Some(7.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Behavior.interpolate(events, "value")
+      .orderBy("event_id").select("value").as[Double].collect().toSeq
+    assert(r == Seq(10.0, 20.0, 50.0, 50.0, 7.0, 7.0))
+  }
+
+  test("oneHot: sorted deterministic columns, NULL encodes all-zeros") {
+    val df = Seq((1L, "B"), (2L, "A"), (3L, null)).toDF("id", "cat")
+    val oh = Features.oneHot(df, "cat")
+    assert(oh.columns.filter(_.startsWith("is_")).toSeq == Seq("is_a", "is_b"))
+    val r = oh.orderBy("id").select("is_a", "is_b").as[(Int, Int)].collect().toSeq
+    assert(r == Seq((0, 1), (1, 0), (0, 0)))
+  }
+
+  test("hashingTrick: weights preserve token counts, dims stay in range") {
+    val docs = Seq((1L, "x y x z"), (2L, "  "), (3L, "x")).toDF("doc_id", "text")
+    val r = Features.hashingTrick(docs, 8)
+    val byDoc = r.groupBy("doc_id").agg(sum("weight").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(1L -> 4L, 3L -> 1L)) // blank doc emits nothing
+    val dims = r.select("dim").as[Long].collect()
+    assert(dims.forall(d => d >= 0 && d < 8))
+    // same token, same dim in both docs (hashing is stateless)
+    val xDim = r.filter($"doc_id" === 3L).select("dim").as[Long].head()
+    assert(r.filter($"doc_id" === 1L && $"dim" === xDim).select("weight")
+      .as[Long].head() >= 2L)
+  }
+
+  test("standardize: exact z-scores per group, zero-variance group is NULL") {
+    val df = Seq((1L, "g1", 1.0), (2L, "g1", 3.0),
+      (3L, "g2", 5.0), (4L, "g2", 5.0)).toDF("id", "g", "v")
+    val r = Features.standardize(df, "v", Seq("g"))
+      .orderBy("id").select("zscore").collect()
+    assert(r(0).getDouble(0) == -1.0 && r(1).getDouble(0) == 1.0) // mean 2, std_pop 1
+    assert(r(2).isNullAt(0) && r(3).isNullAt(0))
+  }
+
+  test("histogram: bins partition [min,max], max lands in the last bin") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val r = Features.histogram(df, "v", 4).orderBy("bin")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(r.map(_._4).sum == 101L) // no row lost at the top edge
+    assert(r.head._2 == 0.0 && r.last._3 == 100.0)
+    // constant column degenerates to a single zero-width bin
+    val c = Features.histogram(Seq(5.0, 5.0).toDF("v"), "v", 4).collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(3) == 2L)
+  }
+
+  test("skyline2: matches the brute-force dominance definition") {
+    val pts = Seq((1.0, 9.0), (2.0, 8.0), (2.0, 9.0), (3.0, 1.0), (3.0, 1.0),
+      (0.5, 9.5), (2.5, 8.0), (3.0, 0.5), (1.0, 1.0)).toDF("x", "y")
+    val got = Skyline.skyline2(pts, "x", "y", buckets = 3)
+      .as[(Double, Double)].collect().toSet
+    val all = pts.as[(Double, Double)].collect().distinct
+    val brute = all.filter { case (px, py) =>
+      !all.exists { case (qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.toSet
+    assert(got == brute && got == Set((0.5, 9.5), (2.0, 9.0), (2.5, 8.0), (3.0, 1.0)))
+  }
+
+  test("fuzzyPairs: exact levenshtein-ball recall via deletion neighborhoods") {
+    val recs = Seq((1L, "alpha-record-007"), (2L, "alpha-record-008"), // subst
+      (3L, "alpha-record-0088"), (4L, "Xlpha-record-007"), // insert / first-char subst
+      (5L, "zzz-unrelated"), (6L, "alpha-record-007")).toDF("id", "name") // exact dup
+    def brute(d: Int) = {
+      val names = recs.as[(Long, String)].collect()
+      (for { (ia, na) <- names; (ib, nb) <- names
+             if ia < ib
+             dist = levDist(na, nb) if dist <= d } yield (ia, ib, dist)).toSet
+    }
+    for (d <- Seq(1, 2)) {
+      val pairs = Dedup.fuzzyPairs(recs, maxDist = d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(pairs == brute(d), s"maxDist=$d")
+    }
+    // and the planted set for d=1, explicitly: first-char edits are found
+    assert(Dedup.fuzzyPairs(recs, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L), (1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L)))
+  }
+
+  /** third implementation (classic DP) for the brute-force witness */
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+}
