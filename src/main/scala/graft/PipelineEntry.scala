@@ -84,6 +84,17 @@ object PipelineEntry {
   private def sqlHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"
   private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
+  /** deterministic mojibake tail for text_fix_encoding: café + curly
+    * quotes + em dash, each cp1252-double-decoded (\u escapes — see
+    * TextFunctions.MojibakeMap's byte math).
+    */
+  private[graft] val MojiSample: String =
+    "caf\u00c3\u00a9 \u00e2\u20ac\u0153ok\u00e2\u20ac\u009d \u00e2\u20ac\u201d x"
+  /** any string as a DuckDB expression via chr() codepoints — immune to
+    * source/JSON encoding of non-ASCII and control chars.
+    */
+  private def sqlChrs(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
   /** distinct word n-gram shingles over ts (mirrors TextFunctions.shingles). */
   private def sqlShingles(n: Int): String = {
     val parts = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
@@ -406,6 +417,16 @@ object PipelineEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, nBits = 6)
         .orderBy("id_a", "id_b")
     },
+    "decontam_ngram" -> { (s, dir) =>
+      // exact benchmark decontamination: train docs (odd ids) sharing
+      // any distinct 3-gram with the eval corpus (even ids); eval gram
+      // set is broadcast — the train side never shuffles its text
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationMatches(
+          train = docs.filter(col("doc_id") % 2 === 1),
+          eval = docs.filter(col("doc_id") % 2 === 0), n = 3)
+        .orderBy("doc_id")
+    },
     "dedup_clusters" -> { (s, dir) =>
       // near-dup pairs → connected components → one canonical doc per
       // cluster (hash-min label propagation; O(diameter) shuffles)
@@ -623,6 +644,20 @@ object PipelineEntry {
           lit("@example.com or 555-123-4567 or (555) 987-6543 or 555 111 2222 at 10.0.0."),
           (col("doc_id") % 256).cast(StringType)).as("text"))
       withPii.select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+    "text_fix_encoding" -> { (s, dir) =>
+      import TextFunctions._
+      // fixtures are clean ASCII — inject a deterministic cp1252-
+      // double-decoded tail on every third doc, then run the repair
+      // chain + detection flag over the whole corpus (per-row literal
+      // replace chain: codegen'd, shuffle-free)
+      val injected = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", col("text"), lit(PipelineEntry.MojiSample)))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), fixMojibake(injected).as("fixed"),
+          isMojibake(injected).as("was_mojibake"))
         .orderBy("doc_id")
     },
 
@@ -1288,6 +1323,14 @@ object PipelineEntry {
           Layout.zValue(Seq(col("p_size"), col("p_partkey") % 256), 8).as("z"))
         .orderBy("z", "p_partkey").limit(200)
     },
+    "lay_shuffle" -> { (s, dir) =>
+      // seeded reproducible global shuffle for training export: md5-
+      // keyed total order (cross-engine recomputable) + exact global
+      // position via the funnel-free SortedPages index — NOT a
+      // single-partition row_number window
+      Layout.shuffled(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq(col("doc_id")), seed = 42L)
+    },
 
     // ---- data-quality validation gates ----
     "misc_validate" -> { (s, dir) =>
@@ -1726,6 +1769,21 @@ object PipelineEntry {
            |SELECT doc_id, $scrubbed AS scrubbed
            |FROM t ORDER BY doc_id""".stripMargin
       },
+      "text_fix_encoding" -> {
+        // literal replace chain generated from the SAME MojibakeMap
+        // constants; every non-ASCII char rides as chr(codepoint), so
+        // neither source encoding nor JSON escaping can skew the bytes
+        val fixed = TextFunctions.MojibakeMap.foldLeft("t.text") {
+          case (c, (bad, good)) =>
+            s"replace($c, ${sqlChrs(bad)}, ${sqlChrs(good)})"
+        }
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN text || ' ' || ${sqlChrs(MojiSample)}
+           |       ELSE text END AS text
+           |FROM documents)
+           |SELECT doc_id, $fixed AS fixed, $fixed <> t.text AS was_mojibake
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
       "dedup_exact" ->
         """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
           |  min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -1902,6 +1960,14 @@ object PipelineEntry {
            |SELECT doc_id, $simhashTerms AS simhash
            |FROM h ORDER BY doc_id""".stripMargin,
       "dedup_ngram_pairs" -> sqlMinhashPairs(n = 2, threshold = 0.5),
+      "decontam_ngram" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, ${sqlShingles(3)} AS sh FROM t),
+           |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 2 = 0),
+           |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 2 = 1)
+           |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+           |FROM tr JOIN ev USING (g)
+           |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
       // cross-set form: pairs over the FULL corpus restricted to
       // (corpus id < 250) × (incoming id >= 250) — band-key collision is
       // a pairwise relation, so full-set LSH pairs restricted to the
@@ -2069,6 +2135,15 @@ object PipelineEntry {
         s"""SELECT p_partkey, p_size, $zTerms AS z
            |FROM part ORDER BY z, p_partkey LIMIT 200""".stripMargin
       },
+      // same md5(seed \x01 id) key recomputed independently — the point
+      // of an md5 (not xxhash) shuffle key is exactly this cross-engine
+      // reproducibility of the training order
+      "lay_shuffle" ->
+        """SELECT doc_id, source,
+          |  CAST(row_number() OVER (
+          |    ORDER BY md5('42' || chr(1) || CAST(doc_id AS VARCHAR)), doc_id) - 1
+          |    AS BIGINT) AS shuffle_pos
+          |FROM documents""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |h AS (SELECT doc_id, list_transform(list_distinct(ts), tk -> ${sqlHash("tk")}) AS hs FROM t),

@@ -691,6 +691,26 @@ final class SortedPages private[api] (
     Table(spark.createDataFrame(sliced, schema))
   }
 
+  /** Every row tagged with its global 0-based index under the total
+    * order — the exact, funnel-free sibling of `row_number() OVER
+    * (ORDER BY …)` (which Spark executes as a SINGLE-partition window).
+    * Same machinery as [[slice]]: partition base offsets come from the
+    * one count pass over the same RDD instance, each partition then
+    * numbers its rows locally. One extra long per row, no extra
+    * shuffle.
+    */
+  def withIndex(indexCol: String): Table = {
+    val startsB = starts
+    val tagged = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = startsB.getOrElse(pid, 0L)
+      it.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
+      }
+    }
+    Table(spark.createDataFrame(tagged,
+      schema.add(indexCol, org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Page `pageIndex` (0-based) of size `pageSize`. */
   def page(pageIndex: Long, pageSize: Int): Table = {
     require(pageIndex >= 0 && pageSize > 0, "page: pageIndex>=0, pageSize>0")

@@ -254,6 +254,54 @@ object TextFunctions {
         regexp_replace(c, re, repl) },
       "\\s+", " "))
 
+  // ---- encoding repair (mojibake) ----
+  /** Common UTF-8-bytes-decoded-as-Windows-1252 mojibake sequences and
+    * their repairs. Each key is derived MECHANICALLY from its value:
+    * `key = cp1252decode(utf8encode(value))` — e.g. é (U+00E9) is UTF-8
+    * `C3 A9`, which a cp1252 reader renders as `Ã©` (U+00C3 U+00A9).
+    * Covers the curly-quote/dash/ellipsis family (the U+20xx range
+    * whose UTF-8 middle byte 0x80 renders as €) and the Latin-1
+    * accented letters seen in web crawls. Written with \\u escapes so
+    * the table is auditable against the byte math, not trusted glyphs.
+    * Replacements are applied in this fixed order as ONE literal
+    * `replace` chain (codegen'd, shuffle-free, and reproducible in any
+    * engine with the same chain — no charset machinery at query time).
+    */
+  val MojibakeMap: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u02dc" -> "\u2018", // left single quote
+    "\u00e2\u20ac\u2122" -> "\u2019", // right single quote / apostrophe
+    "\u00e2\u20ac\u0153" -> "\u201c", // left double quote
+    "\u00e2\u20ac\u009d" -> "\u201d", // right double quote (0x9D passes through cp1252)
+    "\u00e2\u20ac\u201c" -> "\u2013", // en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // ellipsis
+    "\u00c3\u00a9" -> "\u00e9", // e acute
+    "\u00c3\u00a8" -> "\u00e8", // e grave
+    "\u00c3\u00a1" -> "\u00e1", // a acute
+    "\u00c3\u00b3" -> "\u00f3", // o acute
+    "\u00c3\u00ba" -> "\u00fa", // u acute
+    "\u00c3\u00b1" -> "\u00f1", // n tilde
+    "\u00c3\u00a4" -> "\u00e4", // a umlaut
+    "\u00c3\u00b6" -> "\u00f6", // o umlaut
+    "\u00c3\u00bc" -> "\u00fc", // u umlaut
+    "\u00c3\u00a7" -> "\u00e7", // c cedilla
+    "\u00c3\u0178" -> "\u00df", // sharp s
+    "\u00c2\u00a0" -> "\u00a0", // no-break space
+    "\u00c2\u00ab" -> "\u00ab", // left guillemet
+    "\u00c2\u00bb" -> "\u00bb") // right guillemet
+
+  /** Repair common mojibake (single pass over the fixed table above;
+    * doubly-encoded text needs two applications, deliberately not
+    * looped — the operator stays a pure per-row expression).
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Detection flag: true iff [[fixMojibake]] would change the text. */
+  def isMojibake(text: Column): Column = fixMojibake(text) =!= text
+
   /** Canonical URL dedup key: drop query+fragment, lowercase, drop the
     * `www.` subdomain, strip trailing slashes — the standard
     * crawl-frontier/URL-dedup normalization (two fetches of

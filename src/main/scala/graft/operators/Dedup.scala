@@ -280,6 +280,36 @@ object Dedup {
     * trade as every hashed-shingle operator here; the oracle replays
     * the identical hash so the compare stays exact.
     */
+  /** Exact n-gram benchmark decontamination: every training document
+    * sharing at least one distinct word n-gram with the evaluation
+    * corpus, with its overlap count — the GPT-3-style exact form of
+    * what [[Bloom]]'s `filterNovel` approximates with fixed memory.
+    * (Reference has no decontamination surface; this is a north-star
+    * training-pipeline extension like the rest of [[Dedup]].)
+    *
+    * Scale shape: eval corpora are benchmarks — thousands of docs
+    * against a 100 TB train corpus — so the distinct eval-gram set is
+    * broadcast and the train side is ONE scan + explode with a
+    * map-side hash join and a partial-aggregated count. The train
+    * corpus never shuffles its text; only (id, matched-gram) survivors
+    * reach the final per-doc count. Set `broadcastEval = false` when
+    * the eval side is itself large (falls back to a shuffle join on
+    * the gram).
+    */
+  def contaminationMatches(train: DataFrame, eval: DataFrame, n: Int = 8,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           broadcastEval: Boolean = true): DataFrame = {
+    require(n > 0, s"contaminationMatches: n must be positive, got $n")
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(array_distinct(shingles(col(textCol), n))).as("_g"): _*)
+    val evalGrams = grams(eval).distinct()
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    grams(train, col(idCol))
+      .join(ev, "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
   def duplicatedSpanStats(docs: DataFrame, n: Int = 5, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(n > 0, s"duplicatedSpanStats: n must be positive, got $n")

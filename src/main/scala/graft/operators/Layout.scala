@@ -64,6 +64,46 @@ object Layout {
       .drop("_z")
   }
 
+  /** Deterministic hash key for a seeded global shuffle: `md5(seed ∥
+    * 0x01 ∥ id₁ ∥ 0x01 ∥ …)`. md5 is chosen deliberately over the
+    * cheaper xxhash64: it is bit-identical across engines (Spark,
+    * DuckDB, Postgres all expose the same md5-of-string), so an
+    * external system can INDEPENDENTLY recompute the exact training
+    * order from (seed, keys) alone — the shuffle is reproducible
+    * without access to this library.
+    */
+  def shuffleKey(seed: Long, idCols: Seq[Column]): Column = {
+    require(idCols.nonEmpty, "shuffleKey: at least one id column")
+    md5(concat_ws("\u0001",
+      (lit(seed).cast(StringType) +: idCols.map(_.cast(StringType))): _*)
+      .cast(BinaryType))
+  }
+
+  /** Seeded global shuffle for training-data export: every epoch of a
+    * training run wants the corpus in a different — but REPRODUCIBLE —
+    * random order. Rows are totally ordered by [[shuffleKey]] (md5 of
+    * seed + key ⇒ uniform, collision-free for unique keys) and each row
+    * is tagged with its exact global position `posCol` ∈ [0, n).
+    *
+    * Scale shape: the md5 keys are uniform by construction, so the
+    * range exchange that sorts them is perfectly balanced — no skew,
+    * no sampling surprises, no single-point funnel. The exact global
+    * index uses the [[graft.api.SortedPages]] one-RDD two-job scheme
+    * (count pass + prefix-sum of per-partition offsets), NOT a global
+    * `row_number()` window (which Spark executes on ONE partition).
+    * `idCols` must be a unique key for the order to be total; ties
+    * beyond the hash are broken by the ids themselves.
+    */
+  def shuffled(df: DataFrame, idCols: Seq[Column], seed: Long,
+               posCol: String = "shuffle_pos"): DataFrame = {
+    val shufCol = "_graft_shuffle_key"
+    val keyed = df.withColumn(shufCol, shuffleKey(seed, idCols))
+    graft.api.Table(keyed)
+      .paginateSorted(col(shufCol) +: idCols)
+      .withIndex(posCol)
+      .df.drop(shufCol)
+  }
+
   /** Small-files compaction — the OTHER write-time layout problem: a
     * streaming sink or over-parallel job that left thousands of tiny
     * files makes every later scan pay per-file open/footer/scheduling

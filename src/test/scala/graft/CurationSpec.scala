@@ -116,6 +116,34 @@ class CurationSpec extends SparkSpec {
   }
 
   // ---- PII scrubbing ----
+  test("fixMojibake repairs cp1252 double-decodes; clean text untouched; map is byte-derived") {
+    import graft.functions.TextFunctions
+    // every map entry satisfies key == cp1252decode(utf8encode(value)),
+    // with unmapped cp1252 bytes (81 8D 8F 90 9D) passing through —
+    // the table can't drift from the byte math it documents
+    for ((bad, good) <- TextFunctions.MojibakeMap) {
+      val derived = good.getBytes("UTF-8").map { b =>
+        val arr = Array(b)
+        val s = new String(arr, "windows-1252")
+        if (s == "�") (b & 0xff).toChar.toString else s
+      }.mkString
+      assert(derived == bad,
+        s"map drift for ${good}: expected ${derived.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    val rows = Seq(
+      (1L, "caf\u00c3\u00a9 and \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d \u00e2\u20ac\u201d done"),
+      (2L, "already clean caf\u00e9 and \u201cquoted\u201d \u2014 done"),
+      (3L, "plain ascii only")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextFunctions.fixMojibake(col("text")).as("fixed"),
+        TextFunctions.isMojibake(col("text")).as("flag"))
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0)._2 == "caf\u00e9 and \u201cquoted\u201d \u2014 done")
+    assert(got(0)._3)
+    assert(got(1)._2 == "already clean caf\u00e9 and \u201cquoted\u201d \u2014 done" && !got(1)._3) // repaired text is a fixed point
+    assert(got(2)._2 == "plain ascii only" && !got(2)._3)
+  }
+
   test("scrubPii redacts emails, IPs, phones; leaves clean text alone") {
     val r = Seq(
       "mail me at john.doe+x@sub.example.org today",
@@ -511,6 +539,36 @@ class CurationSpec extends SparkSpec {
       .join(s2.select(col("doc_id"), col("split").as("s2")), "doc_id")
       .filter(col("split") =!= col("s2")).count()
     assert(moved > 0, "seed had no effect on the split")
+  }
+
+  test("contaminationMatches: exact overlap counts, broadcast plan, no-overlap empty") {
+    import graft.operators.Dedup
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
+      (3L, "totally novel training text"), // clean
+      (5L, "quick brown fox quick brown fox end")) // duplicate grams count once
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (2L, "a quick brown fox appeared"),
+      (4L, "brown fox quick crossing")).toDF("doc_id", "text")
+    val got = Dedup.contaminationMatches(train, eval, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // eval 3-grams: {a quick brown, quick brown fox, brown fox appeared,
+    //                brown fox quick, fox quick crossing}
+    // doc 1 matches {quick brown fox}; doc 5 matches {quick brown fox,
+    // brown fox quick} — its repeat of "quick brown fox" counts ONCE
+    // (distinct grams); doc 3 matches nothing
+    assert(got == Map(1L -> 1L, 5L -> 2L))
+    // the eval side is broadcast: train text never shuffles
+    val plan = Dedup.contaminationMatches(train, eval, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join, got:\n$plan")
+    // disjoint corpora → empty result, and the opt-out path shuffles
+    val none = Dedup.contaminationMatches(train,
+      Seq((9L, "completely different words here")).toDF("doc_id", "text"),
+      n = 3, broadcastEval = false)
+    assert(none.count() == 0)
   }
 
   test("bloom decontamination: zero false negatives, bounded false-positive rate") {

@@ -237,6 +237,32 @@ class IncrementalSpec extends SparkSpec {
     assert(zf < hf, s"z-order touched $zf files, hash layout $hf")
   }
 
+  test("shuffled: exact permutation, window-parity, seeded determinism") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val got = Layout.shuffled(docs, Seq(col("doc_id")), seed = 42L)
+    // positions are exactly 0..n-1, each once
+    val pos = got.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n).toSeq)
+    // parity with the single-partition row_number formulation (the
+    // thing shuffled() computes WITHOUT a global window funnel)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Layout.shuffleKey(42L, Seq(col("doc_id"))), col("doc_id"))
+    val exp = docs.withColumn("shuffle_pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val gotMap = got.select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(gotMap == exp)
+    // same seed → identical order; different seed → different order
+    val again = Layout.shuffled(docs, Seq(col("doc_id")), seed = 42L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(again == gotMap)
+    val other = Layout.shuffled(docs, Seq(col("doc_id")), seed = 43L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other != gotMap)
+    // and the shuffle actually shuffles: not the identity order
+    assert(gotMap.toSeq.sortBy(_._2).map(_._1) != gotMap.keys.toSeq.sorted)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   private def scdDim =
