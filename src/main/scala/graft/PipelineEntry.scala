@@ -285,6 +285,14 @@ object PipelineEntry {
     "ev_retention" -> { (s, dir) =>
       Behavior.retention(t(s, dir, "events")).orderBy("cohort_week", "week_offset")
     },
+    "ev_attribution" -> { (s, dir) =>
+      // first/last-touch credit for each purchase; error events are
+      // deliberately NOT touches (conversions with only errors before
+      // them attribute to NULL = "direct")
+      Behavior.attribution(t(s, dir, "events"), conversionType = "purchase",
+          touchTypes = Seq("view", "click", "signup"))
+        .orderBy("event_id")
+    },
     "ev_transitions" -> { (s, dir) =>
       Behavior.transitions(t(s, dir, "events")).orderBy("prev_type", "next_type")
     },
@@ -312,6 +320,15 @@ object PipelineEntry {
     },
     "red_histogram" -> { (s, dir) =>
       Features.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20).orderBy("bin")
+    },
+    "feat_discretize" -> { (s, dir) =>
+      // per-language equi-depth quartiles of document length — ntile
+      // semantics made tie-deterministic via cume_dist (see
+      // Quantile.equiDepthBin: value-counting, corpus never sorted)
+      Quantile.equiDepthBin(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", k = 4)
+        .orderBy("doc_id")
     },
     "sel_skyline" -> { (s, dir) =>
       Skyline.skyline2(t(s, dir, "orders"), "o_totalprice", "o_orderdate")
@@ -1544,6 +1561,17 @@ object PipelineEntry {
           |  CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
           |  count(DISTINCT user_id) AS users
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "ev_attribution" -> {
+        val touch = "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
+        val frame = "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        s"""WITH o AS (SELECT event_id, user_id, ts, event_type,
+           |  first_value($touch IGNORE NULLS) $frame AS first_touch,
+           |  last_value($touch IGNORE NULLS) $frame AS last_touch
+           |FROM events)
+           |SELECT event_id, user_id, ts, first_touch, last_touch
+           |FROM o WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+      },
       "ev_transitions" ->
         """WITH o AS (SELECT user_id, event_type,
           |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
@@ -1585,6 +1613,10 @@ object PipelineEntry {
            |h AS (SELECT doc_id, ${sqlHash("token")} % 64 AS dim FROM tok WHERE token <> '')
            |SELECT doc_id, dim, count(*) AS weight FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // exact decimal moments, IEEE-only final formula (same pattern as red_var_std)
+      "feat_discretize" ->
+        """SELECT doc_id, lang, n_chars,
+          |  CAST(least(ceil(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) * 4) - 1, 3) AS BIGINT) AS bin
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "feat_scale" ->
         """WITH m AS (SELECT c_mktsegment,
           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

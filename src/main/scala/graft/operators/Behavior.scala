@@ -50,6 +50,33 @@ object Behavior {
     withTs.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** First/last-touch attribution: for every conversion event, the
+    * earliest and latest touch-type event STRICTLY BEFORE it in the
+    * same user's history (the two classic single-touch attribution
+    * models; a conversion with no preceding touch attributes to NULL —
+    * "direct"). One user-partitioned window, ordered by (ts, idCol)
+    * for a total order under timestamp ties — no self-join, no
+    * per-conversion re-scan; high-cardinality user partitions, never a
+    * global window.
+    */
+  def attribution(events: DataFrame, conversionType: String,
+                  touchTypes: Seq[String], typeCol: String = "event_type",
+                  tsCol: String = "ts", userCol: String = "user_id",
+                  idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"attribution: conversion '$conversionType' cannot also be a touch type")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(x => x: Any): _*), col(typeCol))
+    events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(idCol), col(userCol), col(tsCol),
+        col("first_touch"), col("last_touch"))
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
     * the user's first event; for each (cohort_week, week_offset) the
     * number of distinct users from that cohort active in that week.

@@ -67,6 +67,36 @@ object Quantile {
       .select(df.columns.map(col): _*)
   }
 
+  /** Equi-depth discretization: assign each row the bucket
+    * `least(ceil(cume_dist * k) - 1, k - 1)` of its per-group
+    * cumulative distribution — k bins of ~equal row mass (exact up to
+    * ties: rows sharing `(group, value)` are inseparable and land in
+    * one bin, the determinism SQL `ntile` lacks, since ntile splits
+    * ties by arbitrary row order and never replays identically across
+    * engines or runs). Same value-counting shape as
+    * [[percentRankOfValues]]: the only corpus shuffle is the (g, v)
+    * count; the window walks each group's DISTINCT values; bins
+    * broadcast back onto the rows. Output = input columns + `binCol`.
+    */
+  def equiDepthBin(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+                   binCol: String = "bin"): DataFrame = {
+    require(k > 0, s"equiDepthBin: k must be positive, got $k")
+    val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("_c"))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val bins = counts
+      .withColumn("_cum",
+        sum(col("_c")).over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"),
+        least(
+          ceil(col("_cum").cast(DoubleType) / col("_n").cast(DoubleType) * k) - 1L,
+          lit(k - 1L)).cast(LongType).as(binCol))
+    df.join(broadcast(bins),
+        col(groupCol) <=> col("_g") && col(valueCol) <=> col("_v"))
+      .select(df.columns.map(col) :+ col(binCol): _*)
+  }
+
   /** Winsorize: CLIP `valueCol` to the per-group [lo, hi] percent-rank
     * band edges instead of dropping rows ([[percentRankBand]]'s
     * sibling — outlier taming for features you still want to keep).

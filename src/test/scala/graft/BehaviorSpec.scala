@@ -36,6 +36,61 @@ class BehaviorSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
   }
 
+  test("equiDepthBin: ~equal masses, tie-inseparable, window-free of the corpus") {
+    import graft.operators.Quantile
+    // 8 distinct values → quartiles of exactly 2 each
+    val df = (1L to 8L).map(i => (i, "g", i * 10.0)).toDF("id", "g", "v")
+    val got = Quantile.equiDepthBin(df, "g", "v", k = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+    // ties are inseparable: all rows of one value share a bin even when
+    // that value's mass alone overflows a bucket
+    val tied = ((1L to 6L).map(i => (i, "g", 1.0)) :+ ((7L, "g", 2.0)))
+      .toDF("id", "g", "v")
+    val tb = Quantile.equiDepthBin(tied, "g", "v", k = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert((1L to 6L).map(tb).toSet.size == 1) // one bin for the tied mass
+    assert(tb(7L) == 3L)                       // top value in the top bin
+    // row count preserved; bins within range
+    assert(Quantile.equiDepthBin(df, "g", "v", 3).count() == 8)
+    // scale shape: the corpus is never globally sorted — the only sort
+    // runs over each group's distinct values inside the counts frame
+    val plan = Quantile.equiDepthBin(df, "g", "v", 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(g"),
+      s"expected group-partitioned window over counts:\n$plan")
+  }
+
+  test("attribution: first/last touch strictly before conversion; direct = NULL") {
+    val events = ev(
+      // user 1: view → click → purchase → click → purchase
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (2L, "2024-01-01 10:01:00", "click", 1L),
+      (3L, "2024-01-01 10:02:00", "purchase", 1L),
+      (4L, "2024-01-01 10:03:00", "click", 1L),
+      (5L, "2024-01-01 10:04:00", "purchase", 1L),
+      // user 2: purchase with NO prior touch (error is not a touch)
+      (6L, "2024-01-02 09:00:00", "error", 2L),
+      (7L, "2024-01-02 09:30:00", "purchase", 2L),
+      // user 2's later view must not leak into the earlier purchase
+      (8L, "2024-01-02 10:00:00", "view", 2L))
+    val got = Behavior.attribution(events, "purchase", Seq("view", "click"))
+      .select("event_id", "first_touch", "last_touch")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (3L, Some("view"), Some("click")),  // first=view, last=click
+      (5L, Some("view"), Some("click")),  // later click updates nothing for first
+      (7L, None, None)))                  // direct conversion
+    intercept[IllegalArgumentException] {
+      Behavior.attribution(events, "purchase", Seq("purchase", "view"))
+    }
+    // plan: one user-partitioned window, no self-join
+    val plan = Behavior.attribution(events, "purchase", Seq("view"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"attribution must not self-join:\n$plan")
+  }
+
   test("retention: cohort week from first event, offsets in whole weeks") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view", 1L), // Mon wk0 cohort
