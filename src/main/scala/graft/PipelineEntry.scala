@@ -1340,6 +1340,13 @@ object PipelineEntry {
           Layout.zValue(Seq(col("p_size"), col("p_partkey") % 256), 8).as("z"))
         .orderBy("z", "p_partkey").limit(200)
     },
+    "sample_negatives" -> { (s, dir) =>
+      // 3 reproducible contrastive negatives per document (never the
+      // anchor itself) — the offset walk over the seeded shuffle's
+      // dense positions; one balanced self-join on long positions
+      Sampling.negatives(t(s, dir, "documents"), "doc_id", m = 3, seed = 42L)
+        .orderBy("doc_id", "neg_rank")
+    },
     "lay_shuffle" -> { (s, dir) =>
       // seeded reproducible global shuffle for training export: md5-
       // keyed total order (cross-engine recomputable) + exact global
@@ -2167,6 +2174,16 @@ object PipelineEntry {
         s"""SELECT p_partkey, p_size, $zTerms AS z
            |FROM part ORDER BY z, p_partkey LIMIT 200""".stripMargin
       },
+      "sample_negatives" ->
+        """WITH pos AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY md5('42' || chr(1) || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p,
+          |    count(*) OVER () AS n
+          |  FROM documents),
+          |pairs AS (SELECT doc_id, i, (p + 1 + (42 + i * 2654435761) % (n - 1)) % n AS tp
+          |  FROM pos, range(1, 4) AS r(i))
+          |SELECT a.doc_id, CAST(a.i AS BIGINT) AS neg_rank, b.doc_id AS neg_id
+          |FROM pairs a JOIN pos b ON a.tp = b.p
+          |ORDER BY a.doc_id, neg_rank""".stripMargin,
       // same md5(seed \x01 id) key recomputed independently — the point
       // of an md5 (not xxhash) shuffle key is exactly this cross-engine
       // reproducibility of the training order

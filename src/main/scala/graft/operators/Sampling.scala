@@ -167,6 +167,40 @@ object Sampling {
       < rate)
   }
 
+  /** Deterministic negative sampling for contrastive training: for
+    * every row, `m` pseudo-random OTHER rows as negatives, reproducible
+    * from (data, seed) alone. Composition of [[Layout.shuffled]]:
+    * the seeded md5 shuffle assigns every row a dense position
+    * `p ∈ [0, n)`; negative `i` of a row is the row at position
+    * `(p + 1 + (seed + i·2654435761) mod (n−1)) mod n` — the `1 +
+    * … mod (n−1)` keeps every offset in `[1, n−1]`, so a row is NEVER
+    * its own negative. Distinct `i` can collide on an offset for
+    * adversarial (seed, n); with m ≪ n that repeat is harmless for
+    * training and kept for cross-engine reproducibility (the formula,
+    * not a rejection loop, is the contract).
+    *
+    * Scale shape: one count job, the shuffle's balanced range exchange,
+    * then ONE hash self-join on dense long positions (the anchor side
+    * explodes its m offsets first). The position frame is a single
+    * materialized RDD reused by both join sides — its exchange runs
+    * once. Returns (idCol, neg_rank ∈ [1, m], neg_id).
+    */
+  def negatives(df: DataFrame, idCol: String, m: Int, seed: Long): DataFrame = {
+    require(m > 0, s"negatives: m must be positive, got $m")
+    val n = df.count()
+    require(n >= 2, s"negatives: need at least 2 rows, got $n")
+    val pos = Layout.shuffled(df.select(col(idCol)), Seq(col(idCol)), seed,
+      posCol = "_p")
+    val anchors = pos
+      .withColumn("_i", explode(sequence(lit(1L), lit(m.toLong))))
+      .withColumn("_tp",
+        (col("_p") + 1L + (lit(seed) + col("_i") * 2654435761L) % (n - 1L)) % n)
+    anchors.alias("a")
+      .join(pos.select(col(idCol).as("neg_id"), col("_p").as("_np")).alias("b"),
+        col("_tp") === col("_np"))
+      .select(col(s"a.$idCol"), col("_i").as("neg_rank"), col("neg_id"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"capPerKey: n must be positive, got $n")
     val M = 1000000

@@ -541,6 +541,26 @@ class CurationSpec extends SparkSpec {
     assert(moved > 0, "seed had no effect on the split")
   }
 
+  test("negatives: m per anchor, never self, deterministic, seed-sensitive") {
+    val df = (1L to 50L).toDF("doc_id")
+    val got = Sampling.negatives(df, "doc_id", m = 3, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got.size == 150)                                  // m per anchor
+    assert(got.forall { case (a, _, neg) => a != neg })      // never self
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L))           // ranks 1..m
+    val again = Sampling.negatives(df, "doc_id", 3, 42L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(again == got)                                     // pure function
+    val other = Sampling.negatives(df, "doc_id", 3, 7L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(other != got)                                     // seed matters
+    // each rank is a bijection: offset-walks over a permutation hit
+    // every row exactly once per rank
+    for (r <- 1L to 3L)
+      assert(got.filter(_._2 == r).map(_._3).distinct.size == 50)
+    intercept[IllegalArgumentException] { Sampling.negatives(df, "doc_id", 0, 1L) }
+  }
+
   test("contaminationMatches: exact overlap counts, broadcast plan, no-overlap empty") {
     import graft.operators.Dedup
     val train = Seq(
