@@ -470,6 +470,20 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(e, iters = 3).orderBy("id")
     },
+    "graph_kcore" -> { (s, dir) =>
+      // dense-cluster detection: the 9-core of the same sampled part
+      // co-purchase graph triangleCount uses (nontrivial at the gate
+      // sf: ~6% of nodes peel away over ~5 rounds); fixpoint peel, so
+      // the oracle's fixed 8-round unroll provably agrees
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.kCore(e, k = 9).orderBy("id")
+    },
     "graph_triangles" -> { (s, dir) =>
       // clustering structure of the part co-purchase graph, on a
       // node-induced 1-in-8 sample (parts ≡ 0 mod 8): per-order pair
@@ -1340,6 +1354,21 @@ object PipelineEntry {
           Layout.zValue(Seq(col("p_size"), col("p_partkey") % 256), 8).as("z"))
         .orderBy("z", "p_partkey").limit(200)
     },
+    "pipe_contrastive" -> { (s, dir) =>
+      // end-to-end contrastive training-pair construction: near-dup
+      // pairs (minhash-LSH candidates + jaccard verify) as
+      // anchor/positive, 2 seeded negatives per anchor from the
+      // shuffle-position walk; a negative colliding with the positive
+      // is dropped (standard pair-corruption guard)
+      val docs = t(s, dir, "documents")
+      val pos = Dedup.minhashPairs(docs, threshold = 0.3)
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"))
+      val neg = Sampling.negatives(docs, "doc_id", m = 2, seed = 42L)
+        .withColumnRenamed("doc_id", "anchor")
+      pos.join(neg, "anchor")
+        .filter(col("neg_id") =!= col("positive"))
+        .orderBy("anchor", "positive", "neg_rank")
+    },
     "sample_negatives" -> { (s, dir) =>
       // 3 reproducible contrastive negatives per document (never the
       // anchor itself) — the offset walk over the seeded shuffle's
@@ -1870,6 +1899,25 @@ object PipelineEntry {
       },
       // independent formulation: id-ordered edges + 3-way self-join
       // (the engine orients by (degree, id) instead — same count)
+      "graph_kcore" -> {
+        // fixed 8-round unrolled peel (the fixture converges in 5; the
+        // peel is a monotone fixpoint, so extra rounds are no-ops)
+        // MATERIALIZED: each round references its predecessor several
+        // times — inlined CTEs would re-expand e0 exponentially
+        val rounds = (0 until 8).map { i =>
+          s"""n$i AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e$i UNION ALL SELECT b AS id FROM e$i)
+             |  GROUP BY id HAVING count(*) >= 9),
+             |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+             |  JOIN n$i x ON e$i.a = x.id JOIN n$i y ON e$i.b = y.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH s AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
+           |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |$rounds
+           |SELECT id, count(*) AS deg
+           |FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
+           |GROUP BY id HAVING count(*) >= 9 ORDER BY id""".stripMargin
+      },
       "graph_triangles" ->
         """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
           |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
@@ -2174,6 +2222,21 @@ object PipelineEntry {
         s"""SELECT p_partkey, p_size, $zTerms AS z
            |FROM part ORDER BY z, p_partkey LIMIT 200""".stripMargin
       },
+      "pipe_contrastive" ->
+        s"""WITH ${minhashPairCtes(3, 0.3)},
+           |npos AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY md5('42' || chr(1) || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p,
+           |    count(*) OVER () AS cnt
+           |  FROM documents),
+           |nwalk AS (SELECT doc_id, i, (p + 1 + (42 + i * 2654435761) % (cnt - 1)) % cnt AS tp
+           |  FROM npos, range(1, 3) AS r(i)),
+           |neg AS (SELECT a.doc_id, a.i, b.doc_id AS neg_id
+           |  FROM nwalk a JOIN npos b ON a.tp = b.p)
+           |SELECT pr.id_a AS anchor, pr.id_b AS positive,
+           |  CAST(n.i AS BIGINT) AS neg_rank, n.neg_id
+           |FROM pairs pr JOIN neg n ON pr.id_a = n.doc_id
+           |WHERE n.neg_id <> pr.id_b
+           |ORDER BY anchor, positive, neg_rank""".stripMargin,
       "sample_negatives" ->
         """WITH pos AS (SELECT doc_id,
           |    row_number() OVER (ORDER BY md5('42' || chr(1) || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p,

@@ -142,4 +142,53 @@ object Graph {
         Seq("v", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core membership: the maximal subgraph in which every node has
+    * degree ≥ k — the standard dense-cluster detector (link farms /
+    * template rings in a web graph peel away; the core is what
+    * survives every round of removing weakly-connected nodes).
+    * Iterative peel to the FIXPOINT: drop nodes with current degree
+    * < k, induce the subgraph, repeat. Returns `(id, deg)` for core
+    * members with their within-core degree. The fixpoint is unique
+    * (peeling is monotone), so early convergence and extra rounds
+    * give identical results — the DuckDB oracle replays a fixed
+    * unrolled peel and provably agrees once both have converged.
+    *
+    * Scale shape per round: one node-sized degree aggregate + two
+    * semi-joins of the edge list against the surviving node set (both
+    * keyed on the node id, co-locatable by bucketing); lineage
+    * truncated per round like [[pagerank]]. Rounds are data-bounded
+    * (each round removes ≥ 1 node or terminates) and in practice
+    * O(log n) on web-like graphs; `maxIter` guards pathological
+    * chains and FAILS FAST rather than returning a non-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxIter >= 1, s"kCore: maxIter must be >= 1, got $maxIter")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var prev = e.count()
+    var it = 0
+    var done = prev == 0L
+    while (!done && it < maxIter) {
+      val keep = degrees(e).filter(col("deg") >= k).select("id")
+      val e2 = e
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      // no edge dropped ⇒ every endpoint already had deg >= k ⇒ fixpoint
+      done = n2 == prev || n2 == 0L
+      e = e2; prev = n2; it += 1
+    }
+    require(done, s"kCore: not converged after $maxIter rounds " +
+      "(raise maxIter; the peel always terminates in <= |V| rounds)")
+    degrees(e).filter(col("deg") >= k)
+  }
 }

@@ -615,6 +615,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 == r13)
   }
 
+  test("kCore: cascading peel, whole-graph core, empty core, bad input") {
+    import graft.operators.Graph
+    // K4 {1,2,3,4} plus a pendant chain 4—5—6: the 2-core must peel 6
+    // FIRST (deg 1), which then exposes 5 (deg drops 2→1) — the
+    // cascade that makes the peel iterative
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.kCore(e, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=3: K4 survives intact; k=4: nothing does
+    assert(Graph.kCore(e, 3).as[(Long, Long)].collect().toMap
+      == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCore(e, 4).count() == 0)
+    // k=1 on a clean graph: everything survives (dedup'd, self-loops dropped)
+    val dirty = (k4 ++ k4.map(_.swap) :+ ((7L, 7L))).toDF("src", "dst")
+    assert(Graph.kCore(dirty, 1).count() == 4)
+    // insufficient maxIter fails fast instead of returning a non-core
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graph.kCore(chain, 2, maxIter = 2) }
+  }
+
   test("canonicalUrlKey collapses equivalent URL variants to one key") {
     val urls = Seq(
       "HTTP://WWW.X.com/a/?utm=1#f",
