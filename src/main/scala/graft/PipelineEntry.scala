@@ -986,6 +986,18 @@ object PipelineEntry {
         .orderBy("user_id", "session_id")
     },
 
+    "stream_attribution" -> { (s, dir) =>
+      // online first/last-touch attribution as a REAL multi-batch
+      // stream (flatMapGroupsWithState, emit-on-conversion); oracle =
+      // the SAME batch window SQL as ev_attribution minus ts
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      StreamReplay.replayAttribution(s, ev, conversionType = "purchase",
+          touchTypes = Seq("view", "click", "signup"))
+        .select(col("event_id"), col("user_id"), col("first_touch"), col("last_touch"))
+        .orderBy("event_id")
+    },
+
     // ---- as-of / range joins (operators stock Spark lacks) ----
     "ev_asof" -> { (s, dir) =>
       // every event annotated with the user's latest purchase value at or
@@ -1606,6 +1618,19 @@ object PipelineEntry {
            |  last_value($touch IGNORE NULLS) $frame AS last_touch
            |FROM events)
            |SELECT event_id, user_id, ts, first_touch, last_touch
+           |FROM o WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+      },
+      // the streaming face must equal the batch window formulation
+      // (ts lives on the conversion event itself, so it is omitted)
+      "stream_attribution" -> {
+        val touch = "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
+        val frame = "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        s"""WITH o AS (SELECT event_id, user_id, event_type,
+           |  first_value($touch IGNORE NULLS) $frame AS first_touch,
+           |  last_value($touch IGNORE NULLS) $frame AS last_touch
+           |FROM events)
+           |SELECT event_id, user_id, first_touch, last_touch
            |FROM o WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
       },
       "ev_transitions" ->

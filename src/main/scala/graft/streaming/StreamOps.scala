@@ -25,6 +25,21 @@ case class SessState(nextId: Long, open: Option[OpenSession])
 case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
                          total_value: Double, start_us: Long, end_us: Long)
 
+/** per-user attribution state: earliest and latest touch type seen so
+  * far (None until the first touch). Two small strings per user ever
+  * seen — first-touch attribution is definitionally unbounded-horizon,
+  * so production deployments bound it with a state TTL and accept
+  * "first touch within the TTL".
+  */
+case class AttrState(first: Option[String], last: Option[String])
+
+/** emitted attributed conversion — matches Behavior.attribution minus
+  * the timestamp (the conversion's own event carries it).
+  */
+case class AttributedConversion(user_id: Long, event_id: Long,
+                                first_touch: Option[String],
+                                last_touch: Option[String])
+
 /** Structured Streaming surface over the events schema (SURVEY §2.13:
   * an extension — the reference has no true streaming; its "streams" are
   * chunked iterators, which Spark batch already subsumes).
@@ -134,6 +149,53 @@ object StreamOps {
           closed.result().iterator
         }
     }
+  }
+
+  /** Streaming first/last-touch attribution: the online face of
+    * [[graft.operators.Behavior.attribution]] — each arriving
+    * conversion is credited to the user's earliest/latest
+    * previously-seen touch event, emitted IMMEDIATELY (Append on
+    * conversion arrival; no watermark wait, since attribution reads
+    * only already-arrived state). Within a micro-batch, events fold in
+    * (event-time, event_id) order; cross-batch order is the stream's
+    * delivery contract, as for every event-time stateful operator
+    * here. State = two strings per user ([[AttrState]]).
+    */
+  def attributionStream(spark: SparkSession, events: DataFrame,
+                        conversionType: String, touchTypes: Seq[String],
+                        watermark: String = "30 minutes"): Dataset[AttributedConversion] = {
+    import spark.implicits._
+    require(touchTypes.nonEmpty, "attributionStream: need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"attributionStream: conversion '$conversionType' cannot also be a touch type")
+    val touches = touchTypes.toSet
+
+    def usOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_type").cast("string"), col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttributedConversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, String, Long)],
+         state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(None, None))
+          val out = Seq.newBuilder[AttributedConversion]
+          it.toArray.sortBy(e => (usOf(e._2), e._4)).foreach { case (_, _, typ, id) =>
+            if (typ == conversionType)
+              out += AttributedConversion(user, id, st.first, st.last)
+            else if (touches(typ))
+              st = AttrState(st.first.orElse(Some(typ)), Some(typ))
+          }
+          state.update(st)
+          out.result().iterator
+      }
   }
 
   /** streaming exact dedup: drop rows whose content fingerprint was seen

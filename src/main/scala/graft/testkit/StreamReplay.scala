@@ -93,6 +93,55 @@ object StreamReplay {
     * size it to cores/keys instead; the partitioning is frozen into the
     * checkpoint at first start.
     */
+  /** multi-batch replay of [[StreamOps.attributionStream]] over a
+    * bounded events frame: same chunked event-time-ordered MemoryStream
+    * feed as [[replayStatefulSessions]] (ties broken by event_id so the
+    * chunk boundary cannot reorder same-timestamp events). No sentinel
+    * needed — attribution emits on conversion arrival, nothing waits
+    * for the watermark.
+    */
+  def replayAttribution(spark: SparkSession, events: DataFrame,
+                        conversionType: String, touchTypes: Seq[String],
+                        nChunks: Int = 4,
+                        name: String = "stream_attribution_sink",
+                        statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = events.select(col("user_id").cast("long"), col("ts"),
+      col("event_type").cast("string"), col("event_id").cast("long"))
+    val total = src.count()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val attributed = graft.streaming.StreamOps
+      .attributionStream(spark, stream, conversionType, touchTypes,
+        watermark = "1 second").toDF()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = attributed.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val chunkSize = math.max(1L, (total + nChunks - 1) / nChunks).toInt
+      val it = src.orderBy(col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, String, Long)].toLocalIterator()
+      var batch = Vector.newBuilder[(Long, java.sql.Timestamp, String, Long)]
+      var inBatch = 0
+      def flush(): Unit = if (inBatch > 0) {
+        mem.addData(batch.result())
+        q.processAllAvailable()
+        batch = Vector.newBuilder; inBatch = 0
+      }
+      while (it.hasNext) {
+        batch += it.next(); inBatch += 1
+        if (inBatch >= chunkSize) flush()
+      }
+      flush()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
                   outputMode: String = "complete",
                   statePartitions: Option[Int] = None): DataFrame = {

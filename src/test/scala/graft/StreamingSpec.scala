@@ -91,6 +91,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("streaming attribution == batch attribution over a multi-batch replay") {
+    import graft.operators.Behavior
+    val events = Seq(
+      // user 1: view → click → purchase → click → purchase
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 5.0),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "click", 0.0),
+      (5L, ts("2024-01-01 10:04:00"), 1L, "purchase", 6.0),
+      // user 2: direct conversion (error is not a touch), then a view
+      (6L, ts("2024-01-02 09:00:00"), 2L, "error", 0.0),
+      (7L, ts("2024-01-02 09:30:00"), 2L, "purchase", 7.0),
+      (8L, ts("2024-01-02 10:00:00"), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 4 chunks ⇒ state genuinely crosses micro-batch boundaries
+    val got = StreamReplay.replayAttribution(spark, events,
+        "purchase", Seq("view", "click"), nChunks = 4)
+      .select("event_id", "first_touch", "last_touch")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    val exp = Behavior.attribution(events, "purchase", Seq("view", "click"))
+      .select("event_id", "first_touch", "last_touch")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == exp)
+    assert(got == Seq(
+      (3L, Some("view"), Some("click")),
+      (5L, Some("view"), Some("click")),
+      (7L, None, None)))
+  }
+
   test("streaming exact dedup drops duplicate fingerprints within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
