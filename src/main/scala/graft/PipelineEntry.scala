@@ -1240,6 +1240,28 @@ object PipelineEntry {
           allowMissingColumns = true)
         .orderBy("o_orderkey")
     },
+    "inc_scd2_lookup" -> { (s, dir) =>
+      // the read side of SCD2: every order joined to the dimension
+      // version valid AT its order date (equi-join on the key + the
+      // validity-interval residual — each key carries <= 2 versions,
+      // so the post-join filter is constant work; facts with no valid
+      // version at their date drop out, the inner as-of contract)
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          lit("1995-01-01 00:00:00").cast(TimestampType).as("valid_from"),
+          lit(null).cast(TimestampType).as("valid_to"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey"), lit("OLD").as("segment"),
+            lit("1990-01-01 00:00:00").cast(TimestampType).as("valid_from"),
+            lit("1995-01-01 00:00:00").cast(TimestampType).as("valid_to")))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(dim, col("o_custkey") === col("c_custkey") &&
+          col("valid_from") <= col("o_orderdate") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+        .select(col("o_orderkey"), col("c_custkey"), col("segment"))
+        .orderBy("o_orderkey")
+    },
     "inc_scd2" -> { (s, dir) =>
       // versioned dimension merge: customers with synthesized history
       // rows (every 11th key has a closed OLD version), a change batch
@@ -2159,6 +2181,21 @@ object PipelineEntry {
           |ORDER BY o_orderkey""".stripMargin,
       // independent five-way set formulation of the SCD2 merge (the
       // engine explodes per-row version arrays in one broadcast pass)
+      "inc_scd2_lookup" ->
+        """WITH dim AS (
+          |  SELECT c_custkey, c_mktsegment AS segment,
+          |    TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+          |    CAST(NULL AS TIMESTAMP) AS valid_to
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, 'OLD', TIMESTAMP '1990-01-01 00:00:00',
+          |    TIMESTAMP '1995-01-01 00:00:00'
+          |  FROM customer WHERE c_custkey % 11 = 0)
+          |SELECT o_orderkey, c_custkey, segment
+          |FROM orders JOIN dim ON o_custkey = c_custkey
+          |  AND valid_from <= o_orderdate
+          |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+          |ORDER BY o_orderkey""".stripMargin,
       "inc_scd2" ->
         """WITH dim AS (
           |  SELECT c_custkey, c_mktsegment AS segment,
