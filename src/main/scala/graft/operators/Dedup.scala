@@ -368,6 +368,22 @@ object Dedup {
     * output. This replaces naive prefix blocking, which degenerates to
     * a full in-block cross product on common-prefix corpora
     * (sequential IDs, `Customer#...`): quadratic in n, not in matches.
+    *
+    * Two exchange-side economies (a pair can share up to ~2·|s| variant
+    * buckets, so the candidate stream carries a large duplication
+    * factor — on the fixture it is the most expensive query in the
+    * suite without them):
+    *  - variants travel as `xxhash64` longs, never as strings: the
+    *    bucket exchange moves 8-byte keys, and a hash collision can
+    *    only ADD candidate rows, which the exact levenshtein verify
+    *    already discards (no false negatives: equal variants always
+    *    equal-hash, so every true pair still collides somewhere);
+    *  - pair dedup is arithmetic, not a DISTINCT shuffle over the
+    *    multi-million-row candidate stream: each side carries its
+    *    (distinct-hashed) variant array through the join and a pair
+    *    survives only in the bucket equal to the MINIMUM shared hash —
+    *    exactly one row per pair, same trick as [[minhashCandidates]]'s
+    *    first-matching-band filter.
     */
   def fuzzyPairs(records: DataFrame, maxDist: Int,
                  keyCol: String = "name", idCol: String = "id"): DataFrame = {
@@ -383,16 +399,16 @@ object Dedup {
     val variants = records
       .filter(col(keyCol).isNotNull)
       .select(col(idCol), col(keyCol),
-        explode(array_distinct(vars0)).as("variant"))
-    val cand = variants.as("a").join(variants.as("b"),
-        col("a.variant") === col("b.variant") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+        array_distinct(transform(vars0, v => xxhash64(v))).as("vh"))
+      .select(col(idCol), col(keyCol), col("vh"), explode(col("vh")).as("h"))
+      // shuffled-hash as in minhashCandidates: bucket fan-in is bounded
+      // by variant collisions; never broadcast the exploded corpus
+      .hint("shuffle_hash")
+    variants.as("a").join(variants.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(col("a.h") === array_min(array_intersect(col("a.vh"), col("b.vh"))))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$keyCol").as("k_a"), col(s"b.$keyCol").as("k_b"))
-      .distinct()
-    cand
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("k_a"), col("k_b")).as("dist"))
+        levenshtein(col(s"a.$keyCol"), col(s"b.$keyCol")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }
