@@ -1364,6 +1364,30 @@ object PipelineEntry {
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 5)
         .orderBy("doc_id")
     },
+    "text_cooccur" -> { (s, dir) =>
+      // windowed skip-gram co-occurrence + quantized PMI (collocation
+      // mining / embedding prep); frequency floor 5
+      TextFunctions.cooccurrencePmi(t(s, dir, "documents"), window = 2, minCount = 5L)
+        .orderBy("w1", "w2")
+    },
+    "text_lm_score" -> { (s, dir) =>
+      // corpus-trained bigram LM quality score (CCNet perplexity-filter
+      // shape) in engine-exact ilog2 quantization
+      TextFunctions.lmQualityScore(t(s, dir, "documents")).orderBy("doc_id")
+    },
+    "dedup_lines" -> { (s, dir) =>
+      // corpus-wide duplicate-line removal (C4-style "all but one") +
+      // doc reassembly. The fixture's texts are single-line, so both
+      // engines first derive the IDENTICAL multi-line structure: lines
+      // = disjoint 8-token chunks joined with \n
+      val ts = TextFunctions.tokens(col("text"))
+      val lines = transform(
+        sequence(lit(1), ceil(size(ts).cast(DoubleType) / lit(8.0)).cast(IntegerType)),
+        i => concat_ws(" ", slice(ts, (i - lit(1)) * lit(8) + lit(1), lit(8))))
+      Dedup.dedupLines(t(s, dir, "documents")
+          .select(col("doc_id"), array_join(lines, "\n").as("text")))
+        .orderBy("doc_id")
+    },
     "dedup_bloom" -> { (s, dir) =>
       // bloom-filter decontamination: one fixed-memory bitmap pass over
       // the corpus half, then the incoming half is filtered MAP-SIDE
@@ -2056,6 +2080,52 @@ object PipelineEntry {
 
       // duplicated-span replay: same 5-gram instances (NON-distinct,
       // unlike the minhash shingle fragment), same 48-bit md5 hash
+      // symmetric pair instances via a lateral offset table (both
+      // directions), PMI as a sum of length(bin())-1 floor-logs
+      "text_cooccur" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |fwd AS (SELECT unnest(ts[1:len(ts)-d]) AS w1, unnest(ts[1+d:len(ts)]) AS w2
+           |        FROM t, range(1, 3) AS r(d)),
+           |inst AS (SELECT w1, w2 FROM fwd UNION ALL SELECT w2, w1 FROM fwd),
+           |cc AS (SELECT w1, w2, COUNT(*) AS c12 FROM inst GROUP BY w1, w2),
+           |marg AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS m FROM cc GROUP BY w1),
+           |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM cc)
+           |SELECT cc.w1, cc.w2, cc.c12,
+           |  (length(bin(cc.c12)) - 1) + (length(bin(tot.n)) - 1)
+           |    - (length(bin(m1.m)) - 1) - (length(bin(m2.m)) - 1) AS pmi_q
+           |FROM cc JOIN marg m1 ON m1.w1 = cc.w1
+           |        JOIN marg m2 ON m2.w1 = cc.w2, tot
+           |WHERE cc.c12 >= 5 AND cc.w1 <= cc.w2
+           |ORDER BY cc.w1, cc.w2""".stripMargin,
+      // quantized log2 via length(bin(n))-1 — exact integer/string
+      // arithmetic in both engines, no libm ln in the compare
+      "text_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |inst AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2 FROM t),
+           |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+           |lp AS (SELECT doc_id,
+           |  (length(bin(c2.c2)) - 1) - (length(bin(c1.c1)) - 1) AS lp
+           |  FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  CAST(-SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_bits
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // same 8-token line synthesis, then the C4 keep-first rule: the
+      // keeper of a line hash is its minimum (doc_id, pos) instance —
+      // row_number over that total order replays the engine's min-
+      // struct window exactly
+      "dedup_lines" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |ln AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(ts)/8.0) AS BIGINT) + 1),
+           |  i -> array_to_string(ts[((i-1)*8+1):(i*8)], ' ')) AS lines FROM t),
+           |inst AS (SELECT doc_id, unnest(lines) AS line, unnest(range(1, len(lines)+1)) AS pos FROM ln),
+           |k AS (SELECT doc_id, pos, line,
+           |  (row_number() OVER (PARTITION BY CAST(concat('0x', substr(md5(line),1,12)) AS BIGINT)
+           |                      ORDER BY doc_id, pos)) = 1 AS keep FROM inst)
+           |SELECT doc_id, COUNT(*) AS n_lines,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos) AS text_clean
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_spans" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(ts)-4,0)+1),

@@ -438,4 +438,127 @@ object TextFunctions {
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
         coalesce(col("id"), lit(0L)).as("token_id"))
+
+  /** Corpus-trained bigram language-model quality score — the CCNet-
+    * style perplexity filter (docs whose token transitions are unlikely
+    * under the corpus LM are machine-generated / garbled / boilerplate)
+    * made ENGINE-EXACT: instead of `ln P` (libm, not replayable across
+    * engines), each transition scores the integer-quantized
+    * `ilog2(count(w1 w2)) − ilog2(count(w1 ·))` where
+    * `ilog2(n) = length(bin(n)) − 1 = floor(log2 n)` — pure integer/
+    * string arithmetic both Spark and DuckDB compute identically.
+    * Output `(idCol, n_bigrams, lm_bits)`: `lm_bits` = the mean NEGATIVE
+    * quantized log₂-probability (≈ cross-entropy in bits, within 1 bit
+    * of the float value per transition; ranking-equivalent for
+    * filtering). Docs with fewer than two tokens have no transitions
+    * and are absent. This overload self-trains (score and model from
+    * the same corpus — the boilerplate-detection mode); the CCNet
+    * deployment trains on a clean reference corpus instead: build that
+    * model once with [[lmTrain]] and score any corpus against it via
+    * the `(docs, model, …)` overload (transitions unseen by the model
+    * are DROPPED from the mean — inner join — rather than imputed, the
+    * documented smoothing-free choice).
+    *
+    * Scale shape: bigram instances are one explode pass (linear in
+    * corpus tokens); the model = one partial-agg shuffle on the bigram
+    * key + a vocabulary-sized self-aggregate for the left-context
+    * totals (joined model-side, so stopword skew lands on the SMALL
+    * count table, not the instance stream); scoring = ONE co-keyed
+    * shuffle join of instances against the model (hot-bigram buckets →
+    * AQE skew split) + a per-doc aggregate. The corpus text itself
+    * never shuffles — only (doc_id, w1, w2) instances.
+    */
+  def lmQualityScore(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    lmQualityScore(docs, lmTrain(docs, textCol, idCol), textCol, idCol)
+
+  /** Bigram LM "model": `(w1, w2, _c2, _c1)` — per-bigram count and
+    * left-context total, the sufficient statistics [[lmQualityScore]]
+    * reads. Vocabulary-bigram-sized (≪ corpus), so training is one
+    * partial-agg shuffle + a model-side left-total join.
+    */
+  def lmTrain(corpus: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val inst = bigramInstances(corpus, textCol, idCol)
+    val bgCounts = inst.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    val leftCounts = bgCounts.groupBy("w1").agg(sum("_c2").as("_c1"))
+    bgCounts.join(leftCounts, "w1")
+  }
+
+  /** Score `docs` against a trained [[lmTrain]] model (the CCNet
+    * reference-corpus deployment). Transitions the model never saw are
+    * dropped from the mean (inner join — smoothing-free, documented).
+    */
+  def lmQualityScore(docs: DataFrame, model: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+    bigramInstances(docs, textCol, idCol).join(model, Seq("w1", "w2"))
+      .withColumn("_lp", ilog2(col("_c2")) - ilog2(col("_c1")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        ((-col("_s")).cast(DoubleType) / col("n_bigrams").cast(DoubleType)).as("lm_bits"))
+  }
+
+  /** Windowed skip-gram co-occurrence with quantized PMI — the
+    * collocation-mining / word-embedding-prep table: for every token
+    * pair within `window` positions, the symmetric co-occurrence count
+    * `c12` and `pmi_q = ilog2(c12) + ilog2(N) − ilog2(c1) − ilog2(c2)`
+    * (the PMI `log₂(N·c12 / (c1·c2))` as a SUM of integer floor-logs —
+    * no libm, no int64 product overflow even at 100 TB marginals; within
+    * 2 bits of float PMI, ranking-grade for collocation scoring). Rows
+    * with `c12 < minCount` are dropped AFTER marginals are computed (the
+    * standard frequency floor — PMI over singletons is noise); output
+    * keeps `w1 <= w2` (the symmetric table's canonical half; both
+    * directions carry identical stats). Output:
+    * `(w1, w2, c12, pmi_q)`.
+    *
+    * Scale shape: instances are one explode pass (≤ 2·window per token,
+    * linear); the count table = one partial-agg shuffle on the pair
+    * key; marginals and the grand total are aggregates OVER THE COUNT
+    * TABLE (vocabulary²-bounded, ≪ corpus) joined back count-table-side;
+    * the corpus text never shuffles. The grand total rides as a 1-row
+    * broadcast.
+    */
+  def cooccurrencePmi(docs: DataFrame, window: Int = 2, minCount: Long = 1L,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"cooccurrencePmi: window must be >= 1, got $window")
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+    val ts = tokens(col(textCol))
+    val emptyPairs = array().cast(ArrayType(new StructType()
+      .add("w1", StringType).add("w2", StringType)))
+    // for each offset d in 1..window: both directions of every pair d
+    // apart (guarded: Spark's sequence DESCENDS when start > stop)
+    val pairsArr = flatten(transform(sequence(lit(1), lit(window)), d =>
+      when(size(ts) > d, flatten(transform(sequence(lit(1), size(ts) - d), i =>
+        array(struct(element_at(ts, i).as("w1"), element_at(ts, i + d).as("w2")),
+          struct(element_at(ts, i + d).as("w1"), element_at(ts, i).as("w2"))))))
+        .otherwise(emptyPairs)))
+    val inst = docs.select(explode(pairsArr).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val cc = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val marg = cc.groupBy("w1").agg(sum("c12").as("_m"))
+    val total = cc.agg(sum("c12").as("_n"))
+    cc.join(marg.select(col("w1"), col("_m").as("_c1")), "w1")
+      .join(marg.select(col("w1").as("w2"), col("_m").as("_c2")), "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("c12") >= minCount && col("w1") <= col("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        (ilog2(col("c12")) + ilog2(col("_n")) - ilog2(col("_c1")) - ilog2(col("_c2")))
+          .as("pmi_q"))
+  }
+
+  /** one row per adjacent token pair: `(idCol, w1, w2)`. */
+  private def bigramInstances(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    // adjacent pairs; guarded sequence (Spark's sequence(1, 0) would
+    // DESCEND, not empty out) so one-token docs emit no instances
+    val pairs = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+      .otherwise(array().cast(ArrayType(new StructType()
+        .add("w1", StringType).add("w2", StringType))))
+    docs.select(col(idCol), explode(pairs).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+  }
 }

@@ -333,6 +333,49 @@ object Dedup {
           col("n_spans").cast(DoubleType)).as("dup_frac"))
   }
 
+  /** Corpus-wide duplicate-LINE removal with document reassembly — the
+    * C4/RefinedWeb curation step exact whole-doc dedup misses: web text
+    * repeats at the LINE granularity (nav bars, cookie banners, license
+    * footers) across documents that are globally unique. Every line
+    * occurring more than once in the corpus is kept only at its FIRST
+    * occurrence (minimum `(doc_id, position)` — C4's "all but one"
+    * rule, pinned to a total order so the keeper is engine-
+    * deterministic); each document is then reassembled from its
+    * surviving lines in original order. Output per doc:
+    * `(idCol, n_lines, n_kept, text_clean)` — `text_clean` is NULL when
+    * every line of the doc first occurred elsewhere (the all-
+    * boilerplate doc a pipeline then drops).
+    *
+    * Scale shape: one explode pass; lines travel as 48-bit md5 hashes
+    * ([[Sketch.kmvHash]] — the [[duplicatedSpanStats]] quantization,
+    * collisions ~n²/2⁴⁹ merge two line identities), the keeper choice
+    * is a min-window over the hash partition (high-cardinality, no
+    * funnel), and reassembly is one per-doc aggregate (state bounded by
+    * the document's own size). No join, no second corpus scan.
+    */
+  def dedupLines(docs: DataFrame, delim: String = "\n",
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_h", Sketch.kmvHash(col("_line")))
+    val first = min(struct(col(idCol), col("_pos"))).over(Window.partitionBy(col("_h")))
+    inst
+      .withColumn("_keep", struct(col(idCol), col("_pos")) === first)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("_keep").cast(LongType)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"), struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line")), delim).as("_joined"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        // no kept lines → NULL (not ""), so "drop the all-boilerplate
+        // doc" is a null filter and "" keeps meaning a kept empty line
+        when(col("n_kept") === 0, lit(null).cast(StringType))
+          .otherwise(col("_joined")).as("text_clean"))
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double, nBits: Int = 0, dim: Int = 64,
                        vecCol: String = "embedding", idCol: String = "vec_id",
                        targetBucket: Long = 256L): DataFrame = {

@@ -668,4 +668,43 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](a.intersect(bad))
     intercept[IllegalArgumentException](a.except(bad))
   }
+
+  test("lmQualityScore: hand-checked ilog2 bigram math; short docs absent") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // corpus bigrams: (a,b)=2, (b,a)=1, (a,c)=1 → c1(a)=3, c1(b)=1
+    // lp(a,b) = ilog2(2)-ilog2(3) = 1-1 = 0; lp(a,c) = 0-1 = -1; lp(b,a) = 0
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextFunctions.lmQualityScore(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 1.0 / 3.0), (2L, 1L, 0.0))) // doc 3: no bigrams, absent
+    // reference-model overload: unseen transitions drop from the mean
+    val model = TextFunctions.lmTrain(docs)
+    val scored = TextFunctions.lmQualityScore(
+      Seq((9L, "a b q q")).toDF("doc_id", "text"), model, "text", "doc_id").collect()
+    assert(scored.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((9L, 1L, 0.0))) // only (a,b) known: (b,q), (q,q) dropped
+  }
+
+  test("cooccurrencePmi: hand-checked window-2 counts and quantized PMI") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // "a b a": offset1 pairs {a,b},{b,a}; offset2 {a,a} → symmetric
+    // instances: (a,b)×2, (b,a)×2, (a,a)×2 → N=6
+    // c12(a,b)=2, c12(a,a)=2; marginals: c1(a)=4, c1(b)=2
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val out = TextFunctions.cooccurrencePmi(docs, window = 2, minCount = 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pmi_q(a,a) = ilog2(2)+ilog2(6)-ilog2(4)-ilog2(4) = 1+2-2-2 = -1
+    // pmi_q(a,b) = 1+2-2-1 = 0
+    assert(out.toSeq == Seq(("a", "a", 2L, -1L), ("a", "b", 2L, 0L)))
+    // the frequency floor drops sub-minCount pairs but keeps marginals
+    val floored = TextFunctions.cooccurrencePmi(docs, window = 2, minCount = 3L).count()
+    assert(floored == 0L)
+    // window must cap pair distance: window=1 has no (a,a) pair
+    val w1 = TextFunctions.cooccurrencePmi(docs, window = 1, minCount = 1L)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(w1 == Set(("a", "b")))
+  }
 }

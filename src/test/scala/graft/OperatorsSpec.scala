@@ -105,6 +105,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("dedupLines keeps each corpus line at its first (doc, pos) and reassembles") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content one\nnav bar"), // in-doc repeat of line 0
+      (2L, "nav bar\nreal content two"),          // cross-doc repeat
+      (3L, "nav bar\nreal content one")           // every line seen before
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq((1L, 3L, 2L, "nav bar\nreal content one"),
+          (2L, 2L, 1L, "real content two"),
+          (3L, 2L, 0L, null)))
+    // an empty KEPT line survives as "" (distinct from the NULL of
+    // keeping nothing)
+    val e = Dedup.dedupLines(Seq((9L, "")).toDF("doc_id", "text")).collect()
+    assert(e.head.getString(3) == "" && e.head.getLong(2) == 1L)
+  }
+
   test("autoBits holds LSH bucket occupancy ~constant across 10x corpus growth") {
     // deterministic pseudo-random unit-cube vectors: dim values derived
     // from hash(id*64 + j), uniform-ish in [-1, 1] (no RNG, no fixture)
