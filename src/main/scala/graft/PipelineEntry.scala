@@ -1379,12 +1379,15 @@ object PipelineEntry {
       // corpus-wide duplicate-line removal (C4-style "all but one") +
       // doc reassembly. The fixture's texts are single-line, so both
       // engines first derive the IDENTICAL multi-line structure: lines
-      // = disjoint 8-token chunks joined with \n
-      val ts = TextFunctions.tokens(col("text"))
+      // = disjoint 8-token chunks joined with \n. Token array
+      // materialized in its own projection (interpreted-lambda split
+      // re-runs per element otherwise — see bigramInstances)
+      val ts = col("_ts")
       val lines = transform(
         sequence(lit(1), ceil(size(ts).cast(DoubleType) / lit(8.0)).cast(IntegerType)),
         i => concat_ws(" ", slice(ts, (i - lit(1)) * lit(8) + lit(1), lit(8))))
       Dedup.dedupLines(t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_ts"))
           .select(col("doc_id"), array_join(lines, "\n").as("text")))
         .orderBy("doc_id")
     },

@@ -524,7 +524,11 @@ object TextFunctions {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(window >= 1, s"cooccurrencePmi: window must be >= 1, got $window")
     def ilog2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
-    val ts = tokens(col(textCol))
+    // token array materialized in its own projection — see
+    // [[bigramInstances]]: a split() inlined into an interpreted lambda
+    // re-runs per element, O(tokens²) per doc
+    val base = docs.select(tokens(col(textCol)).as("_ts"))
+    val ts = col("_ts")
     val emptyPairs = array().cast(ArrayType(new StructType()
       .add("w1", StringType).add("w2", StringType)))
     // for each offset d in 1..window: both directions of every pair d
@@ -534,7 +538,7 @@ object TextFunctions {
         array(struct(element_at(ts, i).as("w1"), element_at(ts, i + d).as("w2")),
           struct(element_at(ts, i + d).as("w1"), element_at(ts, i).as("w2"))))))
         .otherwise(emptyPairs)))
-    val inst = docs.select(explode(pairsArr).as("_p"))
+    val inst = base.select(explode(pairsArr).as("_p"))
       .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
     val cc = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val marg = cc.groupBy("w1").agg(sum("c12").as("_m"))
@@ -548,9 +552,19 @@ object TextFunctions {
           .as("pmi_q"))
   }
 
-  /** one row per adjacent token pair: `(idCol, w1, w2)`. */
+  /** one row per adjacent token pair: `(idCol, w1, w2)`.
+    *
+    * The token array is materialized in ITS OWN projection before any
+    * lambda touches it: higher-order functions evaluate interpreted,
+    * and an outer `split()` inlined into a lambda body re-runs per
+    * ELEMENT — O(tokens²) splits per doc (the same CollapseProject
+    * hazard [[graft.plans.MinHashSignature]]'s consumer documents; a
+    * multiply-referenced non-cheap alias is not collapsed, so `_ts`
+    * stays a per-row attribute read).
+    */
   private def bigramInstances(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ts = tokens(col(textCol))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
+    val ts = col("_ts")
     // adjacent pairs; guarded sequence (Spark's sequence(1, 0) would
     // DESCEND, not empty out) so one-token docs emit no instances
     val pairs = when(size(ts) >= 2,
@@ -558,7 +572,7 @@ object TextFunctions {
         i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
       .otherwise(array().cast(ArrayType(new StructType()
         .add("w1", StringType).add("w2", StringType))))
-    docs.select(col(idCol), explode(pairs).as("_bg"))
+    base.select(col(idCol), explode(pairs).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
   }
 }
