@@ -179,8 +179,12 @@ object Dedup {
   def blockedJaccardPairs(docs: DataFrame, n: Int, threshold: Double, blockCol: String,
                           maxBlockSize: Int = 1000,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // native kernel (bit-identical to array_distinct over the HOF
+    // shingles — LinkedHashSet keeps first-occurrence order); the HOF
+    // form re-runs its split() per element when inlined into the
+    // interpreted lambda
     val sh = docs.select(col(idCol), col(blockCol),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+      graft.plans.ShingleArray(col(textCol), n).as("sh"))
     // guard lives in a FILTER so Catalyst can't prune it away: any row in
     // an oversized block trips raise_error during evaluation
     val guarded = sh.withColumn("_bsz",
@@ -301,7 +305,7 @@ object Dedup {
                            broadcastEval: Boolean = true): DataFrame = {
     require(n > 0, s"contaminationMatches: n must be positive, got $n")
     def grams(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(array_distinct(shingles(col(textCol), n))).as("_g"): _*)
+      df.select(cols :+ explode(graft.plans.ShingleArray(col(textCol), n)).as("_g"): _*)
     val evalGrams = grams(eval).distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     grams(train, col(idCol))
@@ -321,7 +325,7 @@ object Dedup {
     // down to per-doc stats. No join, no second corpus scan, no
     // materialized intermediate.
     val c = docs.select(col(idCol),
-        explode(graft.functions.TextFunctions.shingles(col(textCol), n)).as("_sp"))
+        explode(graft.plans.ShingleInstances(col(textCol), n)).as("_sp"))
       .select(col(idCol), Sketch.kmvHash(col("_sp")).as("_h"))
       .groupBy(col(idCol), col("_h")).agg(count(lit(1)).as("_c"))
       .withColumn("_docs", count(lit(1)).over(Window.partitionBy("_h")))

@@ -96,6 +96,12 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  def shinglesAll(text: UTF8String, n: Int): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    eachShingle(text.toString, n)(s => out += UTF8String.fromString(s))
+    new GenericArrayData(out.toArray)
+  }
+
   /** minhash signature: per-permutation min of (hash28 * A + B) mod P
     * over all shingles (duplicates cannot change a min, so no distinct
     * pass is needed). Null mins for docs shorter than n tokens — same
@@ -281,6 +287,26 @@ case class ShingleArray(child: Expression, n: Int) extends TextKernelExpression 
 object ShingleArray {
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(ShingleArray(GraftBridge.expression(text), n))
+}
+
+/** EVERY positional n-gram shingle, duplicates kept, as array<string>
+  * (native) — the instance-semantics sibling of [[ShingleArray]] for
+  * operators that count occurrences, not membership.
+  */
+case class ShingleInstances(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shinglesAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shinglesAll($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleInstances =
+    copy(child = newChild)
+}
+
+object ShingleInstances {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleInstances(GraftBridge.expression(text), n))
 }
 
 /** distinct shingle hashes as array<long> (native). */
