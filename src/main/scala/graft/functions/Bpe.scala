@@ -32,21 +32,32 @@ object Bpe {
 
   final case class Merge(round: Int, lhs: String, rhs: String, pair_count: Long)
 
-  /** Adjacent-pair counts over a token-array column: (a, b, c). */
+  /** Adjacent-pair counts over a token-array column: (a, b, c). The
+    * pair enumeration is the native [[graft.plans.TokenPairs]] kernel
+    * (one pass, no per-element `element_at` re-indexing); the
+    * `size >= 2` filter stays so short docs never reach the explode.
+    */
   def pairCounts(ts: DataFrame, tsCol: String = "ts"): DataFrame =
     ts.filter(size(col(tsCol)) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col(tsCol)) - 1),
-        i => struct(element_at(col(tsCol), i).as("a"),
-          element_at(col(tsCol), i + 1).as("b")))).as("_p"))
+      .select(explode(graft.plans.TokenPairs(col(tsCol))).as("_p"))
       .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
   /** Greedy left-to-right non-overlapping merge of adjacent (a, b)
-    * into `merged`, as a codegen'd fold over the token array ("a a a"
-    * under (a,a) → ["a·a", "a"]). Empty-string tokens cannot occur
+    * into `merged` ("a a a" under (a,a) → ["a·a", "a"]): the native
+    * single-pass kernel ([[graft.plans.MergeAdjacent]], O(len)/row).
+    * [[applyMergeHof]] below is the original composable formulation,
+    * kept as the property-tested semantic cross-check — its
+    * `concat(done, array(x))` copies the accumulator per element
+    * (O(len²)/row, measured 2.8× on the sf0.1 text_bpe round). */
+  def applyMerge(ts: Column, a: String, b: String, merged: String): Column =
+    graft.plans.MergeAdjacent(ts, a, b, merged)
+
+  /** the HOF fold [[applyMerge]] is bit-identical to (kept for the
+    * equivalence property test). Empty-string tokens cannot occur
     * after whitespace splitting, so "" is a safe pending-slot
     * sentinel. */
-  def applyMerge(ts: Column, a: String, b: String, merged: String): Column = {
+  def applyMergeHof(ts: Column, a: String, b: String, merged: String): Column = {
     val zero = struct(array().cast(ArrayType(StringType)).as("done"),
       lit("").as("last"))
     val folded = aggregate(ts, zero,

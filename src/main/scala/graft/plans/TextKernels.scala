@@ -102,6 +102,48 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** all adjacent token pairs as structs — len-1 elements, duplicates
+    * kept (the BPE pair-count input). */
+  def adjacentPairs(ts: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = ts.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = ts.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = ts.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** greedy left-to-right non-overlapping fuse of adjacent (a, b) into
+    * `merged` over a token array — single pass, O(len). Bit-identical
+    * to the struct-accumulator `aggregate` HOF in
+    * [[graft.functions.Bpe.applyMerge]] including its ""-as-empty-slot
+    * sentinel (order of the two checks matters: a pending "" can still
+    * merge when a == "").
+    */
+  def mergeAdjacent(ts: org.apache.spark.sql.catalyst.util.ArrayData,
+                    a: UTF8String, b: UTF8String, merged: UTF8String): GenericArrayData = {
+    val n = ts.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var pending: UTF8String = UTF8String.EMPTY_UTF8
+    var i = 0
+    while (i < n) {
+      val x = ts.getUTF8String(i)
+      if (pending == a && x == b) { out += merged; pending = UTF8String.EMPTY_UTF8 }
+      else if (pending.numBytes == 0) pending = x
+      else { out += pending; pending = x }
+      i += 1
+    }
+    if (pending.numBytes != 0) out += pending
+    new GenericArrayData(out.toArray)
+  }
+
   /** minhash signature: per-permutation min of (hash28 * A + B) mod P
     * over all shingles (duplicates cannot change a min, so no distinct
     * pass is needed). Null mins for docs shorter than n tokens — same
@@ -307,6 +349,72 @@ case class ShingleInstances(child: Expression, n: Int) extends TextKernelExpress
 object ShingleInstances {
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(ShingleInstances(GraftBridge.expression(text), n))
+}
+
+/** greedy non-overlapping adjacent-pair fuse over array<string>
+  * (native) — the BPE rewrite step. One O(len) pass per row vs the
+  * `aggregate` HOF whose per-element `concat(done, array(x))` copies
+  * the accumulator (O(len²) per row, and per merge round).
+  */
+case class MergeAdjacent(child: Expression, a: String, b: String, merged: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val au = UTF8String.fromString(a)
+  @transient private lazy val bu = UTF8String.fromString(b)
+  @transient private lazy val mu = UTF8String.fromString(merged)
+
+  /** codegen entry: instance method so the three UTF8String params ride
+    * one reference object instead of three escaped string literals. */
+  def fuse(ts: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
+    TextKernels.mergeAdjacent(ts, au, bu, mu)
+
+  override protected def nullSafeEval(input: Any): Any =
+    fuse(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergeAdjacent", this, classOf[MergeAdjacent].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.fuse($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacent =
+    copy(child = newChild)
+}
+
+object MergeAdjacent {
+  def apply(ts: Column, a: String, b: String, merged: String): Column =
+    GraftBridge.column(MergeAdjacent(GraftBridge.expression(ts), a, b, merged))
+}
+
+/** adjacent token pairs as array<struct<a,b>> (native) — explode input
+  * for BPE pair counting, replacing the interpreted
+  * `transform(sequence(1, size-1), i → struct(element_at…))` chain.
+  */
+case class TokenPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", StringType), StructField("b", StringType))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.adjacentPairs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.adjacentPairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
+    copy(child = newChild)
+}
+
+object TokenPairs {
+  def apply(ts: Column): Column =
+    GraftBridge.column(TokenPairs(GraftBridge.expression(ts)))
 }
 
 /** distinct shingle hashes as array<long> (native). */

@@ -346,6 +346,27 @@ class PropertySpec extends SparkSpec {
     assert(model13 == model, "trained codebook differs across partitionings")
   }
 
+  test("MergeAdjacent native kernel == aggregate-HOF fold on random token arrays") {
+    // small alphabet so (a, b) pairs actually occur, including runs
+    // that exercise the greedy non-overlap rule ("a a a" under (a,a))
+    val tok = Gen.oneOf("a", "b", "c", "ab")
+    val doc = Gen.listOf(tok).map(_.mkString(" "))
+    val docs = draw(doc, 400)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("b", "c"), ("ab", "a"))) {
+      val got = df.select(col("doc_id"),
+          graft.plans.MergeAdjacent(col("ts"), a, b, a + "" + b).as("native"),
+          graft.functions.Bpe.applyMergeHof(col("ts"), a, b, a + "" + b).as("hof"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"doc ${r.getLong(0)} merge ($a,$b): ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("percentRankOfValues == window percent_rank on random grouped data") {
     import graft.operators.Quantile
     import org.apache.spark.sql.expressions.Window
