@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * range — per-user session/sort sizes stay constant, group count grows,
   * which is how a real event stream scales.
   *
-  * `events.ts` is read as raw nanos (LongType) and written back as plain
-  * INT64, exactly what [[Tables]] expects to `DIV 1000` at load time.
+  * `events.ts` passes through untouched in whatever physical type the
+  * input fixture carries (raw-nanos INT64 or µs TIMESTAMP_NTZ) —
+  * [[Tables]] dispatches on the loaded type either way.
   *
   * Usage: runMain graft.ScaleUp <inDir> <outDir> <factor>
   */

@@ -15,17 +15,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    // read the raw nanos long and convert to a microsecond TimestampType.
-    // (DuckDB reads the same column as TIMESTAMP_NS — oracle SQL must
-    // truncate to µs when comparing raw ts values.)
+    // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (older
+    // driver fixtures; Spark rejects ns by default → read raw nanos via
+    // nanosAsLong and integral-DIV to µs — `/` would round-trip ~1.7e18
+    // epochs through double past 2^53) and TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (current fixtures → Spark reads
+    // TIMESTAMP_NTZ; session timezone is UTC, so casting to
+    // TimestampType preserves the same instants the ns path produced).
+    // Dispatch on the loaded type so either vintage works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // integral DIV, not `/`: ns epochs (~1.7e18) exceed double's 2^53
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every fixture as a temp view (for spark.sql use). */
