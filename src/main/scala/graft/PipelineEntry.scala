@@ -21,6 +21,22 @@ object PipelineEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Streaming read of the events fixture, tolerant of BOTH fixture
+    * vintages ([[Tables]]'s type dispatch mirrored for `readStream`):
+    * parquet TIMESTAMP(NANOS) read as raw long (→ integral DIV to µs)
+    * vs TIMESTAMP(MICROS, adjusted=false) read as NTZ (→ cast; session
+    * timezone is UTC so the instants are identical). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    schema("ts").dataType match {
+      case LongType => src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+  }
+
   // ---------------------------------------------------------------
   // shared SQL fragments (DuckDB dialect), mirrored from TextFunctions
   //
@@ -305,6 +321,14 @@ object PipelineEntry {
         .filter(pmod(col("event_id"), lit(7L)) === 0L)
         .select("event_id", "user_id", "value").orderBy("event_id")
     },
+    "ev_intervals" -> { (s, dir) =>
+      // per-user union of 5-minute exposure windows around each event:
+      // overlapping/touching intervals merge into maximal islands;
+      // coverage counts overlap once. Exact int64 µs arithmetic.
+      val iv = t(s, dir, "events").select(col("user_id"), col("ts").as("s"),
+        timestamp_micros(unix_micros(col("ts")) + lit(300000000L)).as("e"))
+      Behavior.intervalCoverage(iv, "user_id", "s", "e").orderBy("user_id")
+    },
     // ---- feature engineering (one-hot / hashing trick / z-score / histogram) ----
     "feat_onehot" -> { (s, dir) =>
       val oh = Features.oneHot(t(s, dir, "customer"), "c_mktsegment")
@@ -320,6 +344,28 @@ object PipelineEntry {
     },
     "red_histogram" -> { (s, dir) =>
       Features.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20).orderBy("bin")
+    },
+    "red_weighted_quantile" -> { (s, dir) =>
+      // quantity-weighted median and p90 of extended price per return
+      // flag — type-1 (lower) quantile, rational-q integer threshold,
+      // decimal-exact cumulative weights (no IEEE sum ordering)
+      val li = t(s, dir, "lineitem")
+      Quantile.weightedQuantile(li, "l_returnflag", "l_extendedprice",
+          "l_quantity", 1, 2, outCol = "w_median")
+        .join(Quantile.weightedQuantile(li, "l_returnflag", "l_extendedprice",
+          "l_quantity", 9, 10, outCol = "w_p90"), "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+    "feat_robust" -> { (s, dir) =>
+      // per-language median/MAD outlier flag on document length —
+      // robust to the very outliers it hunts (unlike mean/stddev);
+      // type-1 medians, pure integer test |v-med| > 3*mad
+      Features.robustOutliers(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", k = 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("med"), col("mad"), col("is_outlier"))
+        .orderBy("doc_id")
     },
     "feat_discretize" -> { (s, dir) =>
       // per-language equi-depth quartiles of document length — ntile
@@ -915,10 +961,7 @@ object PipelineEntry {
     // stream_sessions below. ----
     "stream_tumbling" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val src = eventsStream(s, dir)
       val agg = StreamOps.tumblingAgg(src, widthSeconds = 300L)
       StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
@@ -959,10 +1002,7 @@ object PipelineEntry {
     },
     "stream_interval_join" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      def src() = eventsStream(s, dir)
       val views = src().filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = src().filter(col("event_type") === "purchase")
@@ -1748,6 +1788,52 @@ object PipelineEntry {
           |  h_min + CAST(bin + 1 AS DOUBLE) * (h_max - h_min) / 20.0 AS hi,
           |  count(*) AS n
           |FROM b GROUP BY bin, h_min, h_max ORDER BY bin""".stripMargin,
+      // type-1 weighted quantile: rational-q integer threshold over
+      // decimal-exact cumulative weights (mirrors Quantile.weightedQuantile)
+      "red_weighted_quantile" ->
+        """WITH c AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+          |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS w
+          |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |  GROUP BY 1, 2),
+          |r AS (SELECT g, v,
+          |    SUM(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(w) OVER (PARTITION BY g) AS tot FROM c),
+          |med AS (SELECT g, MIN(v) AS w_median FROM r WHERE tot > 0 AND cum * 2 >= tot GROUP BY g),
+          |p90 AS (SELECT g, MIN(v) AS w_p90 FROM r WHERE tot > 0 AND cum * 10 >= tot * 9 GROUP BY g)
+          |SELECT med.g AS l_returnflag, w_median, w_p90
+          |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
+      // interval union (gaps-and-islands): running max end over strictly
+      // preceding intervals opens islands; exact int64 µs arithmetic
+      "ev_intervals" ->
+        """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events),
+          |m AS (SELECT user_id, s, e,
+          |  max(e) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |  FROM iv),
+          |f AS (SELECT user_id, s, e, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS opens FROM m),
+          |g AS (SELECT user_id, s, e,
+          |  SUM(opens) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM f),
+          |isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en FROM g GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_intervals, CAST(SUM(en - st) AS BIGINT) AS covered_us
+          |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // median/MAD robust outliers: type-1 medians from value counts,
+      // pure integer test |v - med| > 3*mad (mirrors Features.robustOutliers)
+      "feat_robust" ->
+        """WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+          |r AS (SELECT lang, v,
+          |    SUM(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(cnt) OVER (PARTITION BY lang) AS n FROM c),
+          |med AS (SELECT lang, MIN(v) AS med FROM r WHERE cum * 2 >= n GROUP BY lang),
+          |d AS (SELECT dd.lang, abs(dd.n_chars - m.med) AS dev FROM documents dd JOIN med m USING (lang)),
+          |dc AS (SELECT lang, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+          |dr AS (SELECT lang, dev,
+          |    SUM(cnt) OVER (PARTITION BY lang ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(cnt) OVER (PARTITION BY lang) AS n FROM dc),
+          |mad AS (SELECT lang, MIN(dev) AS mad FROM dr WHERE cum * 2 >= n GROUP BY lang)
+          |SELECT dd.doc_id, dd.lang, dd.n_chars, m.med, a.mad,
+          |  abs(dd.n_chars - m.med) > a.mad * 3 AS is_outlier
+          |FROM documents dd JOIN med m USING (lang) JOIN mad a USING (lang)
+          |ORDER BY dd.doc_id""".stripMargin,
       // INDEPENDENT formulation: NOT EXISTS dominance test vs the Spark
       // side's bucketed running-max algorithm (oracle-independence (b))
       "sel_skyline" ->

@@ -151,4 +151,52 @@ object Behavior {
           .otherwise(coalesce(col("p_v"), col("n_v"))))
       .drop("p_v", "p_t", "n_v", "n_t")
   }
+
+  /** Per-key interval union: merge overlapping or touching intervals
+    * (`[start, end)`, touching = next start == running max end) into
+    * maximal "islands" and return one row per island with its span.
+    * The classic gaps-and-islands formulation: order each key's
+    * intervals by (start, end), an interval OPENS a new island iff its
+    * start exceeds the running max end over all strictly preceding
+    * intervals; the island id is the running sum of open flags. All
+    * time arithmetic is exact int64 microseconds — no IEEE step, so
+    * the result is bit-identical across engines and partitionings.
+    *
+    * Scale shape: two windows over the SAME key partitioning (running
+    * max, then running sum) + one (key, island) aggregate — one
+    * shuffle on the key, co-partitioned throughout; high-cardinality
+    * key partitions, never a global window.
+    *
+    * Distinct from [[graft.operators.Sessionize]]: sessions split on
+    * event GAPS from point timestamps; this merges explicit DURATIONS
+    * (crawl visit windows, lease/validity ranges, ad exposure spans).
+    */
+  def mergeIntervals(intervals: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val s = unix_micros(col(startCol))
+    val e = unix_micros(col(endCol))
+    val order = Window.partitionBy(keyCol).orderBy(s, e)
+    val prevMaxEnd = max(e).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMaxEnd.isNull || s > prevMaxEnd, 1L).otherwise(0L)
+    intervals
+      .withColumn("_open", opens)
+      .withColumn("_island",
+        sum(col("_open")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(s).as("island_start_us"), max(e).as("island_end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col(keyCol), col("_island").as("island"),
+        col("island_start_us"), col("island_end_us"), col("n_merged"),
+        (col("island_end_us") - col("island_start_us")).as("covered_us"))
+  }
+
+  /** Per-key coverage summary over the merged islands of
+    * [[mergeIntervals]]: number of maximal intervals and total covered
+    * microseconds (overlaps counted once). One extra key-local
+    * aggregate on top of the island table. */
+  def intervalCoverage(intervals: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame =
+    mergeIntervals(intervals, keyCol, startCol, endCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("covered_us")).as("covered_us"))
 }

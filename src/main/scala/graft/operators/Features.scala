@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -101,5 +102,49 @@ object Features {
         (col("h_min") + col("bin").cast("double") * (col("h_max") - col("h_min")) / lit(bins.toDouble)).as("lo"),
         (col("h_min") + (col("bin") + 1).cast("double") * (col("h_max") - col("h_min")) / lit(bins.toDouble)).as("hi"),
         col("n"))
+  }
+
+  /** Median/MAD robust outlier flag: per group, the TYPE-1 (lower)
+    * median `med` — smallest value with 2·cum ≥ n, no interpolation,
+    * so it replays bit-identically on any engine — and the median
+    * absolute deviation `mad = median(|v − med|)` by the same
+    * definition; a row is an outlier iff `|v − med| > k·mad` (the
+    * robust z-score test: immune to the outliers it hunts, unlike
+    * [[standardize]]'s mean/stddev which the tails drag). All
+    * comparisons are exact for integer-valued columns (the intended
+    * use: lengths, counts, byte sizes); `k` is an integer multiplier
+    * so there is no floating multiply in the test.
+    *
+    * Scale shape: two value-counting passes (the
+    * [[graft.operators.Quantile]] pattern — per-(g, v) count shuffle,
+    * running-sum window over DISTINCT values only, result broadcast
+    * back), then one codegen'd flag projection. A zero-MAD group
+    * (>50% of rows at one value) flags only rows strictly off the
+    * median when k·0 = 0 — the standard MAD degeneracy, documented
+    * rather than patched.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Int = 3, flagCol: String = "is_outlier"): DataFrame = {
+    require(k > 0, s"robustOutliers: k must be positive, got $k")
+    def typed1Median(in: DataFrame, vCol: Column, out: String): DataFrame = {
+      val counts = in.filter(vCol.isNotNull)
+        .groupBy(col(groupCol), vCol.as("_v")).agg(count(lit(1)).as("_c"))
+      val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      val whole = Window.partitionBy(col(groupCol))
+      counts
+        .withColumn("_cum",
+          sum(col("_c")).over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_n", sum(col("_c")).over(whole))
+        .filter(col("_cum") * 2 >= col("_n"))
+        .groupBy(col(groupCol)).agg(min(col("_v")).as(out))
+    }
+    val med = typed1Median(df, col(valueCol), "_med")
+      .withColumnRenamed(groupCol, "_g1")
+    val withMed = df.join(broadcast(med), col(groupCol) <=> col("_g1")).drop("_g1")
+    val mad = typed1Median(withMed, abs(col(valueCol) - col("_med")), "_mad")
+      .withColumnRenamed(groupCol, "_g2")
+    withMed.join(broadcast(mad), col(groupCol) <=> col("_g2")).drop("_g2")
+      .withColumn(flagCol, abs(col(valueCol) - col("_med")) > col("_mad") * k)
+      .withColumnRenamed("_med", "med").withColumnRenamed("_mad", "mad")
   }
 }

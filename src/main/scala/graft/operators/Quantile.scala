@@ -118,4 +118,43 @@ object Quantile {
       .withColumn(outCol, least(greatest(col(valueCol), col("_lov")), col("_hiv")))
       .drop("_g", "_lov", "_hiv")
   }
+
+  /** Exact per-group WEIGHTED quantile (type-1 / lower quantile): the
+    * smallest value v whose cumulative weight reaches q of the group's
+    * total weight, q given as the rational `qNum/qDen` so the
+    * threshold test is pure integer arithmetic —
+    * `qDen * cumWeight >= qNum * totalWeight` — with NO floating
+    * multiply to disagree across engines (the no-libm rule the
+    * tfidf/bm25/lm-score family follows). Weighted median =
+    * (1, 2); p90 = (9, 10). Weights are cast to DECIMAL(28,6) so the
+    * cumulative sums are exact (IEEE double sums would be
+    * partitioning-ordered).
+    *
+    * Same value-counting shape as [[percentRankOfValues]]: the only
+    * corpus-size shuffle is the per-(group, value) weight aggregate;
+    * the running sum walks each group's DISTINCT values; output is one
+    * row per group — corpus never sorted. Rows with NULL value or NULL
+    * weight are excluded (SQL aggregate semantics); a group whose
+    * total weight is zero yields no row.
+    */
+  def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, qNum: Long, qDen: Long,
+                       outCol: String = "wq"): DataFrame = {
+    require(qDen > 0 && qNum > 0 && qNum <= qDen,
+      s"weightedQuantile: need 0 < qNum/qDen <= 1, got $qNum/$qDen")
+    val dec = DecimalType(28, 6)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast(dec)).as("_w"))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("_cum",
+        sum(col("_w")).over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("_w")).over(whole))
+      .filter(col("_tot") > 0 && col("_cum") * qDen >= col("_tot") * qNum)
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as(outCol))
+  }
 }

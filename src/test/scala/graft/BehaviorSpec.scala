@@ -207,6 +207,69 @@ class BehaviorSpec extends SparkSpec {
       Set((1L, 2L), (2L, 3L), (1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L)))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, coverage counts once") {
+    val iv = Seq(
+      // user 1: [00:00,00:10) ∪ [00:05,00:15) ∪ [00:15,00:20) — one
+      // island (overlap + touch), then a detached [00:25,00:30)
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:15:00")),
+      (1L, ts("2024-01-01 00:15:00"), ts("2024-01-01 00:20:00")),
+      (1L, ts("2024-01-01 00:25:00"), ts("2024-01-01 00:30:00")),
+      // user 2: one interval fully INSIDE another — single island,
+      // coverage = the outer span only
+      (2L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 01:10:00"), ts("2024-01-01 01:20:00")))
+      .toDF("user_id", "s", "e")
+    val islands = Behavior.mergeIntervals(iv, "user_id", "s", "e")
+      .select("user_id", "island_start_us", "island_end_us", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(t: String) = ts(t).getTime * 1000L
+    assert(islands == Set(
+      (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 3L),
+      (1L, us("2024-01-01 00:25:00"), us("2024-01-01 00:30:00"), 1L),
+      (2L, us("2024-01-01 01:00:00"), us("2024-01-01 02:00:00"), 2L)))
+    val cov = Behavior.intervalCoverage(iv, "user_id", "s", "e")
+      .select("user_id", "n_intervals", "covered_us")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(cov(1L) == ((2L, 25L * 60 * 1000000)))  // 20min + 5min, overlap once
+    assert(cov(2L) == ((1L, 60L * 60 * 1000000)))
+  }
+
+  test("weightedQuantile: rational-q threshold, nulls excluded, heavy value wins") {
+    import graft.operators.Quantile
+    val df = Seq(("g", 1.0, Some(1.0)), ("g", 2.0, Some(1.0)), ("g", 3.0, Some(5.0)),
+        ("g", 4.0, Some(1.0)),
+        ("g", 99.0, Option.empty[Double]), // null weight: excluded
+        ("h", 7.0, Some(2.0)))
+      .toDF("g", "v", "w")
+    val med = Quantile.weightedQuantile(df, "g", "v", "w", 1, 2)
+      .as[(String, Double)].collect().toMap
+    // g: total weight 8; cum(3) = 7, 2*7 >= 8 → weighted median = 3
+    assert(med == Map("g" -> 3.0, "h" -> 7.0))
+    val p90 = Quantile.weightedQuantile(df, "g", "v", "w", 9, 10)
+      .as[(String, Double)].collect().toMap
+    // g: need 10*cum >= 72: cum(3)=7 → 70 < 72; cum(4)=8 → 80 ≥ 72
+    assert(p90("g") == 4.0)
+  }
+
+  test("robustOutliers: median/MAD immune to the outlier; zero-MAD degeneracy") {
+    val df = Seq((1L, "g", 1L), (2L, "g", 2L), (3L, "g", 3L), (4L, "g", 4L),
+      (5L, "g", 100L)).toDF("id", "g", "v")
+    val r = Features.robustOutliers(df, "g", "v", k = 3)
+      .select("id", "med", "mad", "is_outlier").as[(Long, Long, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    // type-1 median of {1,2,3,4,100} = 3; devs {2,1,0,1,97} → mad = 1
+    assert(r(1L) == ((1L, 3L, 1L, false)))  // dev 2 <= 3
+    assert(r(5L) == ((5L, 3L, 1L, true)))   // dev 97 > 3 — mean/stddev would mask it
+    assert(r.values.count(_._4) == 1)
+    // zero-MAD: > 50% of mass at one value → mad 0, any deviation flags
+    val tied = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L), (4L, "g", 9L))
+      .toDF("id", "g", "v")
+    val tr = Features.robustOutliers(tied, "g", "v", k = 3)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(tr == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
