@@ -702,6 +702,15 @@ object PipelineEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "sample_top_mass" -> { (s, dir) =>
+      // keep the longest docs carrying the top HALF of each language's
+      // total character mass (nucleus/top-p curation, tie-inclusive) —
+      // rational p, decimal-exact masses, cutoff broadcast back
+      Sampling.topMassByScore(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", 1, 2)
+        .orderBy("doc_id")
+    },
     "sample_temperature" -> { (s, dir) =>
       // α=0.5 temperature rebalancing of the language mix: low-resource
       // languages keep ~everything, the dominant one is downsampled —
@@ -767,6 +776,13 @@ object PipelineEntry {
           nBits = 8)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
+    },
+    "sim_centroid_classify" -> { (s, dir) =>
+      // label-separability diagnostic: per-label integer centroids,
+      // every vector classified to the nearest one, confusion matrix
+      // out (quantized fit+predict replays exactly in the oracle)
+      Similarity.centroidClassify(t(s, dir, "embeddings"), dim = 64)
+        .orderBy("label", "predicted")
     },
     "sim_ivf_trained" -> { (s, dir) =>
       // IVF over a TRAINED coarse quantizer: deterministic integer
@@ -1982,6 +1998,18 @@ object PipelineEntry {
           |r AS (SELECT doc_id, lang,
           |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
           |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+      // top-p mass cutoff: descending running mass over distinct values,
+      // rational p, tie-inclusive keep (mirrors Sampling.topMassByScore)
+      "sample_top_mass" ->
+        """WITH m AS (SELECT lang, n_chars AS v, SUM(CAST(n_chars AS DECIMAL(28,6))) AS w
+          |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT lang, v,
+          |    SUM(w) OVER (PARTITION BY lang ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(w) OVER (PARTITION BY lang) AS tot FROM m),
+          |cut AS (SELECT lang, MAX(v) AS cutv FROM r WHERE tot > 0 AND cum * 2 >= tot GROUP BY lang)
+          |SELECT d.doc_id, d.lang, d.n_chars
+          |FROM documents d JOIN cut c ON d.lang = c.lang
+          |WHERE d.n_chars >= c.cutv ORDER BY d.doc_id""".stripMargin,
       "text_scrub" -> {
         // regexp_replace chain generated from the SAME PiiPatterns
         // constants the Scala operator folds over (single-backslash RE2
@@ -2507,6 +2535,20 @@ object PipelineEntry {
            |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "sim_centroid_classify" -> {
+        // per-label quantized centroid fit + nearest-centroid argmin —
+        // the kmeans CTE vocabulary with labels as the (fixed) cells
+        val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
+        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl, $kmQv AS qv FROM embeddings),
+           |cents AS (SELECT lbl AS cid, $kmCent AS cv FROM q0 GROUP BY 1),
+           |j AS (SELECT vec_id, lbl, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn
+           |  FROM q0 CROSS JOIN cents),
+           |w AS (SELECT vec_id, lbl, cid FROM j WHERE rn = 1)
+           |SELECT lbl AS label, cid AS predicted, COUNT(*) AS n
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
       "sim_ivf_trained" -> {
         // the same 2 Lloyd's iterations, in SQL: quantize → assign(c0) →
         // recompute → assign(c1) → IVF search within learned partition

@@ -215,4 +215,48 @@ object Sampling {
       .select(col("_e.c_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Top-p MASS curation (the corpus-side analogue of nucleus/top-p
+    * sampling): per group, keep the highest-`scoreCol` rows whose
+    * cumulative score mass first reaches `pNum/pDen` of the group's
+    * total mass — all rows tied at the cutoff value included
+    * (tie-inclusive, so the kept set is a pure function of the data,
+    * never of row order). "Keep the docs carrying the top half of the
+    * quality mass per domain" in one operator. Scores must be
+    * non-negative (mass must be monotone) — enforced in-plan with
+    * `raise_error`, the [[graft.operators.Validate]] fail-loud rule.
+    *
+    * Exactness: p is a RATIONAL (`pDen·cum ≥ pNum·tot`, no float
+    * multiply — the no-libm rule) and masses accumulate in
+    * DECIMAL(28,6), immune to IEEE summation order. Scale shape = the
+    * [[graft.operators.Quantile]] value-counting family: one
+    * per-(group, value) mass aggregate (the only corpus shuffle), a
+    * running sum over each group's DISTINCT values DESCENDING, the
+    * per-group cutoff value broadcast back as a map-side filter.
+    */
+  def topMassByScore(df: DataFrame, groupCol: String, scoreCol: String,
+                     pNum: Long, pDen: Long): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum <= pDen,
+      s"topMassByScore: need 0 < pNum/pDen <= 1, got $pNum/$pDen")
+    val dec = DecimalType(28, 6)
+    val guarded = when(col(scoreCol) < 0,
+      expr(s"raise_error('topMassByScore: negative score in $scoreCol')"))
+      .otherwise(col(scoreCol))
+    val mass = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("_v"))
+      .agg(sum(guarded.cast(dec)).as("_m"))
+    val byValDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v").desc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val cutoffs = mass
+      .withColumn("_cum", sum(col("_m")).over(byValDesc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("_m")).over(whole))
+      .filter(col("_tot") > 0 && col("_cum") * pDen >= col("_tot") * pNum)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(max(col("_v")).as("_cut"))
+    df.join(broadcast(cutoffs), col(groupCol) <=> col("_g"))
+      .filter(col(scoreCol) >= col("_cut"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -488,4 +488,42 @@ object Similarity {
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Nearest-centroid classification: fit one integer centroid per
+    * label (floor(Σqv/n) per dimension over `floor(x·2^20)`-quantized
+    * vectors — the [[kmeansTrain]] update rule, so the whole fit+predict
+    * replays exactly in any engine), classify every vector to its
+    * nearest centroid by pure-int64 squared L2 (centroid-id tiebreak),
+    * and return the confusion matrix `(label, predicted, n)` — the
+    * embedding-quality diagnostic a training pipeline runs after
+    * re-embedding a corpus (how separable are the labels?).
+    *
+    * Scale shape: the fit is ONE map-side-combined aggregate (|labels|
+    * rows out); predict broadcasts the |labels|-row centroid table
+    * against the corpus scan with a min_by partial aggregate (the
+    * [[kmeansAssign]] exchange: N narrow (id, label, cid) rows, never
+    * k·N); the confusion matrix is a |labels|²-bounded count.
+    */
+  def centroidClassify(emb: DataFrame, dim: Int, labelCol: String = "label",
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val S = 1L << 20
+    val qvExpr = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * S).cast(LongType))
+    val base = emb.select(col(idCol), col(labelCol).cast(LongType).as("_lbl"),
+      qvExpr.as("qv"))
+    val sums = (0 until dim).map(i =>
+      floor(sum(element_at(col("qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as(s"_c$i"))
+    val cents = base.groupBy(col("_lbl").as("cid"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("cid"), array((0 until dim).map(i => col(s"_c$i")): _*).as("cv"))
+    val dist = graft.plans.QuantizedL2(col("qv"), col("cv"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("_d", dist)
+      .groupBy(col(idCol), col("_lbl"))
+      .agg(min_by(col("cid"), struct(col("_d"), col("cid"))).as("predicted"))
+      .groupBy(col("_lbl").as(labelCol), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -162,6 +162,44 @@ class OperatorsSpec extends SparkSpec {
     assert(assign.count() == n)
   }
 
+  test("centroidClassify: separable labels → diagonal; planted stray → off-diagonal") {
+    // label 0 clusters near (1,0,...), label 1 near (0,1,...); vec 5 is
+    // LABELED 0 but sits in label 1's cluster → predicted 1
+    def v(x: Float, y: Float) = Array(x, y) ++ Array.fill(62)(0.0f)
+    val emb = Seq(
+      (1L, v(1.0f, 0.1f), 0), (2L, v(0.9f, 0.0f), 0), (3L, v(1.1f, 0.1f), 0),
+      (4L, v(0.0f, 1.0f), 1), (6L, v(0.1f, 0.9f), 1),
+      (5L, v(0.0f, 1.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cm = Similarity.centroidClassify(emb, dim = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, p, n) => (l, p) -> n }.toMap
+    // stray pulls label-0's centroid, but 3-vs-1 majority keeps it near x
+    assert(cm((0L, 0L)) == 3L)
+    assert(cm((0L, 1L)) == 1L) // the planted stray
+    assert(cm((1L, 1L)) == 2L)
+    assert(!cm.contains((1L, 0L)))
+  }
+
+  test("topMassByScore: tie-inclusive cutoff, rational p, negative scores fail loudly") {
+    import graft.operators.Sampling
+    // g: scores 10, 5, 5, 2, 2 → total 24; desc cums: 10, 20, 20, 24
+    // p=1/2: first value with 2*cum >= 24 is 5 (cum 20) → keep {10, 5, 5}
+    val df = Seq((1L, "g", 10L), (2L, "g", 5L), (3L, "g", 5L),
+      (4L, "g", 2L), (5L, "g", 2L)).toDF("id", "g", "s")
+    val kept = Sampling.topMassByScore(df, "g", "s", 1, 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L)) // both tied 5s kept — tie-inclusive
+    // p = 1 keeps everything
+    assert(Sampling.topMassByScore(df, "g", "s", 1, 1).count() == 5)
+    // negative mass is meaningless → in-plan raise_error
+    val neg = Seq((1L, "g", -1L)).toDF("id", "g", "s")
+    val ex = intercept[Exception] {
+      Sampling.topMassByScore(neg, "g", "s", 1, 2).collect()
+    }
+    assert(ex.getMessage.contains("negative score"))
+  }
+
   test("cosine: identical vector → 1.0, orthogonal → 0.0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)))
