@@ -346,14 +346,17 @@ object PipelineEntry {
       Features.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20).orderBy("bin")
     },
     "red_weighted_quantile" -> { (s, dir) =>
-      // quantity-weighted median and p90 of extended price per return
-      // flag — type-1 (lower) quantile, rational-q integer threshold,
-      // decimal-exact cumulative weights (no IEEE sum ordering)
+      // revenue-weighted median and p90 QUANTITY per return flag ("the
+      // order size below which half the revenue sits") — type-1 (lower)
+      // quantile, rational-q integer threshold, decimal-exact cumulative
+      // weights (no IEEE sum ordering). The VALUE column is the bounded
+      // one (l_quantity, ~50 distinct) per the value-counting contract —
+      // the distinct-value window must walk a domain, not the corpus.
       val li = t(s, dir, "lineitem")
-      Quantile.weightedQuantile(li, "l_returnflag", "l_extendedprice",
-          "l_quantity", 1, 2, outCol = "w_median")
-        .join(Quantile.weightedQuantile(li, "l_returnflag", "l_extendedprice",
-          "l_quantity", 9, 10, outCol = "w_p90"), "l_returnflag")
+      Quantile.weightedQuantile(li, "l_returnflag", "l_quantity",
+          "l_extendedprice", 1, 2, outCol = "w_median")
+        .join(Quantile.weightedQuantile(li, "l_returnflag", "l_quantity",
+          "l_extendedprice", 9, 10, outCol = "w_p90"), "l_returnflag")
         .orderBy("l_returnflag")
     },
     "feat_robust" -> { (s, dir) =>
@@ -1807,9 +1810,9 @@ object PipelineEntry {
       // type-1 weighted quantile: rational-q integer threshold over
       // decimal-exact cumulative weights (mirrors Quantile.weightedQuantile)
       "red_weighted_quantile" ->
-        """WITH c AS (SELECT l_returnflag AS g, l_extendedprice AS v,
-          |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS w
-          |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS w
+          |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
           |  GROUP BY 1, 2),
           |r AS (SELECT g, v,
           |    SUM(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,

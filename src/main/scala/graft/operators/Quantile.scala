@@ -130,12 +130,16 @@ object Quantile {
     * cumulative sums are exact (IEEE double sums would be
     * partitioning-ordered).
     *
-    * Same value-counting shape as [[percentRankOfValues]]: the only
-    * corpus-size shuffle is the per-(group, value) weight aggregate;
-    * the running sum walks each group's DISTINCT values; output is one
-    * row per group — corpus never sorted. Rows with NULL value or NULL
-    * weight are excluded (SQL aggregate semantics); a group whose
-    * total weight is zero yields no row.
+    * Same value-counting shape as [[percentRankOfValues]], and the same
+    * CONTRACT: `valueCol` must have a BOUNDED domain (quantity levels,
+    * token counts, scores at fixed precision) — the distinct-value
+    * window walks the domain, not the corpus. An unbounded continuous
+    * value column degenerates it to a per-group sort; put the
+    * continuous measure in `weightCol` (weights only aggregate). The
+    * only corpus-size shuffle is the per-(group, value) weight
+    * aggregate; output is one row per group — corpus never sorted.
+    * Rows with NULL value or NULL weight are excluded (SQL aggregate
+    * semantics); a group whose total weight is zero yields no row.
     */
   def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String, qNum: Long, qDen: Long,
