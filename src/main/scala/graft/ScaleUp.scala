@@ -67,13 +67,23 @@ object ScaleUp {
     write(raw("region"), "region", 1)
     write(raw("nation"), "nation", 1)
 
+    // names are regenerated from the SHIFTED key (TPC-H's own format):
+    // replicating c_name verbatim would give every name 10 identical
+    // twins, and edit-distance dedup (fuzzyPairs) would see a quadratic
+    // cross-replica pair explosion no real customer table has — the same
+    // reasoning as the disjoint token spaces for `documents` below. With
+    // regenerated names each replica keeps the original's distance-1
+    // digit-neighbor structure and cross-replica pairs stay ~constant
+    // per row (they differ in the replica digit only).
     write(rep(raw("customer")).select(
-      shifted("c_custkey"), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")), "customer", 4)
+      shifted("c_custkey"),
+      format_string("Customer#%09d", col("c_custkey") + col("k") * Stride).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer", 4)
 
     write(rep(raw("supplier")).select(
-      shifted("s_suppkey"), col("s_name"), col("s_nationkey"),
-      col("s_acctbal")), "supplier", 4)
+      shifted("s_suppkey"),
+      format_string("Supplier#%09d", col("s_suppkey") + col("k") * Stride).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier", 4)
 
     write(rep(raw("part")).select(
       shifted("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
