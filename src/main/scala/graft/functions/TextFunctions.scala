@@ -346,11 +346,15 @@ object TextFunctions {
     * engine, where libm `log` may differ in the last ulp; the ranking
     * (and the oracle compare) stay exact.
     *
-    * Scale shape: tf = one (doc, token) aggregate; df = distinct +
-    * token aggregate; the per-doc ranking is the bounded
-    * [[graft.plans.TopKByScore]] partial aggregate (≤ k terms per doc
-    * per map partition cross the exchange — never a per-doc window
-    * sort). Output: (idCol, rank, token, score), ties to the
+    * Scale shape: tf = one (doc, token) aggregate over the single
+    * corpus explode; df REUSES it — a token's document frequency is
+    * its row count in tf, so the df branch is a vocabulary-sized
+    * aggregate over the SAME exchange (ReuseExchange: the corpus is
+    * exploded and shuffled once, not twice as a separate
+    * distinct-then-count pass would). The per-doc ranking is the
+    * bounded [[graft.plans.TopKByScore]] partial aggregate (≤ k terms
+    * per doc per map partition cross the exchange — never a per-doc
+    * window sort). Output: (idCol, rank, token, score), ties to the
     * lexicographically smaller token.
     */
   def tfidfTopK(docs: DataFrame, textCol: Column, k: Int,
@@ -358,7 +362,7 @@ object TextFunctions {
     require(k > 0, s"tfidfTopK: k must be positive, got $k")
     val t = docs.select(col(idCol), explode(tokens(textCol)).as("token"))
     val tf = t.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = t.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .select(col(idCol),
         (col("tf").cast(DoubleType) / col("df").cast(DoubleType)).as("score"),
