@@ -188,6 +188,12 @@ object PipelineEntry {
   // =================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
+    "corpus_datasheet" -> { (s, dir) =>
+      // the release data card: per-source, per-(source, lang), and
+      // whole-corpus volume/duplication stats from ONE grouping-sets scan
+      graft.operators.Corpus.datasheet(t(s, dir, "documents"), Seq("source", "lang"))
+        .orderBy("source", "lang")
+    },
     "text_stats" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -482,6 +488,17 @@ object PipelineEntry {
       // sign-LSH bucket candidates + exact cosine verify (linear in corpus)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, nBits = 6)
         .orderBy("id_a", "id_b")
+    },
+    "dedup_semantic" -> { (s, dir) =>
+      // SemDeDup: within-cluster centroid-priority domination. The gate
+      // pins cluster = fixture label so the oracle replay stays static;
+      // the library-default coarse assignment is kmeansAssign with
+      // autoCells (occupancy constant in corpus size) — the same
+      // pinned-for-oracle / auto-scaled-in-library split as
+      // dedup_embedding's nBits
+      Dedup.semanticDedup(t(s, dir, "embeddings"), threshold = 0.25,
+          clusterCol = "label")
+        .orderBy("vec_id")
     },
     "decontam_ngram" -> { (s, dir) =>
       // exact benchmark decontamination: train docs (odd ids) sharing
@@ -779,6 +796,18 @@ object PipelineEntry {
           nBits = 8)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
+    },
+    "sim_recall_audit" -> { (s, dir) =>
+      // the acceptance gate for an index configuration: recall@5 of the
+      // 8-bit single-probe LSH search vs the exact brute-force ranking,
+      // per query — measured in-engine on the same frames a deployment
+      // would sample
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.lshTopK(emb, q, k = 5, dim = 64, nBits = 8),
+          Similarity.bruteForceTopK(emb, q, k = 5))
+        .orderBy("q_id")
     },
     "sim_centroid_classify" -> { (s, dir) =>
       // label-separability diagnostic: per-label integer centroids,
@@ -1653,6 +1682,17 @@ object PipelineEntry {
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "corpus_datasheet" ->
+        s"""SELECT source, lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+           |  CAST(SUM(len($sqlTokens)) AS DOUBLE) / COUNT(*) AS avg_tokens
+           |FROM documents
+           |GROUP BY GROUPING SETS ((source), (source, lang), ())
+           |ORDER BY source NULLS LAST, lang NULLS LAST""".stripMargin,
+
       "text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS ts FROM documents),
            |s AS (SELECT doc_id, lang,
@@ -2526,6 +2566,22 @@ object PipelineEntry {
            |WHERE ${sqlCos("a.embedding", "c.embedding")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "dedup_semantic" -> {
+        val kmCent = (1 to 64).map(i =>
+          s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
+           |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+           |cents AS (SELECT cluster, $kmCent AS cv FROM q0 GROUP BY 1),
+           |wc AS (SELECT q0.vec_id, q0.cluster, q0.embedding, ${sqlCos("q0.embedding", "cents.cv")} AS cos_centroid
+           |  FROM q0 JOIN cents ON q0.cluster = cents.cluster),
+           |drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b ON a.cluster = b.cluster
+           |  AND (a.cos_centroid < b.cos_centroid OR (a.cos_centroid = b.cos_centroid AND a.vec_id < b.vec_id))
+           |  AND ${sqlCos("a.embedding", "b.embedding")} >= 0.25)
+           |SELECT w.vec_id, w.cluster, w.cos_centroid, (d.vec_id IS NULL) AS kept
+           |FROM wc w LEFT JOIN drp d ON w.vec_id = d.vec_id ORDER BY w.vec_id""".stripMargin
+      },
+
       "sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
            |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
@@ -2580,6 +2636,24 @@ object PipelineEntry {
            |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+      "sim_recall_audit" ->
+        s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("embedding", 64, 8)} AS bucket FROM embeddings),
+           |lq AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+           |lc AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b),
+           |ls AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM lq JOIN lc ON lq.bucket = lc.bucket AND q_id <> c_id),
+           |lr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM ls),
+           |ap AS (SELECT q_id, c_id FROM lr WHERE rank <= 5),
+           |bq AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |bc AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |bs AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM bq JOIN bc ON q_id <> c_id),
+           |br AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM bs),
+           |ex AS (SELECT q_id, c_id FROM br WHERE rank <= 5),
+           |hits AS (SELECT ex.q_id, COUNT(*) AS hits FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id GROUP BY 1),
+           |kk AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY 1)
+           |SELECT kk.q_id, kk.k, COALESCE(hits.hits, 0) AS hits,
+           |  CAST(COALESCE(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+           |FROM kk LEFT JOIN hits ON kk.q_id = hits.q_id ORDER BY kk.q_id""".stripMargin,
 
       "sim_ivf_probe" -> {
         // same Lloyd's replay as sim_ivf_trained, plus the probe ranking:

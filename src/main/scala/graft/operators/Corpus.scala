@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus datasheet — the "data card" a training-data release ships
+  * with (Gebru et al. 2018, "Datasheets for Datasets"): per-slice and
+  * whole-corpus volume / length / duplication statistics, computed in
+  * ONE pass. (Reference has no reporting surface; this is a north-star
+  * training-pipeline extension like the rest of the curation family.)
+  *
+  * Scale shape: GROUPING SETS — every requested slice granularity plus
+  * the corpus-total row come out of a single scan and a single
+  * aggregation exchange (Catalyst expands the sets map-side), instead
+  * of one groupBy-scan per granularity. All metrics are algebraic
+  * (sum/count/count-distinct of a digest), so the partial aggregate
+  * combines map-side; the only per-row work is a token split and one
+  * md5. `n_distinct_texts` is an EXACT distinct on the md5 digest —
+  * dedup-rate up to 128-bit-collision quantization, the same trade as
+  * [[Dedup.exact]] — and `dup_rate = 1 - distinct/docs` is the
+  * headline duplication number a datasheet quotes.
+  *
+  * Output: one row per grouping set — slice columns (NULL outside
+  * their set, the SQL GROUPING SETS contract), `n_docs`, `n_tokens`,
+  * `n_chars`, `n_distinct_texts`, `dup_rate`, `avg_tokens`.
+  */
+object Corpus {
+
+  def datasheet(docs: DataFrame, sliceCols: Seq[String],
+                textCol: String = "text"): DataFrame = {
+    require(sliceCols.nonEmpty, "datasheet: at least one slice column")
+    val missing = sliceCols.filterNot(docs.columns.contains)
+    require(missing.isEmpty, s"datasheet: no such column(s): ${missing.mkString(", ")}")
+    val text = col(textCol)
+    // the per-slice sets are PREFIXES (source, then source×lang, …) plus
+    // the grand total — the rollup lattice, expressed as explicit sets so
+    // callers get exactly the granularities they asked for
+    val sets = sliceCols.indices.map(i => sliceCols.take(i + 1).map(col)) :+ Seq.empty
+    docs.groupingSets(sets, sliceCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(text)).as("n_tokens"),
+        sum(length(text).cast(LongType)).as("n_chars"),
+        countDistinct(md5(text)).as("n_distinct_texts"))
+      .select((sliceCols.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_distinct_texts"),
+        (lit(1.0) - col("n_distinct_texts").cast(DoubleType) / col("n_docs"))
+          .as("dup_rate"),
+        (col("n_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"))): _*)
+  }
+}

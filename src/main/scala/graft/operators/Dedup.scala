@@ -397,6 +397,74 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus embeddings, and within each
+    * cluster drop every vector semantically covered by a
+    * higher-priority candidate — cosine ≥ `threshold` to one EARLIER
+    * in the keep order. Keep order inside a cluster is ASCENDING
+    * cosine to the cluster centroid, id tiebreak — the paper's
+    * diversity-preserving choice (of a duplicate set, the example
+    * least like the cluster's mode survives).
+    *
+    * The drop rule is the one-join "dominated by an earlier candidate"
+    * formulation, not the paper's sequential greedy sweep: b drops
+    * when ANY earlier a has cos(a,b) ≥ threshold, even if a itself
+    * dropped. Greedy would transitively re-keep some of those; the
+    * one-join form is order-deterministic, engine-replayable, and
+    * strictly more aggressive — the conservative direction for a
+    * dedup filter.
+    *
+    * `clusterCol` is any coarse assignment — at scale,
+    * [[Similarity.kmeansAssign]] with its `autoCells` default, which
+    * holds expected cluster occupancy (and so the cluster-local
+    * self-join's quadratic term) CONSTANT at any corpus size; the
+    * oracle gate query pins a fixture label instead so the replay SQL
+    * stays static, same pattern as [[embeddingNearDup]]'s pinned bits.
+    *
+    * Centroids are the integer-quantized per-cluster means
+    * (`floor(Σ floor(x·2^20) / n)` per dimension — the
+    * [[Similarity.kmeansTrain]] update rule), so centroid cosines and
+    * the keep order replay bit-exactly in any engine.
+    *
+    * Output: one row per vector — (idCol, cluster, cos_centroid,
+    * kept). Scale shape: one |clusters|-row broadcast for the
+    * centroids, one cluster-local self-join for domination, one
+    * broadcast anti of the (small) dropped set — the corpus never
+    * shuffles its vectors beyond the cluster key.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, clusterCol: String,
+                    dim: Int = 64, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val S = 1L << 20
+    val qv = transform(col(vecCol), x => floor(x.cast(DoubleType) * S).cast(LongType))
+    val base = emb.select(col(idCol), col(clusterCol).cast(LongType).as("cluster"),
+      col(vecCol).as("_v"), qv.as("_qv"))
+    val sums = (0 until dim).map(i =>
+      floor(sum(element_at(col("_qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as(s"_c$i"))
+    val cents = base.groupBy(col("cluster")).agg(sums.head, sums.tail: _*)
+      .select(col("cluster"),
+        // double-cast for the cosine kernel; exact (|component| < 2^21)
+        array((0 until dim).map(i => col(s"_c$i").cast(DoubleType)): _*).as("_cv"))
+    val withC = base.join(broadcast(cents), "cluster")
+      .select(col(idCol), col("cluster"), col("_v"),
+        Similarity.cosine(col("_v"), col("_cv")).as("cos_centroid"))
+    val a = withC.select(col("cluster").as("_cla"), col(idCol).as("_ida"),
+      col("_v").as("_va"), col("cos_centroid").as("_cca"))
+    val b = withC.select(col("cluster").as("_clb"), col(idCol).as("_idb"),
+      col("_v").as("_vb"), col("cos_centroid").as("_ccb"))
+    val dropped = a.join(b, col("_cla") === col("_clb") &&
+        (col("_cca") < col("_ccb") ||
+          (col("_cca") === col("_ccb") && col("_ida") < col("_idb"))))
+      .filter(Similarity.cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("_idb").as(idCol)).distinct()
+    withC.select(col(idCol), col("cluster"), col("cos_centroid"))
+      .join(broadcast(dropped.withColumn("_drop", lit(true))), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("cos_centroid"),
+        col("_drop").isNull.as("kept"))
+  }
+
   /** Fuzzy entity matching: ALL pairs of records whose `keyCol` values
     * are within `maxDist` Levenshtein edits (full recall — no blocking
     * caveat), via FastSS-style deletion neighborhoods

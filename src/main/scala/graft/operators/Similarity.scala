@@ -214,6 +214,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN recall audit — recall@k of an approximate top-k result
+    * against the exact one, in-engine. Recall is a property of the
+    * data distribution and the index knobs (bits, nprobe, refine), so
+    * a 100 TB deployment MEASURES it on a query sample before trusting
+    * a configuration — this is that acceptance gate as a query. Both
+    * inputs are `(q_id, …, c_id)` frames from any two search variants
+    * (typically [[lshTopK]]/[[ivfTopKProbe]]/[[pqTopK]] vs
+    * [[bruteForceTopK]]).
+    *
+    * Output: one row per exact-side query — (q_id, k, hits, recall) —
+    * `hits` = |approx ∩ exact| on candidate ids, `k` = the exact
+    * side's row count for that query (robust to queries whose exact
+    * list is shorter than the requested k), `recall = hits / k`. A
+    * query the approximate side missed entirely scores 0 rather than
+    * going absent.
+    *
+    * Scale shape: both sides are top-k RESULTS — |Q|·k rows, tiny by
+    * construction regardless of corpus size — so this is a pair of
+    * narrow joins; the corpus-scale work lives in the searches that
+    * produced the inputs.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("q_id"), col("c_id"))
+    val ap = approx.select(col("q_id"), col("c_id"))
+    val hits = ex.join(ap, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    ex.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) / col("k")).as("recall"))
+  }
+
   /** Auto-scaled sign-LSH bit width: `ceil(log2(n / targetBucket))`,
     * clamped to [1, 62]. At FIXED bits, expected bucket occupancy grows
     * linearly with the corpus — the sf1 rehearsal measured 8.2× wall

@@ -105,6 +105,58 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("semanticDedup: planted duplicate drops, diverse doc and singleton survive") {
+    val v = (0 until 64).map(i => (i % 7).toFloat + 1f).toArray
+    val vDup = v.clone(); vDup(0) += 0.001f
+    val vOther = (0 until 64).map(i => ((i * 13) % 11).toFloat - 5f).toArray
+    val df = Seq((1L, v, 0), (2L, vDup, 0), (3L, vOther, 0), (9L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(df, threshold = 0.9, clusterCol = "label")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L))
+    assert(out(3L), "diverse vector in the shared cluster must survive")
+    assert(out(9L), "singleton cluster must survive")
+    assert(out(1L) ^ out(2L), "exactly one of a near-identical pair survives")
+  }
+
+  test("recallAtK matches hand-computed intersections; absent queries score 0") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+    val approx = Similarity.lshTopK(emb, q, 5, dim = 64, nBits = 4)
+    val bf = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = approx.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val audit = Similarity.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // one row per exact-side query, even those the approx side missed
+    assert(audit.keySet == bf.map(_._1))
+    bf.groupBy(_._1).foreach { case (qid, exRows) =>
+      val hits = exRows.count(ann.contains)
+      val (k, h, rec) = audit(qid)
+      assert(k == exRows.size && h == hits && rec == hits.toDouble / k,
+        s"q=$qid audit=($k,$h,$rec) expected hits=$hits")
+    }
+    // self-recall is exactly 1 everywhere
+    assert(Similarity.recallAtK(exact, exact).collect().forall(_.getDouble(3) == 1.0))
+  }
+
+  test("datasheet: one row per grouping set with exact duplication rate") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), (3L, "d e", "de", "s1"),
+      (4L, "x", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = graft.operators.Corpus.datasheet(docs, Seq("source", "lang"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r).toMap
+    assert(rows.size == 6) // 2 sources + 3 source x lang + grand total
+    val total = rows((None, None))
+    assert(total.getLong(2) == 4L && total.getLong(5) == 3L)
+    assert(total.getDouble(6) == 1.0 - 3.0 / 4.0)
+    val s1 = rows((Some("s1"), None))
+    assert(s1.getLong(2) == 3L && s1.getLong(3) == 8L) // 3 docs, 3+3+2 tokens
+    val s1en = rows((Some("s1"), Some("en")))
+    assert(s1en.getLong(2) == 2L && s1en.getDouble(6) == 0.5)
+  }
+
   test("dedupLines keeps each corpus line at its first (doc, pos) and reassembles") {
     val docs = Seq(
       (1L, "nav bar\nreal content one\nnav bar"), // in-doc repeat of line 0
