@@ -1452,6 +1452,12 @@ object PipelineEntry {
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 5)
         .orderBy("doc_id")
     },
+    "dedup_span_removal" -> { (s, dir) =>
+      // the transform sibling: excise every cross-doc-shared 5-gram
+      // span, keep the rest of each document (Lee et al. 2022 shape)
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 5)
+        .orderBy("doc_id")
+    },
     "text_cooccur" -> { (s, dir) =>
       // windowed skip-gram co-occurrence + quantized PMI (collocation
       // mining / embedding prep); frequency floor 5
@@ -2298,6 +2304,18 @@ object PipelineEntry {
            |SELECT tot.doc_id, tot.n_spans, CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
            |  CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / CAST(tot.n_spans AS DOUBLE) AS dup_frac
            |FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id ORDER BY tot.doc_id""".stripMargin,
+      "dedup_span_removal" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |sh AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-4,0)+1)) AS p FROM t),
+           |inst AS (SELECT doc_id, p, CAST(concat('0x', substr(md5(ts[p] || ' ' || ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] || ' ' || ts[p+4]),1,12)) AS BIGINT) AS h FROM sh),
+           |shared AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS d FROM inst GROUP BY h) WHERE d >= 2),
+           |cov AS (SELECT DISTINCT doc_id, p + k AS ci FROM inst, unnest(range(0, 5)) AS u(k) WHERE h IN (SELECT h FROM shared)),
+           |covl AS (SELECT doc_id, list(ci) AS cl FROM cov GROUP BY doc_id),
+           |o AS (SELECT t.doc_id, ts, coalesce(cl, []) AS cl FROM t LEFT JOIN covl ON covl.doc_id = t.doc_id)
+           |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, CAST(len(cl) AS BIGINT) AS n_removed,
+           |  CASE WHEN len(cl) = len(ts) THEN NULL
+           |    ELSE array_to_string(list_transform(list_filter(range(1, len(ts)+1), i -> NOT list_contains(cl, i)), i -> ts[i]), ' ') END AS text_clean
+           |FROM o ORDER BY doc_id""".stripMargin,
       "text_encode" ->
         s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
            |c2 AS (SELECT token, COUNT(*) AS c FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token),

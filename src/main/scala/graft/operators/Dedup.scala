@@ -337,6 +337,56 @@ object Dedup {
           col("n_spans").cast(DoubleType)).as("dup_frac"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the transform sibling of
+    * [[duplicatedSpanStats]] (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": drop the repeated substring,
+    * keep the rest of the document). A token is removed when ANY word
+    * n-gram instance covering it also occurs in at least one OTHER
+    * document; surviving tokens reassemble in order, single-spaced
+    * (whitespace is normalized by tokenization, as in [[dedupLines]]).
+    *
+    * Output: (idCol, n_tokens, n_removed, text_clean), with text_clean
+    * NULL when nothing survives — the [[dedupLines]] convention, so
+    * "drop the fully-boilerplate doc" stays a null filter and "" keeps
+    * meaning a kept empty document.
+    *
+    * Scale shape: the same per-DOC economy as the stats pass — spans
+    * travel as 48-bit hashes, shared-span membership is a window over
+    * the hash partition (high-cardinality, never a funnel), covered
+    * positions explode to ≤ n rows per DUPLICATED instance only, and
+    * the rebuild is one per-row HOF filter of the doc's tokens against
+    * its own covered set. No pairwise work, no second corpus scan.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 5, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"removeDuplicatedSpans: n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    // instance stream with 0-based start positions; fold to per-(doc,
+    // hash) + position list so the per-hash window counts DOCS (the
+    // duplicatedSpanStats shape, positions riding along)
+    val perDoc = docs.select(col(idCol),
+        posexplode(graft.plans.ShingleInstances(col(textCol), n)).as(Seq("_p", "_sp")))
+      .select(col(idCol), col("_p"), Sketch.kmvHash(col("_sp")).as("_h"))
+      .groupBy(col(idCol), col("_h")).agg(collect_list(col("_p")).as("_ps"))
+      .withColumn("_docs", count(lit(1)).over(Window.partitionBy("_h")))
+    val covered = perDoc.filter(col("_docs") >= 2)
+      .select(col(idCol), explode(col("_ps")).as("_p"))
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + lit(n - 1))).as("_ci"))
+      .groupBy(col(idCol)).agg(collect_set(col("_ci")).as("_cov"))
+    docs.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("_t"),
+        coalesce(col("_cov"), array().cast(ArrayType(IntegerType))).as("_cov"))
+      .select(col(idCol),
+        size(col("_t")).cast(LongType).as("n_tokens"),
+        size(col("_cov")).cast(LongType).as("n_removed"),
+        array_join(filter(col("_t"),
+          (_, i) => !array_contains(col("_cov"), i)), " ").as("_joined"))
+      .select(col(idCol), col("n_tokens"), col("n_removed"),
+        when(col("n_removed") === col("n_tokens"), lit(null).cast(StringType))
+          .otherwise(col("_joined")).as("text_clean"))
+  }
+
   /** Corpus-wide duplicate-LINE removal with document reassembly — the
     * C4/RefinedWeb curation step exact whole-doc dedup misses: web text
     * repeats at the LINE granularity (nav bars, cookie banners, license

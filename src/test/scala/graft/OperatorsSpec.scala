@@ -157,6 +157,25 @@ class OperatorsSpec extends SparkSpec {
     assert(s1en.getLong(2) == 2L && s1en.getDouble(6) == 0.5)
   }
 
+  test("removeDuplicatedSpans excises shared spans, keeps unique text, nulls empty docs") {
+    val boiler = "all rights reserved by the site owner" // 7 tokens, shared verbatim
+    val docs = Seq(
+      (1L, s"unique alpha beta gamma delta prose here $boiler"),
+      (2L, s"$boiler and some other original words follow on"),
+      (3L, boiler), // nothing but the shared span
+      (4L, "entirely original five token doc") // untouched (no shared 5-gram)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, n = 5).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 3 is fully covered → NULL text_clean, all tokens removed
+    assert(out(3L) == ((7L, 7L, null)))
+    // doc 4 shares no 5-gram → untouched
+    assert(out(4L) == ((5L, 0L, "entirely original five token doc")))
+    // docs 1/2 lose exactly the 7 boilerplate tokens, keep their own prose
+    assert(out(1L) == ((14L, 7L, "unique alpha beta gamma delta prose here")))
+    assert(out(2L) == ((14L, 7L, "and some other original words follow on")))
+  }
+
   test("dedupLines keeps each corpus line at its first (doc, pos) and reassembles") {
     val docs = Seq(
       (1L, "nav bar\nreal content one\nnav bar"), // in-doc repeat of line 0
