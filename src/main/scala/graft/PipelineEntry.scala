@@ -170,6 +170,27 @@ object PipelineEntry {
        |r AS (SELECT q_id, c_id, adist, row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rank FROM scored)""".stripMargin
   }
 
+  /** Hilbert-index replay: one CTE per bit level of the SAME
+    * reflect-and-swap recurrence as [[graft.plans.HilbertValue.index]]
+    * (the shared SPEC; executions are unrelated — a codegen'd JVM loop
+    * vs DuckDB CASE/xor arithmetic, and the unit suite's exhaustive
+    * bijectivity + unit-step assertions are the second witness). Ends
+    * at CTE `h<bits>` carrying (…, hx, hy, hd).
+    */
+  private def hilbertSqlCtes(base: String, xExpr: String, yExpr: String, bits: Int): String = {
+    val init = s"h0 AS (SELECT *, CAST($xExpr AS BIGINT) AS hx, CAST($yExpr AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $base)"
+    val lvls = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val rx = s"(CASE WHEN (hx & $s) != 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) != 0 THEN 1 ELSE 0 END)"
+      s"""h${k + 1} AS (SELECT * REPLACE (
+         |  hd + ${s * s} * xor(3 * $rx, $ry) AS hd,
+         |  CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) != 0 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx,
+         |  CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) != 0 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy) FROM h$k)""".stripMargin
+    }
+    (init +: lvls).mkString(",\n")
+  }
+
   // deterministic per-doc URL spliced into the fixture text for the
   // text_domains / text_blocklist queries (the fixture carries no URLs;
   // same synthesize-inputs recipe as the mm_* roundtrips). Mirrored
@@ -1500,6 +1521,16 @@ object PipelineEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "lay_hilbert" -> { (s, dir) =>
+      // Hilbert sort key over the same (p_size, p_partkey mod 256)
+      // plane as lay_zorder — consecutive keys are grid neighbors, so
+      // per-file min/max bounds stay tighter than Morton at the
+      // power-of-two seams
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+          Layout.hilbertValue(col("p_size"), col("p_partkey") % 256, 8).as("h"))
+        .orderBy("h", "p_partkey").limit(200)
+    },
     "lay_zorder" -> { (s, dir) =>
       // z-order sort key over (p_size, p_partkey mod 256) — the write-
       // side clustering that keeps parquet min/max stats tight on both
@@ -1541,6 +1572,19 @@ object PipelineEntry {
     },
 
     // ---- data-quality validation gates ----
+    "profile_columns" -> { (s, dir) =>
+      // admission profile of a dump: null rate + exact cardinality per
+      // column in ONE scan; returnflag deliberately nulled on 'N' so
+      // the null-counting path is exercised (fixture has no natural
+      // NULLs)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        when(col("l_returnflag") === "N", lit(null).cast(StringType))
+          .otherwise(col("l_returnflag")).as("returnflag_holed"),
+        col("l_shipdate"))
+      Validate.columnProfile(li, Seq("l_orderkey", "returnflag_holed", "l_shipdate"))
+        .orderBy("col_name")
+    },
     "misc_validate" -> { (s, dir) =>
       // admission checks before a dump joins the corpus: all row-level
       // predicates fold into ONE scan; uniqueness is one aggregate; the
@@ -2532,6 +2576,10 @@ object PipelineEntry {
         s"""SELECT p_partkey, p_size, $zTerms AS z
            |FROM part ORDER BY z, p_partkey LIMIT 200""".stripMargin
       },
+      "lay_hilbert" ->
+        s"""WITH p0 AS (SELECT p_partkey, p_size FROM part),
+           |${hilbertSqlCtes("p0", "p_size", "p_partkey % 256", 8)}
+           |SELECT p_partkey, p_size, hd AS h FROM h8 ORDER BY h, p_partkey LIMIT 200""".stripMargin,
       "pipe_contrastive" ->
         s"""WITH ${minhashPairCtes(3, 0.3)},
            |npos AS (SELECT doc_id,
@@ -2966,6 +3014,19 @@ object PipelineEntry {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       // null-as-violation CASE folds, one branch per rule
+      "profile_columns" -> {
+        val cols = Seq("l_orderkey", "returnflag_holed", "l_shipdate")
+        val per = cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_frac,
+             |  COUNT(DISTINCT $c) AS n_distinct FROM t""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH t AS (SELECT l_orderkey,
+           |  CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS returnflag_holed,
+           |  l_shipdate FROM lineitem)
+           |SELECT * FROM ($per) ORDER BY col_name""".stripMargin
+      },
       "misc_validate" ->
         """SELECT * FROM (
           |SELECT 'acctbal_nonneg' AS rule,

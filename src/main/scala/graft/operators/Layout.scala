@@ -50,6 +50,23 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Hilbert-curve sort key over two bounded non-negative columns — the
+    * locality-better sibling of [[zValue]] for the common two-filter-
+    * column case: consecutive key values are always grid NEIGHBORS
+    * (the unit-step property, exhaustively asserted in the unit suite),
+    * where the Morton curve jumps across the space at power-of-two
+    * seams — so Hilbert tiles keep per-file min/max bounds tighter on
+    * both columns. Same input contract and loud-failure guard as
+    * [[zValue]]; NULL in → NULL key. Native codegen'd kernel
+    * ([[graft.plans.HilbertValue]]), replayed level-by-level in the
+    * DuckDB oracle.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && 2 * bits <= 62,
+      s"hilbertValue: need 0 < bits <= 31, got $bits")
+    graft.plans.HilbertValue(x.cast(LongType), y.cast(LongType), bits)
+  }
+
   /** Cluster `df` for writing: range-partition into `numFiles` splits of
     * the z-value over `cols`, sorted within each split — each output
     * file then covers one compact z-range (a spatial tile). Write the

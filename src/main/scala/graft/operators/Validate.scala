@@ -68,4 +68,37 @@ object Validate {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("rule"), col("n_violations"))
   }
+
+  /** ANALYZE-style column profile: the statistics a pipeline records
+    * about a new dump before setting gate thresholds — one row per
+    * profiled column: (col_name, n_rows, n_nulls, null_frac,
+    * n_distinct). `n_distinct` is EXACT (per-column count-distinct;
+    * Catalyst expands multiple distinct aggregates over a single scan)
+    * and, per SQL semantics, excludes NULLs; swap in
+    * [[Sketch.kmvDistinct]] when an estimate suffices at extreme
+    * cardinalities.
+    *
+    * Scale shape: ONE scan — every null counter is a codegen'd
+    * conditional sum and the distinct counts share the expanded
+    * aggregate; the result is |cols| rows however large the input.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columnProfile: no such column(s): ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c => Seq(
+      sum(col(c).isNull.cast(LongType)).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c")) }
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        coalesce(col(s"_nn_$c"), lit(0L)).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n").as("n_rows"), explode(array(entries: _*)).as("_e"))
+      .select(col("_e.col_name").as("col_name"), col("n_rows"),
+        col("_e.n_nulls").as("n_nulls"),
+        (col("_e.n_nulls").cast(DoubleType) / col("n_rows")).as("null_frac"),
+        col("_e.n_distinct").as("n_distinct"))
+  }
 }

@@ -157,6 +157,39 @@ class OperatorsSpec extends SparkSpec {
     assert(s1en.getLong(2) == 2L && s1en.getDouble(6) == 0.5)
   }
 
+  test("hilbertValue: exhaustive bijection with unit-step adjacency; loud range guard") {
+    import graft.operators.Layout
+    val n = 16 // bits = 4, full 16x16 grid
+    val grid = spark.range(n.toLong * n).select(
+      expr(s"id DIV $n").as("x"), (col("id") % n).as("y"))
+    val m = grid.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 4).as("d"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    // bijective onto [0, n^2)
+    assert(m.size == n * n && m.keys.min == 0L && m.keys.max == (n * n - 1).toLong)
+    // THE Hilbert property (Morton fails it): consecutive indices are
+    // grid neighbors — an independent witness of the whole recurrence
+    (0 until n * n - 1).foreach { i =>
+      val (x1, y1) = m(i.toLong); val (x2, y2) = m((i + 1).toLong)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"step $i -> ${i + 1} not unit")
+    }
+    // out-of-range input fails loudly, like zValue's guard
+    intercept[Exception] {
+      spark.range(1).select(Layout.hilbertValue(lit(16L), lit(0L), 4)).collect()
+    }
+  }
+
+  test("columnProfile: one row per column with exact nulls and cardinality") {
+    val df = Seq((1L, Some("a"), "x"), (2L, None, "x"), (3L, Some("a"), "y"),
+      (4L, None, "y")).toDF("id", "maybe", "grp")
+    val rows = graft.operators.Validate.columnProfile(df, Seq("id", "maybe", "grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows("id") == ((4L, 0L, 0.0, 4L)))
+    assert(rows("maybe") == ((4L, 2L, 0.5, 1L))) // distinct excludes NULLs
+    assert(rows("grp") == ((4L, 0L, 0.0, 2L)))
+  }
+
   test("removeDuplicatedSpans excises shared spans, keeps unique text, nulls empty docs") {
     val boiler = "all rights reserved by the site owner" // 7 tokens, shared verbatim
     val docs = Seq(
