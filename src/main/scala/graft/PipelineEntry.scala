@@ -521,6 +521,18 @@ object PipelineEntry {
           clusterCol = "label")
         .orderBy("vec_id")
     },
+    "dedup_semantic_trained" -> { (s, dir) =>
+      // the library-DEFAULT SemDeDup path end-to-end: clusters come
+      // from the deterministic integer k-means quantizer (k=4, 2
+      // Lloyd's rounds — the sim_ivf_trained trainer) instead of the
+      // fixture label, and the oracle replays TRAINING plus the
+      // domination dedup in one SQL chain
+      val emb = t(s, dir, "embeddings")
+      val assign = Similarity.kmeansAssign(emb, k = 4, iters = 2, dim = 64)
+      Dedup.semanticDedup(emb.join(assign, "vec_id"), threshold = 0.25,
+          clusterCol = "cid")
+        .orderBy("vec_id")
+    },
     "decontam_ngram" -> { (s, dir) =>
       // exact benchmark decontamination: train docs (odd ids) sharing
       // any distinct 3-gram with the eval corpus (even ids); eval gram
@@ -1034,6 +1046,19 @@ object PipelineEntry {
       val agg = StreamOps.tumblingAgg(src, widthSeconds = 300L)
       StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
+    },
+    "stream_topk" -> { (s, dir) =>
+      // streaming heavy hitters: complete-mode running per-user counts
+      // over the event stream; after the final micro-batch the state IS
+      // the batch aggregate, so the plain batch top-k is the exact
+      // oracle. Ranking happens on the bounded final table, not in the
+      // stream — the monitoring-dashboard shape (state: one row per
+      // user, watermark-free because counts only grow)
+      val counts = eventsStream(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      StreamReplay.runToMemory(s, counts, "stream_topk_sink", "complete",
+          statePartitions = Some(8))
+        .orderBy(desc("n"), col("user_id")).limit(20)
     },
     "stream_bloom_novel" -> { (s, dir) =>
       // the deployment shape of dedup_bloom: model built ONCE on the
@@ -2647,6 +2672,31 @@ object PipelineEntry {
            |SELECT w.vec_id, w.cluster, w.cos_centroid, (d.vec_id IS NULL) AS kept
            |FROM wc w LEFT JOIN drp d ON w.vec_id = d.vec_id ORDER BY w.vec_id""".stripMargin
       },
+      "dedup_semantic_trained" -> {
+        // kmeans replay (the sim_ivf_trained CTE vocabulary) feeding the
+        // dedup_semantic chain: clusters = 2-round Lloyd's assignment,
+        // centroids recomputed from member vectors per semanticDedup
+        val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
+        val kmCent = (1 to 64).map(i =>
+          s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
+           |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
+           |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
+           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
+           |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
+           |m AS (SELECT q0.vec_id, w2.cid AS cluster, q0.embedding, q0.qv FROM q0 JOIN w2 ON w2.vec_id = q0.vec_id),
+           |cents AS (SELECT cluster, $kmCent AS cv FROM m GROUP BY 1),
+           |wc AS (SELECT m.vec_id, m.cluster, m.embedding, ${sqlCos("m.embedding", "cents.cv")} AS cos_centroid
+           |  FROM m JOIN cents ON m.cluster = cents.cluster),
+           |drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b ON a.cluster = b.cluster
+           |  AND (a.cos_centroid < b.cos_centroid OR (a.cos_centroid = b.cos_centroid AND a.vec_id < b.vec_id))
+           |  AND ${sqlCos("a.embedding", "b.embedding")} >= 0.25)
+           |SELECT w.vec_id, w.cluster, w.cos_centroid, (d.vec_id IS NULL) AS kept
+           |FROM wc w LEFT JOIN drp d ON w.vec_id = d.vec_id ORDER BY w.vec_id""".stripMargin
+      },
 
       "sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -2881,6 +2931,9 @@ object PipelineEntry {
       "stream_dedup" ->
         """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           |FROM documents ORDER BY fp""".stripMargin,
+      "stream_topk" ->
+        """SELECT user_id, COUNT(*) AS n FROM events
+          |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
       "stream_interval_join" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
           |SELECT l.event_id AS event_id_l, r.event_id AS event_id_r
