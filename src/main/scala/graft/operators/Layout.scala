@@ -81,6 +81,21 @@ object Layout {
       .drop("_z")
   }
 
+  /** [[zorderBy]]'s Hilbert sibling for the two-filter-column case:
+    * range-partition + sort on [[hilbertValue]]. Each output file then
+    * covers one contiguous Hilbert arc, which is also one CONNECTED
+    * region of the (x, y) plane (the unit-step property) — per-file
+    * min/max bounds stay tight on both columns with none of the Morton
+    * seam jumps that stretch a z-file's bounding box across the space.
+    */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"hilbertBy: numFiles must be positive, got $numFiles")
+    df.withColumn("_h", hilbertValue(x, y, bits))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+  }
+
   /** Deterministic hash key for a seeded global shuffle: `md5(seed ∥
     * 0x01 ∥ id₁ ∥ 0x01 ∥ …)`. md5 is chosen deliberately over the
     * cheaper xxhash64: it is bit-identical across engines (Spark,

@@ -235,6 +235,14 @@ class IncrementalSpec extends SparkSpec {
     // hash layout scatters the box across ~every file; z-order keeps it
     // in a contiguous z-range → strictly fewer files hold matching rows
     assert(zf < hf, s"z-order touched $zf files, hash layout $hf")
+    // the Hilbert sibling prunes at least as well as the seam-jumping
+    // Morton layout on the same box (connected arcs → tight boxes)
+    val hilDir = "target/layout_hilbert"
+    Layout.hilbertBy(part, col("p_size"), col("p_partkey") % 256, 8, 8)
+      .write.mode("overwrite").parquet(hilDir)
+    val hil = filesTouched(hilDir)
+    assert(hil < hf, s"hilbert touched $hil files, hash layout $hf")
+    assert(hil <= zf, s"hilbert touched $hil files, z-order $zf")
   }
 
   test("shuffled: exact permutation, window-parity, seeded determinism") {

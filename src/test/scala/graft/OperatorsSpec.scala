@@ -119,6 +119,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) ^ out(2L), "exactly one of a near-identical pair survives")
   }
 
+  test("semanticDedup: dropped set shrinks monotonically as threshold rises") {
+    val emb = Tables(spark, sf, "embeddings")
+    def dropped(tau: Double) =
+      graft.operators.Dedup.semanticDedup(emb, tau, clusterCol = "label")
+        .filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    val lo = dropped(0.2)
+    val hi = dropped(0.4)
+    // same keep order at any threshold → domination pairs at 0.4 are a
+    // subset of those at 0.2, so the dropped set can only shrink
+    assert(hi.subsetOf(lo), "raising the threshold must never drop new docs")
+    assert(hi.size < lo.size && lo.nonEmpty, s"expected a strict shrink: ${lo.size} -> ${hi.size}")
+  }
+
   test("recallAtK matches hand-computed intersections; absent queries score 0") {
     val emb = Tables(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") < 20)
