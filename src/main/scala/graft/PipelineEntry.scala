@@ -1236,6 +1236,24 @@ object PipelineEntry {
           col("n_regionkey").cast(IntegerType))
         .orderBy("n_nationkey")
     },
+    "src_variant_json" -> { (s, dir) =>
+      // Spark-4 VARIANT ingestion of semi-structured JSON (synthesized
+      // deterministically from the nation fixture — the same
+      // synthesize-inputs recipe as the mm_* roundtrips): parse once to
+      // the binary variant encoding, then extract typed paths including
+      // a nested object — the modern shapeless-JSON face of the
+      // reference's datashape-driven JSON ingestion (odo/json)
+      val j = concat(lit("{\"k\": "), col("n_nationkey").cast(StringType),
+        lit(", \"name\": \""), col("n_name"),
+        lit("\", \"region\": {\"id\": "), col("n_regionkey").cast(StringType),
+        lit("}}"))
+      t(s, dir, "nation").select(col("n_nationkey"), parse_json(j).as("v"))
+        .select(col("n_nationkey"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.name", "string").as("name"),
+          variant_get(col("v"), "$.region.id", "bigint").as("region_id"))
+        .orderBy("n_nationkey")
+    },
     "src_orc_roundtrip" -> { (s, dir) =>
       val out = "/root/repo/target/roundtrip/supplier_orc"
       t(s, dir, "supplier").write.mode("overwrite").orc(out)
@@ -3009,6 +3027,13 @@ object PipelineEntry {
         "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
       "src_json_roundtrip" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      "src_variant_json" ->
+        """WITH j AS (SELECT n_nationkey,
+          |  '{"k": ' || n_nationkey || ', "name": "' || n_name || '", "region": {"id": ' || n_regionkey || '}}' AS js
+          |  FROM nation)
+          |SELECT n_nationkey, CAST(js->>'$.k' AS BIGINT) AS k, js->>'$.name' AS name,
+          |  CAST(js->>'$.region.id' AS BIGINT) AS region_id
+          |FROM j ORDER BY n_nationkey""".stripMargin,
       "src_orc_roundtrip" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
       "src_xml_roundtrip" ->

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * training-pipeline extension like the rest of the curation family.)
   *
   * Scale shape: GROUPING SETS — every requested slice granularity plus
-  * the corpus-total row come out of a single scan and a single
-  * aggregation exchange (Catalyst expands the sets map-side), instead
-  * of one groupBy-scan per granularity. All metrics are algebraic
-  * (sum/count/count-distinct of a digest), so the partial aggregate
-  * combines map-side; the only per-row work is a token split and one
-  * md5. `n_distinct_texts` is an EXACT distinct on the md5 digest —
+  * the corpus-total row come out of a SINGLE scan (Catalyst expands
+  * the sets map-side), instead of one groupBy-scan per granularity.
+  * The physical plan is the textbook two-exchange distinct-aggregate
+  * cascade (plan-guarded in the unit suite): exchange 1 carries one
+  * row per (slice, digest) — already partially aggregated map-side —
+  * and exchange 2 one row per slice; nothing row-shaped ever crosses
+  * the wire. The only per-row work is a token split and one md5.
+  * `n_distinct_texts` is an EXACT distinct on the md5 digest —
   * dedup-rate up to 128-bit-collision quantization, the same trade as
   * [[Dedup.exact]] — and `dup_rate = 1 - distinct/docs` is the
   * headline duplication number a datasheet quotes.

@@ -203,6 +203,18 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("grp") == ((4L, 0L, 0.0, 2L)))
   }
 
+  test("datasheet plan: one scan, expand, two pre-aggregated exchanges") {
+    val d = graft.operators.Corpus.datasheet(
+      Tables(spark, sf, "documents"), Seq("source", "lang"))
+    val plan = d.queryExecution.executedPlan.toString
+    // single Expand = all grouping sets from ONE scan; exactly the two
+    // exchanges of the distinct-aggregate cascade, both fed by partial
+    // aggregates (never raw rows on the wire)
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected one Expand:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2, s"expected two Exchanges:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side partials:\n$plan")
+  }
+
   test("removeDuplicatedSpans excises shared spans, keeps unique text, nulls empty docs") {
     val boiler = "all rights reserved by the site owner" // 7 tokens, shared verbatim
     val docs = Seq(
