@@ -750,6 +750,13 @@ object SparkEntry {
     // Spark's corr() sums doubles, whose cross-partition order is
     // nondeterministic — composing from DECIMAL-exact Σx,Σy,Σxy,Σx²,Σy²
     // gives bit-stable results AND oracle comparability) ----
+    "red_corr_matrix" -> { (s, dir) =>
+      // the k-column generalization (operators.Features): all pairwise
+      // correlations from ONE decimal-exact moment aggregate
+      graft.operators.Features.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    },
     "red_corr" -> { (s, dir) =>
       val D4 = DecimalType(28, 4)
       val x = col("l_quantity").cast(D4)
@@ -1353,6 +1360,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
         |ORDER BY o_custkey""".stripMargin,
+    "red_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d(c: String) = s"CAST($c AS DECIMAL(28,4))"
+      val moments = (cols.indices.map(i => s"CAST(SUM(${d(cols(i))}) AS DOUBLE) AS s$i") ++
+        (for { i <- cols.indices; j <- i until cols.size } yield
+          s"CAST(SUM(${d(cols(i))} * ${d(cols(j))}) AS DOUBLE) AS p${i}_$j"))
+        .mkString(",\n  ")
+      val rows = (for { i <- cols.indices; j <- (i + 1) until cols.size } yield
+        s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
+          s"((p${i}_$j - s$i * s$j / n) / (SQRT(p${i}_$i - s$i * s$i / n) * SQRT(p${j}_$j - s$j * s$j / n))) AS corr FROM m")
+        .mkString("\nUNION ALL ")
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $moments
+         |FROM lineitem)
+         |$rows
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "red_corr" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,

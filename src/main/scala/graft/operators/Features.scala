@@ -123,6 +123,44 @@ object Features {
     * median when k·0 = 0 — the standard MAD degeneracy, documented
     * rather than patched.
     */
+  /** Exact pairwise Pearson correlation matrix over numeric columns —
+    * the redundancy screen a feature pipeline runs before training,
+    * as ONE aggregate for ALL pairs: k sums + k(k+1)/2 cross-product
+    * sums + one count, every moment decimal-exact (DECIMAL(28,4) — no
+    * float-summation order sensitivity) and folded to double only in
+    * the closed form, so the whole matrix replays bit-exactly in any
+    * engine (the `red_corr` recipe generalized to k columns).
+    *
+    * Columns are assumed non-null (cast NULLs first; SUM would skip
+    * them while COUNT(*) would not, silently skewing the moments).
+    * Output: (col_a, col_b, corr), upper triangle in input order.
+    *
+    * Scale shape: one map-side-combined aggregate over one scan —
+    * adding a column adds counters, never a pass; output is
+    * k(k-1)/2 rows at any input size.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: at least two columns")
+    require(cols.distinct.size == cols.size, "correlationMatrix: duplicate columns")
+    val D = DecimalType(28, 4)
+    val cs = cols.map(c => col(c).cast(D))
+    val aggs = count(lit(1)).cast(DoubleType).as("_n") +:
+      (cols.indices.map(i => sum(cs(i)).cast(DoubleType).as(s"_s$i")) ++
+        (for { i <- cols.indices; j <- i until cols.size } yield
+          sum(cs(i) * cs(j)).cast(DoubleType).as(s"_p${i}_$j")))
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val num = col(s"_p${i}_$j") - col(s"_s$i") * col(s"_s$j") / col("_n")
+      val den = sqrt(col(s"_p${i}_$i") - col(s"_s$i") * col(s"_s$i") / col("_n")) *
+        sqrt(col(s"_p${j}_$j") - col(s"_s$j") * col(s"_s$j") / col("_n"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        (num / den).as("corr"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs: _*)).as("_e"))
+      .select(col("_e.col_a").as("col_a"), col("_e.col_b").as("col_b"),
+        col("_e.corr").as("corr"))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      k: Int = 3, flagCol: String = "is_outlier"): DataFrame = {
     require(k > 0, s"robustOutliers: k must be positive, got $k")
