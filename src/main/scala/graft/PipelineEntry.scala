@@ -510,6 +510,14 @@ object PipelineEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, nBits = 6)
         .orderBy("id_a", "id_b")
     },
+    "dedup_prefix_pairs" -> { (s, dir) =>
+      // the COMPLETE-recall route at the same (n=2, t=1/2) operating
+      // point as dedup_ngram_pairs' LSH candidates: prefix filtering
+      // guarantees every qualifying pair is found (superset asserted
+      // in the unit suite); rational threshold arithmetic throughout
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), n = 2, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")
+    },
     "dedup_semantic" -> { (s, dir) =>
       // SemDeDup: within-cluster centroid-priority domination. The gate
       // pins cluster = fixture label so the oracle replay stays static;
@@ -2675,6 +2683,24 @@ object PipelineEntry {
            |WHERE ${sqlCos("a.embedding", "c.embedding")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "dedup_prefix_pairs" -> {
+        val (tNum, tDen) = (1L, 2L)
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+           |hd AS (SELECT doc_id, list_distinct(list_transform(sh, tk -> ${sqlHash("tk")})) AS hsd FROM s),
+           |e AS (SELECT doc_id, unnest(hsd) AS h FROM hd),
+           |f AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+           |r AS (SELECT e.doc_id, e.h, row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rn,
+           |  count(*) OVER (PARTITION BY e.doc_id) AS sz FROM e JOIN f USING (h)),
+           |p AS (SELECT doc_id, h FROM r WHERE rn <= sz - (($tNum * sz + ${tDen - 1}) // $tDen) + 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |v AS (SELECT id_a, id_b, len(list_intersect(ha.hsd, hb.hsd)) AS i,
+           |    len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS u
+           |  FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b)
+           |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+           |FROM v WHERE i * $tDen >= $tNum * u ORDER BY id_a, id_b""".stripMargin
+      },
       "dedup_semantic" -> {
         val kmCent = (1 to 64).map(i =>
           s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)")

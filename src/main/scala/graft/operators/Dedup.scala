@@ -447,6 +447,68 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin
+    * candidate rule — Xiao et al. 2008, "Efficient Similarity Joins
+    * for Near Duplicate Detection"): COMPLETE recall at a jaccard
+    * threshold, the guarantee every LSH route here trades away. Each
+    * doc's distinct shingle-hash set is ordered by global document
+    * frequency ascending (rarest first, hash tiebreak); if
+    * jaccard(A,B) ≥ tNum/tDen then A and B must share a hash inside
+    * their first `|s| − ⌈t·|s|⌉ + 1` entries, so candidates come from
+    * an equality join on PREFIX entries only, then one exact verify.
+    *
+    * Threshold arithmetic is RATIONAL end to end: the prefix length
+    * uses int64 ceil-division and the verify compares
+    * `|A∩B|·tDen ≥ tNum·|A∪B|` cross-multiplied — no float rounding
+    * anywhere a verdict is made, so candidates and verdicts replay
+    * bit-exactly in any engine (the bm25/top-p rational-threshold
+    * rule). The reported `jaccard` is one final IEEE division.
+    *
+    * Scale shape: document frequency is one (hash → count) partial
+    * aggregate; per-doc ranks ride a window PARTITIONED BY DOC
+    * (high-cardinality, never a funnel); the self-join touches prefix
+    * entries only — the RAREST tokens by construction, so stopword
+    * shingles never fan out and bucket occupancy is bounded by true
+    * co-occurrence. Complete recall costs more candidates than
+    * [[minhashPairs]] at the same threshold — that is the explicit
+    * trade; completeness is asserted against a brute-force all-pairs
+    * witness in the unit suite.
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, tNum: Long, tDen: Long,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"prefixJaccardPairs: n must be positive, got $n")
+    require(0 < tNum && tNum <= tDen,
+      s"prefixJaccardPairs: threshold must be in (0, 1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol),
+      graft.plans.ShingleHashArray(col(textCol), n).as("sh"))
+    val e = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val f = e.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val byDoc = Window.partitionBy(col(idCol))
+    // ceil(t·sz) = (tNum·sz + tDen − 1) div tDen; the double division
+    // is exact here (operands < 2^40, spacing ≥ 1/tDen ≫ ulp), and the
+    // oracle's BIGINT // computes the identical floor
+    val ranked = e.join(f, "h")
+      .withColumn("_rn", row_number().over(byDoc.orderBy(col("_df"), col("h"))))
+      .withColumn("_sz", count(lit(1)).over(byDoc))
+    val prefixLen = col("_sz") -
+      floor((lit(tNum) * col("_sz") + lit(tDen - 1)) / lit(tDen)).cast(LongType) + 1
+    val prefix = ranked.filter(col("_rn") <= prefixLen).select(col(idCol), col("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("_i"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast(LongType).as("_u"))
+      .filter(col("_i") * tDen >= lit(tNum) * col("_u"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i").cast(DoubleType) / col("_u").cast(DoubleType)).as("jaccard"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the corpus embeddings, and within each

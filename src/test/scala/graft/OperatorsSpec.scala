@@ -105,6 +105,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("prefixJaccardPairs: complete recall vs brute-force all-pairs witness") {
+    // 120-doc slice keeps the brute-force witness cheap
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 120)
+    val got = graft.operators.Dedup
+      .prefixJaccardPairs(docs, n = 2, tNum = 3, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every pair, exact jaccard on the same hashed sets
+    val ids = docs.select("doc_id")
+    val allPairs = ids.toDF("id_a").crossJoin(ids.toDF("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val exp = graft.operators.Dedup
+      .jaccardVerify(docs, allPairs, n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"prefix route missed ${exp -- got}, extra ${got -- exp}")
+    assert(exp.nonEmpty, "witness set empty — test proves nothing")
+    // and it can only find MORE than the recall-lossy LSH route
+    val lsh = graft.operators.Dedup
+      .ngramJaccardPairs(docs, n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(got))
+  }
+
   test("semanticDedup: planted duplicate drops, diverse doc and singleton survive") {
     val v = (0 until 64).map(i => (i % 7).toFloat + 1f).toArray
     val vDup = v.clone(); vDup(0) += 0.001f
