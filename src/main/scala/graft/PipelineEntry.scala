@@ -658,6 +658,23 @@ object PipelineEntry {
       TextFunctions.tfidfTopK(t(s, dir, "documents"), col("text"), k = 3)
         .orderBy("doc_id", "rank")
     },
+    "text_bpe_encode" -> { (s, dir) =>
+      // BPE inference: train the merge table on the EVEN half, encode
+      // the held-out ODD half by replaying the merges in order — the
+      // tokenize-the-next-dump step once a vocabulary is frozen. The
+      // encode chain is a shuffle-free projection (merge table rides
+      // as literals); the oracle replays training AND the held-out
+      // fold rounds in SQL
+      val docs = t(s, dir, "documents")
+      val (merges, _) = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), col("text"), rounds = 5)
+      graft.functions.Bpe.encode(
+          docs.filter(col("doc_id") % 2 === 1), col("text"), merges)
+        .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+          size(filter(col("ts"), x => x.contains("\u0002"))).cast(LongType)
+            .as("n_merged"))
+        .orderBy("doc_id")
+    },
     "text_bpe" -> { (s, dir) =>
       // BPE vocabulary training in-engine: 5 merge rounds over the
       // corpus, each = one pair-count aggregate + driver-side top-1 +
@@ -2286,6 +2303,33 @@ object PipelineEntry {
       // (DuckDB's reduce is homogeneous), vs the engine's typed
       // struct-accumulator aggregate — only the SPEC (pair choice
       // order, greedy left-to-right semantics, chr(2) joiner) is shared
+      "text_bpe_encode" -> {
+        val rounds = 5
+        def fold(p: String) =
+          s"""list_reduce(list_prepend(chr(1), ts), (acc, x) -> CASE
+             | WHEN split_part(acc, chr(1), 2) = $p.a AND x = $p.b THEN split_part(acc, chr(1), 1) || ' ' || $p.m || chr(1)
+             | WHEN split_part(acc, chr(1), 2) = '' THEN split_part(acc, chr(1), 1) || chr(1) || x
+             | ELSE split_part(acc, chr(1), 1) || ' ' || split_part(acc, chr(1), 2) || chr(1) || x END)""".stripMargin
+        def toList(s: String) =
+          s"string_split(trim(CASE WHEN split_part($s, chr(1), 2) = '' THEN split_part($s, chr(1), 1) ELSE split_part($s, chr(1), 1) || ' ' || split_part($s, chr(1), 2) END), ' ')"
+        val trainCtes = (1 to rounds).map { r =>
+          val prev = s"d${r - 1}"
+          s"""pc$r AS (SELECT ts[i] AS a, ts[i+1] AS b, COUNT(*) AS c
+             |  FROM (SELECT unnest(range(1, len(ts))) AS i, ts FROM $prev) GROUP BY 1, 2),
+             |p$r AS (SELECT a, b, a || chr(2) || b AS m, c FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+             |d$r AS (SELECT doc_id, ${toList(fold(s"p$r"))} AS ts FROM $prev, p$r)""".stripMargin
+        }.mkString(",\n")
+        val encCtes = (1 to rounds).map { r =>
+          s"o$r AS (SELECT doc_id, ${toList(fold(s"p$r"))} AS ts FROM o${r - 1}, p$r)"
+        }.mkString(",\n")
+        s"""WITH d0 AS (SELECT doc_id, $sqlTokens AS ts FROM documents WHERE doc_id % 2 = 0),
+           |o0 AS (SELECT doc_id, $sqlTokens AS ts FROM documents WHERE doc_id % 2 = 1),
+           |$trainCtes,
+           |$encCtes
+           |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(ts, x -> contains(x, chr(2)))) AS BIGINT) AS n_merged
+           |FROM o$rounds ORDER BY doc_id""".stripMargin
+      },
       "text_bpe" -> {
         val rounds = 5
         def fold(p: String) =

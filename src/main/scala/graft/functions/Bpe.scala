@@ -75,6 +75,23 @@ object Bpe {
     folded
   }
 
+  /** BPE inference: apply an already-trained merge table to NEW text,
+    * replaying the merges in training order — the tokenize-the-next-
+    * dump step once a vocabulary is frozen. Each round is the same
+    * native greedy fold the trainer used ([[applyMerge]]), so encoding
+    * a training document reproduces the trainer's own final rewrite,
+    * and the whole chain is a shuffle-free per-row projection (the
+    * merge table rides the plan as literals — nothing broadcast,
+    * nothing joined). Output: (idCol, ts).
+    */
+  def encode(docs: DataFrame, textCol: Column, merges: Seq[Merge],
+             joiner: String = "\u0002", idCol: String = "doc_id"): DataFrame = {
+    val ts = merges.sortBy(_.round).foldLeft(TextFunctions.tokens(textCol)) {
+      (t, m) => applyMerge(t, m.lhs, m.rhs, m.lhs + joiner + m.rhs)
+    }
+    docs.select(col(idCol), ts.as("ts"))
+  }
+
   /** Train `rounds` merges over `docs`; returns the merge table and
     * the final rewritten corpus (idCol, ts). Stops early if no
     * adjacent pair remains. */

@@ -1019,6 +1019,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Bpe.encode replays the trainer's own rewrite on training docs") {
+    import graft.functions.Bpe
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+    val (merges, rewritten) = Bpe.train(docs, col("text"), rounds = 3)
+    assert(merges.size == 3)
+    val exp = rewritten.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val got = Bpe.encode(docs, col("text"), merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(got == exp)
+  }
+
   test("Bpe.train: greedy merges, total-order pair choice, early stop") {
     import spark.implicits._
     import graft.functions.Bpe
