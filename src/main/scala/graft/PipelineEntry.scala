@@ -935,6 +935,16 @@ object PipelineEntry {
         Multimodal.synthesizeMjpeg(s, dims, "doc_id", "nf", "w", "h"))
         .orderBy("media_id")
     },
+    "mm_image_stats" -> { (s, dir) =>
+      // PIXEL-level differential check: the oracle recomputes the
+      // luminance sum from the (id, x, y) pattern in pure SQL, so the
+      // whole raster must decode byte-exactly, not just the header
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 31 + 1).as("w"), (col("doc_id") % 17 + 1).as("h"))
+      Multimodal.imageStats(s,
+        Multimodal.synthesizePng(s, dims, "doc_id", "w", "h"))
+        .orderBy("media_id")
+    },
     "mm_decode_png" -> { (s, dir) =>
       // REAL codec roundtrip: synthesize an actual PNG per document with
       // dimensions derived from doc_id, then decode it back with
@@ -2913,6 +2923,14 @@ object PipelineEntry {
           |  CAST((doc_id % 8 + 1) * 8 AS BIGINT) AS height,
           |  CAST(1 AS BIGINT) AS channels
           |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_image_stats" ->
+        """WITH g AS (SELECT doc_id AS media_id, doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h FROM documents),
+          |px AS (SELECT media_id, w, h, (media_id * 131 + x * 31 + y * 17) % 256 AS v
+          |  FROM g, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y))
+          |SELECT media_id, CAST(w * h AS BIGINT) AS n_pixels,
+          |  CAST(SUM(v) AS BIGINT) AS sum_lum,
+          |  CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_lum
+          |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
       "mm_decode_png" ->
         """SELECT doc_id AS media_id,
           |  CAST(doc_id % 31 + 1 AS BIGINT) AS width,

@@ -115,6 +115,48 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "channels")
   }
 
+  /** REAL pixel-level statistics from decoded images — the step past
+    * [[decodeImageMetaReal]]'s header metadata: the decoded RASTER is
+    * reduced per image (luminance sum over the red channel; the synth
+    * images are gray, r=g=b). Because [[synthesizePng]]'s pixels are a
+    * pure function of (id, x, y), the oracle recomputes the sum in
+    * plain SQL arithmetic with no image library — a wrong pixel
+    * ANYWHERE in the encode→decode path breaks the hash, so this
+    * differentially verifies pixel data, not just headers. Corrupt or
+    * NULL payloads yield NULL stats (the metadata-decode contract).
+    *
+    * Scale shape: one map-side pass, O(pixels)/row, no shuffle; decode
+    * cost dominates and parallelizes per partition.
+    */
+  def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see decode)
+        it.map { case (id, payload) =>
+          val img =
+            try {
+              if (payload == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            } catch { case _: java.io.IOException => null }
+          if (img == null)
+            (id, None: Option[Long], None: Option[Long], None: Option[Double])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+              y += 1
+            }
+            val n = w.toLong * h
+            (id, Some(n), Some(s), Some(s.toDouble / n))
+          }
+        }
+      }.toDF("media_id", "n_pixels", "sum_lum", "mean_lum")
+  }
+
   /** deterministic REAL-PNG payload synthesis: each input row becomes an
     * actual encoded PNG of the row's (width, height), with content a pure
     * function of (id, x, y) — so an encode→decode roundtrip is exactly

@@ -127,6 +127,18 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(got))
   }
 
+  test("imageStats nulls corrupt payloads and sums real rasters exactly") {
+    val dims = Seq((7L, 3, 2)).toDF("doc_id", "w", "h")
+    val good = Multimodal.synthesizePng(spark, dims, "doc_id", "w", "h")
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val out = Multimodal.imageStats(spark, good.unionByName(bad))
+      .orderBy("media_id").collect()
+    val expSum = (for { y <- 0 until 2; x <- 0 until 3 }
+      yield (7 * 131 + x * 31 + y * 17) % 256).sum.toLong
+    assert(out(0).getLong(1) == 6L && out(0).getLong(2) == expSum)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("semanticDedup: planted duplicate drops, diverse doc and singleton survive") {
     val v = (0 until 64).map(i => (i % 7).toFloat + 1f).toArray
     val vDup = v.clone(); vDup(0) += 0.001f
