@@ -1301,6 +1301,18 @@ object PipelineEntry {
       graft.api.Table.data(s, out + "/part-*.txt").df
         .select(col("value").as("r_name")).orderBy("r_name")
     },
+    "src_gzip_roundtrip" -> { (s, dir) =>
+      // gzip-compressed text — how crawl dumps actually arrive. Spark
+      // decompresses .gz transparently on read; the scale caveat is
+      // that gzip is NOT splittable (one file = one task), so ingest
+      // keeps many files rather than few big ones — the fixture writes
+      // per-partition .gz parts exactly as a distributed dump would
+      val out = "/root/repo/target/roundtrip/region_txt_gz"
+      t(s, dir, "region").select(col("r_name"))
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      graft.api.Table.data(s, out + "/part-*.txt.gz").df
+        .select(col("value").as("r_name")).orderBy("r_name")
+    },
     "src_binary_roundtrip" -> { (s, dir) =>
       // binaryFile ingestion — the multimodal-corpus entry path: a
       // directory of encoded image FILES → (path, content) rows → REAL
@@ -1661,6 +1673,20 @@ object PipelineEntry {
           .otherwise(col("l_returnflag")).as("returnflag_holed"),
         col("l_shipdate"))
       Validate.columnProfile(li, Seq("l_orderkey", "returnflag_holed", "l_shipdate"))
+        .orderBy("col_name")
+    },
+    "profile_drift" -> { (s, dir) =>
+      // dump-over-dump drift: profile the even- and odd-orderkey halves
+      // as two "dumps" and report the per-column deltas a quarantine
+      // gate thresholds on
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        when(col("l_returnflag") === "N", lit(null).cast(StringType))
+          .otherwise(col("l_returnflag")).as("returnflag_holed"),
+        col("l_quantity"))
+      Validate.profileDrift(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          Seq("returnflag_holed", "l_quantity"))
         .orderBy("col_name")
     },
     "misc_validate" -> { (s, dir) =>
@@ -3128,6 +3154,8 @@ object PipelineEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
       "src_txt_roundtrip" ->
         "SELECT r_name FROM region ORDER BY r_name",
+      "src_gzip_roundtrip" ->
+        "SELECT r_name FROM region ORDER BY r_name",
       // spider: formats are the spec (the fixture writes them); the
       // column counts are derived INDEPENDENTLY from information_schema
       // over the registered views, not from the spidered files
@@ -3192,6 +3220,26 @@ object PipelineEntry {
            |  CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS returnflag_holed,
            |  l_shipdate FROM lineitem)
            |SELECT * FROM ($per) ORDER BY col_name""".stripMargin
+      },
+      "profile_drift" -> {
+        val cols = Seq("returnflag_holed", "l_quantity")
+        def per(src: String) = cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_frac,
+             |  COUNT(DISTINCT $c) AS n_distinct FROM $src""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH t AS (SELECT l_orderkey,
+           |  CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS returnflag_holed,
+           |  l_quantity FROM lineitem),
+           |ea AS (SELECT * FROM t WHERE l_orderkey % 2 = 0),
+           |eb AS (SELECT * FROM t WHERE l_orderkey % 2 = 1),
+           |pa AS (${per("ea")}),
+           |pb AS (${per("eb")})
+           |SELECT pa.col_name, pa.null_frac AS null_frac_a, pb.null_frac AS null_frac_b,
+           |  pb.null_frac - pa.null_frac AS null_frac_delta,
+           |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+           |  CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct AS distinct_ratio
+           |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin
       },
       "misc_validate" ->
         """SELECT * FROM (

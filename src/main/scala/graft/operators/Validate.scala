@@ -101,4 +101,26 @@ object Validate {
         (col("_e.n_nulls").cast(DoubleType) / col("n_rows")).as("null_frac"),
         col("_e.n_distinct").as("n_distinct"))
   }
+
+  /** Data-drift report between two dumps of the same table: the two
+    * [[columnProfile]]s joined per column, with the deltas a
+    * monitoring gate thresholds on — null-rate shift and cardinality
+    * ratio. A new crawl whose null fraction jumps or whose distinct
+    * count collapses gets quarantined BEFORE joining the corpus.
+    * Output: (col_name, null_frac_a, null_frac_b, null_frac_delta,
+    * n_distinct_a, n_distinct_b, distinct_ratio). Cost: the two
+    * one-scan profiles + a |cols|-row join.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val pa = columnProfile(a, cols).select(col("col_name"),
+      col("null_frac").as("null_frac_a"), col("n_distinct").as("n_distinct_a"))
+    val pb = columnProfile(b, cols).select(col("col_name"),
+      col("null_frac").as("null_frac_b"), col("n_distinct").as("n_distinct_b"))
+    pa.join(pb, "col_name").select(col("col_name"),
+      col("null_frac_a"), col("null_frac_b"),
+      (col("null_frac_b") - col("null_frac_a")).as("null_frac_delta"),
+      col("n_distinct_a"), col("n_distinct_b"),
+      (col("n_distinct_b").cast(DoubleType) / col("n_distinct_a"))
+        .as("distinct_ratio"))
+  }
 }
