@@ -1017,6 +1017,46 @@ object PipelineEntry {
         224L, 224L)
         .orderBy("media_id")
     },
+    "mm_dhash" -> { (s, dir) =>
+      // perceptual 56-bit dHash over REAL decoded pixels: docs sharing
+      // doc_id%60 get near-identical rasters (content base differs by a
+      // small additive delta), so the hash is a closed-form function of
+      // (base, w, h) the oracle recomputes in SQL — the whole PNG
+      // encode→decode→sample path is differentially verified
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) % 24 + 9).as("w"),
+        ((col("doc_id") % 60) % 16 + 9).as("h"))
+      Multimodal.imageDHash(s,
+        Multimodal.synthesizePngSeeded(s, dims, "doc_id", "base", "w", "h"))
+        .orderBy("media_id")
+    },
+    "mm_dhash_pairs" -> { (s, dir) =>
+      // image near-dup pairs: hamming(dhash) <= 3 via pigeonhole banding
+      // (complete at the threshold), verified against the brute-force
+      // all-pairs oracle — the image-modality sibling of dedup_simhash_pairs
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) % 24 + 9).as("w"),
+        ((col("doc_id") % 60) % 16 + 9).as("h"))
+      Multimodal.dhashPairs(
+        Multimodal.imageDHash(s,
+          Multimodal.synthesizePngSeeded(s, dims, "doc_id", "base", "w", "h")),
+        maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+    "mm_audio_stats" -> { (s, dir) =>
+      // SAMPLE-level differential audio check (the WAV sibling of
+      // mm_image_stats, one step past mm_decode_wav's header parse):
+      // the full PCM body is decoded and reduced, and the oracle
+      // recomputes the sums from the (id, frame, channel) formula in
+      // pure SQL — a wrong byte anywhere in the codec path breaks it
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 200 + 1).as("nf"), (col("doc_id") % 2 + 1).as("ch"))
+      Multimodal.audioStats(s,
+        Multimodal.synthesizeWav(s, dims, "doc_id", "nf", "ch"))
+        .orderBy("media_id")
+    },
 
     // ---- events ----
     "ev_tumbling" -> { (s, dir) =>
@@ -1438,6 +1478,19 @@ object PipelineEntry {
       Incremental.upsert(base, changes, Seq("o_orderkey"),
           allowMissingColumns = true)
         .orderBy("o_orderkey")
+    },
+    "inc_forget" -> { (s, dir) =>
+      // right-to-be-forgotten with referential cascade: tombstoned
+      // customer keys delete customers, their orders, and those orders'
+      // lineitems — each hop one broadcast semi join (deleted keys <<
+      // child), audited per table so the deletion request has evidence
+      val tomb = t(s, dir, "customer")
+        .filter(col("c_custkey") % 19 === 0).select(col("c_custkey"))
+      Incremental.forgetCascade(tomb, Seq("c_custkey"), Seq(
+          ("customer", t(s, dir, "customer"), Seq("c_custkey"), Seq("c_custkey")),
+          ("orders", t(s, dir, "orders"), Seq("o_custkey"), Seq("o_orderkey")),
+          ("lineitem", t(s, dir, "lineitem"), Seq("l_orderkey"), Seq("l_orderkey"))))
+        .orderBy("table_name")
     },
     "inc_scd2_lookup" -> { (s, dir) =>
       // the read side of SCD2: every order joined to the dimension
@@ -2604,6 +2657,26 @@ object PipelineEntry {
           |ORDER BY o_orderkey""".stripMargin,
       // independent five-way set formulation of the SCD2 merge (the
       // engine explodes per-row version arrays in one broadcast pass)
+      "inc_forget" ->
+        """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 19 = 0),
+          |delo AS (SELECT o_orderkey FROM orders
+          |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+          |dell AS (SELECT l_orderkey FROM lineitem
+          |  WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+          |SELECT * FROM (
+          |  SELECT 'customer' AS table_name,
+          |    (SELECT COUNT(*) FROM customer) AS rows_before,
+          |    (SELECT COUNT(*) FROM delc) AS rows_deleted,
+          |    (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM delc) AS rows_after
+          |  UNION ALL
+          |  SELECT 'orders', (SELECT COUNT(*) FROM orders),
+          |    (SELECT COUNT(*) FROM delo),
+          |    (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo)
+          |  UNION ALL
+          |  SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+          |    (SELECT COUNT(*) FROM dell),
+          |    (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dell)
+          |) ORDER BY table_name""".stripMargin,
       "inc_scd2_lookup" ->
         """WITH dim AS (
           |  SELECT c_custkey, c_mktsegment AS segment,
@@ -2994,6 +3067,44 @@ object PipelineEntry {
           |FROM documents, unnest(range(0, CASE WHEN octet_length(encode(text)) <= 0 THEN 0
           |  ELSE ((octet_length(encode(text)) - 1) // 1024) + 1 END)) AS u(f)
           |ORDER BY media_id, frame_idx""".stripMargin,
+      // strided-sample dHash is a closed-form function of (base, w, h):
+      // px(r,c) = (base + ((c*w)//8)*31 + ((r*h)//8)*17) % 256, bit
+      // r*7+c set iff px(r,c) > px(r,c+1) — recomputed exactly in SQL
+      "mm_dhash" ->
+        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+          |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
+          |bits AS (SELECT doc_id,
+          |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
+          |              (base + (((c + 1) * w) // 8) * 31 + ((r * h) // 8) * 17) % 256
+          |         THEN (CAST(1 AS BIGINT) << CAST(r * 7 + c AS INT)) ELSE 0 END AS bit
+          |  FROM g, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c))
+          |SELECT doc_id AS media_id, CAST(SUM(bit) AS BIGINT) AS dhash
+          |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+      "mm_dhash_pairs" ->
+        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+          |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
+          |bits AS (SELECT doc_id,
+          |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
+          |              (base + (((c + 1) * w) // 8) * 31 + ((r * h) // 8) * 17) % 256
+          |         THEN (CAST(1 AS BIGINT) << CAST(r * 7 + c AS INT)) ELSE 0 END AS bit
+          |  FROM g, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c)),
+          |dh AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+      // PCM sample sums are a pure function of (id, frame, channel):
+      // v = (id*131 + f*31 + c*17) % 65536 - 32768, signed 16-bit LE
+      "mm_audio_stats" ->
+        """WITH g AS (SELECT doc_id AS media_id, doc_id % 200 + 1 AS nf,
+          |    doc_id % 2 + 1 AS ch FROM documents),
+          |sm AS (SELECT media_id, nf, ch,
+          |    (media_id * 131 + f * 31 + c * 17) % 65536 - 32768 AS v
+          |  FROM g, unnest(range(0, nf)) AS tf(f), unnest(range(0, ch)) AS tc(c))
+          |SELECT media_id, CAST(nf * ch AS BIGINT) AS n_samples,
+          |  CAST(SUM(v) AS BIGINT) AS sum_amp, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+          |FROM sm GROUP BY media_id, nf, ch ORDER BY media_id""".stripMargin,
       "mm_resize" ->
         """WITH m AS (SELECT doc_id AS media_id,
           |  CAST(doc_id % 300 + 1 AS BIGINT) AS width,

@@ -318,4 +318,70 @@ object Incremental {
       .join(dups, Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
+
+  /** right-to-be-forgotten delete: drop every base row whose key appears
+    * in `tombstones` — the deletion-request primitive of a compliant
+    * corpus (GDPR art. 17 / CCPA). A LEFT ANTI join on the request keys:
+    * the tombstone set is small relative to a 100 TB base (the
+    * incremental premise), so its distinct keys broadcast and the base
+    * is scanned once map-side with NO exchange. Tombstone keys are
+    * deduplicated first — repeat requests are the norm — and key-count
+    * and key-name mismatches fail loudly.
+    */
+  def forget(base: DataFrame, tombstones: DataFrame,
+             baseKeys: Seq[String], tombKeys: Seq[String]): DataFrame = {
+    require(baseKeys.nonEmpty && baseKeys.length == tombKeys.length,
+      s"forget: key lists must be non-empty and equal-length, got $baseKeys vs $tombKeys")
+    requireKeys(base, baseKeys, "forget", "base")
+    requireKeys(tombstones, tombKeys, "forget", "tombstones")
+    val keys = broadcast(tombstones.select(tombKeys.map(col): _*).distinct())
+    val cond = baseKeys.zip(tombKeys)
+      .map { case (b, t) => base(b) <=> keys(t) }
+      .reduce(_ && _)
+    base.join(keys, cond, "left_anti")
+  }
+
+  /** forget with REFERENTIAL CASCADE down a foreign-key chain plus a
+    * per-table audit — the full deletion-request workflow. Each chain
+    * link is `(tableName, df, matchCols, exportCols)`: `matchCols` are
+    * the columns joined against the PREVIOUS link's exported deleted
+    * keys (the tombstone keys at the root), and `exportCols` are this
+    * table's own keys handed to the NEXT link (e.g. customer exports
+    * c_custkey, orders matches o_custkey and exports o_orderkey,
+    * lineitem matches l_orderkey). Returns the audit frame
+    * `(table_name, rows_before, rows_deleted, rows_after)` — the
+    * evidence a deletion request was honored; callers wanting the
+    * surviving frames use [[forget]] per table with the same keys.
+    *
+    * Scale shape: each hop is one broadcast anti/semi join on the child
+    * (deleted parent keys ≪ child); the per-table counts are one
+    * aggregate each. Nothing rewrites unmatched data.
+    */
+  def forgetCascade(tombstones: DataFrame, tombKeys: Seq[String],
+                    chain: Seq[(String, DataFrame, Seq[String], Seq[String])]): DataFrame = {
+    require(chain.nonEmpty, "forgetCascade: at least one table in the chain")
+    val spark = tombstones.sparkSession
+    import spark.implicits._
+    // deleted keys exported by the previous link (tombstones at the root)
+    var deletedKeys = broadcast(
+      tombstones.select(tombKeys.map(col): _*).distinct())
+    var parentExportCols = tombKeys
+    var audits = Vector.empty[DataFrame]
+    for ((name, base, matchCols, exportCols) <- chain) {
+      require(matchCols.length == parentExportCols.length,
+        s"forgetCascade[$name]: matchCols must pair with the parent's exported keys")
+      requireKeys(base, matchCols ++ exportCols, "forgetCascade", name)
+      // rows whose FK hits a deleted parent key
+      val joinCond = matchCols.zip(parentExportCols)
+        .map { case (f, p) => base(f) <=> deletedKeys(p) }.reduce(_ && _)
+      val doomed = base.join(deletedKeys, joinCond, "left_semi")
+      val beforeN = base.count(); val doomedN = doomed.count()
+      audits = audits :+ Seq((name, beforeN, doomedN, beforeN - doomedN))
+        .toDF("table_name", "rows_before", "rows_deleted", "rows_after")
+      // the next child matches against THIS table's deleted own keys
+      parentExportCols = exportCols
+      deletedKeys = broadcast(doomed.select(exportCols.map(col): _*).distinct())
+    }
+    audits.reduce(_ unionByName _)
+  }
 }

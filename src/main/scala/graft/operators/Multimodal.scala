@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -531,6 +531,195 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** [[synthesizePng]] with the CONTENT seed decoupled from the media
+    * id: pixel value is `(base + x*31 + y*17) % 256`, so two media rows
+    * sharing `baseCol` (and dimensions) encode identical rasters, and
+    * near-identical rasters when their bases differ by a small delta —
+    * the fixture recipe for perceptual near-dup detection
+    * ([[imageDHash]]). Keeping the pixel formula a pure function of
+    * (base, x, y) keeps the oracle recomputable in plain SQL.
+    */
+  def synthesizePngSeeded(spark: SparkSession, rows: DataFrame, idCol: String,
+                          baseCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    rows.select(col(idCol).cast(LongType), col(baseCol).cast(LongType),
+        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see decode)
+        it.map { case (id, base, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = java.lang.Math.floorMod(base + x * 31L + y * 17L, 256L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** 56-bit perceptual difference hash (dHash) over REAL decoded
+    * pixels — the image-modality near-dup signature. An 8×8 grid of
+    * luminance samples is read at stride positions
+    * `(x, y) = (c*w/8, r*h/8)` (integer division; w,h ≥ 8 required of
+    * the input for a meaningful grid, smaller images simply repeat
+    * samples), and bit `r*7+c` is set iff `px(r,c) > px(r,c+1)` —
+    * horizontally adjacent comparisons, 8 rows × 7 bits = 56 bits, kept
+    * under 63 so the hash is a plain non-negative BIGINT on every
+    * engine. The strided-sample variant (vs box-mean downsampling) is
+    * chosen deliberately: it is equally shift/brightness-sensitive for
+    * the near-dup use case and its expected value is a CLOSED-FORM
+    * function of the synthesized pixel pattern, so the DuckDB oracle
+    * recomputes the exact hash in SQL — differentially verifying the
+    * whole PNG encode→decode→sample path, not just headers.
+    *
+    * Corrupt or NULL payloads yield a NULL hash (the standard decode
+    * contract). Scale shape: one map-side pass, O(1) samples per row
+    * after decode, no shuffle.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img =
+            try {
+              if (payload == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            } catch { case _: java.io.IOException => null }
+          if (img == null) (id, None: Option[Long])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var hash = 0L
+            var r = 0
+            while (r < 8) {
+              val y = r * h / 8
+              var c = 0
+              while (c < 7) {
+                val pa = (img.getRGB(c * w / 8, y) >> 16) & 0xFF
+                val pb = (img.getRGB((c + 1) * w / 8, y) >> 16) & 0xFF
+                if (pa > pb) hash |= 1L << (r * 7 + c)
+                c += 1
+              }
+              r += 1
+            }
+            (id, Some(hash))
+          }
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** near-duplicate image pairs: hamming(dhash) ≤ maxDist found by the
+    * same pigeonhole banding as text SimHash (`Dedup.simhashPairs`) —
+    * split the 56-bit hash into (maxDist+1) bands, equal band →
+    * candidate, codegen'd popcount(xor) verify, first-matching-band
+    * dedup instead of a DISTINCT shuffle. COMPLETE at the threshold
+    * (any pair within maxDist collides in ≥1 band), so the brute-force
+    * oracle hash-matches exactly. NULL hashes (corrupt payloads) drop
+    * out at the band explode.
+    *
+    * Scale shape: one band-key shuffle, candidates ∝ bucket occupancy —
+    * never all-pairs.
+    */
+  def dhashPairs(sig: DataFrame, maxDist: Int = 3,
+                 idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 8,
+      s"dhashPairs: 0 <= maxDist < 8 (56-bit hash), got $maxDist")
+    val nBands = maxDist + 1
+    val bandBits = 56 / nBands
+    def bandKey(sh: Column, b: Int): Column =
+      shiftright(sh, b * bandBits)
+        .bitwiseAND(lit((1L << (if (b == nBands - 1) 56 - b * bandBits else bandBits)) - 1))
+    val cleaned = sig.filter(col(hashCol).isNotNull)
+    val bandArr = array((0 until nBands).map(b => bandKey(col(hashCol), b)): _*)
+    val bands = cleaned.select(col(idCol), col(hashCol),
+      posexplode(bandArr).as(Seq("band", "bkey")))
+    val joined = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col("x.band").as("band"),
+        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col(s"x.$hashCol").as("dh_a"), col(s"y.$hashCol").as("dh_b"))
+    val firstMatch = coalesce(((0 until nBands).map { b =>
+      when(bandKey(col("dh_a"), b) === bandKey(col("dh_b"), b), lit(b))
+    } :+ lit(-1)): _*)
+    joined.filter(col("band") === firstMatch)
+      .select(col("id_a"), col("id_b"),
+        graft.plans.HammingDistance(col("dh_a"), col("dh_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** REAL PCM sample statistics — the audio sibling of [[imageStats]],
+    * one step past [[decodeAudioMetaReal]]'s header parse: the payload's
+    * full sample body is decoded through javax.sound.sampled and reduced
+    * to (n_samples, sum_amp, sum_abs) over the signed 16-bit
+    * little-endian values. Because [[synthesizeWav]]'s samples are a
+    * pure function of (id, frame, channel), the oracle recomputes the
+    * sums in plain SQL — a wrong byte ANYWHERE in the encode→decode
+    * path breaks the hash. Corrupt or NULL payloads yield NULL stats.
+    *
+    * Scale shape: map-side only, O(samples)/row, decoder resolved once
+    * per partition (same ServiceLoader pattern as [[synthesizeWav]] —
+    * AudioSystem's per-call provider lookup is a lock convoy at corpus
+    * scale).
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toArray
+        it.map { case (id, payload) =>
+          var ais: javax.sound.sampled.AudioInputStream = null
+          if (payload != null) {
+            var i = 0
+            while (ais == null && i < readers.length) {
+              try {
+                ais = readers(i).getAudioInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                if (i > 0) { // MRU: winner to front (see decodeAudioMetaReal)
+                  val w = readers(i)
+                  System.arraycopy(readers, 0, readers, 1, i)
+                  readers(0) = w
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+                case _: java.io.IOException => ()
+              }
+              i += 1
+            }
+          }
+          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
+              ais.getFormat.isBigEndian)
+            (id, None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            val body = ais.readAllBytes()
+            val n = body.length / 2
+            var sum = 0L; var sumAbs = 0L
+            var j = 0
+            while (j + 1 < body.length) {
+              val v = ((body(j) & 0xff) | (body(j + 1) << 8)).toShort.toLong
+              sum += v; sumAbs += math.abs(v)
+              j += 2
+            }
+            (id, Some(n.toLong), Some(sum), Some(sumAbs))
+          }
+        }
+      }.toDF("media_id", "n_samples", "sum_amp", "sum_abs")
   }
 
   /** per-partition batched feature extraction — the real distribution

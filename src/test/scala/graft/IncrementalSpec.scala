@@ -327,4 +327,41 @@ class IncrementalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate change key"))
   }
+
+  test("forget drops tombstoned keys, tolerates repeats, keeps the rest") {
+    val tomb = Seq(2L, 2L, 9L).toDF("k") // repeat requests are the norm
+    val r = Incremental.forget(base3, tomb, Seq("k"), Seq("k"))
+      .orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("forget anti join broadcasts the tombstone keys (no exchange on base)") {
+    val tomb = Seq(2L).toDF("k")
+    val plan = Incremental.forget(base3, tomb, Seq("k"), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast anti join, got:\n$plan")
+  }
+
+  test("forgetCascade audits every hop and propagates the OWN key, not the FK") {
+    // customers 1,2; orders (10→1, 11→1, 12→2); lines (100→10, 101→12)
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_k", "name")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_k", "o_ck")
+    val lines = Seq((100L, 10L), (101L, 12L)).toDF("l_id", "l_ok")
+      .select(col("l_ok"), col("l_id")) // FK not first: by-name lookup
+    val tomb = Seq(1L).toDF("c_k")
+    val audit = Incremental.forgetCascade(tomb, Seq("c_k"), Seq(
+        ("customer", cust, Seq("c_k"), Seq("c_k")),
+        ("orders", ords, Seq("o_ck"), Seq("o_k")),
+        ("lineitem", lines, Seq("l_ok"), Seq("l_id"))))
+      .orderBy("table_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cascade: cust 1 → orders 10,11 → line 100 (line 101 belongs to
+    // order 12 of the SURVIVING customer — a FK-propagation bug that
+    // forwarded o_ck instead of o_k would delete it too)
+    assert(audit.toSeq == Seq(
+      ("customer", 2L, 1L, 1L),
+      ("lineitem", 2L, 1L, 1L),
+      ("orders", 3L, 2L, 1L)))
+  }
 }

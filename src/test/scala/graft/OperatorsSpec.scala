@@ -1245,4 +1245,55 @@ class OperatorsSpec extends SparkSpec {
       .select("quantile").as[Long].collect().head
     assert(m2 == m)
   }
+
+  test("imageDHash: shared-base images hash equal, corrupt payloads NULL") {
+    // same (base, w, h) → identical rasters → identical hashes; a small
+    // base delta flips few bits; a junk payload yields NULL
+    val dims = Seq((1L, 100L, 16, 12), (2L, 100L, 16, 12), (3L, 103L, 16, 12))
+      .toDF("doc_id", "base", "w", "h")
+    val png = Multimodal.synthesizePngSeeded(spark, dims, "doc_id", "base", "w", "h")
+    val bad = Seq((9L, Array[Byte](0, 1, 2))).toDF("media_id", "payload")
+    val out = Multimodal.imageDHash(spark, png.unionByName(bad))
+      .orderBy("media_id").collect()
+    val (h1, h2, h3) = (out(0).getLong(1), out(1).getLong(1), out(2).getLong(1))
+    assert(h1 == h2, "identical rasters must hash identically")
+    assert(h1 >= 0L && h1 < (1L << 56), "56-bit hash stays a non-negative long")
+    assert(java.lang.Long.bitCount(h1 ^ h3) < 28,
+      "small brightness delta must flip few bits, not half")
+    assert(out(3).isNullAt(1), "corrupt payload must yield NULL hash")
+  }
+
+  test("dhashPairs: complete at the threshold vs brute force, NULLs drop") {
+    val dims = (0L until 24L).map(i =>
+      (i, (i % 6) * 131 + i / 6, 16 + (i % 6).toInt, 12)).toDF("doc_id", "base", "w", "h")
+    val png = Multimodal.synthesizePngSeeded(spark, dims, "doc_id", "base", "w", "h")
+    val bad = Seq((99L, Array[Byte](1))).toDF("media_id", "payload")
+    val sig = Multimodal.imageDHash(spark, png.unionByName(bad))
+    val got = Multimodal.dhashPairs(sig, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force witness over the non-null hashes
+    val hs = sig.filter(col("dhash").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(exp.nonEmpty, "witness set empty — test proves nothing")
+    assert(got == exp, s"banding missed ${exp -- got}, extra ${got -- exp}")
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
+  test("audioStats sums real PCM exactly and nulls corrupt payloads") {
+    val dims = Seq((5L, 4, 2)).toDF("doc_id", "nf", "ch")
+    val wav = Multimodal.synthesizeWav(spark, dims, "doc_id", "nf", "ch")
+    val bad = Seq((9L, Array[Byte](82, 73, 70))).toDF("media_id", "payload")
+    val out = Multimodal.audioStats(spark, wav.unionByName(bad))
+      .orderBy("media_id").collect()
+    val vs = for { f <- 0 until 4; c <- 0 until 2 }
+      yield (5L * 131 + f * 31 + c * 17) % 65536 - 32768
+    assert(out(0).getLong(1) == 8L)
+    assert(out(0).getLong(2) == vs.sum)
+    assert(out(0).getLong(3) == vs.map(math.abs).sum)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
 }
