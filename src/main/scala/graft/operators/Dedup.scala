@@ -493,20 +493,48 @@ object Dedup {
       .withColumn("_sz", count(lit(1)).over(byDoc))
     val prefixLen = col("_sz") -
       floor((lit(tNum) * col("_sz") + lit(tDen - 1)) / lit(tDen)).cast(LongType) + 1
-    val prefix = ranked.filter(col("_rn") <= prefixLen).select(col(idCol), col("h"))
+    val prefix = ranked.filter(col("_rn") <= prefixLen)
+      .select(col(idCol), col("h"), col("_rn"), col("_sz"))
+    // PPJoin's two candidate prunes, both SOUND implications of
+    // jaccard ≥ t so completeness is untouched (the unit witness test
+    // asserts it), both plain int64 arithmetic inside the codegen'd
+    // join condition — they fire BEFORE the DISTINCT shuffle and the
+    // array verify, where the cost is:
+    //  - length filter: t ≤ |A∩B|/|A∪B| ≤ min/max ⇒ max·tNum ≤ min·tDen
+    //  - positional filter: both docs list tokens in the same global
+    //    (df, h) total order, so a match at ranks (pa, pb) bounds the
+    //    overlap by 1 + min(szA−pa, szB−pb), which must reach the
+    //    minimum overlap α = ⌈tNum·(szA+szB)/(tNum+tDen)⌉ implied by
+    //    |A∩B|(1+t) ≥ t(szA+szB)
+    val (szA, szB) = (col("a._sz"), col("b._sz"))
+    val alphaNum = lit(tNum) * (szA + szB) // α = ceil(alphaNum / (tNum+tDen))
+    val ubound = lit(1) + least(szA - col("a._rn"), szB - col("b._rn"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          greatest(szA, szB) * tNum <= least(szA, szB) * tDen &&
+          ubound * lit(tNum + tDen) >= alphaNum)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    // verify straight off the candidate stream — NO mid-pipeline
+    // DISTINCT: a pair colliding on k prefix tokens is verified k
+    // times (k is small — bounded by the prefix length), which is
+    // strictly cheaper than a full extra shuffle of the candidate set
+    // just to dedupe before verifying; the dedupe runs AFTER the
+    // threshold filter instead, where survivors are the (tiny) true
+    // near-dup set. The verify itself is one fused native kernel
+    // (ArrayIntersectCount: one hash build + one counting probe per
+    // pair) — the built-in size(array_intersect)/size(array_union)
+    // pair materializes two throwaway arrays per candidate.
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("_i"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast(LongType).as("_u"))
-      .filter(col("_i") * tDen >= lit(tNum) * col("_u"))
+        graft.plans.ArrayIntersectCount(col("sh_a"), col("sh_b")).as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(LongType).as("_ab"))
+      .filter(col("_i") * (tDen + tNum) >= lit(tNum) * col("_ab"))
       .select(col("id_a"), col("id_b"),
-        (col("_i").cast(DoubleType) / col("_u").cast(DoubleType)).as("jaccard"))
+        (col("_i").cast(DoubleType) /
+          (col("_ab") - col("_i")).cast(DoubleType)).as("jaccard"))
+      .distinct()
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:

@@ -1246,6 +1246,18 @@ class OperatorsSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("ArrayIntersectCount matches size(array_intersect) on distinct sets") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(5L), Seq(5L)),
+      (Seq(1L, 2L, 3L, 4L), Seq.empty[Long])).toDF("a", "b")
+    val r = df.select(
+      graft.plans.ArrayIntersectCount(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b"))).cast("long")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1), row.toString))
+  }
+
   test("imageDHash: shared-base images hash equal, corrupt payloads NULL") {
     // same (base, w, h) → identical rasters → identical hashes; a small
     // base delta flips few bits; a junk payload yields NULL
