@@ -328,6 +328,14 @@ object PipelineEntry {
     "ev_retention" -> { (s, dir) =>
       Behavior.retention(t(s, dir, "events")).orderBy("cohort_week", "week_offset")
     },
+    "ev_ewma" -> { (s, dir) =>
+      // per-user exponential smoother, α = 1/5: chronological left
+      // fold per key (aggregate HOF), rational-coefficient step
+      // (x + 4·acc)/5 so the IEEE sequence replays bit-exactly in the
+      // oracle's list_reduce
+      Behavior.ewmaLast(t(s, dir, "events"), aNum = 1L, aDen = 5L)
+        .orderBy("user_id")
+    },
     "ev_attribution" -> { (s, dir) =>
       // first/last-touch credit for each purchase; error events are
       // deliberately NOT touches (conversions with only errors before
@@ -1045,6 +1053,20 @@ object PipelineEntry {
         maxDist = 3)
         .orderBy("id_a", "id_b")
     },
+    "mm_scene" -> { (s, dir) =>
+      // shot-boundary detection over REAL decoded MJPEG frames: the
+      // luminance-jump heuristic on per-frame pixel means; the oracle
+      // recomputes means from (id, f) (solid 8-aligned frames
+      // roundtrip JPEG bit-exactly) and replays the same lag window
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 3 + 1).as("nf"),
+        ((col("doc_id") % 4 + 1) * 8).as("w"), ((col("doc_id") % 3 + 1) * 8).as("h"))
+      Multimodal.sceneCuts(
+        Multimodal.decodeVideoFramesReal(s,
+          Multimodal.synthesizeMjpeg(s, dims, "doc_id", "nf", "w", "h")),
+        threshold = 100.0)
+        .orderBy("media_id", "frame_idx")
+    },
     "mm_audio_stats" -> { (s, dir) =>
       // SAMPLE-level differential audio check (the WAV sibling of
       // mm_image_stats, one step past mm_decode_wav's header parse):
@@ -1742,6 +1764,15 @@ object PipelineEntry {
           Seq("returnflag_holed", "l_quantity"))
         .orderBy("col_name")
     },
+    "priv_kanon" -> { (s, dir) =>
+      // k-anonymity / l-diversity audit: equivalence classes over the
+      // (segment, nation) quasi-identifiers with exact sensitive-value
+      // diversity — the structural privacy gate beside scrubPii
+      // (content) and inc_forget (deletion)
+      Validate.kAnonymity(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 10L)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
     "misc_validate" -> { (s, dir) =>
       // admission checks before a dump joins the corpus: all row-level
       // predicates fold into ONE scan; uniqueness is one aggregate; the
@@ -1964,6 +1995,13 @@ object PipelineEntry {
           |  CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
           |  count(DISTINCT user_id) AS users
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // same left fold, same rational step (1*x + 4*acc)/5 — identical
+      // IEEE op sequence, so the doubles hash-match
+      "ev_ewma" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
+          |    (acc, x) -> (1 * x + 4 * acc) / 5) AS ewma
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "ev_attribution" -> {
         val touch = "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
         val frame = "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
@@ -3094,6 +3132,16 @@ object PipelineEntry {
           |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+      "mm_scene" ->
+        """WITH fr AS (SELECT doc_id AS media_id, f AS frame_idx,
+          |    CAST((doc_id * 131 + f * 31) % 256 AS DOUBLE) AS mean_luma
+          |  FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(f)),
+          |d AS (SELECT media_id, frame_idx, mean_luma,
+          |    ABS(mean_luma - lag(mean_luma) OVER (PARTITION BY media_id ORDER BY frame_idx)) AS luma_diff
+          |  FROM fr)
+          |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, mean_luma,
+          |  luma_diff, COALESCE(luma_diff > 100.0, FALSE) AS is_cut
+          |FROM d ORDER BY media_id, frame_idx""".stripMargin,
       // PCM sample sums are a pure function of (id, frame, channel):
       // v = (id*131 + f*31 + c*17) % 65536 - 32768, signed 16-bit LE
       "mm_audio_stats" ->
@@ -3352,6 +3400,14 @@ object PipelineEntry {
            |  CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct AS distinct_ratio
            |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin
       },
+      "priv_kanon" ->
+        """SELECT c_mktsegment, c_nationkey,
+          |  COUNT(*) AS class_size,
+          |  COUNT(DISTINCT c_acctbal) AS l_diversity,
+          |  COUNT(*) < 10 AS violates_k,
+          |  COUNT(DISTINCT c_acctbal) < 10 AS violates_l
+          |FROM customer GROUP BY c_mktsegment, c_nationkey
+          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
       "misc_validate" ->
         """SELECT * FROM (
           |SELECT 'acctbal_nonneg' AS rule,

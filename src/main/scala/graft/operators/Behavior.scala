@@ -199,4 +199,38 @@ object Behavior {
     mergeIntervals(intervals, keyCol, startCol, endCol)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_intervals"), sum(col("covered_us")).as("covered_us"))
+
+  /** Per-key exponentially-weighted moving average, final value — the
+    * recursive smoother `y_t = α·x_t + (1−α)·y_{t−1}` (y_0 = x_0) a
+    * telemetry pipeline keeps per entity. The recursion is inherently
+    * sequential, so it is evaluated as a chronological LEFT FOLD over
+    * each key's own events (`collect_list` + the `aggregate` HOF) —
+    * per-key state is bounded by that key's event count, keys fold in
+    * parallel, one shuffle total; there is deliberately NO window
+    * formulation (the closed form needs `(1−α)^(−i)` terms that
+    * overflow for long series).
+    *
+    * α is a RATIONAL `aNum/aDen`, and each step is computed as
+    * `(aNum·x + (aDen−aNum)·acc) / aDen` — integer coefficients, one
+    * IEEE division per step, identical association order on any
+    * engine, so the result replays bit-exactly (a float `1−α` would
+    * already disagree across engines: `1−0.2` and literal `0.8` are
+    * different doubles). Ties on the timestamp order by value
+    * (sort_array on the (ts, value) struct) — deterministic.
+    */
+  def ewmaLast(events: DataFrame, aNum: Long, aDen: Long,
+               keyCol: String = "user_id", tsCol: String = "ts",
+               valueCol: String = "value"): DataFrame = {
+    require(0 < aNum && aNum <= aDen,
+      s"ewmaLast: alpha must be a rational in (0, 1]: $aNum/$aDen")
+    val pair = struct(col(tsCol), col(valueCol).cast("double").as("v"))
+    events.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(pair)).as("_a"), count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("n_events"),
+        aggregate(
+          slice(col("_a"), lit(2), size(col("_a")) - 1),
+          element_at(col("_a"), 1).getField("v"),
+          (acc, e) => (lit(aNum) * e.getField("v") + lit(aDen - aNum) * acc) / lit(aDen))
+          .as("ewma"))
+  }
 }

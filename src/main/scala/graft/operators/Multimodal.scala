@@ -722,6 +722,29 @@ object Multimodal {
       }.toDF("media_id", "n_samples", "sum_amp", "sum_abs")
   }
 
+  /** Scene-change detection over decoded frame statistics — the
+    * standard shot-boundary heuristic: a cut is flagged where the
+    * absolute luminance jump from the previous frame exceeds
+    * `threshold`. Runs on [[decodeVideoFramesReal]]'s output (REAL
+    * per-frame pixel means), so the whole MJPEG decode path feeds the
+    * detector. The first frame of each clip has no predecessor: NULL
+    * `luma_diff`, never a cut.
+    *
+    * Scale shape: one window partitioned BY CLIP (high cardinality,
+    * never a funnel) ordered by frame index — a single shuffle on
+    * media_id; frames of one clip are bounded (seconds × fps), so
+    * per-partition state is small.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("luma_diff", abs(col("mean_luma") - lag(col("mean_luma"), 1).over(w)))
+      .withColumn("is_cut", coalesce(col("luma_diff") > threshold, lit(false)))
+      .select(col("media_id"), col("frame_idx"), col("mean_luma"),
+        col("luma_diff"), col("is_cut"))
+  }
+
   /** per-partition batched feature extraction — the real distribution
     * path a heavy decoder would use (state initialized once per
     * partition, rows processed in a batch loop). The feature itself is a

@@ -123,4 +123,36 @@ object Validate {
       (col("n_distinct_b").cast(DoubleType) / col("n_distinct_a"))
         .as("distinct_ratio"))
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the privacy gate a dataset passes before release (Sweeney 2002;
+    * Machanavajjhala et al. 2007): every combination of
+    * quasi-identifiers (the equivalence class) must contain at least
+    * `k` records, and — l-diversity — at least `l` distinct values of
+    * the sensitive attribute, or the class re-identifies individuals.
+    * Output: one row per equivalence class with `class_size`,
+    * `l_diversity` (exact distinct count of `sensitiveCol`), and the
+    * two violation flags; release gates filter `violates_k OR
+    * violates_l`, auditors keep the full report.
+    *
+    * Companion to [[graft.functions.TextFunctions.scrubPii]] (content
+    * redaction) and [[Incremental.forget]] (deletion requests): this
+    * is the STRUCTURAL leak check. Scale shape: one hash aggregate on
+    * the quasi-identifier key — countDistinct is exact (the same
+    * expand-based exact distinct every `nunique` here uses), no
+    * second shuffle.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 k: Long, l: Long = 1L): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity: at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"kAnonymity: k and l must be >= 1, got k=$k l=$l")
+    val missing = (qiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"kAnonymity: no such column(s): ${missing.mkString(", ")}")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .select(qiCols.map(col) ++ Seq(col("class_size"), col("l_diversity"),
+        (col("class_size") < k).as("violates_k"),
+        (col("l_diversity") < l).as("violates_l")): _*)
+  }
 }

@@ -270,6 +270,48 @@ class BehaviorSpec extends SparkSpec {
     assert(tr == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("ewmaLast: hand-computed fold, singleton = its own value, tie order") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 5L, 7.0))
+      .toDF("user_id", "ts", "value")
+    val r = Behavior.ewmaLast(df, aNum = 1L, aDen = 5L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // y0=10, y1=(20+4*10)/5=12, y2=(30+4*12)/5=15.6
+    assert(r(1L) == ((3L, (30.0 + 4 * ((20.0 + 4 * 10.0) / 5)) / 5)))
+    assert(r(2L) == ((1L, 7.0)), "singleton key folds to its own value")
+    // identical timestamps: sort_array tiebreaks on value — deterministic
+    val tied = Seq((9L, 1L, 3.0), (9L, 1L, 1.0)).toDF("user_id", "ts", "value")
+    val e = Behavior.ewmaLast(tied, 1L, 5L).collect()(0).getDouble(2)
+    assert(e == (3.0 + 4 * 1.0) / 5, "value-ascending on ts ties")
+  }
+
+  test("kAnonymity flags small classes and low sensitive diversity") {
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 1L, "y"), ("a", 1L, "z"), // size 3, l 3
+      ("b", 2L, "x"), ("b", 2L, "x"),                 // size 2, l 1
+      ("c", 3L, "q"))                                 // size 1, l 1
+      .toDF("seg", "nat", "sens")
+    val r = graft.operators.Validate.kAnonymity(df, Seq("seg", "nat"), "sens",
+        k = 2L, l = 2L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(4), x.getBoolean(5))).toMap
+    assert(r("a") == ((3L, 3L, false, false)))
+    assert(r("b") == ((2L, 1L, false, true)), "diverse size, single sensitive value")
+    assert(r("c") == ((1L, 1L, true, true)))
+  }
+
+  test("sceneCuts: first frame never a cut, threshold strict, per-clip lag") {
+    val frames = Seq(
+      (1L, 0L, 8L, 8L, 10.0), (1L, 1L, 8L, 8L, 50.0), (1L, 2L, 8L, 8L, 251.0),
+      (2L, 0L, 8L, 8L, 200.0))
+      .toDF("media_id", "frame_idx", "width", "height", "mean_luma")
+    val r = graft.operators.Multimodal.sceneCuts(frames, threshold = 100.0)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(r(0).isNullAt(3) && !r(0).getBoolean(4), "first frame: null diff, no cut")
+    assert(r(1).getDouble(3) == 40.0 && !r(1).getBoolean(4))
+    assert(r(2).getDouble(3) == 201.0 && r(2).getBoolean(4))
+    assert(r(3).isNullAt(3) && !r(3).getBoolean(4), "clip 2 starts its own lag")
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
