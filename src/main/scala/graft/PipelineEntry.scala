@@ -328,6 +328,14 @@ object PipelineEntry {
     "ev_retention" -> { (s, dir) =>
       Behavior.retention(t(s, dir, "events")).orderBy("cohort_week", "week_offset")
     },
+    "ev_anomaly" -> { (s, dir) =>
+      // rolling z-score outlier gate, cross-multiplied to pure int64 on
+      // centi-units: (n*x - s1)^2 > z^2*(n*s2 - s1^2) over the 5
+      // PRECEDING events per user — no sqrt, no float mean, so the
+      // verdict replays bit-exactly in the oracle's window SQL
+      Behavior.anomalies(t(s, dir, "events"), k = 5, z = 3)
+        .orderBy("user_id", "event_id")
+    },
     "ev_ewma" -> { (s, dir) =>
       // per-user exponential smoother, α = 1/5: chronological left
       // fold per key (aggregate HOF), rational-coefficient step
@@ -615,6 +623,21 @@ object PipelineEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       Graph.triangleCount(e)
+    },
+    "graph_linkpred" -> { (s, dir) =>
+      // common-neighbor link prediction on the same sampled co-purchase
+      // graph as graph_triangles: non-edge part pairs ranked by shared
+      // co-purchase neighborhoods, Jaccard as an exact rational — the
+      // "related products" / citation-suggestion query
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.linkPrediction(e, minCommon = 3L)
+        .orderBy("id_a", "id_b")
     },
     "text_url_canon" -> { (s, dir) =>
       // URL canonicalization for crawl dedup: synthesize messy per-doc
@@ -1995,6 +2018,16 @@ object PipelineEntry {
           |  CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
           |  count(DISTINCT user_id) AS users
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "ev_anomaly" ->
+        """WITH e AS (SELECT user_id, event_id, ts, value,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |w AS (SELECT user_id, event_id, ts, value, v,
+          |    count(v) OVER win AS n, sum(v) OVER win AS s1, sum(v * v) OVER win AS s2
+          |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+          |SELECT user_id, event_id, ts, value, n AS n_prev,
+          |  (n >= 3 AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
+          |FROM w ORDER BY user_id, event_id""".stripMargin,
       // same left fold, same rational step (1*x + 4*acc)/5 — identical
       // IEEE op sequence, so the doubles hash-match
       "ev_ewma" ->
@@ -2394,6 +2427,22 @@ object PipelineEntry {
            |FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
            |GROUP BY id HAVING count(*) >= 9 ORDER BY id""".stripMargin
       },
+      "graph_linkpred" ->
+        """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
+          |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+          |adj AS (SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0),
+          |deg AS (SELECT u AS id, count(*) AS deg FROM adj GROUP BY u),
+          |wed AS (SELECT x.u AS id_a, y.u AS id_b FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u),
+          |cm AS (SELECT id_a, id_b, count(*) AS common_neighbors FROM wed
+          |  GROUP BY id_a, id_b HAVING count(*) >= 3),
+          |ne AS (SELECT cm.* FROM cm LEFT JOIN e0 ON cm.id_a = e0.a AND cm.id_b = e0.b
+          |  WHERE e0.a IS NULL)
+          |SELECT ne.id_a, ne.id_b, ne.common_neighbors,
+          |  da.deg + db.deg - ne.common_neighbors AS union_deg,
+          |  CAST(ne.common_neighbors AS DOUBLE) / (da.deg + db.deg - ne.common_neighbors) AS jaccard
+          |FROM ne JOIN deg da ON ne.id_a = da.id JOIN deg db ON ne.id_b = db.id
+          |ORDER BY id_a, id_b""".stripMargin,
       "graph_triangles" ->
         """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
           |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

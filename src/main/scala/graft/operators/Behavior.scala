@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Behavioral / sequence analytics over an event log: funnel
   * conversion, cohort retention, transition (Markov) counts, and
@@ -232,5 +233,46 @@ object Behavior {
           element_at(col("_a"), 1).getField("v"),
           (acc, e) => (lit(aNum) * e.getField("v") + lit(aDen - aNum) * acc) / lit(aDen))
           .as("ewma"))
+  }
+
+  /** Per-key rolling z-score anomaly flag with EXACT integer
+    * arithmetic — the telemetry outlier gate: an event is anomalous
+    * when its value deviates from the mean of its own trailing window
+    * by more than `z` population standard deviations. The test is
+    * cross-multiplied so no square root or float mean is ever taken:
+    * with window sums `s1 = Σv`, `s2 = Σv²` over the `k` PRECEDING
+    * events (current excluded),
+    * `|x − s1/n| > z·σ  ⟺  (n·x − s1)² > z²·(n·s2 − s1²)`
+    * — all int64 on centi-units (`DECIMAL(18,2)·100`, the engine-exact
+    * money convention every ev_ query here uses), so the verdict
+    * replays bit-exactly in any engine. Events with fewer than
+    * `minPrev` predecessors are never flagged (cold start).
+    *
+    * Magnitude guard: n ≤ k and centi-values < ~10⁶ keep
+    * `(n·x − s1)²` under 2⁶³ for k ≤ 100; the require documents it.
+    *
+    * Scale shape: one window partitioned by the entity key (high
+    * cardinality, never a funnel), ROWS frame of k — single shuffle,
+    * state bounded by k per key.
+    */
+  def anomalies(events: DataFrame, k: Int, z: Long, minPrev: Int = 3,
+                keyCol: String = "user_id", tsCol: String = "ts",
+                idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(k >= 1 && k <= 100 && z >= 1 && minPrev >= 1,
+      s"anomalies: need 1<=k<=100, z>=1, minPrev>=1; got k=$k z=$z minPrev=$minPrev")
+    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-k, -1)
+    events
+      .withColumn("_v", v)
+      .withColumn("_n", count(col("_v")).over(w))
+      .withColumn("_s1", sum(col("_v")).over(w))
+      .withColumn("_s2", sum(col("_v") * col("_v")).over(w))
+      .select(col(keyCol), col(idCol), col(tsCol), col(valueCol),
+        col("_n").as("n_prev"),
+        (col("_n") >= minPrev &&
+          (col("_n") * col("_v") - col("_s1")) * (col("_n") * col("_v") - col("_s1")) >
+            lit(z * z) * (col("_n") * col("_s2") - col("_s1") * col("_s1")))
+          .as("is_anomaly"))
   }
 }

@@ -191,4 +191,50 @@ object Graph {
       "(raise maxIter; the peel always terminates in <= |V| rounds)")
     degrees(e).filter(col("deg") >= k)
   }
+
+  /** Common-neighbor link prediction over an undirected edge list —
+    * the classic "who should be connected next" score (Liben-Nowell &
+    * Kleinberg 2003): for every NON-edge pair sharing at least
+    * `minCommon` neighbors, the common-neighbor count and the exact
+    * neighborhood-Jaccard as a rational `(common, union_deg)` pair
+    * plus its one final IEEE division — all candidate math is int64,
+    * so scores replay bit-exactly in any engine (no log/float scoring
+    * like Adamic-Adar, deliberately — same rational-threshold house
+    * rule as the dedup family).
+    *
+    * Scale shape: wedge generation at the shared neighbor —
+    * Σ deg(v)² fan-out, the same budget as [[triangleCount]] (run on
+    * a degree-capped or sampled graph, as the gate query does);
+    * one (pair) count aggregate; existing edges leave by a broadcast
+    * anti join when the edge list is small, shuffle anti otherwise
+    * (left to AQE); degrees attach by two joins on the pair ids.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1, s"linkPrediction: minCommon >= 1, got $minCommon")
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // symmetric adjacency: neighbor -> endpoint
+    val adj = e0.select(col("a").as("v"), col("b").as("u"))
+      .union(e0.select(col("b").as("v"), col("a").as("u")))
+    val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // wedges centered at v: unordered endpoint pair (x.u < y.u)
+    val wedges = adj.alias("x").join(adj.alias("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("id_a"), col("y.u").as("id_b"))
+    val common = wedges.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+    common
+      .join(e0, common("id_a") === e0("a") && common("id_b") === e0("b"), "left_anti")
+      .join(deg.select(col("id").as("id_a"), col("deg").as("_da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("_db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("common_neighbors"),
+        (col("_da") + col("_db") - col("common_neighbors")).as("union_deg"),
+        (col("common_neighbors").cast(DoubleType) /
+          (col("_da") + col("_db") - col("common_neighbors")).cast(DoubleType))
+          .as("jaccard"))
+  }
 }

@@ -312,6 +312,36 @@ class BehaviorSpec extends SparkSpec {
     assert(r(3).isNullAt(3) && !r(3).getBoolean(4), "clip 2 starts its own lag")
   }
 
+  test("anomalies: zero-variance window flags any deviation, cold start never") {
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0), (1L, 4L, 10.0),
+      (1L, 5L, 100.0), // dev from zero-variance window -> anomaly
+      (1L, 6L, 10.0))  // window now has variance from the 100; not 3 sigma? recompute below
+      .map { case (u, i, v) => (u, i, new Timestamp(i * 1000), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = Behavior.anomalies(df, k = 5, z = 3)
+      .collect().map(x => x.getLong(1) -> (x.getLong(4), x.getBoolean(5))).toMap
+    assert(r(1L) == ((0L, false)) && r(2L) == ((1L, false)) && r(3L) == ((2L, false)),
+      "cold start: fewer than minPrev predecessors never flags")
+    assert(r(4L) == ((3L, false)), "constant history, constant value: no anomaly")
+    assert(r(5L) == ((4L, true)), "zero-variance window, any deviation flags")
+    // event 6: window {10,10,10,10,100} centi (1000*4, 10000): n=5,
+    // s1=14000, s2=4e6+1e8; (5*1000-14000)^2 = 81e6;
+    // 9*(5*104e6 - 196e6) = 9*324e6 — 81e6 < 2916e6 -> not anomalous
+    assert(r(6L) == ((5L, false)))
+  }
+
+  test("linkPrediction: non-edge pairs only, exact common/jaccard") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.linkPrediction(e, minCommon = 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // only (1,4) is a non-edge with common neighbors {2,3}; deg1=deg4=2
+    assert(r.keySet == Set((1L, 4L)), s"edges must be excluded, got ${r.keySet}")
+    assert(r((1L, 4L)) == ((2L, 2L, 1.0)))
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
