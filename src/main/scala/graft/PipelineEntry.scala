@@ -1252,6 +1252,18 @@ object PipelineEntry {
         .orderBy("event_id")
     },
 
+    "stream_ewma" -> { (s, dir) =>
+      // streaming EWMA as a REAL multi-batch stateful job
+      // (mapGroupsWithState, Update mode): same rational fold and same
+      // (ts, value) ordering as the batch ev_ewma, so the final emit
+      // per user is bit-identical to the batch answer — oracle = the
+      // SAME list_reduce SQL
+      StreamReplay.replayEwma(s,
+          t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          aNum = 1L, aDen = 5L)
+        .orderBy("user_id")
+    },
+
     // ---- as-of / range joins (operators stock Spark lacks) ----
     "ev_asof" -> { (s, dir) =>
       // every event annotated with the user's latest purchase value at or
@@ -2031,6 +2043,13 @@ object PipelineEntry {
       // same left fold, same rational step (1*x + 4*acc)/5 — identical
       // IEEE op sequence, so the doubles hash-match
       "ev_ewma" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
+          |    (acc, x) -> (1 * x + 4 * acc) / 5) AS ewma
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // the streaming replay's final per-user emit must equal the same
+      // batch fold — one oracle serves both faces
+      "stream_ewma" ->
         """SELECT user_id, count(*) AS n_events,
           |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
           |    (acc, x) -> (1 * x + 4 * acc) / 5) AS ewma

@@ -21,6 +21,12 @@ case class OpenSession(start_us: Long, end_us: Long, n: Long, cents: Long)
   */
 case class SessState(nextId: Long, open: Option[OpenSession])
 
+/** per-user streaming-EWMA state: events seen + current smoothed value. */
+case class EwmaState(n: Long, y: Double)
+
+/** running EWMA emit — matches Behavior.ewmaLast columns. */
+case class EwmaRow(user_id: Long, n_events: Long, ewma: Double)
+
 /** emitted closed session — matches Sessionize.sessions columns. */
 case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
                          total_value: Double, start_us: Long, end_us: Long)
@@ -278,6 +284,44 @@ object StreamOps {
         }
       }
       .start()
+  }
+
+  /** Streaming exponential moving average — the online face of
+    * [[graft.operators.Behavior.ewmaLast]]: per-user (count, ewma)
+    * state folded with the SAME rational step
+    * `(aNum·x + (aDen−aNum)·y)/aDen` and the same (ts, value) in-batch
+    * ordering the batch operator's sort_array imposes, so a
+    * chronologically-fed replay is BIT-IDENTICAL to the batch fold
+    * (same IEEE op sequence). Emits the running (user_id, n_events,
+    * ewma) every micro-batch the user appears in (Update mode); the
+    * final emit per user is the batch answer. State = two numbers per
+    * user.
+    */
+  def ewmaStream(spark: SparkSession, events: DataFrame,
+                 aNum: Long, aDen: Long): Dataset[EwmaRow] = {
+    import spark.implicits._
+    require(0 < aNum && aNum <= aDen,
+      s"ewmaStream: alpha must be a rational in (0, 1]: $aNum/$aDen")
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+    typed.mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[EwmaState]) =>
+        val st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+        // in-batch delivery is unordered: sort by (ts, value), matching
+        // the batch operator's sort_array tiebreak exactly
+        val evs = it.toArray.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+        var n = st.n; var y = st.y
+        evs.foreach { case (_, _, x) =>
+          y = if (n == 0L) x else (aNum * x + (aDen - aNum) * y) / aDen
+          n += 1
+        }
+        state.update(EwmaState(n, y))
+        EwmaRow(user, n, y)
+    }
   }
 
   // The bounded-replay harnesses that drive these operators in the gate

@@ -292,4 +292,23 @@ class StreamingSpec extends SparkSpec {
     assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
   }
+
+  test("streaming EWMA == batch EWMA bit-for-bit, any chunking") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 10.0), (1L, "2024-01-01 00:00:02", 20.0),
+      (1L, "2024-01-01 00:00:03", 30.0), (1L, "2024-01-01 00:00:04", 7.5),
+      (2L, "2024-01-01 00:00:01", 5.0), (2L, "2024-01-01 00:00:09", 1.25))
+      .map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    val batch = graft.operators.Behavior.ewmaLast(ev, 1L, 5L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (chunks <- Seq(1, 3, 6)) {
+      val s = StreamReplay.replayEwma(spark, ev, 1L, 5L, nChunks = chunks,
+          name = s"ewma_sink_$chunks")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(s == batch, s"chunking=$chunks must not change the fold")
+    }
+  }
 }
