@@ -90,6 +90,48 @@ object SparkEntry {
         .limit(10)
     },
 
+    "q10_returns" -> { (s, dir) =>
+      // TPC-H Q10 shape (returned-item reporting): revenue lost to
+      // returns per customer over one order quarter, top 20. Orders
+      // filter prunes FIRST (partition-prunable at scale), lineitem
+      // joins shuffled on the orderkey (both sides huge — bucketing
+      // co-locates them in a warehouse deployment), nation broadcasts.
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("c_mktsegment"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+        .limit(20)
+    },
+    "q14_promo" -> { (s, dir) =>
+      // TPC-H Q14 shape (promotion effect): PROMO share of one month's
+      // revenue — two decimal-exact sums from ONE conditional
+      // aggregate (no second scan, no join back), part side broadcast
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1995-10-01").cast(TimestampType))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(D)))
+            .cast(DoubleType).as("promo_revenue"),
+          sum(rev).cast(DoubleType).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+    },
+
     // ---- SQL entry point: spark.sql over registered fixture views ----
     "sql_q6" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -902,7 +944,7 @@ object SparkEntry {
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1994-01-01").cast(TimestampType) &&
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1995-01-01").cast(TimestampType))
       val li = t(s, dir, "lineitem")
       val sup = t(s, dir, "supplier")
@@ -962,6 +1004,29 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name, c_mktsegment
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01')
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct FROM a""".stripMargin,
     "sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
