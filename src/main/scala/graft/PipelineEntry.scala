@@ -215,6 +215,14 @@ object PipelineEntry {
       graft.operators.Corpus.datasheet(t(s, dir, "documents"), Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    "corpus_diversity" -> { (s, dir) =>
+      // slice-balance metrics per language: exact-rational Gini
+      // impurity and floor-log2-quantized entropy of the source mix —
+      // the no-libm integer forms that replay bit-identically
+      graft.operators.Corpus.diversity(t(s, dir, "documents"),
+          Seq("lang"), "source")
+        .orderBy("lang")
+    },
     "text_stats" -> { (s, dir) =>
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -1955,6 +1963,16 @@ object PipelineEntry {
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "corpus_diversity" ->
+        """WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+          |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_categories,
+          |    CAST(SUM(c * c) AS BIGINT) AS s2,
+          |    CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS cl
+          |  FROM c GROUP BY lang)
+          |SELECT lang, n, n_categories,
+          |  CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini,
+          |  n * (length(bin(n)) - 1) - cl AS entropy_qbits
+          |FROM g ORDER BY lang""".stripMargin,
       "corpus_datasheet" ->
         s"""SELECT source, lang, COUNT(*) AS n_docs,
            |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens,

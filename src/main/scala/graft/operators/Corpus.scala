@@ -51,4 +51,45 @@ object Corpus {
           .as("dup_rate"),
         (col("n_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"))): _*)
   }
+
+  /** Per-group categorical diversity — the balance metrics a corpus
+    * datasheet quotes for a slice column (is the `source` mix inside
+    * each language collapsed or even?):
+    *
+    *  - `gini` — Gini impurity `1 − Σ(cᵢ/n)²`, computed as the EXACT
+    *    rational `(n² − Σcᵢ²)/n²` with one final IEEE division — no
+    *    float accumulation, replays bit-identically anywhere;
+    *  - `entropy_qbits` — Shannon entropy in the engine-exact
+    *    floor-log2 quantization the LM/PMI scorers use
+    *    (`ilog2(c) = length(bin(c))−1`): `Σcᵢ·(ilog2(n) − ilog2(cᵢ))
+    *    = n·ilog2(n) − Σcᵢ·ilog2(cᵢ)` — pure int64, NOT nats/bits of
+    *    true entropy but ordered the same way and exactly comparable
+    *    across engines and runs (the same no-libm rule as
+    *    `lmQualityScore`: two engines' `log()` need not agree at the
+    *    last ulp, integer quantization always does).
+    *
+    * Scale shape: one (group, category) count aggregate, then one
+    * group aggregate over the (small) category counts — two exchanges,
+    * nothing row-shaped past the first.
+    */
+  def diversity(docs: DataFrame, groupCols: Seq[String],
+                catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "diversity: at least one group column")
+    val missing = (groupCols :+ catCol).filterNot(docs.columns.contains)
+    require(missing.isEmpty, s"diversity: no such column(s): ${missing.mkString(", ")}")
+    def ilog2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - 1).cast(LongType)
+    val counts = docs.groupBy((groupCols :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_c")).as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("_c") * col("_c")).as("_s2"),
+        sum(col("_c") * ilog2(col("_c"))).as("_cl"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("n_categories"),
+        ((col("n") * col("n") - col("_s2")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("gini"),
+        (col("n") * ilog2(col("n")) - col("_cl")).as("entropy_qbits")): _*)
+  }
 }

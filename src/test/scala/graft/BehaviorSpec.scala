@@ -342,6 +342,20 @@ class BehaviorSpec extends SparkSpec {
     assert(r((1L, 4L)) == ((2L, 2L, 1.0)))
   }
 
+  test("diversity: hand-computed gini and quantized entropy; degenerate group") {
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "book"), ("en", "book"),
+      ("de", "web"), ("de", "web"), ("de", "web"))
+      .toDF("lang", "source")
+    val r = graft.operators.Corpus.diversity(df, Seq("lang"), "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toMap
+    // en: counts {2,2}, n=4: gini = (16-8)/16 = 0.5,
+    // qbits = 4*ilog2(4) - 2*ilog2(2)*2 = 8 - 4 = 4
+    assert(r("en") == ((4L, 2L, 0.5, 4L)))
+    // de: single category -> zero impurity, zero quantized entropy
+    assert(r("de") == ((3L, 1L, 0.0, 0L)))
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
