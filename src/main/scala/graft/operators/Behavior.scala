@@ -248,8 +248,11 @@ object Behavior {
     * replays bit-exactly in any engine. Events with fewer than
     * `minPrev` predecessors are never flagged (cold start).
     *
-    * Magnitude guard: n ≤ k and centi-values < ~10⁶ keep
-    * `(n·x − s1)²` under 2⁶³ for k ≤ 100; the require documents it.
+    * Magnitude contract: centi-values must stay within ±10⁷ (±100 000
+    * whole units) so `(n·x − s1)²` fits int64 at k ≤ 100 — ENFORCED
+    * in-plan with `raise_error` (the zValue rule: silent two's-
+    * complement wrap on out-of-contract input would flip verdicts
+    * silently; a loud failure never does).
     *
     * Scale shape: one window partitioned by the entity key (high
     * cardinality, never a funnel), ROWS frame of k — single shuffle,
@@ -260,7 +263,11 @@ object Behavior {
                 idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
     require(k >= 1 && k <= 100 && z >= 1 && minPrev >= 1,
       s"anomalies: need 1<=k<=100, z>=1, minPrev>=1; got k=$k z=$z minPrev=$minPrev")
-    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val raw = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val v = when(abs(raw) > 10000000L,
+        raise_error(concat(lit("anomalies: |value| exceeds the 100000-unit "
+          + "int64-safe domain: "), col(valueCol).cast("string"))).cast("long"))
+      .otherwise(raw)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
       .rowsBetween(-k, -1)
     events

@@ -331,6 +331,15 @@ class BehaviorSpec extends SparkSpec {
     assert(r(6L) == ((5L, false)))
   }
 
+  test("anomalies: out-of-domain magnitudes fail loudly, not wrap") {
+    val df = Seq((1L, 1L, new Timestamp(1000), 2.0e6))
+      .toDF("user_id", "event_id", "ts", "value")
+    val e = intercept[Exception] {
+      Behavior.anomalies(df, k = 5, z = 3).collect()
+    }
+    assert(e.getMessage.contains("int64-safe domain"))
+  }
+
   test("linkPrediction: non-edge pairs only, exact common/jaccard") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("src", "dst")
