@@ -1098,6 +1098,24 @@ object PipelineEntry {
         threshold = 100.0)
         .orderBy("media_id", "frame_idx")
     },
+    "mm_dhash_clusters" -> { (s, dir) =>
+      // the full image-dedup chain: real decode → perceptual dHash →
+      // banded hamming pairs → connected components → one canonical
+      // image per near-dup cluster; oracle replays the hash AND the
+      // transitive closure (recursive CTE) — the image-modality
+      // sibling of dedup_clusters
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) % 24 + 9).as("w"),
+        ((col("doc_id") % 60) % 16 + 9).as("h"))
+      val pairs = Multimodal.dhashPairs(
+        Multimodal.imageDHash(s,
+          Multimodal.synthesizePngSeeded(s, dims, "doc_id", "base", "w", "h")),
+        maxDist = 3)
+      Cluster.dedupClusters(dims.select(col("doc_id")), pairs, idCol = "doc_id")
+        .withColumnRenamed("doc_id", "media_id")
+        .orderBy("media_id")
+    },
     "mm_audio_stats" -> { (s, dir) =>
       // SAMPLE-level differential audio check (the WAV sibling of
       // mm_image_stats, one step past mm_decode_wav's header parse):
@@ -3228,6 +3246,27 @@ object PipelineEntry {
           |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, mean_luma,
           |  luma_diff, COALESCE(luma_diff > 100.0, FALSE) AS is_cut
           |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+      "mm_dhash_clusters" ->
+        """WITH RECURSIVE g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+          |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
+          |bits AS (SELECT doc_id,
+          |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
+          |              (base + (((c + 1) * w) // 8) * 31 + ((r * h) // 8) * 17) % 256
+          |         THEN (CAST(1 AS BIGINT) << CAST(r * 7 + c AS INT)) ELSE 0 END AS bit
+          |  FROM g, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c)),
+          |dh AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+          |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |      UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT doc_id AS id, doc_id AS lab FROM documents
+          |  UNION
+          |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
+          |SELECT id AS media_id, MIN(lab) AS cluster_id,
+          |  (MIN(lab) = id) AS is_canonical
+          |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
       // PCM sample sums are a pure function of (id, frame, channel):
       // v = (id*131 + f*31 + c*17) % 65536 - 32768, signed 16-bit LE
       "mm_audio_stats" ->
