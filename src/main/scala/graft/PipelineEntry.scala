@@ -333,6 +333,13 @@ object PipelineEntry {
     "ev_funnel" -> { (s, dir) =>
       Behavior.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
     },
+    "ev_funnel_window" -> { (s, dir) =>
+      // conversion-window funnel: click and purchase only count within
+      // 24h of the user's FIRST view (first-anchor semantics, exact
+      // int64-microsecond window arithmetic)
+      Behavior.funnelWindowed(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)
+    },
     "ev_retention" -> { (s, dir) =>
       Behavior.retention(t(s, dir, "events")).orderBy("cohort_week", "week_offset")
     },
@@ -2055,6 +2062,19 @@ object PipelineEntry {
           |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t0 FROM events),
           |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w1),
           |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w2)
+          |SELECT count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS step_1,
+          |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step_2,
+          |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step_3
+          |FROM w3""".stripMargin,
+      "ev_funnel_window" ->
+        """WITH w1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t0 FROM events),
+          |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+          |  AND epoch_us(ts) <= epoch_us(t0) + CAST(86400 AS BIGINT) * 1000000 THEN ts END)
+          |  OVER (PARTITION BY user_id) AS t1 FROM w1),
+          |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+          |  AND epoch_us(ts) <= epoch_us(t0) + CAST(86400 AS BIGINT) * 1000000 THEN ts END)
+          |  OVER (PARTITION BY user_id) AS t2 FROM w2)
           |SELECT count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS step_1,
           |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step_2,
           |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step_3

@@ -51,6 +51,35 @@ object Behavior {
     withTs.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[funnel]] with a CONVERSION WINDOW — the product-analytics
+    * default: later steps only count when they land within
+    * `windowSeconds` of the user's FIRST step-1 event (the anchor).
+    * Greedy first-anchor semantics, deliberately: a funnel completed
+    * only from a LATER step-1 instance does not count, exactly as
+    * first-touch funnel reports define it (documented, not a bug).
+    * Window arithmetic is exact int64 microseconds. Same plan shape
+    * as [[funnel]]: chained conditional mins over ONE user-partitioned
+    * window (single shuffle), one global count row out.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String], windowSeconds: Long,
+                     typeCol: String = "event_type", tsCol: String = "ts",
+                     userCol: String = "user_id"): DataFrame = {
+    require(steps.size >= 2, s"funnelWindowed: need >= 2 steps, got ${steps.size}")
+    require(windowSeconds > 0, s"funnelWindowed: windowSeconds > 0, got $windowSeconds")
+    val w = Window.partitionBy(userCol)
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"t_${i - 1}") &&
+          unix_micros(col(tsCol)) <= unix_micros(col("t_0")) + windowSeconds * 1000000L
+      df.withColumn(s"t_$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val aggs = steps.indices.map(i =>
+      countDistinct(when(col(s"t_$i").isNotNull, col(userCol)))
+        .as(s"step_${i + 1}"))
+    withTs.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** First/last-touch attribution: for every conversion event, the
     * earliest and latest touch-type event STRICTLY BEFORE it in the
     * same user's history (the two classic single-touch attribution

@@ -331,6 +331,24 @@ class BehaviorSpec extends SparkSpec {
     assert(r(6L) == ((5L, false)))
   }
 
+  test("funnelWindowed: in-window converts, out-of-window does not, first anchor") {
+    val ev = Seq(
+      // user 1: view -> click 1h later -> purchase 2h later: all in 24h
+      (1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-01 01:00:00", "click"),
+      (1L, "2024-01-01 02:00:00", "purchase"),
+      // user 2: click lands 25h after the view: step 2 misses the window
+      (2L, "2024-01-01 00:00:00", "view"), (2L, "2024-01-02 01:00:00", "click"),
+      // user 3: FIRST view anchors; the funnel completable only from the
+      // second view does not count (first-anchor semantics)
+      (3L, "2024-01-01 00:00:00", "view"), (3L, "2024-01-05 00:00:00", "view"),
+      (3L, "2024-01-05 01:00:00", "click"))
+      .map { case (u, t, e) => (u, Timestamp.valueOf(t), e) }
+      .toDF("user_id", "ts", "event_type")
+    val r = Behavior.funnelWindowed(ev, Seq("view", "click", "purchase"),
+      windowSeconds = 86400L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 1L)))
+  }
+
   test("anomalies: out-of-domain magnitudes fail loudly, not wrap") {
     val df = Seq((1L, 1L, new Timestamp(1000), 2.0e6))
       .toDF("user_id", "event_id", "ts", "value")
