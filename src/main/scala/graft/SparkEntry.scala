@@ -132,6 +132,21 @@ object SparkEntry {
           (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
     },
 
+    "sort_topn_group" -> { (s, dir) =>
+      // top-3 rows per group WITHOUT a per-group sort: the bounded
+      // TopKByScore partial aggregate (state = k entries per group on
+      // every partial path, map-side combine) — the same kernel the ANN
+      // family ranks with, reused on relational data; a window
+      // row_number() formulation would sort every group's full row set
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.plans.TopKByScore(col("o_totalprice"), col("o_orderkey"), 3).as("_top"))
+        .select(col("o_custkey"), posexplode(col("_top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.c_id").as("o_orderkey"), col("col.cos").as("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    },
+
     // ---- SQL entry point: spark.sql over registered fixture views ----
     "sql_q6" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -1027,6 +1042,12 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01')
         |SELECT promo_revenue, total_revenue,
         |  100.0 * promo_revenue / total_revenue AS promo_pct FROM a""".stripMargin,
+    "sort_topn_group" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
