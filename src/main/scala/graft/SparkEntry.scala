@@ -153,7 +153,7 @@ object SparkEntry {
       s.sql(
         """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           |FROM lineitem
-          |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
     },
 
@@ -856,9 +856,12 @@ object SparkEntry {
       c.intersect(sup).sort(Seq("nationkey")).df
     },
     "set_except" -> { (s, dir) =>
+      // nations with NO high-balance customer (the subtrahend must not
+      // cover every nation, or the query vacuously tests the empty set)
       val n = Table(t(s, dir, "nation").select(col("n_nationkey").as("nationkey")))
-      val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-      n.except(sup).sort(Seq("nationkey")).df
+      val rich = Table(t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .select(col("c_nationkey").as("nationkey")))
+      n.except(rich).sort(Seq("nationkey")).df
     },
 
     "by_topk" -> { (s, dir) =>
@@ -960,7 +963,7 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
-          col("o_orderdate") < lit("1995-01-01").cast(TimestampType))
+          col("o_orderdate") < lit("1996-01-01").cast(TimestampType))
       val li = t(s, dir, "lineitem")
       val sup = t(s, dir, "supplier")
       c.join(o, col("c_custkey") === col("o_custkey"))
@@ -1051,7 +1054,7 @@ object SparkEntry {
     "sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "proj_field" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -1495,7 +1498,7 @@ object SparkEntry {
     "set_except" ->
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
+        |SELECT c_nationkey FROM customer WHERE c_acctbal > 9900
         |ORDER BY nationkey""".stripMargin,
 
     "by_topk" ->
@@ -1544,8 +1547,8 @@ object SparkEntry {
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "misc_profile" -> {
       val fields = Seq(
