@@ -1285,6 +1285,18 @@ object PipelineEntry {
         .orderBy("event_id")
     },
 
+    "stream_anomaly" -> { (s, dir) =>
+      // streaming anomaly flags as a REAL multi-batch stateful job
+      // (flatMapGroupsWithState, Append): ring of the last k
+      // centi-values per user, same cross-multiplied int64 verdict as
+      // the batch ev_anomaly — one verdict row per event, oracle = the
+      // same window SQL projected to the stream's columns
+      StreamReplay.replayAnomalies(s,
+          t(s, dir, "events").select(col("user_id"), col("event_id"),
+            col("ts"), col("value")),
+          k = 5, z = 3L)
+        .orderBy("user_id", "event_id")
+    },
     "stream_ewma" -> { (s, dir) =>
       // streaming EWMA as a REAL multi-batch stateful job
       // (mapGroupsWithState, Update mode): same rational fold and same
@@ -2103,6 +2115,16 @@ object PipelineEntry {
           |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
           |    (acc, x) -> (1 * x + 4 * acc) / 5) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "stream_anomaly" ->
+        """WITH e AS (SELECT user_id, event_id, ts,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |w AS (SELECT user_id, event_id, v,
+          |    count(v) OVER win AS n, sum(v) OVER win AS s1, sum(v * v) OVER win AS s2
+          |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+          |SELECT user_id, event_id, n AS n_prev,
+          |  (n >= 3 AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
+          |FROM w ORDER BY user_id, event_id""".stripMargin,
       // the streaming replay's final per-user emit must equal the same
       // batch fold — one oracle serves both faces
       "stream_ewma" ->

@@ -24,6 +24,13 @@ case class SessState(nextId: Long, open: Option[OpenSession])
 /** per-user streaming-EWMA state: events seen + current smoothed value. */
 case class EwmaState(n: Long, y: Double)
 
+/** per-user streaming-anomaly state: ring of the last k centi-values. */
+case class AnomalyState(ring: Vector[Long])
+
+/** per-event anomaly verdict — matches Behavior.anomalies' key columns. */
+case class AnomalyVerdict(user_id: Long, event_id: Long, n_prev: Long,
+                          is_anomaly: Boolean)
+
 /** running EWMA emit — matches Behavior.ewmaLast columns. */
 case class EwmaRow(user_id: Long, n_events: Long, ewma: Double)
 
@@ -321,6 +328,55 @@ object StreamOps {
         }
         state.update(EwmaState(n, y))
         EwmaRow(user, n, y)
+    }
+  }
+
+  /** Streaming rolling-z-score anomaly flags — the online face of
+    * [[graft.operators.Behavior.anomalies]]: per-user state is the
+    * ring of the last `k` centi-values, each arriving event is judged
+    * against its own trailing window with the SAME cross-multiplied
+    * int64 test `(n·x − s1)² > z²·(n·s2 − s1²)` (no sqrt, no float
+    * mean — the verdict is integer-exact, so a chronological replay
+    * equals the batch window bit-for-bit), then pushed into the ring.
+    * Emits one verdict row per event (Append). In-batch events fold in
+    * (ts, event_id) order, the batch operator's window order. State =
+    * at most k longs per user.
+    *
+    * Same in-plan magnitude contract as the batch operator
+    * (|value| ≤ 100 000 units), enforced with an exception per row —
+    * loud failure, never a wrapped verdict.
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame,
+                    k: Int, z: Long, minPrev: Int = 3): Dataset[AnomalyVerdict] = {
+    import spark.implicits._
+    require(k >= 1 && k <= 100 && z >= 1 && minPrev >= 1,
+      s"anomalyStream: need 1<=k<=100, z>=1, minPrev>=1; got k=$k z=$z minPrev=$minPrev")
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    typed.flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+       state: GroupState[AnomalyState]) =>
+        var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Long])
+        val evs = it.toArray.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+        val out = Seq.newBuilder[AnomalyVerdict]
+        evs.foreach { case (_, eid, _, x) =>
+          require(math.abs(x) <= 10000000L,
+            s"anomalyStream: |value| exceeds the 100000-unit int64-safe domain: $x")
+          val n = ring.length.toLong
+          var s1 = 0L; var s2 = 0L
+          ring.foreach { w => s1 += w; s2 += w * w }
+          val flag = n >= minPrev &&
+            (n * x - s1) * (n * x - s1) > z * z * (n * s2 - s1 * s1)
+          out += AnomalyVerdict(user, eid, n, flag)
+          ring = (ring :+ x).takeRight(k)
+        }
+        state.update(AnomalyState(ring))
+        out.result().iterator
     }
   }
 

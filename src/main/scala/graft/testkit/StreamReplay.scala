@@ -193,6 +193,51 @@ object StreamReplay {
         max_by(col("ewma"), col("n_events")).as("ewma"))
   }
 
+  /** multi-batch replay of [[graft.streaming.StreamOps.anomalyStream]]:
+    * chronological chunked feed, Append-mode memory sink — one verdict
+    * row per event, equal to the batch `Behavior.anomalies` verdicts
+    * bit-for-bit by construction (integer test, same window order).
+    */
+  def replayAnomalies(spark: SparkSession, events: DataFrame,
+                      k: Int, z: Long, nChunks: Int = 4,
+                      name: String = "stream_anomaly_sink",
+                      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("ts"), col("value").cast("double"))
+    val total = src.count()
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val judged = graft.streaming.StreamOps
+      .anomalyStream(spark, stream, k, z).toDF()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = judged.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val chunkSize = math.max(1L, (total + nChunks - 1) / nChunks).toInt
+      val it = src.orderBy(col("ts"), col("event_id"))
+        .as[(Long, Long, java.sql.Timestamp, Double)].toLocalIterator()
+      var batch = Vector.newBuilder[(Long, Long, java.sql.Timestamp, Double)]
+      var inBatch = 0
+      def flush(): Unit = if (inBatch > 0) {
+        mem.addData(batch.result())
+        q.processAllAvailable()
+        batch = Vector.newBuilder; inBatch = 0
+      }
+      while (it.hasNext) {
+        batch += it.next(); inBatch += 1
+        if (inBatch >= chunkSize) flush()
+      }
+      flush()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
                   outputMode: String = "complete",
                   statePartitions: Option[Int] = None): DataFrame = {

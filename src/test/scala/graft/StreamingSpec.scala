@@ -293,6 +293,25 @@ class StreamingSpec extends SparkSpec {
       Seq((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
   }
 
+  test("streaming anomaly verdicts == batch verdicts, any chunking") {
+    val ev = (1L to 12L).map { i =>
+      val v = if (i == 9) 400.0 else 10.0 + (i % 3)
+      (1L, i, Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val batch = graft.operators.Behavior.anomalies(ev, k = 5, z = 3)
+      .select("user_id", "event_id", "n_prev", "is_anomaly")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(batch.exists(_._3), "fixture must contain a true anomaly")
+    for (chunks <- Seq(1, 4)) {
+      val s = StreamReplay.replayAnomalies(spark, ev, k = 5, z = 3L,
+          nChunks = chunks, name = s"anom_sink_$chunks")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(s == batch, s"chunking=$chunks must not change verdicts")
+    }
+  }
+
   test("streaming EWMA == batch EWMA bit-for-bit, any chunking") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:01", 10.0), (1L, "2024-01-01 00:00:02", 20.0),
