@@ -741,6 +741,18 @@ object PipelineEntry {
           Seq("spark", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
+    "text_rrf" -> { (s, dir) =>
+      // hybrid-retrieval fusion: BM25 ranking (lexical) RRF-fused with
+      // the quality-score ranking (a stand-in second ranker with an
+      // established oracle replay); ranks from the bounded TopKByScore
+      // aggregate — no global row_number window anywhere
+      val docs = t(s, dir, "documents")
+      val bm = TextFunctions.bm25Scores(docs, col("text"),
+        Seq("spark", "merge", "window"))
+      val q = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+      Similarity.rrfFuse(bm, q, topN = 50, k = 20)
+    },
     "text_encode" -> { (s, dir) =>
       // frequency-vocabulary token encoding: top-100 tokens by corpus
       // count (total order: count desc, token asc) become ids 1..100,
@@ -2655,6 +2667,39 @@ object PipelineEntry {
            |  + coalesce(MAX(CASE WHEN token = 'window' THEN s END), 0.0) AS score
            |  FROM sc GROUP BY doc_id)
            |SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      // RRF fusion of the bm25 ranking (CTE chain above) with the
+      // quality ranking (sqlQuality replay) — both ranked
+      // (score desc, doc_id), fused 1/(60+rank) terms in fixed order
+      "text_rrf" ->
+        s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS ts FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token FROM t),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(len(ts)) AS BIGINT) AS sumdl FROM t),
+           |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY doc_id, dl, token),
+           |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY token),
+           |sc AS (SELECT tf.doc_id, tf.token,
+           |  (CAST(2*st.n - 2*dfq.df + 1 AS DOUBLE) / CAST(2*dfq.df + 1 AS DOUBLE)) *
+           |  ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+           |    (CAST(tf.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS s
+           |  FROM tf, dfq, st WHERE dfq.token = tf.token),
+           |p AS (SELECT doc_id,
+           |  coalesce(MAX(CASE WHEN token = 'spark' THEN s END), 0.0)
+           |  + coalesce(MAX(CASE WHEN token = 'merge' THEN s END), 0.0)
+           |  + coalesce(MAX(CASE WHEN token = 'window' THEN s END), 0.0) AS score
+           |  FROM sc GROUP BY doc_id),
+           |ra AS (SELECT doc_id, rank_a FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM p)
+           |  WHERE rank_a <= 50),
+           |q AS (SELECT doc_id, $sqlQuality AS score FROM t),
+           |rb AS (SELECT doc_id, rank_b FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM q)
+           |  WHERE rank_b <= 50)
+           |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+           |  coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0) AS rrf,
+           |  rank_a, rank_b
+           |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
       // duplicated-span replay: same 5-gram instances (NON-distinct,
       // unlike the minhash shingle fragment), same 48-bit md5 hash

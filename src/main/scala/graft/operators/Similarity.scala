@@ -559,4 +559,35 @@ object Similarity {
       .groupBy(col("_lbl").as(labelCol), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Reciprocal-rank fusion of two rankers (Cormack et al. 2009) — the
+    * standard hybrid-retrieval combiner (BM25 ⊕ dense-vector, or any
+    * two scored lists): each side contributes `1/(rrfK + rank)` for
+    * its top-`topN` candidates, candidates from only one list keep the
+    * other term at 0, fused top-`k` wins. Ranks come from the bounded
+    * [[graft.plans.TopKByScore]] partial aggregate (the array position
+    * IS the rank) — NO global row_number window, so neither corpus is
+    * ever funneled through one partition; fusion then joins two ≤topN
+    * frames. Deterministic throughout: both rank orders are
+    * (score desc, id asc), and the fused score is a fixed-order sum of
+    * two exact reciprocals, so the result replays bit-identically.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topN: Int, k: Int, rrfK: Long = 60L,
+              idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    require(topN >= 1 && k >= 1 && rrfK >= 1,
+      s"rrfFuse: need topN>=1, k>=1, rrfK>=1; got topN=$topN k=$k rrfK=$rrfK")
+    def ranked(df: DataFrame, rankName: String): DataFrame =
+      df.agg(graft.plans.TopKByScore(col(scoreCol), col(idCol), topN).as("_top"))
+        .select(posexplode(col("_top")))
+        .select(col("col.c_id").as(idCol), (col("pos") + 1).cast(LongType).as(rankName))
+    val ra = ranked(a, "rank_a")
+    val rb = ranked(b, "rank_b")
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0))).as("rrf"),
+        col("rank_a"), col("rank_b"))
+      .orderBy(desc("rrf"), asc(idCol))
+      .limit(k)
+  }
 }
