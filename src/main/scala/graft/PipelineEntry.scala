@@ -417,6 +417,15 @@ object PipelineEntry {
           "l_extendedprice", 9, 10, outCol = "w_p90"), "l_returnflag")
         .orderBy("l_returnflag")
     },
+    "feat_target_encode" -> { (s, dir) =>
+      // leakage-safe (leave-one-out) target mean encoding: exact cents
+      // arithmetic, one division per row, NULL for singleton classes
+      Features.targetEncode(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal")),
+          catCol = "c_mktsegment", targetCol = "c_acctbal")
+        .orderBy("c_custkey")
+    },
     "feat_robust" -> { (s, dir) =>
       // per-language median/MAD outlier flag on document length —
       // robust to the very outliers it hunts (unlike mean/stddev);
@@ -2264,6 +2273,14 @@ object PipelineEntry {
           |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
       // median/MAD robust outliers: type-1 medians from value counts,
       // pure integer test |v - med| > 3*mad (mirrors Features.robustOutliers)
+      "feat_target_encode" ->
+        """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+          |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM customer),
+          |g AS (SELECT c_mktsegment, CAST(SUM(y) AS BIGINT) AS sy, COUNT(*) AS ng
+          |  FROM c GROUP BY c_mktsegment)
+          |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+          |  CASE WHEN ng > 1 THEN CAST(sy - y AS DOUBLE) / CAST((ng - 1) * 100 AS DOUBLE) END AS te
+          |FROM c JOIN g USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
       "feat_robust" ->
         """WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
           |r AS (SELECT lang, v,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Feature-engineering operators for model-training pipelines:
   * one-hot encoding, the hashing trick, per-group standardization,
@@ -184,5 +184,35 @@ object Features {
     withMed.join(broadcast(mad), col(groupCol) <=> col("_g2")).drop("_g2")
       .withColumn(flagCol, abs(col(valueCol) - col("_med")) > col("_mad") * k)
       .withColumnRenamed("_med", "med").withColumnRenamed("_mad", "mad")
+  }
+
+  /** Leakage-safe target (mean) encoding — the classic high-cardinality
+    * categorical feature, computed LEAVE-ONE-OUT so a row never sees
+    * its own target (plain per-category means leak the label into the
+    * feature and inflate validation scores): for row i in category g,
+    * `te = (Σ_g y − y_i) / (n_g − 1)`, NULL for singleton categories
+    * (no peers → no information, explicitly absent rather than a
+    * smoothed prior, which would need a hyperparameter).
+    *
+    * The target rides as exact integer cents (the decimal(18,2)·100
+    * convention), so the subtraction is exact and the single division
+    * per row replays bit-identically — no float Σ re-association.
+    *
+    * Scale shape: one (category) sum/count aggregate joined back map-
+    * side when categories ≪ rows (broadcast; AQE decides), else one
+    * key shuffle. No window, no per-row rescan.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   outCol: String = "te"): DataFrame = {
+    val cents = (col(targetCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val withC = df.withColumn("_y", cents)
+    val agg = withC.groupBy(col(catCol))
+      .agg(sum(col("_y")).as("_sy"), count(lit(1)).as("_ng"))
+    withC.join(agg, Seq(catCol))
+      .withColumn(outCol,
+        when(col("_ng") > 1,
+          (col("_sy") - col("_y")).cast(DoubleType) /
+            ((col("_ng") - 1) * 100).cast(DoubleType)))
+      .drop("_y", "_sy", "_ng")
   }
 }
