@@ -558,6 +558,24 @@ object PipelineEntry {
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), n = 2, tNum = 1, tDen = 2)
         .orderBy("id_a", "id_b")
     },
+    "dedup_pr_audit" -> { (s, dir) =>
+      // in-engine recall/precision audit of the LSH dedup route against
+      // the COMPLETE prefix-filtering route at the same (n=3, t=3/10)
+      // operating point — the dedup sibling of sim_recall_audit. The
+      // verify step makes LSH pairs a subset of exact pairs, so the
+      // hash-checked precision=1.0 row is itself an assertion.
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.prefixJaccardPairs(docs, n = 3, tNum = 3, tDen = 10)
+        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      val lsh = Dedup.minhashPairs(docs, threshold = 0.3, n = 3)
+        .select(col("id_a"), col("id_b"), lit(1).as("_l"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_approx"),
+          count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_both"))
+        .select(col("n_exact"), col("n_approx"), col("n_both"),
+          (col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType)).as("recall"),
+          (col("n_both").cast(DoubleType) / col("n_approx").cast(DoubleType)).as("prec"))
+    },
     "dedup_semantic" -> { (s, dir) =>
       // SemDeDup: within-cluster centroid-priority domination. The gate
       // pins cluster = fixture label so the oracle replay stays static;
@@ -1983,6 +2001,26 @@ object PipelineEntry {
          |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) AS jaccard
          |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b
          |WHERE CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) >= $threshold)""".stripMargin
+    // recall/precision audit: exact side = brute-force rational-threshold
+    // jaccard over the same distinct shingle hashes (hd), approx side =
+    // the minhash pairs CTE
+    val sqlPrAudit =
+      s"""WITH ${minhashPairCtes(3, 0.3)},
+         |exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS BIGINT) * 10 >=
+         |        3 * CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS BIGINT)),
+         |j AS (SELECT e.id_a IS NOT NULL AS in_exact, l.id_a IS NOT NULL AS in_lsh
+         |  FROM exact e FULL OUTER JOIN (SELECT id_a, id_b FROM pairs) l
+         |    ON e.id_a = l.id_a AND e.id_b = l.id_b)
+         |SELECT CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS DOUBLE) AS recall,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS DOUBLE) AS prec
+         |FROM j""".stripMargin
     def sqlMinhashPairs(n: Int, threshold: Double): String =
       s"""WITH ${minhashPairCtes(n, threshold)}
          |SELECT id_a, id_b, jaccard FROM pairs
@@ -3100,6 +3138,7 @@ object PipelineEntry {
            |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
            |FROM v WHERE i * $tDen >= $tNum * u ORDER BY id_a, id_b""".stripMargin
       },
+      "dedup_pr_audit" -> sqlPrAudit,
       "dedup_semantic" -> {
         val kmCent = (1 to 64).map(i =>
           s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)")
