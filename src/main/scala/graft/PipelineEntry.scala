@@ -215,6 +215,16 @@ object PipelineEntry {
       graft.operators.Corpus.datasheet(t(s, dir, "documents"), Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    "corpus_mix" -> { (s, dir) =>
+      // training-mix budgeting: weighted targets over three real
+      // sources plus one missing ("curated") that surfaces as pure
+      // deficit; src0 is weighted far past its size so rate caps at
+      // 1.0 and deficit is non-zero — both branches exercised
+      graft.operators.Corpus.mixPlan(t(s, dir, "documents"), "source",
+          Seq(("src0", 50L), ("src1", 30L), ("src2", 10L), ("curated", 10L)),
+          budget = 100L)
+        .orderBy("source")
+    },
     "corpus_diversity" -> { (s, dir) =>
       // slice-balance metrics per language: exact-rational Gini
       // impurity and floor-log2-quantized entropy of the source mix —
@@ -2059,6 +2069,21 @@ object PipelineEntry {
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "corpus_mix" ->
+        """WITH w(source, weight) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 10), ('curated', 10)),
+          |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          |j AS (SELECT coalesce(c.source, w.source) AS source,
+          |    CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+          |    CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+          |  FROM c FULL OUTER JOIN w ON c.source = w.source)
+          |SELECT source, n_docs, weight,
+          |  (weight * 100) // 100 AS need,
+          |  LEAST((weight * 100) // 100, n_docs) AS take,
+          |  CASE WHEN n_docs > 0
+          |    THEN CAST(LEAST((weight * 100) // 100, n_docs) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          |    ELSE 0.0 END AS rate,
+          |  (weight * 100) // 100 - LEAST((weight * 100) // 100, n_docs) AS deficit
+          |FROM j ORDER BY source""".stripMargin,
       "corpus_diversity" ->
         """WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
           |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_categories,

@@ -72,6 +72,50 @@ object Corpus {
     * group aggregate over the (small) category counts — two exchanges,
     * nothing row-shaped past the first.
     */
+  /** Training-mix plan — the budgeting step between corpus stats and
+    * sampling: given relative target WEIGHTS per source and a total
+    * document budget, how many docs each source must contribute
+    * (`need = ⌊budget·w/Σw⌋`, exact int64), how many it CAN
+    * (`take = min(need, n_docs)`), the sampling rate to apply
+    * (`take/n_docs`, the one IEEE division), and the shortfall
+    * (`deficit`) when a source is too small — the number an upstream
+    * crawl planner acts on. Sources present in the corpus but absent
+    * from the target mix plan to zero; targeted sources missing from
+    * the corpus surface as pure deficit rows. Deterministic
+    * throughout; pairs with [[graft.operators.Sampling.sampleHash]]
+    * (rate → seeded hash filter) for the actual draw, and with
+    * `Sampling.temperatureSample` when the mix should be α-smoothed
+    * instead of pinned.
+    *
+    * Scale shape: one source-count aggregate joined to a |sources|-row
+    * broadcast literal — nothing else touches the corpus.
+    */
+  def mixPlan(docs: DataFrame, sourceCol: String,
+              weights: Seq[(String, Long)], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.exists(_._2 > 0),
+      "mixPlan: at least one positive weight")
+    require(budget >= 0, s"mixPlan: budget >= 0, got $budget")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mixPlan: duplicate source in weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wSum = weights.map(_._2).sum
+    val wDf = weights.toDF("source", "weight")
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.join(broadcast(wDf), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .withColumn("need", expr(s"(weight * ${budget}L) DIV ${wSum}L")) // exact int64 floor div
+      .withColumn("take", least(col("need"), col("n_docs")))
+      .select(col("source"), col("n_docs"), col("weight"), col("need"), col("take"),
+        when(col("n_docs") > 0,
+          col("take").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .otherwise(lit(0.0)).as("rate"),
+        (col("need") - col("take")).as("deficit"))
+  }
+
   def diversity(docs: DataFrame, groupCols: Seq[String],
                 catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "diversity: at least one group column")
