@@ -215,6 +215,14 @@ object PipelineEntry {
       graft.operators.Corpus.datasheet(t(s, dir, "documents"), Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    "red_kmv_merged" -> { (s, dir) =>
+      // KMV mergeability on real data: whole-corpus distinct estimate
+      // from per-source SKETCH STATES ONLY vs the direct estimate —
+      // exactly equal by the k-smallest-of-union law; the oracle
+      // computes only the direct path, so the hash match proves it
+      graft.operators.Sketch.kmvMergeEstimate(t(s, dir, "documents"),
+        col("text"), Seq("source"), k = 64)
+    },
     "corpus_mix" -> { (s, dir) =>
       // training-mix budgeting: weighted targets over three real
       // sources plus one missing ("curated") that surfaces as pure
@@ -2069,6 +2077,14 @@ object PipelineEntry {
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "red_kmv_merged" ->
+        """WITH h AS (SELECT DISTINCT
+          |    CAST(concat('0x', substr(md5(text),1,12)) AS BIGINT) AS h FROM documents),
+          |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n FROM h),
+          |e AS (SELECT CAST(CASE WHEN n < 64 THEN n
+          |    ELSE (63 * 281474976710656) // h END AS BIGINT) AS est
+          |  FROM r WHERE rn = LEAST(64, n))
+          |SELECT est AS n_est_merged, est AS n_est_direct FROM e""".stripMargin,
       "corpus_mix" ->
         """WITH w(source, weight) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 10), ('curated', 10)),
           |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -74,6 +74,43 @@ object Sketch {
     mins.select((g :+ est.as("n_est")): _*)
   }
 
+  /** KMV MERGEABILITY, demonstrated as data: the whole-corpus estimate
+    * recomputed from per-group SKETCHES ONLY (explode each group's k
+    * smallest hashes, take the k smallest of that union) — never
+    * touching the raw rows again — next to the direct whole-corpus
+    * estimate. They are EXACTLY equal (the k smallest of the union of
+    * per-group k-smallest sets is the global k-smallest set: any hash
+    * among the global k smallest is necessarily within its own group's
+    * k smallest), which is the property that lets a 1000-executor
+    * fleet sketch partitions independently and a coordinator merge
+    * k-sized states — the oracle computes only the direct estimate and
+    * the hash match proves the law on real data. Output: one row,
+    * (n_est_merged, n_est_direct).
+    */
+  def kmvMergeEstimate(df: DataFrame, key: Column, groupCols: Seq[String],
+                       k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= (1 << 14), s"kmvMergeEstimate: k in [2, 2^14], got $k")
+    require(groupCols.nonEmpty, "kmvMergeEstimate: at least one group column")
+    val g = groupCols.map(col)
+    val distinctHashes = df.select((g :+ kmvHash(key).as("_h")): _*).distinct()
+    val groupMins = distinctHashes.groupBy(g: _*)
+      .agg(graft.plans.TopKByScore(-col("_h").cast(DoubleType), col("_h"), k).as("_mins"))
+    def est(minsCol: String): Column =
+      when(size(col(minsCol)) < k, size(col(minsCol)).cast(LongType))
+        .otherwise(expr(s"${(k - 1).toLong * KmvSpace}L div element_at($minsCol, $k).c_id"))
+    // merge path: union of the per-group sketch states only
+    val merged = groupMins
+      .select(explode(col("_mins")).as("_e"))
+      .select(col("_e.c_id").as("_h"))
+      .distinct() // a hash can lead several groups' sketches
+      .agg(graft.plans.TopKByScore(-col("_h").cast(DoubleType), col("_h"), k).as("_mins"))
+      .select(est("_mins").as("n_est_merged"))
+    val direct = distinctHashes.select(col("_h")).distinct()
+      .agg(graft.plans.TopKByScore(-col("_h").cast(DoubleType), col("_h"), k).as("_mins"))
+      .select(est("_mins").as("n_est_direct"))
+    merged.crossJoin(direct)
+  }
+
   /** Per-group discrete quantile over a deterministic hash sample:
     * keep rows whose [[Sampling.sampleHash]] bucket survives `frac`,
     * sort the sample within each group, and take the value at position
