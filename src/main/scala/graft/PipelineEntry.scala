@@ -351,6 +351,15 @@ object PipelineEntry {
     "ev_funnel" -> { (s, dir) =>
       Behavior.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
     },
+    "ev_stationary" -> { (s, dir) =>
+      // long-run state occupancy of the behavior Markov chain: 3
+      // integer-scaled power iterations over the transition counts —
+      // bit-exact (the pagerank determinism recipe), oracle unrolls
+      // the same arithmetic
+      Behavior.stationaryDist(Behavior.transitions(t(s, dir, "events")),
+          iters = 3)
+        .orderBy("state")
+    },
     "ev_funnel_window" -> { (s, dir) =>
       // conversion-window funnel: click and purchase only count within
       // 24h of the user's FIRST view (first-anchor semantics, exact
@@ -2178,6 +2187,29 @@ object PipelineEntry {
           |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step_2,
           |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step_3
           |FROM w3""".stripMargin,
+      "ev_stationary" -> {
+        // unrolled power iterations over the transition counts, same
+        // floor arithmetic as the library loop
+        val steps = (1 to 3).map { i =>
+          val p = s"p${i - 1}"
+          s"""c$i AS (SELECT next_type AS state,
+             |    CAST(SUM(FLOOR(CAST(pi * transitions AS DOUBLE) / CAST(o.out AS DOUBLE))) AS BIGINT) AS s
+             |  FROM tr JOIN o USING (prev_type) JOIN $p ON $p.state = tr.prev_type
+             |  GROUP BY next_type),
+             |p$i AS (SELECT st.state, coalesce(c$i.s, 0) AS pi
+             |  FROM st LEFT JOIN c$i ON c$i.state = st.state)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT user_id, event_type, ts, event_id,
+           |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events),
+           |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS transitions
+           |  FROM base WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |o AS (SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS out FROM tr GROUP BY 1),
+           |st AS (SELECT DISTINCT state FROM
+           |  (SELECT prev_type AS state FROM tr UNION SELECT next_type FROM tr)),
+           |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
+           |$steps
+           |SELECT state, CAST(pi AS BIGINT) AS pi FROM p3 ORDER BY state""".stripMargin
+      },
       "ev_funnel_window" ->
         """WITH w1 AS (SELECT user_id, ts, event_type,
           |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t0 FROM events),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Behavioral / sequence analytics over an event log: funnel
   * conversion, cohort retention, transition (Markov) counts, and
@@ -141,6 +141,47 @@ object Behavior {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("transitions"))
+  }
+
+  /** Stationary distribution of the behavior Markov chain — the
+    * long-run state occupancy [[transitions]]' counts imply, by
+    * `iters` integer-scaled power iterations (the
+    * [[graft.operators.Graph.pagerank]] determinism recipe without
+    * damping): `π'(j) = Σ_i ⌊π(i)·cnt(i→j)/out(i)⌋`, every
+    * intermediate exact int64 (`π·cnt < 2^53` for the default scale
+    * and corpus-sized counts — the floor-of-double IS integer
+    * division), so the whole iteration replays bit-identically and the
+    * oracle unrolls it in SQL. Absorbing states (no outgoing
+    * transitions) accumulate and re-emit nothing — mass leaks there
+    * and on every floor, deliberately: this is a RANKING of states,
+    * not a calibrated probability (normalize the output if one is
+    * needed).
+    *
+    * Scale shape: states can be high-cardinality (page URLs, not just
+    * event types) — each round is one join of the transition table
+    * against the |states| vector + one aggregate, the pagerank shape;
+    * for few `iters` the growing lineage is fine, checkpoint beyond
+    * ~10 rounds as the pagerank loop does.
+    */
+  def stationaryDist(trans: DataFrame, iters: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    require(iters > 0 && scale > 0,
+      s"stationaryDist: iters and scale must be positive, got $iters, $scale")
+    val rowsum = trans.groupBy(col("prev_type")).agg(sum(col("transitions")).as("_out"))
+    val t2 = trans.join(rowsum, "prev_type")
+    val states = trans.select(col("prev_type").as("state"))
+      .union(trans.select(col("next_type"))).distinct()
+    var pi = states.select(col("state"), lit(scale).as("pi"))
+    for (_ <- 1 to iters) {
+      val contrib = t2.join(pi, t2("prev_type") === pi("state"))
+        .select(col("next_type").as("_st"),
+          floor((col("pi") * col("transitions")).cast(DoubleType) /
+            col("_out").cast(DoubleType)).cast(LongType).as("_c"))
+        .groupBy(col("_st")).agg(sum(col("_c")).as("_s"))
+      pi = states.join(contrib, states("state") === contrib("_st"), "left")
+        .select(col("state"), coalesce(col("_s"), lit(0L)).as("pi"))
+    }
+    pi
   }
 
   /** Linear interpolation of missing values in a per-entity time
