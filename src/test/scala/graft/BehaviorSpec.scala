@@ -383,6 +383,49 @@ class BehaviorSpec extends SparkSpec {
     assert(r("de") == ((3L, 1L, 0.0, 0L)))
   }
 
+  test("mixPlan: cap, deficit, missing source, unweighted source") {
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val r = graft.operators.Corpus.mixPlan(docs, "source",
+        Seq(("a", 50L), ("b", 30L), ("ghost", 20L)), budget = 20L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(3), x.getLong(4), x.getDouble(5), x.getLong(6))).toMap
+    assert(r("a") == ((5L, 10L, 5L, 1.0, 5L)), "need 10 of 5: cap at 1.0, deficit 5")
+    assert(r("b") == ((20L, 6L, 6L, 0.3, 0L)))
+    assert(r("ghost") == ((0L, 4L, 0L, 0.0, 4L)), "missing source = pure deficit")
+    assert(r("c") == ((10L, 0L, 0L, 0.0, 0L)), "unweighted source plans to zero")
+  }
+
+  test("targetEncode: leave-one-out means, singleton NULL") {
+    val df = Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 30.0), (4L, "solo", 7.0))
+      .toDF("id", "cat", "y")
+    val r = graft.operators.Features.targetEncode(df, "cat", "y")
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(1L).contains(25.0) && r(2L).contains(20.0) && r(3L).contains(15.0),
+      "each row sees the mean of its PEERS only")
+    assert(r(4L).isEmpty, "singleton category encodes to NULL")
+  }
+
+  test("stationaryDist: uniform 2-cycle stays put; sink absorbs") {
+    // a <-> b symmetric: pi stays (scale, scale)
+    val cyc = Seq(("a", "b", 10L), ("b", "a", 10L))
+      .toDF("prev_type", "next_type", "transitions")
+    val r1 = Behavior.stationaryDist(cyc, iters = 4, scale = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 == Map("a" -> 1000L, "b" -> 1000L))
+    // a -> b only: one step moves all mass into b; the absorbing sink
+    // emits nothing, so a second step drains it (documented leak —
+    // a ranking, not a calibrated probability)
+    val sink = Seq(("a", "b", 5L)).toDF("prev_type", "next_type", "transitions")
+    val r2 = Behavior.stationaryDist(sink, iters = 1, scale = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == Map("a" -> 0L, "b" -> 1000L))
+    val r3 = Behavior.stationaryDist(sink, iters = 2, scale = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r3 == Map("a" -> 0L, "b" -> 0L), "sink emits nothing: documented leak")
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

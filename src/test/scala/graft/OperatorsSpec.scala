@@ -1246,6 +1246,26 @@ class OperatorsSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("kmvMergeEstimate: merged-from-sketches equals direct (the merge law)") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 7}", s"text-${i % 131}"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.operators.Sketch.kmvMergeEstimate(docs, col("text"),
+      Seq("source"), k = 16).collect()(0)
+    assert(r.getLong(0) == r.getLong(1),
+      s"merge law violated: merged=${r.getLong(0)} direct=${r.getLong(1)}")
+  }
+
+  test("rrfFuse: hand-computed fusion, one-sided candidates, determinism") {
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "score")
+    val r = Similarity.rrfFuse(a, b, topN = 10, k = 10, rrfK = 60L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) == 1.0 / 62 + 1.0 / 61, "doc 2: rank 2 in a, rank 1 in b")
+    assert(r(1L) == 1.0 / 61, "one-sided candidate keeps the other term at 0")
+    assert(r(4L) == 1.0 / 62)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("ArrayIntersectCount matches size(array_intersect) on distinct sets") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
