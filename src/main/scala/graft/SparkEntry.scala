@@ -198,6 +198,19 @@ object SparkEntry {
         .sliceSorted(5000, 5100, Seq(col("o_orderkey"))).df
         .orderBy("o_orderkey")
     },
+    "sel_with_index" -> { (s, dir) =>
+      // global 0-based row index under a total order WITHOUT the
+      // single-partition row_number() window: the SortedPages count
+      // pass numbers each range partition's rows from its prefix-sum
+      // offset (same boundary-consistent machinery as sliceSorted);
+      // restricted to a slice of customers to keep the dump small
+      Table(t(s, dir, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_acctbal")))
+        .paginateSorted(Seq(col("c_custkey")))
+        .withIndex("row_idx").df
+        .orderBy("c_custkey")
+    },
     "sel_coerce" -> { (s, dir) =>
       // scalar_coerce (arithmetic.py:251-306): string literals coerce to
       // the column dtype (timestamp / numeric) — no manual casts
@@ -1074,6 +1087,11 @@ object SparkEntry {
     "sel_slice_sorted" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100 OFFSET 5000""".stripMargin,
+    "sel_with_index" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS row_idx
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "sel_coerce" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02' AND l_quantity > 45
