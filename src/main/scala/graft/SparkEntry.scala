@@ -751,6 +751,35 @@ object SparkEntry {
         .drop("ts")
         .orderBy("event_id")
     },
+    "win_range_frame" -> { (s, dir) =>
+      // VALUE-range frame (not a rows frame): each event sums the
+      // user's value over the trailing 1-hour WALL-CLOCK window —
+      // rangeBetween on exact int64 microseconds, decimal-exact sum;
+      // duplicate order keys share one frame, exactly as SQL RANGE
+      // requires (a rows frame would split them)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("hour_sum",
+          sum(col("value").cast(D)).over(w).cast(DoubleType))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .drop("ts", "_us")
+        .orderBy("event_id")
+    },
+    "by_multi_distinct" -> { (s, dir) =>
+      // several EXACT distinct aggregates in one pass (the Expand-based
+      // multi-distinct plan): per order-month, distinct customers AND
+      // distinct clerks-equivalent (priority levels), plus a plain count
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    },
     "win_rolling" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1430,6 +1459,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "by_multi_distinct" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_rolling" ->
       """SELECT event_id, user_id, value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS roll_mean
