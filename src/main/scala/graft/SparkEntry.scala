@@ -897,6 +897,40 @@ object SparkEntry {
       val sup = Table(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       c.intersect(sup).sort(Seq("nationkey")).df
     },
+    "join_null_safe" -> { (s, dir) =>
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+      // MATCH each other instead of dropping — the semantic exact dedup
+      // needs when a nullable column is part of the identity. Keys are
+      // nation ids nulled on a deterministic slice of both sides.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 50 === 0, lit(null)).otherwise(col("c_nationkey"))
+            .as("c_nk"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          when(col("s_suppkey") % 7 === 0, lit(null)).otherwise(col("s_nationkey"))
+            .as("s_nk"))
+      c.join(sup, col("c_nk") <=> col("s_nk"))
+        .groupBy(col("c_nk").as("nk"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(asc_nulls_first("nk"))
+    },
+    "set_bag_ops" -> { (s, dir) =>
+      // BAG semantics (INTERSECT ALL / EXCEPT ALL): duplicates count —
+      // multiset intersection keeps min(multiplicity), difference
+      // subtracts it; the distinct-set forms (set_intersect/except)
+      // would collapse them
+      val a = t(s, dir, "orders").select((col("o_custkey") % 100).as("k"))
+      val b = t(s, dir, "lineitem").select((col("l_suppkey") % 100).as("k"))
+      Table(a.intersectAll(b)).df
+        .groupBy("k").agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_exc")),
+          Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+        .orderBy("k")
+    },
     "set_except" -> { (s, dir) =>
       // nations with NO high-balance customer (the subtrahend must not
       // cover every nation, or the query vacuously tests the empty set)
@@ -1556,6 +1590,22 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "join_null_safe" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_nationkey END AS c_nk FROM customer),
+        |s AS (SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS s_nk FROM supplier)
+        |SELECT c_nk AS nk, count(*) AS n_pairs
+        |FROM c JOIN s ON c_nk IS NOT DISTINCT FROM s_nk
+        |GROUP BY c_nk ORDER BY nk NULLS FIRST""".stripMargin,
+    "set_bag_ops" ->
+      """WITH a AS (SELECT o_custkey % 100 AS k FROM orders),
+        |b AS (SELECT l_suppkey % 100 AS k FROM lineitem),
+        |i AS (SELECT k, count(*) AS n_inter FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+        |e AS (SELECT k, count(*) AS n_exc FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT coalesce(i.k, e.k) AS k,
+        |  coalesce(n_inter, 0) AS n_inter, coalesce(n_exc, 0) AS n_exc
+        |FROM i FULL OUTER JOIN e ON i.k = e.k ORDER BY k""".stripMargin,
     "set_except" ->
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT
