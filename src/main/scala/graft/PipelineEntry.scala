@@ -215,6 +215,19 @@ object PipelineEntry {
       graft.operators.Corpus.datasheet(t(s, dir, "documents"), Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    "arr_hof" -> { (s, dir) =>
+      // higher-order array functions over the embedding column, each
+      // mirrored by a DuckDB list_* lambda: filter-count, sequential
+      // left-fold L1 norm (same fold order -> bit-exact doubles),
+      // element-wise zip_with self-sum max
+      t(s, dir, "embeddings").select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f)).cast(LongType).as("n_pos"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast(DoubleType))).as("l1"),
+          array_max(zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a.cast(DoubleType) + b.cast(DoubleType))).as("max_symsum"))
+        .orderBy("vec_id")
+    },
     "red_kmv_merged" -> { (s, dir) =>
       // KMV mergeability on real data: whole-corpus distinct estimate
       // from per-source SKETCH STATES ONLY vs the direct estimate —
@@ -2086,6 +2099,15 @@ object PipelineEntry {
            |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  $sqlQuality AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "arr_hof" ->
+        """SELECT vec_id,
+          |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+          |    (acc, x) -> acc + abs(x)) AS l1,
+          |  list_max(list_transform(range(1, len(embedding) + 1),
+          |    i -> CAST(embedding[i] AS DOUBLE) + CAST(embedding[len(embedding) - i + 1] AS DOUBLE))) AS max_symsum
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
       "red_kmv_merged" ->
         """WITH h AS (SELECT DISTINCT
           |    CAST(concat('0x', substr(md5(text),1,12)) AS BIGINT) AS h FROM documents),
