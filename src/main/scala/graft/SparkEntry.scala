@@ -157,6 +157,20 @@ object SparkEntry {
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
     },
 
+    "sql_pivot" -> { (s, dir) =>
+      // SQL PIVOT surface (Spark 4 syntax): order counts per priority
+      // spread into columns by status; the oracle spells the same
+      // pivot as portable conditional aggregation
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderstatus FROM orders
+          |) PIVOT (
+          |  COUNT(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p)
+          |)
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // ---- projection / fields (§2.2) ----
     "proj_field" -> { (s, dir) =>
       Table(t(s, dir, "lineitem"))
@@ -1127,6 +1141,12 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
