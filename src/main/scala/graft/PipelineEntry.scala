@@ -457,6 +457,20 @@ object PipelineEntry {
           "l_extendedprice", 9, 10, outCol = "w_p90"), "l_returnflag")
         .orderBy("l_returnflag")
     },
+    "feat_rank_normalize" -> { (s, dir) =>
+      // quantile-transform feature: per-segment percent rank of the
+      // account balance as a [0,1] feature, via the VALUE-COUNTING
+      // formulation (window over distinct values only, broadcast back)
+      // — no per-group corpus sort; oracle uses the native percent_rank
+      // window, proving the formulations identical
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pr = Quantile.percentRankOfValues(c, "c_mktsegment", "c_acctbal")
+      c.join(broadcast(pr), Seq("c_mktsegment", "c_acctbal"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("pr").as("rank_norm"))
+        .orderBy("c_custkey")
+    },
     "feat_target_encode" -> { (s, dir) =>
       // leakage-safe (leave-one-out) target mean encoding: exact cents
       // arithmetic, one division per row, NULL for singleton classes
@@ -2406,6 +2420,10 @@ object PipelineEntry {
           |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
       // median/MAD robust outliers: type-1 medians from value counts,
       // pure integer test |v - med| > 3*mad (mirrors Features.robustOutliers)
+      "feat_rank_normalize" ->
+        """SELECT c_custkey, c_mktsegment, c_acctbal,
+          |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rank_norm
+          |FROM customer ORDER BY c_custkey""".stripMargin,
       "feat_target_encode" ->
         """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal,
           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM customer),
