@@ -1216,6 +1216,25 @@ object PipelineEntry {
         .withColumnRenamed("doc_id", "media_id")
         .orderBy("media_id")
     },
+    "mm_tiles" -> { (s, dir) =>
+      // crop/tile planning over REAL decoded dimensions: each image
+      // splits into ceil(w/64)*ceil(h/16) tiles, edge tiles clipped —
+      // the patching step a vision pipeline runs before embedding;
+      // geometry from actual decode, tiles from closed form
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 150 + 1).as("w"), (col("doc_id") % 40 + 1).as("h"))
+      val decoded = Multimodal.decodeImageMetaReal(s,
+        Multimodal.synthesizePng(s, dims, "doc_id", "w", "h"))
+      decoded.select(col("media_id"), col("width"), col("height"),
+          explode(sequence(lit(0L), expr("(width - 1) DIV 64"))).as("tx"))
+        .select(col("media_id"), col("width"), col("height"), col("tx"),
+          explode(sequence(lit(0L), expr("(height - 1) DIV 16"))).as("ty"))
+        .select(col("media_id"), col("tx"), col("ty"),
+          (col("tx") * 64).as("x0"), (col("ty") * 16).as("y0"),
+          least(lit(64L), col("width") - col("tx") * 64).as("tile_w"),
+          least(lit(16L), col("height") - col("ty") * 16).as("tile_h"))
+        .orderBy("media_id", "tx", "ty")
+    },
     "mm_audio_stats" -> { (s, dir) =>
       // SAMPLE-level differential audio check (the WAV sibling of
       // mm_image_stats, one step past mm_decode_wav's header parse):
@@ -3523,6 +3542,15 @@ object PipelineEntry {
           |SELECT id AS media_id, MIN(lab) AS cluster_id,
           |  (MIN(lab) = id) AS is_canonical
           |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
+      "mm_tiles" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    CAST(doc_id % 150 + 1 AS BIGINT) AS w,
+          |    CAST(doc_id % 40 + 1 AS BIGINT) AS h FROM documents)
+          |SELECT media_id, tx, ty, tx * 64 AS x0, ty * 16 AS y0,
+          |  LEAST(64, w - tx * 64) AS tile_w, LEAST(16, h - ty * 16) AS tile_h
+          |FROM m, unnest(range(0, (w - 1) // 64 + 1)) AS ux(tx),
+          |  unnest(range(0, (h - 1) // 16 + 1)) AS uy(ty)
+          |ORDER BY media_id, tx, ty""".stripMargin,
       // PCM sample sums are a pure function of (id, frame, channel):
       // v = (id*131 + f*31 + c*17) % 65536 - 32768, signed 16-bit LE
       "mm_audio_stats" ->
