@@ -1555,6 +1555,21 @@ object PipelineEntry {
       graft.api.Table.data(s, out + "/part-*.txt").df
         .select(col("value").as("r_name")).orderBy("r_name")
     },
+    "src_partition_prune" -> { (s, dir) =>
+      // Hive-style partitioned write + pruned read: orders land
+      // partitioned by priority, the read filters ONE partition —
+      // at 100 TB this is the difference between scanning 1/5 of the
+      // files and all of them (PartitionFilters plan-guarded in the
+      // unit suite); the oracle aggregates the unpartitioned original
+      val out = "/root/repo/target/roundtrip/orders_by_priority"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    },
     "src_gzip_roundtrip" -> { (s, dir) =>
       // gzip-compressed text — how crawl dumps actually arrive. Spark
       // decompresses .gz transparently on read; the scale caveat is
@@ -3722,6 +3737,10 @@ object PipelineEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
       "src_txt_roundtrip" ->
         "SELECT r_name FROM region ORDER BY r_name",
+      "src_partition_prune" ->
+        """SELECT count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
       "src_gzip_roundtrip" ->
         "SELECT r_name FROM region ORDER BY r_name",
       // spider: formats are the spec (the fixture writes them); the
