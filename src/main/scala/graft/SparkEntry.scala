@@ -783,6 +783,17 @@ object SparkEntry {
         .drop("ts", "_us")
         .orderBy("event_id")
     },
+    "by_stringagg" -> { (s, dir) =>
+      // ordered string aggregation (LISTAGG/string_agg parity): region
+      // names of each nation group concatenated in sorted order —
+      // sort_array makes the fold order deterministic, so the string
+      // hash-matches the oracle's string_agg(... ORDER BY)
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
     "by_multi_distinct" -> { (s, dir) =>
       // several EXACT distinct aggregates in one pass (the Expand-based
       // multi-distinct plan): per order-month, distinct customers AND
@@ -1521,6 +1532,10 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "by_stringagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "by_multi_distinct" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  COUNT(DISTINCT o_custkey) AS n_customers,
