@@ -1312,6 +1312,18 @@ object PipelineEntry {
       StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
     },
+    "stream_window_users" -> { (s, dir) =>
+      // exact unique visitors per 5-min window as a REAL streaming job:
+      // stateful (window, user) dedup feeding a stateful count (the
+      // supported spelling of streaming count-distinct); update-mode
+      // running counts only grow, so max per window = the batch answer
+      import graft.streaming.StreamOps
+      val agg = StreamOps.windowedUsers(eventsStream(s, dir), widthSeconds = 300L)
+      StreamReplay.runToMemory(s, agg, "stream_window_users_sink", "update",
+          statePartitions = Some(8))
+        .groupBy("window_start").agg(max(col("n_users")).as("n_users"))
+        .orderBy("window_start")
+    },
     "stream_topk" -> { (s, dir) =>
       // streaming heavy hitters: complete-mode running per-user counts
       // over the event stream; after the final micro-batch the state IS
@@ -3643,6 +3655,10 @@ object PipelineEntry {
           |  event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+      "stream_window_users" ->
+        """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+          |  COUNT(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
       "stream_dedup" ->
         """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           |FROM documents ORDER BY fp""".stripMargin,

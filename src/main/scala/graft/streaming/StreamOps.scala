@@ -293,6 +293,23 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming windowed DISTINCT users — the unique-visitors dashboard:
+    * exact per-window audience via the supported two-stage shape
+    * (streaming `count(DISTINCT)` is not — the stateful dedup on
+    * (window, user) feeds a plain stateful count). Update mode emits a
+    * running count per window each micro-batch; counts only grow, so
+    * the final emit (select `max` downstream) is the batch answer.
+    * State: one row per (window, user) in flight, watermark-bounded.
+    */
+  def windowedUsers(events: DataFrame, widthSeconds: Long,
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), s"$widthSeconds seconds").as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win.start").as("window_start"), col("n_users"))
+
   /** Streaming exponential moving average — the online face of
     * [[graft.operators.Behavior.ewmaLast]]: per-user (count, ewma)
     * state folded with the SAME rational step
