@@ -881,6 +881,31 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     },
+    "red_moments" -> { (s, dir) =>
+      // skewness / excess kurtosis from EXACT integer moment sums:
+      // l_quantity is integral (1..50), so sum(x^k) for k=1..4 stays
+      // int64-exact at any corpus size (50^4 * 10^10 rows < 2^63 /
+      // headroom documented) — only the final standardized ratios are
+      // IEEE, in a fixed formula both engines evaluate identically
+      val x = col("l_quantity").cast(LongType)
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      // the SUMS are exact int64; the standardized ratios are computed
+      // in double with a FIXED expression tree (mirrored token-for-token
+      // in the oracle), so the doubles hash-match:
+      //   mean = s1/n, var = s2/n − mean², m3 = s3/n − 3·mean·(s2/n) +
+      //   2·mean³, skew = m3/var^1.5 (int64 cross-multiplied forms like
+      //   n²·s3 would overflow at corpus scale — deliberately avoided)
+      val nD = col("n").cast(DoubleType)
+      val mean = col("s1").cast(DoubleType) / nD
+      val varP = col("s2").cast(DoubleType) / nD - mean * mean
+      val m3 = col("s3").cast(DoubleType) / nD -
+        lit(3.0) * mean * (col("s2").cast(DoubleType) / nD) +
+        lit(2.0) * mean * mean * mean
+      m.select(col("n"), mean.as("mean"), varP.as("var_pop"),
+        (m3 / (varP * sqrt(varP))).as("skewness"))
+    },
     "red_corr" -> { (s, dir) =>
       val D4 = DecimalType(28, 4)
       val x = col("l_quantity").cast(D4)
@@ -1123,6 +1148,20 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "red_moments" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        |  FROM lineitem)
+        |SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+        |  CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var_pop,
+        |  (CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |    + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |  / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |     * SQRT(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS skewness
+        |FROM m""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
