@@ -114,6 +114,24 @@ object SparkEntry {
           col("c_acctbal"), col("n_name"), col("c_mktsegment"))
         .limit(20)
     },
+    "q18_volume" -> { (s, dir) =>
+      // TPC-H Q18 shape (large-volume customers): orders whose total
+      // lineitem quantity clears a HAVING threshold, joined back to
+      // customer detail — the aggregate-then-semi-join pattern (the
+      // heavy lineitem aggregate runs ONCE; the qualifying key set,
+      // tiny by construction, broadcasts into the detail join)
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+        .filter(col("total_qty") > 180)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(50)
+    },
     "q14_promo" -> { (s, dir) =>
       // TPC-H Q14 shape (promotion effect): PROMO share of one month's
       // revenue — two decimal-exact sums from ONE conditional
@@ -1174,6 +1192,13 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_volume" ->
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q14_promo" ->
       """WITH a AS (
         |  SELECT
