@@ -6,47 +6,58 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching oracle_sql.json query in DuckDB over <sfDir>'s tables, then
 compares: row count, column names (sorted), and values (rows sorted by all
 columns). Reports exact mismatches and max numeric deltas.
-"""
-import json, sys, glob, os
-import duckdb
-import pandas as pd
-import numpy as np
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+The top-level invocation forks itself per batch of queries: this box's
+sandbox starts failing small mallocs once a long-lived process has churned
+through a couple hundred DuckDB/pyarrow queries (allocator state, not real
+memory pressure — RSS stays <1GB), so each batch gets a fresh process.
+"""
+import json, sys, glob, os, subprocess
+
+BATCH = 40
+
+def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
+    import duckdb
     con = duckdb.connect()
+    con.execute("SET memory_limit='8GB'")
     for tname in ["region","nation","customer","supplier","part","orders",
                   "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{tname}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def run_batch(sf_dir, out_dir, names):
+    import pandas as pd
+    import numpy as np
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL  {name}: no spark output", flush=True); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             status = "ok" if len(got) > 0 else "EMPTY"
-            print(f"ROWS  {name}: rows={len(got)} {status}"); n_rowsonly += 1
+            print(f"ROWS  {name}: rows={len(got)} {status}", flush=True); n_rowsonly += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL  {name}: oracle error: {e}", flush=True); n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}", flush=True)
+            n_fail += 1; continue
         if len(g) != len(e):
-            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}", flush=True); n_fail += 1; continue
         bad = []
         for c in g.columns:
             gc, ec = g[c], e[c]
@@ -64,11 +75,39 @@ def main(sf_dir, out_dir):
                     i = neq.idxmax()
                     bad.append(f"{c} (n={neq.sum()}, e.g. {gc[i]!r} vs {ec[i]!r})")
         if bad:
-            print(f"FAIL  {name}: value mismatch: {'; '.join(bad)}"); n_fail += 1
+            print(f"FAIL  {name}: value mismatch: {'; '.join(bad)}", flush=True); n_fail += 1
         else:
-            print(f"PASS  {name}: rows={len(g)}"); n_pass += 1
+            print(f"PASS  {name}: rows={len(g)}", flush=True); n_pass += 1
+    return n_pass, n_fail, n_rowsonly
+
+def main(sf_dir, out_dir):
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    if len(names) <= BATCH:
+        n_pass, n_fail, n_rowsonly = run_batch(sf_dir, out_dir, names)
+        print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+        return 1 if n_fail else 0
+    n_pass = n_fail = n_rowsonly = 0
+    for i in range(0, len(names), BATCH):
+        chunk = names[i:i + BATCH]
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+             "--batch", ",".join(chunk)],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode not in (0, 1) or not r.stdout:
+            sys.stderr.write(r.stderr)
+            print(f"FAIL  batch {i//BATCH}: checker subprocess died rc={r.returncode}")
+            n_fail += len(chunk); continue
+        for line in r.stdout.splitlines():
+            if line.startswith("PASS"): n_pass += 1
+            elif line.startswith("FAIL"): n_fail += 1
+            elif line.startswith("ROWS"): n_rowsonly += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[3] == "--batch":
+        n_pass, n_fail, _ = run_batch(sys.argv[1], sys.argv[2], sys.argv[4].split(","))
+        sys.exit(1 if n_fail else 0)
     sys.exit(main(sys.argv[1], sys.argv[2]))

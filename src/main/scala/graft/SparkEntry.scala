@@ -53,7 +53,8 @@ object SparkEntry {
   // formula-mirroring oracles lives at PipelineEntry's shared-SQL-
   // fragment block.
   // =====================================================================
-  def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++ PipelineEntry.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ TpchEntry.queries ++ PipelineEntry.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: TPC-H Q1 pricing summary (SURVEY §2.7/§2.8) ----
@@ -1142,7 +1143,8 @@ object SparkEntry {
   // DuckDB oracle SQL — same table names, same output column names, same
   // deterministic ORDER BY; decimal-exact aggregation mirrors the Spark side.
   // =====================================================================
-  def oracleSql: Map[String, String] = relationalOracle ++ PipelineEntry.oracleSql
+  def oracleSql: Map[String, String] =
+    relationalOracle ++ TpchEntry.oracleSql ++ PipelineEntry.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "q1_agg" ->
