@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Behavior, Bloom, Cluster, Dedup, Features, Graph, Incremental, Layout, Multimodal, Pack, Quantile, Sampling, Sessionize, Similarity, Skyline, Tensor, Validate}
+import graft.operators.{AsOf, Behavior, Bloom, Cluster, Dedup, Features, Graph, Incremental, Layout, Multimodal, Pack, Pca, Quantile, Sampling, Sessionize, Similarity, Skyline, Tensor, Validate}
 import graft.testkit.StreamReplay
 
 /** North-star extension queries (BASELINE.json): dedup, similarity
@@ -1383,6 +1383,22 @@ object PipelineEntry {
         .select(col("event_id_l"), col("event_id_r"))
         .orderBy("event_id_l", "event_id_r")
     },
+    "stream_interval_left" -> { (s, dir) =>
+      // LEFT OUTER stream-stream interval join as a REAL multi-batch
+      // stream: views that never converted within 10 min emit with
+      // null purchase ids once the watermark proves no match can
+      // arrive (sentinel-advanced) — the on-stream form of the
+      // unconverted-impressions backfill; oracle = the batch LEFT JOIN
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      StreamReplay.replayIntervalJoinLeftOuter(s, views, purchases,
+          "user_id", windowSeconds = 600L)
+        .select(col("event_id_l"), col("event_id_r"))
+        .orderBy("event_id_l", "event_id_r")
+    },
     "stream_sessions" -> { (s, dir) =>
       // custom-state sessionization (flatMapGroupsWithState) as a REAL
       // multi-batch stream: 4 event-time-ordered micro-batches + a
@@ -1679,6 +1695,17 @@ object PipelineEntry {
       Tensor.tensordot(coo, coo, Seq("vec_id", "pos"), Seq("vec_id", "pos"),
           contract = Seq("vec_id" -> "vec_id"), "q", "q")
         .orderBy("d0", "d1")
+    },
+    "arr_pca" -> { (s, dir) =>
+      // leading principal axis of the embedding corpus: exact-integer
+      // scatter matrix + 8 quantized power-iteration rounds (the
+      // stationary-dist determinism recipe on eigenvectors); oracle
+      // unrolls the identical arithmetic in SQL. The d×d driver loop
+      // is dimension-bounded (the broadcast-centroids pattern), all
+      // data-proportional work stays in the exploded self-join
+      Pca.topComponent(t(s, dir, "embeddings"), "embedding", "vec_id",
+          iters = 8)
+        .orderBy("d")
     },
 
     "src_xml_roundtrip" -> { (s, dir) =>
@@ -1991,6 +2018,17 @@ object PipelineEntry {
       Validate.kAnonymity(t(s, dir, "customer"),
           Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 10L)
         .orderBy("c_mktsegment", "c_nationkey")
+    },
+    "priv_tclose" -> { (s, dir) =>
+      // t-closeness audit: per-nation total-variation distance of the
+      // market-segment distribution from the global one — catches the
+      // attribute-disclosure leak k/l-anonymity misses (a class can be
+      // large AND diverse yet 90% one sensitive value). Exact
+      // cross-multiplied integer arithmetic; the oracle replays the
+      // identical rational formula
+      Validate.tCloseness(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", t = 0.1)
+        .orderBy("c_nationkey")
     },
     "misc_validate" -> { (s, dir) =>
       // admission checks before a dump joins the corpus: all row-level
@@ -3672,6 +3710,14 @@ object PipelineEntry {
           |  AND l.event_type = 'view' AND r.event_type = 'purchase'
           |  AND r.us >= l.us AND r.us <= l.us + 600000000
           |ORDER BY event_id_l, event_id_r""".stripMargin,
+      "stream_interval_left" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+          |v AS (SELECT * FROM e WHERE event_type = 'view'),
+          |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+          |SELECT v.event_id AS event_id_l, p.event_id AS event_id_r
+          |FROM v LEFT JOIN p ON v.user_id = p.user_id
+          |  AND p.us >= v.us AND p.us <= v.us + 600000000
+          |ORDER BY event_id_l, event_id_r""".stripMargin,
       // the stream closes every session (sentinel-advanced watermark), so
       // the batch sessionization IS the exact oracle. The stateful fold
       // orders same-µs events arbitrarily where the batch window orders by
@@ -3805,6 +3851,42 @@ object PipelineEntry {
           |FROM coo a JOIN coo b USING (vec_id)
           |GROUP BY 1, 2 ORDER BY d0, d1""".stripMargin,
 
+      "arr_pca" -> {
+        // unrolled quantized power iterations over the exact-integer
+        // scatter matrix — same arithmetic as Pca.topComponent
+        // every CTE is referenced exactly ONCE (the max is a window,
+        // not a scalar subquery) and sm is MATERIALIZED — DuckDB
+        // inlines CTEs, so a double reference would replay the whole
+        // iteration chain exponentially
+        val steps = (1 to 8).map { k =>
+          val p = s"v${k - 1}"
+          s"""w$k AS (SELECT sm.i AS i, SUM(sm.sv * $p.v) AS w
+             |  FROM sm JOIN $p ON $p.i = sm.j GROUP BY 1),
+             |v$k AS (SELECT i, CAST(FLOOR(CAST(w AS DOUBLE) * 1048576.0 /
+             |    MAX(ABS(CAST(w AS DOUBLE))) OVER ()) AS HUGEINT) AS v
+             |  FROM w$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |x AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS q FROM e),
+           |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+           |sv0 AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s FROM x GROUP BY i),
+           |g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS g
+           |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+           |sm AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS sv
+           |  FROM g CROSS JOIN nn
+           |  JOIN sv0 sa ON sa.i = g.i JOIN sv0 sb ON sb.i = g.j),
+           |v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM sv0),
+           |$steps,
+           |vf AS MATERIALIZED (SELECT * FROM v8),
+           |top AS (SELECT i FROM vf ORDER BY ABS(v) DESC, i LIMIT 1),
+           |sgn AS (SELECT CASE WHEN (SELECT v FROM vf WHERE i = (SELECT i FROM top)) < 0
+           |  THEN -1 ELSE 1 END AS sg)
+           |SELECT CAST(i AS BIGINT) AS d, CAST(sg * v AS DOUBLE) / 1048576.0 AS loading
+           |FROM vf CROSS JOIN sgn ORDER BY d""".stripMargin
+      },
+
       "misc_cached" ->
         """SELECT l_returnflag, COUNT(*) AS n,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
@@ -3852,6 +3934,23 @@ object PipelineEntry {
           |  COUNT(DISTINCT c_acctbal) < 10 AS violates_l
           |FROM customer GROUP BY c_mktsegment, c_nationkey
           |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+      "priv_tclose" ->
+        """WITH g AS (SELECT c_mktsegment AS v, COUNT(*) AS gv FROM customer GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS nt FROM customer),
+          |cv AS (SELECT c_nationkey, c_mktsegment AS v, COUNT(*) AS cvn
+          |       FROM customer GROUP BY 1, 2),
+          |cw AS (SELECT *, SUM(cvn) OVER (PARTITION BY c_nationkey) AS ncls FROM cv),
+          |per AS (SELECT c_nationkey, MAX(ncls) AS class_size,
+          |    SUM(ABS(CAST(cvn AS HUGEINT) * nt - CAST(gv AS HUGEINT) * ncls)) AS num_present,
+          |    SUM(gv) AS g_present, MAX(nt) AS nt
+          |  FROM cw JOIN g USING (v) CROSS JOIN n
+          |  GROUP BY c_nationkey)
+          |SELECT c_nationkey, class_size,
+          |  CAST(num_present + CAST(nt - g_present AS HUGEINT) * class_size AS DOUBLE)
+          |    / (2.0 * class_size * nt) AS tv_distance,
+          |  CAST(num_present + CAST(nt - g_present AS HUGEINT) * class_size AS DOUBLE)
+          |    / (2.0 * class_size * nt) > 0.1 AS violates_t
+          |FROM per ORDER BY c_nationkey""".stripMargin,
       "misc_validate" ->
         """SELECT * FROM (
           |SELECT 'acctbal_nonneg' AS rule,

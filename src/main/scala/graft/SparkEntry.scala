@@ -849,6 +849,27 @@ object SparkEntry {
         .withColumn("quartile", ntile(4).over(wRn).cast(LongType))
         .orderBy("event_id")
     },
+    "win_value_funcs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // the value-picking window family over a TOTAL order (ts,
+      // event_id tiebreak — deterministic across engines): first/last/
+      // nth with explicit full frames, offset lag with a default,
+      // lead(2), and the two distribution ranks (exact integer ratios
+      // cast to double identically on both engines)
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("v_first", first(col("value")).over(grow))
+        .withColumn("v_last", last(col("value")).over(full))
+        .withColumn("v_second", nth_value(col("value"), 2).over(full))
+        .withColumn("v_prev", lag(col("value"), 1, -1.0).over(ord))
+        .withColumn("v_next2", lead(col("value"), 2).over(ord))
+        .withColumn("prank", percent_rank().over(ord))
+        .withColumn("cdist", cume_dist().over(ord))
+        .orderBy("event_id")
+    },
 
     // ---- grouping sets / pivot (extension; SURVEY §2.8 — absent from
     // the reference, free in Spark) ----
@@ -870,6 +891,22 @@ object SparkEntry {
         .select(coalesce(col("o_year"), lit(-1L)).as("o_year"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("total"))
         .orderBy("o_year", "status")
+    },
+    "by_grouping_sets" -> { (s, dir) =>
+      // EXPLICIT grouping sets — the irregular lattice cube/rollup
+      // can't express: ((status, priority), (status), ()) but NOT
+      // (priority). One pass, one Expand, one aggregate — never three
+      // scans unioned
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
     },
     "by_pivot" -> { (s, dir) =>
       Table(t(s, dir, "orders"))
@@ -1621,6 +1658,26 @@ object SparkEntry {
         |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drank,
         |  ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_value_funcs" ->
+      """SELECT event_id, user_id, ts, value,
+        |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_first,
+        |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last,
+        |  nth_value(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_second,
+        |  lag(value, 1, -1.0) OVER w AS v_prev,
+        |  lead(value, 2) OVER w AS v_next2,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "by_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
 
     "by_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,

@@ -155,4 +155,63 @@ object Validate {
         (col("class_size") < k).as("violates_k"),
         (col("l_diversity") < l).as("violates_l")): _*)
   }
+
+  /** t-closeness audit (Li, Li, Venkatasubramanian 2007) for a
+    * CATEGORICAL sensitive attribute: per equivalence class (the
+    * quasi-identifier combination), the total-variation distance
+    * between the class's sensitive-value distribution and the global
+    * one, `TV = ½ Σ_v |p_class(v) − p_global(v)|`, must stay ≤ t or
+    * the class leaks the attribute even when k/l-anonymity hold.
+    *
+    * Exactness: the distance is computed entirely in cross-multiplied
+    * integer arithmetic — with class counts `c_v` (class size n),
+    * global counts `g_v` (total N):
+    * `TV = (Σ_{v∈class} |c_v·N − g_v·n|  +  (N − Σ_{v∈class} g_v)·n) / (2·n·N)`
+    * (the second term folds every value ABSENT from the class without
+    * materializing the class × full-domain outer join). Products ride
+    * DECIMAL(38,0), so the identity holds to corpus sizes far beyond
+    * int64 (N ~ 1e12 squared would wrap a long).
+    *
+    * Scale shape: one aggregate per (class, value) — domain-bounded,
+    * NOT row-bounded, after the first map-side combine — plus a
+    * |domain|-row broadcast of the global counts and a 1-row total.
+    * Nothing beyond the first partial aggregate is proportional to
+    * input rows.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness: at least one quasi-identifier column")
+    require(t >= 0 && t <= 1, s"tCloseness: t must be in [0,1], got $t")
+    val missing = (qiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"tCloseness: no such column(s): ${missing.mkString(", ")}")
+    val B = DecimalType(38, 0)
+    val global = df.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_gv"))
+    val total = global.agg(sum(col("_gv")).as("_n_total"))
+    val classValue = df.groupBy((qiCols.map(col) :+ col(sensitiveCol).as("_v")): _*)
+      .agg(count(lit(1)).as("_cv"))
+    val qiC = qiCols.map(col)
+    // class sizes via a window over the ALREADY-AGGREGATED (class,
+    // value) counts — domain-bounded rows, so the window is cheap and
+    // saves a second scan-side aggregate
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qiC: _*)
+    classValue
+      .withColumn("_n_class", sum(col("_cv")).over(w))
+      .join(broadcast(global), "_v")
+      .crossJoin(broadcast(total))
+      .groupBy(qiC: _*)
+      .agg(
+        first(col("_n_class")).as("class_size"),
+        sum(abs(col("_cv").cast(B) * col("_n_total").cast(B) -
+          col("_gv").cast(B) * col("_n_class").cast(B))).as("_num_present"),
+        sum(col("_gv")).as("_g_present"),
+        first(col("_n_total")).as("_n_total"))
+      .select(qiC ++ Seq(
+        col("class_size"),
+        ((col("_num_present") +
+          (col("_n_total").cast(B) - col("_g_present").cast(B)) * col("class_size").cast(B))
+          .cast(DoubleType) /
+          (lit(2.0) * col("class_size") * col("_n_total"))).as("tv_distance")): _*)
+      .withColumn("violates_t", col("tv_distance") > t)
+  }
 }

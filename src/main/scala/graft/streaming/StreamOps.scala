@@ -238,7 +238,8 @@ object StreamOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    windowSeconds: Long, tsCol: String = "ts",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
       .select(left.columns.map(c => col(c).as(s"${c}_l")): _*)
     val r = right.withWatermark(tsCol, watermark)
@@ -246,8 +247,27 @@ object StreamOps {
     l.join(r,
       col(s"${key}_l") === col(s"${key}_r") &&
         col(s"${tsCol}_r") >= col(s"${tsCol}_l") &&
-        col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
   }
+
+  /** LEFT OUTER face of [[intervalJoin]]: every left row emits — matched
+    * rows as they pair, UNMATCHED rows with right-side nulls once the
+    * watermark passes `left.ts + windowSeconds` and Spark can prove no
+    * match will arrive (the conversion-funnel "view that never
+    * purchased" shape, computed ON the stream instead of by a batch
+    * backfill). Same bounded-state eviction as the inner form; the only
+    * extra cost is the left buffer holding rows until provably
+    * unmatchable — which the time bound keeps ∝ the horizon. NOTE the
+    * emit-on-watermark semantics: unmatched results for the FINAL
+    * events of a bounded replay only flush when a later batch advances
+    * the watermark past them (the testkit replay appends a sentinel for
+    * exactly this).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            windowSeconds: Long, tsCol: String = "ts",
+                            watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(left, right, key, windowSeconds, tsCol, watermark, "left_outer")
 
   /** Apply a CDC change STREAM to a base table incrementally — the
     * streaming face of [[graft.operators.Incremental.applyCdc]], via

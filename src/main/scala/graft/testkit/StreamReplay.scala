@@ -1,5 +1,6 @@
 package graft.testkit
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamOps
@@ -236,6 +237,78 @@ object StreamReplay {
       q.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)
+  }
+
+  /** Multi-batch replay of [[StreamOps.intervalJoinLeftOuter]] over two
+    * bounded (event_id, user_id, ts) frames: both sides feed
+    * MemoryStreams in lock-stepped event-time-ordered chunks (so the
+    * GLOBAL watermark — the min across both inputs — genuinely
+    * advances between batches and matched pairs emit mid-stream), then
+    * far-future sentinels on BOTH sides push the watermark past
+    * `last.ts + window`, which is what makes the outer join emit its
+    * final unmatched-left nulls (they are only provably unmatchable
+    * once the watermark clears the match window). Sentinel rows use
+    * user_id Long.MinValue and are filtered from the result.
+    */
+  def replayIntervalJoinLeftOuter(spark: SparkSession,
+                                  left: DataFrame, right: DataFrame,
+                                  key: String, windowSeconds: Long,
+                                  nChunks: Int = 4,
+                                  name: String = "stream_ij_left_sink",
+                                  statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def prep(df: DataFrame) =
+      df.select(col("event_id").cast("long"), col(key).cast("long"), col("ts"))
+    val (lSrc, rSrc) = (prep(left), prep(right))
+    val memL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoinLeftOuter(
+      memL.toDF().toDF("event_id", key, "ts"),
+      memR.toDF().toDF("event_id", key, "ts"),
+      key, windowSeconds, watermark = "1 second")
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    statePartitions.foreach(n => spark.conf.set(confKey, n.toString))
+    try {
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      // lock-step chunked feed: split each side into nChunks by event
+      // time and advance both per round, so the GLOBAL watermark (min
+      // across inputs) moves and neither side's buffer waits on a
+      // stalled sibling
+      def chunksOf(src: DataFrame): Iterator[Seq[(Long, Long, java.sql.Timestamp)]] = {
+        val total = src.count()
+        val size = math.max(1L, (total + nChunks - 1) / nChunks).toInt
+        src.orderBy(col("ts"), col("event_id"))
+          .as[(Long, Long, java.sql.Timestamp)].toLocalIterator()
+          .asScala.grouped(size)
+      }
+      val (lIt, rIt) = (chunksOf(lSrc), chunksOf(rSrc))
+      var maxMs = 0L
+      while (lIt.hasNext || rIt.hasNext) {
+        if (lIt.hasNext) {
+          val c = lIt.next(); maxMs = math.max(maxMs, c.map(_._3.getTime).max)
+          memL.addData(c)
+        }
+        if (rIt.hasNext) {
+          val c = rIt.next(); maxMs = math.max(maxMs, c.map(_._3.getTime).max)
+          memR.addData(c)
+        }
+        q.processAllAvailable()
+      }
+      // sentinels on BOTH sides a day past every match window: the
+      // watermark clears last.ts + window, so the final unmatched-left
+      // rows flush with right-side nulls
+      val sentinelTs = new java.sql.Timestamp(
+        maxMs + (windowSeconds + 86400L) * 1000L)
+      memL.addData(Seq((Long.MinValue, Long.MinValue, sentinelTs)))
+      memR.addData(Seq((Long.MinValue, Long.MinValue, sentinelTs)))
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(confKey, prev)
+    spark.table(name).filter(col(s"${key}_l") =!= Long.MinValue)
   }
 
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,

@@ -299,6 +299,36 @@ class BehaviorSpec extends SparkSpec {
     assert(r("c") == ((1L, 1L, true, true)))
   }
 
+  test("tCloseness: zero for global-matching classes, exact TV otherwise, absent values counted") {
+    // global sens distribution: x:4, y:2 over N=6 → p = (2/3, 1/3)
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),             // class a matches global → TV 0
+      ("b", "x"), ("b", "x"),                         // class b all-x: TV = ½(|1-2/3| + |0-1/3|) = 1/3
+      ("c", "y"))                                     // class c all-y: TV = ½(2/3 + 2/3) = 2/3
+      .toDF("qi", "sens")
+    val r = graft.operators.Validate.tCloseness(df, Seq("qi"), "sens", t = 0.5)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r("a")._1 == 3L && math.abs(r("a")._2) < 1e-15 && !r("a")._3)
+    assert(math.abs(r("b")._2 - 1.0 / 3) < 1e-15 && !r("b")._3)
+    // class c never contains x at all — the absent-value fold term
+    assert(math.abs(r("c")._2 - 2.0 / 3) < 1e-15 && r("c")._3)
+  }
+
+  test("Pca.topComponent recovers a planted direction, max-normalized, sign-fixed") {
+    // colinear points along (3,4): leading axis must be that direction,
+    // loadings max-normalized (largest |component| exactly 1.0 and
+    // positive after the sign fix) regardless of the points' signs
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(6.0f, 8.0f)),
+      (3L, Array(-3.0f, -4.0f)), (4L, Array(1.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Pca.topComponent(emb, "embedding", "vec_id")
+      .orderBy("d").collect().map(_.getDouble(1))
+    assert(r(1) == 1.0, s"largest component must normalize to exactly +1, got ${r(1)}")
+    assert(math.abs(r(0) - 0.75) < 1e-4, s"expected 3/4 ratio, got ${r(0)}")
+  }
+
   test("sceneCuts: first frame never a cut, threshold strict, per-clip lag") {
     val frames = Seq(
       (1L, 0L, 8L, 8L, 10.0), (1L, 1L, 8L, 8L, 50.0), (1L, 2L, 8L, 8L, 251.0),

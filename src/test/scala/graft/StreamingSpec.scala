@@ -158,6 +158,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((100L, 200L), (101L, 201L)))
   }
 
+  test("intervalJoinLeftOuter: unmatched lefts flush with nulls once the watermark clears their window") {
+    // views 100/102 match nothing: 100's only candidate (201) is outside
+    // its 5-min window, 102's user has no purchases at all — both must
+    // still emit, with null right ids, after the sentinel advances the
+    // watermark past their windows
+    val views = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:00")),
+      (101L, 10L, ts("2024-01-01 00:10:00")),
+      (102L, 11L, ts("2024-01-01 00:00:30"))).toDF("event_id", "user_id", "ts")
+    val buys = Seq(
+      (201L, 10L, ts("2024-01-01 00:12:00"))).toDF("event_id", "user_id", "ts")
+    val got = StreamReplay.replayIntervalJoinLeftOuter(spark, views, buys,
+        "user_id", windowSeconds = 300L, nChunks = 2, name = "t_ssjoin_left")
+      .select("event_id_l", "event_id_r").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((100L, None), (101L, Some(201L)), (102L, None)))
+  }
+
   test("Cached memoizes semantically-equal plans and releases persists") {
     val cache = new graft.api.Cached
     val base = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
