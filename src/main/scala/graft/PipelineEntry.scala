@@ -100,6 +100,41 @@ object PipelineEntry {
   private def sqlHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"
   private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** shared PCA replay chain (arr_pca / arr_pca_project): unrolled
+    * quantized power iterations over the exact-integer scatter matrix —
+    * the same arithmetic as Pca.axisVector. Every CTE is referenced
+    * exactly ONCE per consumer (the renorm max is a window, not a
+    * scalar subquery) and the multiply-referenced ones (x, sm, vf) are
+    * MATERIALIZED — DuckDB inlines CTEs, so a double reference would
+    * replay the whole iteration chain exponentially. */
+  private lazy val sqlPcaChain: String = {
+    val steps = (1 to 8).map { k =>
+      val p = s"v${k - 1}"
+      s"""w$k AS (SELECT sm.i AS i, SUM(sm.sv * $p.v) AS w
+         |  FROM sm JOIN $p ON $p.i = sm.j GROUP BY 1),
+         |v$k AS (SELECT i, CAST(FLOOR(CAST(w AS DOUBLE) * 1048576.0 /
+         |    MAX(ABS(CAST(w AS DOUBLE))) OVER ()) AS HUGEINT) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |x AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS q FROM e),
+       |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM x),
+       |sv0 AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s FROM x GROUP BY i),
+       |g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS g
+       |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       |sm AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS sv
+       |  FROM g CROSS JOIN nn
+       |  JOIN sv0 sa ON sa.i = g.i JOIN sv0 sb ON sb.i = g.j),
+       |v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM sv0),
+       |$steps,
+       |vf AS MATERIALIZED (SELECT * FROM v8),
+       |top AS (SELECT i FROM vf ORDER BY ABS(v) DESC, i LIMIT 1),
+       |sgn AS (SELECT CASE WHEN (SELECT v FROM vf WHERE i = (SELECT i FROM top)) < 0
+       |  THEN -1 ELSE 1 END AS sg)""".stripMargin
+  }
   /** deterministic mojibake tail for text_fix_encoding: café + curly
     * quotes + em dash, each cp1252-double-decoded (\u escapes — see
     * TextFunctions.MojibakeMap's byte math).
@@ -419,6 +454,17 @@ object PipelineEntry {
         .filter(pmod(col("event_id"), lit(7L)) === 0L)
         .select("event_id", "user_id", "value").orderBy("event_id")
     },
+    "ev_seasonal" -> { (s, dir) =>
+      // seasonal-naive decomposition: hour-of-day mean (exact decimal
+      // sum / count) broadcast back, residual per event — the
+      // is-this-spike-real-or-just-9am contextualizer
+      Behavior.seasonalDecompose(
+          t(s, dir, "events").select(col("event_id"), col("ts"), col("value")),
+          "value", hour(col("ts")).cast(LongType), keyName = "hr")
+        .select(col("event_id"), col("hr"), col("value"),
+          col("seasonal"), col("residual"))
+        .orderBy("event_id")
+    },
     "ev_intervals" -> { (s, dir) =>
       // per-user union of 5-minute exposure windows around each event:
       // overlapping/touching intervals merge into maximal islands;
@@ -442,6 +488,12 @@ object PipelineEntry {
     },
     "red_histogram" -> { (s, dir) =>
       Features.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20).orderBy("bin")
+    },
+    "feat_mutual_info" -> { (s, dir) =>
+      // feature-selection MI between language and source in the same
+      // floor-log2 quantization as the entropy/PMI family — one scan
+      // to the contingency table, marginals re-aggregate that frame
+      Features.mutualInfo(t(s, dir, "documents"), "lang", "source")
     },
     "red_weighted_quantile" -> { (s, dir) =>
       // revenue-weighted median and p90 QUANTITY per return flag ("the
@@ -821,6 +873,16 @@ object PipelineEntry {
       TextFunctions.bm25Scores(t(s, dir, "documents"), col("text"),
           Seq("spark", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+    "text_eval_rank" -> { (s, dir) =>
+      // retrieval-eval: nDCG@10 + first-relevant-rank per query term,
+      // grading the single-term BM25 ranking against tf-derived labels
+      // (integer DCG via the shared 2^20/log2 weight table — a spec
+      // constant, never a per-engine libm log); both actual and ideal
+      // top-10 ride the bounded TopKByScore aggregate
+      TextFunctions.evalRanking(t(s, dir, "documents"), col("text"),
+          Seq("spark", "merge", "window"), k = 10)
+        .orderBy("term")
     },
     "text_rrf" -> { (s, dir) =>
       // hybrid-retrieval fusion: BM25 ranking (lexical) RRF-fused with
@@ -1707,6 +1769,16 @@ object PipelineEntry {
           iters = 8)
         .orderBy("d")
     },
+    "arr_pca_project" -> { (s, dir) =>
+      // the usable face of arr_pca: every embedding's coordinate along
+      // the leading axis (the 1-D ordering a curriculum sampler or
+      // coarse index sorts by) — broadcast d-row axis × quantized
+      // explosion, one partial-agg sum per vector, integer until the
+      // final exact power-of-two division
+      Pca.projectTop(t(s, dir, "embeddings"), "embedding", "vec_id",
+          iters = 8)
+        .orderBy("vec_id")
+    },
 
     "src_xml_roundtrip" -> { (s, dir) =>
       // Spark 4 ships XML as a CORE data source (the former spark-xml
@@ -2061,6 +2133,20 @@ object PipelineEntry {
           year(col("o_orderdate")).cast(LongType).as("oyear"), col("o_custkey")),
         col("o_custkey"), Seq("oyear"), k = 64)
         .orderBy("oyear")
+    },
+    "red_kmv_overlap" -> { (s, dir) =>
+      // corpus-overlap estimate between two source halves from two
+      // k-integer KMV states (theta-sketch set op over 3-token
+      // shingles): shared-content estimate WITHOUT joining the corpora
+      // — the sketch face of decontam_ngram; oracle replays the
+      // estimator verbatim
+      val docs = t(s, dir, "documents")
+        .withColumn("_sn", expr("CAST(SUBSTR(source, 4) AS INT)"))
+      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        docs.filter(p(col("_sn")))
+        .select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+      graft.operators.Sketch.kmvOverlap(
+        side(_ < 10), side(_ >= 10), col("sh"), k = 64)
     },
     "red_quantile_sampled" -> { (s, dir) =>
       // per-language median token count from a 25% deterministic hash
@@ -2464,6 +2550,20 @@ object PipelineEntry {
           |    THEN (c_acctbal - sx / n) / SQRT((sx2 - sx * sx / n) / n) END AS zscore
           |FROM customer c JOIN m ON c.c_mktsegment = m.c_mktsegment
           |ORDER BY c_custkey""".stripMargin,
+      "feat_mutual_info" ->
+        """WITH cxy AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+          |hx AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          |    CAST(SUM(c) * (length(bin(SUM(c))) - 1)
+          |      - SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS h
+          |  FROM (SELECT lang, CAST(SUM(c) AS BIGINT) AS c FROM cxy GROUP BY lang)),
+          |hy AS (SELECT CAST(SUM(c) * (length(bin(SUM(c))) - 1)
+          |      - SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS h
+          |  FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS c FROM cxy GROUP BY source)),
+          |hxy AS (SELECT CAST(SUM(c) * (length(bin(SUM(c))) - 1)
+          |      - SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS h FROM cxy)
+          |SELECT hx.n, hx.h AS hx_qbits, hy.h AS hy_qbits, hxy.h AS hxy_qbits,
+          |  hx.h + hy.h - hxy.h AS mi_qbits
+          |FROM hx, hy, hxy""".stripMargin,
       "red_histogram" ->
         """WITH mm AS (SELECT min(l_extendedprice) AS h_min, max(l_extendedprice) AS h_max FROM lineitem),
           |b AS (SELECT CASE WHEN h_max = h_min THEN 0
@@ -2490,6 +2590,14 @@ object PipelineEntry {
           |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
       // interval union (gaps-and-islands): running max end over strictly
       // preceding intervals opens islands; exact int64 µs arithmetic
+      "ev_seasonal" ->
+        """WITH m AS (SELECT EXTRACT(HOUR FROM ts) AS hr,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS seasonal
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, CAST(m.hr AS BIGINT) AS hr, value, seasonal,
+          |  value - seasonal AS residual
+          |FROM events e JOIN m ON EXTRACT(HOUR FROM e.ts) = m.hr
+          |ORDER BY event_id""".stripMargin,
       "ev_intervals" ->
         """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events),
           |m AS (SELECT user_id, s, e,
@@ -2919,6 +3027,43 @@ object PipelineEntry {
            |  + coalesce(MAX(CASE WHEN token = 'window' THEN s END), 0.0) AS score
            |  FROM sc GROUP BY doc_id)
            |SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      // ranking-eval replay: same per-term bm25 chain with tf kept,
+      // same tf-threshold labels, the SAME integer weight table
+      // (ndcgWeights — shared spec constant), row_number ranks with
+      // identical tie order
+      "text_eval_rank" -> {
+        val w = graft.functions.TextFunctions.ndcgWeights(10).mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token FROM t),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(len(ts)) AS BIGINT) AS sumdl FROM t),
+           |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY doc_id, dl, token),
+           |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+           |  WHERE token IN ('spark','merge','window') GROUP BY token),
+           |cand AS (SELECT tf.doc_id, tf.token AS term, tf.tf,
+           |  (CAST(2*st.n - 2*dfq.df + 1 AS DOUBLE) / CAST(2*dfq.df + 1 AS DOUBLE)) *
+           |  ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+           |    (CAST(tf.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS s,
+           |  CASE WHEN tf.tf >= 3 THEN 2 ELSE 1 END AS rel,
+           |  CASE WHEN tf.tf >= 3 THEN 3 ELSE 1 END AS gain
+           |  FROM tf, dfq, st WHERE dfq.token = tf.token),
+           |act AS (SELECT term, gain, rel,
+           |    row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rank FROM cand),
+           |ide AS (SELECT term, gain,
+           |    row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rank FROM cand),
+           |d AS (SELECT term, CAST(SUM(gain * ($w)[rank]) AS BIGINT) AS dcg_q,
+           |    MIN(CASE WHEN rel = 2 THEN rank END) AS best
+           |  FROM act WHERE rank <= 10 GROUP BY term),
+           |i AS (SELECT term, CAST(SUM(gain * ($w)[rank]) AS BIGINT) AS idcg_q
+           |  FROM ide WHERE rank <= 10 GROUP BY term),
+           |nc AS (SELECT term, COUNT(*) AS n_cands FROM cand GROUP BY term)
+           |SELECT nc.term, nc.n_cands, d.dcg_q, i.idcg_q,
+           |  CAST(d.dcg_q AS DOUBLE) / i.idcg_q AS ndcg,
+           |  CAST(coalesce(d.best, -1) AS BIGINT) AS best_rank
+           |FROM nc JOIN d ON nc.term = d.term JOIN i ON nc.term = i.term
+           |ORDER BY nc.term""".stripMargin
+      },
+
       // RRF fusion of the bm25 ranking (CTE chain above) with the
       // quality ranking (sqlQuality replay) — both ranked
       // (score desc, doc_id), fused 1/(60+rank) terms in fixed order
@@ -3851,41 +3996,17 @@ object PipelineEntry {
           |FROM coo a JOIN coo b USING (vec_id)
           |GROUP BY 1, 2 ORDER BY d0, d1""".stripMargin,
 
-      "arr_pca" -> {
-        // unrolled quantized power iterations over the exact-integer
-        // scatter matrix — same arithmetic as Pca.topComponent
-        // every CTE is referenced exactly ONCE (the max is a window,
-        // not a scalar subquery) and sm is MATERIALIZED — DuckDB
-        // inlines CTEs, so a double reference would replay the whole
-        // iteration chain exponentially
-        val steps = (1 to 8).map { k =>
-          val p = s"v${k - 1}"
-          s"""w$k AS (SELECT sm.i AS i, SUM(sm.sv * $p.v) AS w
-             |  FROM sm JOIN $p ON $p.i = sm.j GROUP BY 1),
-             |v$k AS (SELECT i, CAST(FLOOR(CAST(w AS DOUBLE) * 1048576.0 /
-             |    MAX(ABS(CAST(w AS DOUBLE))) OVER ()) AS HUGEINT) AS v
-             |  FROM w$k)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-           |  FROM embeddings),
-           |x AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS q FROM e),
-           |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
-           |sv0 AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s FROM x GROUP BY i),
-           |g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS g
-           |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
-           |sm AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS sv
-           |  FROM g CROSS JOIN nn
-           |  JOIN sv0 sa ON sa.i = g.i JOIN sv0 sb ON sb.i = g.j),
-           |v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM sv0),
-           |$steps,
-           |vf AS MATERIALIZED (SELECT * FROM v8),
-           |top AS (SELECT i FROM vf ORDER BY ABS(v) DESC, i LIMIT 1),
-           |sgn AS (SELECT CASE WHEN (SELECT v FROM vf WHERE i = (SELECT i FROM top)) < 0
-           |  THEN -1 ELSE 1 END AS sg)
+      "arr_pca" ->
+        s"""WITH $sqlPcaChain
            |SELECT CAST(i AS BIGINT) AS d, CAST(sg * v AS DOUBLE) / 1048576.0 AS loading
-           |FROM vf CROSS JOIN sgn ORDER BY d""".stripMargin
-      },
+           |FROM vf CROSS JOIN sgn ORDER BY d""".stripMargin,
+
+      "arr_pca_project" ->
+        s"""WITH $sqlPcaChain,
+           |pr AS (SELECT vec_id, SUM(CAST(x.q AS HUGEINT) * vf.v) AS sq
+           |  FROM x JOIN vf ON vf.i = x.i GROUP BY vec_id)
+           |SELECT vec_id, CAST(sgn.sg * pr.sq AS DOUBLE) / 1099511627776.0 AS score
+           |FROM pr CROSS JOIN sgn ORDER BY vec_id""".stripMargin,
 
       "misc_cached" ->
         """SELECT l_returnflag, COUNT(*) AS n,
@@ -3978,6 +4099,31 @@ object PipelineEntry {
           |  count(*) OVER (PARTITION BY oyear) AS n FROM h)
           |SELECT oyear, CAST(CASE WHEN n < 64 THEN n ELSE (63 * 281474976710656) // h END AS BIGINT) AS n_est
           |FROM r WHERE rn = LEAST(64, n) ORDER BY oyear""".stripMargin,
+
+      // theta-sketch overlap replay: same md5-48 hashes, k smallest of
+      // the sketch union, same integer estimator
+      "red_kmv_overlap" ->
+        s"""WITH t AS (SELECT CAST(SUBSTR(source, 4) AS INT) AS sn,
+           |    $sqlTokens AS ts FROM documents),
+           |sh AS (SELECT sn, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+           |  FROM (SELECT sn, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i FROM t)),
+           |ta AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(sh),1,12)) AS BIGINT) AS h
+           |  FROM sh WHERE sn < 10) ORDER BY h LIMIT 64),
+           |tb AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(sh),1,12)) AS BIGINT) AS h
+           |  FROM sh WHERE sn >= 10) ORDER BY h LIMIT 64),
+           |u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |  count(*) OVER () AS ntot FROM (SELECT h FROM ta UNION SELECT h FROM tb)),
+           |m AS (SELECT LEAST(64, ntot) AS m, ntot FROM u LIMIT 1),
+           |th AS (SELECT u.h AS theta FROM u, m WHERE u.rn = m.m),
+           |c AS (SELECT COUNT(*) AS c FROM u, m WHERE u.rn <= m.m
+           |  AND u.h IN (SELECT h FROM ta) AND u.h IN (SELECT h FROM tb)),
+           |nu AS (SELECT CAST(CASE WHEN m.ntot < 64 THEN m.ntot
+           |  ELSE (63 * 281474976710656) // th.theta END AS BIGINT) AS n_union_est
+           |  FROM m, th)
+           |SELECT n_union_est,
+           |  CAST((c.c * n_union_est) // m.m AS BIGINT) AS n_inter_est,
+           |  CAST(c.c AS DOUBLE) / m.m AS jaccard_est
+           |FROM nu, c, m""".stripMargin,
 
       // sampled-quantile replay: same md5 sample bucket (seed 7, 25%),
       // same lower discrete quantile at 0-based position (n-1)//2

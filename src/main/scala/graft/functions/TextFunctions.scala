@@ -430,6 +430,89 @@ object TextFunctions {
       .select(col(idCol), total.as("score"))
   }
 
+  /** Per-term face of [[bm25Scores]]: `(idCol, term, tf, s)` for every
+    * (doc, query-term) match — the building block rankers and the
+    * ranking evaluator share. Same idf/normalization arithmetic. */
+  def bm25PerTerm(docs: DataFrame, textCol: Column, queryTerms: Seq[String],
+                  idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"bm25PerTerm: 1..16 query terms, got ${queryTerms.size}")
+    val D = DoubleType
+    val toks = docs.select(col(idCol), size(tokens(textCol)).cast(LongType).as("_dl"),
+      explode(tokens(textCol)).as("_tok"))
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      sum(size(tokens(textCol)).cast(LongType)).as("_sumdl"))
+    val tf = toks.filter(col("_tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = toks.filter(col("_tok").isin(queryTerms: _*))
+      .select(col(idCol), col("_tok")).distinct()
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+    tf.join(broadcast(dfreq), "_tok").crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        (lit(2L) * col("_n") - lit(2L) * col("_df") + lit(1L)).cast(D) /
+          (lit(2L) * col("_df") + lit(1L)).cast(D))
+      .select(col(idCol), col("_tok").as("term"), col("_tf").as("tf"),
+        (col("_idf") * ((col("_tf").cast(D) * lit(2.2)) /
+          (col("_tf").cast(D) + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("_dl").cast(D) / (col("_sumdl").cast(D) / col("_n").cast(D)))))))
+          .as("s"))
+  }
+
+  /** Integer nDCG weight table: `w_k = round(2^20 / log2(k+1))` for
+    * ranks 1..k — computed ONCE here and embedded as literals in both
+    * the operator and its oracle, so the discount is a shared integer
+    * SPEC (never a per-engine libm log at query time). */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1048576.0 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality evaluation — the retrieval-eval step of a search/
+    * RAG pipeline: for each query term, rank candidates by the
+    * single-term BM25 score and grade against tf-derived relevance
+    * labels (rel 2 when tf ≥ 3, else 1 — deliberately NOT what the
+    * ranker optimizes, it normalizes by doc length). Emits per query:
+    * candidate count, integer DCG@k / ideal-DCG@k (gains 2^rel−1 times
+    * the [[ndcgWeights]] table — exact int64 in any aggregation
+    * order), their ratio (nDCG), and the rank of the first rel-2 doc
+    * (−1 if none in the top k; the MRR ingredient).
+    *
+    * Scale shape: candidates stay restricted to query-term matches;
+    * BOTH the actual and the ideal top-k ride the bounded
+    * [[graft.plans.TopKByScore]] partial aggregate (k entries per term
+    * per map partition — no per-term full sort anywhere).
+    */
+  def evalRanking(docs: DataFrame, textCol: Column, queryTerms: Seq[String],
+                  k: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && k <= 100, s"evalRanking: k in [1,100], got $k")
+    val w = ndcgWeights(k)
+    val wArr = array(w.map(lit): _*)
+    val cand = bm25PerTerm(docs, textCol, queryTerms, idCol)
+      .withColumn("_rel", when(col("tf") >= 3, 2L).otherwise(1L))
+      .withColumn("_gain", when(col("_rel") === 2, 3L).otherwise(1L))
+      .cache()
+    def ranked(score: Column) = cand
+      .groupBy(col("term"))
+      .agg(graft.plans.TopKByScore(score, col(idCol), k).as("_top"))
+      .select(col("term"), posexplode(col("_top")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("_rank"),
+        col("col.c_id").as(idCol))
+      .join(cand.select(col("term"), col(idCol), col("_rel"), col("_gain")),
+        Seq("term", idCol))
+      .withColumn("_w", element_at(wArr, col("_rank").cast(IntegerType)))
+    val dcg = ranked(col("s"))
+      .groupBy(col("term"))
+      .agg(sum(col("_gain") * col("_w")).as("dcg_q"),
+        min(when(col("_rel") === 2, col("_rank"))).as("_best"))
+    val idcg = ranked(col("_rel").cast(DoubleType))
+      .groupBy(col("term"))
+      .agg(sum(col("_gain") * col("_w")).as("idcg_q"))
+    val n = cand.groupBy(col("term")).agg(count(lit(1)).as("n_cands"))
+    n.join(dcg, "term").join(idcg, "term")
+      .select(col("term"), col("n_cands"), col("dcg_q"), col("idcg_q"),
+        (col("dcg_q").cast(DoubleType) / col("idcg_q")).as("ndcg"),
+        coalesce(col("_best"), lit(-1L)).as("best_rank"))
+  }
+
   /** Encode documents to (doc, pos, token_id) rows against a vocabulary
     * (out-of-vocabulary → 0): posexplode + one BROADCAST join — the
     * corpus pass stays map-side; `pos` is 1-based. This is the

@@ -184,6 +184,30 @@ object Behavior {
     pi
   }
 
+  /** Seasonal-naive decomposition of a metric: the seasonal component
+    * is the mean at each position of the cycle (`periodKey`, e.g.
+    * hour-of-day), the residual is what's left — the baseline
+    * anomaly-contextualizer (is this spike real, or just 9am?).
+    * Means are exact decimal sums over 2-decimal metrics divided once
+    * in double, so seasonal and residual replay bit-identically
+    * cross-engine. Output: input columns + `seasonal`, `residual`.
+    *
+    * Scale shape: one period-bounded aggregate (|periods| rows,
+    * e.g. 24) broadcast back into a map-side join — the raw stream is
+    * scanned once and never shuffled.
+    */
+  def seasonalDecompose(events: DataFrame, valueCol: String,
+                        periodKey: Column, keyName: String = "period"): DataFrame = {
+    val D = DecimalType(18, 2)
+    val withK = events.withColumn("_pk", periodKey)
+    val means = withK.groupBy(col("_pk"))
+      .agg((sum(col(valueCol).cast(D)).cast(DoubleType) /
+        count(lit(1))).as("seasonal"))
+    withK.join(broadcast(means), "_pk")
+      .withColumn("residual", col(valueCol) - col("seasonal"))
+      .withColumnRenamed("_pk", keyName)
+  }
+
   /** Linear interpolation of missing values in a per-entity time
     * series: for each row where `valueCol` is NULL, interpolate
     * between the nearest non-null neighbours (ordered by ts, id):

@@ -215,4 +215,36 @@ object Features {
             ((col("_ng") - 1) * 100).cast(DoubleType)))
       .drop("_y", "_sy", "_ng")
   }
+
+  /** Mutual information between two categorical columns in the same
+    * floor-log2 quantization as [[Corpus.diversity]]'s entropy (and the
+    * PMI scorer): `MI_q = H_q(X) + H_q(Y) − H_q(X,Y)` with
+    * `H_q = n·⌊log2 n⌋ − Σ_c c·⌊log2 c⌋` — exact integers end to end
+    * (⌊log2⌋ via `length(bin(c))-1`, the engine-portable form), so the
+    * feature-selection ranking this feeds is reproducible on any
+    * engine. Output: one row `(n, hx_qbits, hy_qbits, hxy_qbits,
+    * mi_qbits)`.
+    *
+    * Scale shape: ONE scan aggregates to the (x, y) contingency table;
+    * the marginals re-aggregate that domain-bounded frame — the raw
+    * rows are never read twice.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val missing = Seq(xCol, yCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"mutualInfo: no such column(s): ${missing.mkString(", ")}")
+    def ilog2(c: Column) = (length(bin(c)) - 1).cast(LongType)
+    def hq(counts: DataFrame): DataFrame = counts
+      .agg(sum(col("_c")).as("_n"),
+        sum(col("_c") * ilog2(col("_c"))).as("_cl"))
+      .select(col("_n"), (col("_n") * ilog2(col("_n")) - col("_cl")).as("_h"))
+    val cxy = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("_c")).cache()
+    val hx = hq(cxy.groupBy(col(xCol)).agg(sum(col("_c")).as("_c")))
+      .select(col("_n").as("n"), col("_h").as("hx_qbits"))
+    val hy = hq(cxy.groupBy(col(yCol)).agg(sum(col("_c")).as("_c")))
+      .select(col("_h").as("hy_qbits"))
+    val hxy = hq(cxy).select(col("_h").as("hxy_qbits"))
+    hx.crossJoin(hy).crossJoin(hxy)
+      .withColumn("mi_qbits",
+        col("hx_qbits") + col("hy_qbits") - col("hxy_qbits"))
+  }
 }

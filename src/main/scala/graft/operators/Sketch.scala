@@ -111,6 +111,49 @@ object Sketch {
     merged.crossJoin(direct)
   }
 
+  /** Corpus-overlap estimate from two KMV sketches — the theta-sketch
+    * set operation over the same 48-bit md5 space: take the k smallest
+    * hashes of the UNION of the two sketch states (valid because any
+    * hash among the union's k smallest is necessarily inside its own
+    * side's k smallest — the [[kmvMergeEstimate]] law), let θ be the
+    * k-th; every union hash ≤ θ is a uniform sample of A∪B, so the
+    * fraction present in BOTH sketches estimates the Jaccard and
+    * `|A∩B| ≈ c·|A∪B|/k`. The decontamination use: estimate shared
+    * content between two corpora from two k-integer states without
+    * ever joining the corpora. Underfull sketches (|A∪B| < k) hold
+    * every hash, so all three outputs become EXACT counts through the
+    * same formulas. All arithmetic exact int64 (one double ratio at
+    * the end) — the oracle replays it verbatim.
+    *
+    * Output: one row `(n_union_est, n_inter_est, jaccard_est)`.
+    *
+    * Scale shape: each side is one scan → capped pre-distinct → one
+    * bounded TopKByScore aggregate (k values per map partition cross
+    * the wire); the set algebra runs on two k-length arrays in a
+    * 1-row × 1-row cross join.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, key: Column,
+                 k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= (1 << 14), s"kmvOverlap: k in [2, 2^14], got $k")
+    def sketch(df: DataFrame, out: String) =
+      df.select(kmvHash(key).as("_h")).distinct()
+        .agg(graft.plans.TopKByScore(-col("_h").cast(DoubleType), col("_h"), k).as("_t"))
+        .select(transform(col("_t"), x => x("c_id")).as(out))
+    sketch(a, "_ha").crossJoin(sketch(b, "_hb"))
+      .withColumn("_uall", array_sort(array_distinct(concat(col("_ha"), col("_hb")))))
+      .withColumn("_m", least(lit(k), size(col("_uall"))).cast(LongType))
+      .withColumn("_u", slice(col("_uall"), lit(1), col("_m")))
+      .withColumn("_theta", element_at(col("_u"), col("_m").cast(IntegerType)))
+      .withColumn("_c", size(filter(col("_u"),
+        h => array_contains(col("_ha"), h) && array_contains(col("_hb"), h))).cast(LongType))
+      .withColumn("n_union_est",
+        when(size(col("_uall")) < k, size(col("_uall")).cast(LongType))
+          .otherwise(expr(s"${(k - 1).toLong * KmvSpace}L div _theta")))
+      .select(col("n_union_est"),
+        expr("_c * n_union_est div _m").as("n_inter_est"),
+        (col("_c").cast(DoubleType) / col("_m")).as("jaccard_est"))
+  }
+
   /** Per-group discrete quantile over a deterministic hash sample:
     * keep rows whose [[Sampling.sampleHash]] bucket survives `frac`,
     * sort the sample within each group, and take the value at position

@@ -315,6 +315,17 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r("c")._2 - 2.0 / 3) < 1e-15 && r("c")._3)
   }
 
+  test("kmvOverlap: underfull sketches give exact union/intersection/Jaccard") {
+    // |A∪B| = 45 < k, so the sketches hold every hash and all three
+    // outputs are exact counts through the same estimator formulas
+    val a = (1 to 30).map(i => s"key$i").toDF("k")
+    val b = (16 to 45).map(i => s"key$i").toDF("k")
+    val r = graft.operators.Sketch.kmvOverlap(a, b, col("k"), k = 64).collect()(0)
+    assert(r.getLong(0) == 45L, s"union: ${r.getLong(0)}")
+    assert(r.getLong(1) == 15L, s"inter: ${r.getLong(1)}")
+    assert(r.getDouble(2) == 15.0 / 45, s"jaccard: ${r.getDouble(2)}")
+  }
+
   test("Pca.topComponent recovers a planted direction, max-normalized, sign-fixed") {
     // colinear points along (3,4): leading axis must be that direction,
     // loadings max-normalized (largest |component| exactly 1.0 and
