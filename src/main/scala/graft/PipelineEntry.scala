@@ -723,6 +723,19 @@ object PipelineEntry {
         .orderBy("doc_id")
     },
 
+    "graph_labelprop" -> { (s, dir) =>
+      // community detection: 3 deterministic label-propagation rounds
+      // (majority neighbor label + self-vote, ties to the smallest
+      // label) over the same customer↔supplier affinity graph as
+      // pagerank; oracle unrolls the identical rounds
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(e, iters = 3).orderBy("id")
+    },
     "graph_pagerank" -> { (s, dir) =>
       // graph-centrality curation prior: PageRank over the customer↔
       // supplier affinity graph (undirected — reversed edges unioned,
@@ -2855,6 +2868,27 @@ object PipelineEntry {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "graph_labelprop" -> {
+        // unrolled synchronous rounds: same votes (neighbors + self),
+        // same (count desc, label asc) argmax; MATERIALIZED because
+        // each round references its predecessor twice
+        val steps = (1 to 3).map { i =>
+          val p = s"p${i - 1}"
+          s"""v$i AS (SELECT id, lab, COUNT(*) AS c FROM (
+             |    SELECT e.dst AS id, p.lab FROM e JOIN $p p ON p.id = e.src
+             |    UNION ALL SELECT id, lab FROM $p)
+             |  GROUP BY id, lab),
+             |p$i AS MATERIALIZED (SELECT id, lab FROM (
+             |    SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+             |    FROM v$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |p0 AS MATERIALIZED (SELECT id, id AS lab FROM (SELECT DISTINCT src AS id FROM e)),
+           |$steps
+           |SELECT id, lab AS label FROM p3 ORDER BY id""".stripMargin
+      },
       "graph_pagerank" -> {
         // unrolled power iterations, same scaled-int64 floor arithmetic
         val iters = 3

@@ -86,6 +86,51 @@ object Graph {
     st.select(col("id"), col("pr"))
   }
 
+  /** Deterministic label propagation over an UNDIRECTED edge list —
+    * community detection (Raghavan et al. 2007), made reproducible:
+    * labels start as node ids; each SYNCHRONOUS round every node takes
+    * the most frequent label among its neighbors PLUS its own current
+    * label (the self-vote damps the classic bipartite oscillation),
+    * ties broken toward the SMALLEST label. With a fixed round count
+    * and total tie order the assignment is a pure function of the edge
+    * list — no RNG, no visit order, so the oracle replays it exactly.
+    * (Synchronous LPA may oscillate rather than converge on some
+    * graphs; `iters` bounds work, and the deterministic output is
+    * whatever round `iters` holds — the differential-oracle contract.)
+    * Output: `(id, label)`; nodes sharing a label form a community.
+    *
+    * Scale shape: edges materialize ONCE pre-partitioned on the join
+    * key (as [[pagerank]]); each round is one edge join + one
+    * (node, label) count aggregate + one per-node argmax via struct
+    * ordering — never a per-node sort or window. State is node-sized.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, s"labelPropagation: iters must be positive, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
+    var st = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var retirable: DataFrame = null
+    for (_ <- 1 to iters) {
+      val votes = e.join(st, e("src") === st("id"))
+        .select(col("dst").as("id"), col("lab"))
+        .unionByName(st.select(col("id"), col("lab")))
+        .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
+      val prev = st
+      // argmax by (count desc, label asc) through struct ordering —
+      // max(struct(c, -lab)) picks the winner without any window
+      st = votes.groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("_w"))
+        .select(col("id"), (-col("_w.nl")).as("lab"))
+        .localCheckpoint(true)
+      if (retirable ne null)
+        org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
+      retirable = prev
+    }
+    st.select(col("id"), col("lab").as("label"))
+  }
+
   /** Exact triangle count over an UNDIRECTED edge list `(src, dst)`
     * (duplicates, reversed copies, and self-loops tolerated — edges are
     * canonicalized first). Output: one row `(n_triangles)`.

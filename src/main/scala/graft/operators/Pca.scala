@@ -21,42 +21,41 @@ import org.apache.spark.sql.types._
   * bit-reproducible on any engine/partitioning/retry — the same
   * property every other sketch in this repo buys with quantization.
   *
-  * Scale shape: the DATA-proportional work is one exploded self-join
-  * per (id) producing d² partial products, partial-aggregated map-side
-  * to the d×d Gram — the [[Tensor.tensordot]] self-contraction. The
-  * d×d scatter matrix (4096 entries at d=64, 1M at d=1024) is
-  * DIMENSION-bounded, not data-bounded, so the driver-side power loop
-  * is the broadcast-centroids pattern, not a collect of data. Nothing
-  * else leaves the executors.
+  * Scale shape: the DATA-proportional work is the Gram pass — a per-row
+  * DOUBLE EXPLOSION of the quantized vector (d² products generated
+  * map-side, partial-aggregated to ≤ d² rows per partition), so the
+  * ONLY exchange anywhere is the d×d-group final aggregate. No join, no
+  * shuffle of row-proportional data. The d×d scatter matrix (4096
+  * entries at d=64, 1M at d=1024) is DIMENSION-bounded, not
+  * data-bounded, so the driver-side power loop is the
+  * broadcast-centroids pattern, not a collect of data.
   */
 object Pca {
 
-  /** Leading principal axis of `vecCol` (array<float/double>) as
-    * `(d, loading)` rows, `loading = v_d / vscale` with `|v|`
-    * max-normalized to vscale and the sign fixed so the
-    * largest-|loading| component is positive (smallest index on ties).
-    */
-  /** quantized coordinate explosion shared by the axis solve and the
-    * projection: (_id, _i, _q) with `_q = floor(x · qscale)`. */
-  private def quantize(emb: DataFrame, vecCol: String, idCol: String,
-                       qscale: Long): DataFrame =
-    emb.select(col(idCol).as("_id"), posexplode(col(vecCol)))
-      .select(col("_id"), col("pos").as("_i"),
-        floor(col("col").cast(DoubleType) * qscale).cast(LongType).as("_q"))
+  /** one row per vector with the quantized array `_qv` (and `_id`):
+    * the frame every pass derives from. */
+  private def quantizeArr(emb: DataFrame, vecCol: String, idCol: String,
+                          qscale: Long): DataFrame =
+    emb.select(col(idCol).as("_id"),
+      transform(col(vecCol), x =>
+        floor(x.cast(DoubleType) * qscale).cast(LongType)).as("_qv"))
 
   /** the sign-fixed integer axis (|v| max-normalized to vscale), as the
-    * driver-side array both public faces share. */
-  private def axisVector(coo: DataFrame, n: Long, iters: Int,
+    * driver-side array both public faces share. `qdf` = quantizeArr
+    * output. */
+  private def axisVector(qdf: DataFrame, n: Long, iters: Int,
                          vscale: Long): Array[BigInt] = {
     val B = DecimalType(38, 0)
-    val a = coo.select(col("_id"), col("_i").as("_ai"), col("_q").as("_aq"))
-    val b = coo.select(col("_id"), col("_i").as("_bi"), col("_q").as("_bq"))
-    val gram = a.join(b, "_id")
+    // Gram via per-row double explosion — no join, no _id shuffle
+    val gram = qdf
+      .select(col("_qv"), posexplode(col("_qv")).as(Seq("_ai", "_aq")))
+      .select(col("_ai"), col("_aq"), posexplode(col("_qv")).as(Seq("_bi", "_bq")))
       .groupBy(col("_ai"), col("_bi"))
-      .agg(sum((col("_aq").cast(B) * col("_bq").cast(B))).as("_g"))
+      .agg(sum(col("_aq").cast(B) * col("_bq").cast(B)).as("_g"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         BigInt(r.getDecimal(2).toBigInteger)).toMap
-    val sums = coo.groupBy(col("_i")).agg(sum(col("_q").cast(B)).as("_s"))
+    val sums = qdf.select(posexplode(col("_qv")).as(Seq("_i", "_q")))
+      .groupBy(col("_i")).agg(sum(col("_q").cast(B)).as("_s"))
       .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
     val d = sums.keys.max + 1
     val bigN = BigInt(n)
@@ -76,15 +75,21 @@ object Pca {
     if (v(top).signum < 0) v.map(-_) else v
   }
 
+  /** Leading principal axis of `vecCol` (array<float/double>) as
+    * `(d, loading)` rows, `loading = v_d / vscale` with `|v|`
+    * max-normalized to vscale and the sign fixed so the
+    * largest-|loading| component is positive (smallest index on ties).
+    */
   def topComponent(emb: DataFrame, vecCol: String, idCol: String,
                    iters: Int = 8, qscale: Long = 1L << 20,
                    vscale: Long = 1L << 20): DataFrame = {
     require(iters > 0, s"Pca.topComponent: iters must be positive, got $iters")
     val spark = emb.sparkSession
-    val coo = quantize(emb, vecCol, idCol, qscale)
-    val n = emb.count()
+    // the quantized frame feeds three jobs (gram, sums, count)
+    val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
+    val n = qdf.count()
     require(n > 0, "Pca.topComponent: empty input")
-    val v = axisVector(coo, n, iters, vscale)
+    val v = try axisVector(qdf, n, iters, vscale) finally qdf.unpersist()
     val rows = v.indices.map(i => Row(i.toLong, v(i).toDouble / vscale))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -95,31 +100,26 @@ object Pca {
   /** Project every vector onto the leading axis: `(id, score)` with
     * `score = Σᵢ qᵢ·vᵢ / (qscale·vscale)` — the 1-D embedding a
     * curriculum sampler or coarse index sorts by. The axis solves
-    * driver-side as in [[topComponent]]; the projection itself is one
-    * broadcast join of the d-row axis against the quantized explosion
-    * + one partial-agg sum per id (integer until the final exact
-    * power-of-two division, so cross-engine bit-stable).
+    * driver-side as in [[topComponent]]; the projection itself is a
+    * shuffle-free per-row array fold against the broadcast axis
+    * (integer until the final exact power-of-two division, so
+    * cross-engine bit-stable).
     */
   def projectTop(emb: DataFrame, vecCol: String, idCol: String,
                  iters: Int = 8, qscale: Long = 1L << 20,
                  vscale: Long = 1L << 20): DataFrame = {
     require(iters > 0, s"Pca.projectTop: iters must be positive, got $iters")
-    val spark = emb.sparkSession
-    val coo = quantize(emb, vecCol, idCol, qscale)
-    val n = emb.count()
+    val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
+    val n = qdf.count()
     require(n > 0, "Pca.projectTop: empty input")
-    val v = axisVector(coo, n, iters, vscale)
-    val axis = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        v.indices.map(i => Row(i, v(i).toLong)), 1),
-      StructType(Seq(StructField("_i", IntegerType, nullable = false),
-        StructField("_v", LongType, nullable = false))))
-    coo.join(broadcast(axis), "_i")
-      .groupBy(col("_id"))
-      // |q·v| ≤ 2^20·2^20·d — exact int64 for d up to 2^23
-      .agg(sum(col("_q") * col("_v")).as("_sq"))
-      .select(col("_id").as(idCol),
-        (col("_sq").cast(DoubleType) /
-          (qscale.toDouble * vscale.toDouble)).as("score"))
+    val v = try axisVector(qdf, n, iters, vscale) finally qdf.unpersist()
+    // per-row fold over zip(qv, axis-literal): no explode, no join, no
+    // shuffle — the projection runs at scan speed
+    val axisLit = array(v.map(x => lit(x.toLong)): _*)
+    qdf.select(col("_id").as(idCol),
+      (aggregate(
+        zip_with(col("_qv"), axisLit, (q, a) => q * a),
+        lit(0L), (acc, x) => acc + x).cast(DoubleType) /
+        (qscale.toDouble * vscale.toDouble)).as("score"))
   }
 }

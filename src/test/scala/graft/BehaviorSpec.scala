@@ -315,6 +315,16 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r("c")._2 - 2.0 / 3) < 1e-15 && r("c")._3)
   }
 
+  test("labelPropagation: two planted cliques converge to two communities") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val e0 = tri.toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graft.operators.Graph.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L), s"clique 1: $labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"clique 2: $labels")
+  }
+
   test("kmvOverlap: underfull sketches give exact union/intersection/Jaccard") {
     // |A∪B| = 45 < k, so the sketches hold every hash and all three
     // outputs are exact counts through the same estimator formulas
