@@ -135,6 +135,35 @@ object PipelineEntry {
        |sgn AS (SELECT CASE WHEN (SELECT v FROM vf WHERE i = (SELECT i FROM top)) < 0
        |  THEN -1 ELSE 1 END AS sg)""".stripMargin
   }
+
+  /** second-axis extension of [[sqlPcaChain]] (arr_pca2): deflation by
+    * exact integer orthogonalization against vf — note orth is
+    * SIGN-INVARIANT in v1 (v1 appears twice), so using the unsigned vf
+    * matches the library's sign-fixed first axis. Per round: power
+    * iterate, renorm, orthogonalize, renorm — the intermediate renorm
+    * keeps every product ≤ ~2^66, inside HUGEINT. */
+  private lazy val sqlPca2Chain: String = {
+    def rn(x: String) =
+      s"CAST(FLOOR(CAST($x AS DOUBLE) * 1048576.0 / MAX(ABS(CAST($x AS DOUBLE))) OVER ()) AS HUGEINT)"
+    val steps = (1 to 8).map { k =>
+      val p = s"u${k - 1}"
+      val o = s"ur$k.v * vn.v1n - vf.v * ud$k.dot"
+      s"""uw$k AS (SELECT sm.i AS i, SUM(sm.sv * $p.v) AS w
+         |  FROM sm JOIN $p ON $p.i = sm.j GROUP BY 1),
+         |ur$k AS MATERIALIZED (SELECT i, ${rn("w")} AS v FROM uw$k),
+         |ud$k AS (SELECT SUM(vf.v * ur$k.v) AS dot FROM vf JOIN ur$k ON ur$k.i = vf.i),
+         |u$k AS (SELECT ur$k.i, ${rn(o)} AS v
+         |  FROM ur$k JOIN vf ON vf.i = ur$k.i CROSS JOIN vn CROSS JOIN ud$k)""".stripMargin
+    }.mkString(",\n")
+    val seed = "1048576 * vn.v1n - vf.v * (1048576 * vn.v1s)"
+    s"""vn AS MATERIALIZED (SELECT SUM(v * v) AS v1n, SUM(v) AS v1s FROM vf),
+       |u0 AS (SELECT i, ${rn(seed)} AS v FROM vf CROSS JOIN vn),
+       |$steps,
+       |uf AS MATERIALIZED (SELECT * FROM u8),
+       |topu AS (SELECT i FROM uf ORDER BY ABS(v) DESC, i LIMIT 1),
+       |sgnu AS (SELECT CASE WHEN (SELECT v FROM uf WHERE i = (SELECT i FROM topu)) < 0
+       |  THEN -1 ELSE 1 END AS sg)""".stripMargin
+  }
   /** deterministic mojibake tail for text_fix_encoding: café + curly
     * quotes + em dash, each cp1252-double-decoded (\u escapes — see
     * TextFunctions.MojibakeMap's byte math).
@@ -1785,12 +1814,21 @@ object PipelineEntry {
     "arr_pca_project" -> { (s, dir) =>
       // the usable face of arr_pca: every embedding's coordinate along
       // the leading axis (the 1-D ordering a curriculum sampler or
-      // coarse index sorts by) — broadcast d-row axis × quantized
-      // explosion, one partial-agg sum per vector, integer until the
-      // final exact power-of-two division
+      // coarse index sorts by) — per-row zip_with fold against the
+      // literal axis, integer until the final exact power-of-two
+      // division, scan speed
       Pca.projectTop(t(s, dir, "embeddings"), "embedding", "vec_id",
           iters = 8)
         .orderBy("vec_id")
+    },
+    "arr_pca2" -> { (s, dir) =>
+      // top-2 axes (the 2-D corpus-map coordinates): second axis by
+      // deflation — exact integer orthogonalization against the first
+      // between quantized power rounds (sign-invariant in v1, bounded
+      // ~2^66 so the oracle's HUGEINT replay never wraps)
+      Pca.topComponents2(t(s, dir, "embeddings"), "embedding", "vec_id",
+          iters = 8)
+        .orderBy("d")
     },
 
     "src_xml_roundtrip" -> { (s, dir) =>
@@ -4041,6 +4079,15 @@ object PipelineEntry {
            |  FROM x JOIN vf ON vf.i = x.i GROUP BY vec_id)
            |SELECT vec_id, CAST(sgn.sg * pr.sq AS DOUBLE) / 1099511627776.0 AS score
            |FROM pr CROSS JOIN sgn ORDER BY vec_id""".stripMargin,
+
+      "arr_pca2" ->
+        s"""WITH $sqlPcaChain,
+           |$sqlPca2Chain
+           |SELECT CAST(vf.i AS BIGINT) AS d,
+           |  CAST(sgn.sg * vf.v AS DOUBLE) / 1048576.0 AS loading1,
+           |  CAST(sgnu.sg * uf.v AS DOUBLE) / 1048576.0 AS loading2
+           |FROM vf JOIN uf ON uf.i = vf.i CROSS JOIN sgn CROSS JOIN sgnu
+           |ORDER BY d""".stripMargin,
 
       "misc_cached" ->
         """SELECT l_returnflag, COUNT(*) AS n,

@@ -43,8 +43,9 @@ object Pca {
   /** the sign-fixed integer axis (|v| max-normalized to vscale), as the
     * driver-side array both public faces share. `qdf` = quantizeArr
     * output. */
-  private def axisVector(qdf: DataFrame, n: Long, iters: Int,
-                         vscale: Long): Array[BigInt] = {
+  /** the exact-integer scatter matrix as a driver-side function
+    * `(i, j) → S(i,j)`, plus the dimension. */
+  private def scatterFn(qdf: DataFrame, n: Long): ((Int, Int) => BigInt, Int) = {
     val B = DecimalType(38, 0)
     // Gram via per-row double explosion — no join, no _id shuffle
     val gram = qdf
@@ -59,8 +60,11 @@ object Pca {
       .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
     val d = sums.keys.max + 1
     val bigN = BigInt(n)
-    def S(i: Int, j: Int): BigInt =
-      bigN * gram.getOrElse((i, j), BigInt(0)) - sums(i) * sums(j)
+    ((i, j) => bigN * gram.getOrElse((i, j), BigInt(0)) - sums(i) * sums(j), d)
+  }
+
+  private def powerVector(S: (Int, Int) => BigInt, d: Int, iters: Int,
+                          vscale: Long): Array[BigInt] = {
     var v = Array.fill(d)(BigInt(vscale))
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d)(i =>
@@ -73,6 +77,12 @@ object Pca {
     }
     val top = v.indices.maxBy(i => (v(i).abs, -i))
     if (v(top).signum < 0) v.map(-_) else v
+  }
+
+  private def axisVector(qdf: DataFrame, n: Long, iters: Int,
+                         vscale: Long): Array[BigInt] = {
+    val (s, d) = scatterFn(qdf, n)
+    powerVector(s, d, iters, vscale)
   }
 
   /** Leading principal axis of `vecCol` (array<float/double>) as
@@ -95,6 +105,65 @@ object Pca {
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("d", LongType, nullable = false),
         StructField("loading", DoubleType, nullable = false))))
+  }
+
+  /** second axis via deflation-by-orthogonalization: each round
+    * power-iterates `w ← S·v₂`, renorms, then projects out v₁ EXACTLY
+    * in integers — `w ← w·(v₁ᵀv₁) − v₁·(v₁ᵀw)` — and renorms again, so
+    * v₂ converges to the second eigenvector while staying a
+    * deterministic pure function of the data. The orthogonalization
+    * runs on RENORMED (≤ vscale) vectors so every intermediate stays
+    * ≤ ~2^66 — inside the oracle's 128-bit HUGEINT (orthogonalizing
+    * the raw ~2^99 power-iterate would overflow it). v₂ seeds from the
+    * all-ones vector orthogonalized the same way. */
+  private def secondVector(S: (Int, Int) => BigInt, v1: Array[BigInt],
+                           iters: Int, vscale: Long): Array[BigInt] = {
+    val d = v1.length
+    val v1n = v1.foldLeft(BigInt(0))((a, x) => a + x * x)
+    def orth(w: Array[BigInt]): Array[BigInt] = {
+      val dot = v1.indices.foldLeft(BigInt(0))((a, i) => a + v1(i) * w(i))
+      Array.tabulate(d)(i => w(i) * v1n - v1(i) * dot)
+    }
+    def renorm(w: Array[BigInt]): Array[BigInt] = {
+      val m = w.map(x => math.abs(x.toDouble)).max
+      require(m > 0, "Pca: degenerate second component (rank-1 scatter)")
+      w.map(x => BigInt(math.floor(x.toDouble * vscale / m).toLong))
+    }
+    var v = renorm(orth(Array.fill(d)(BigInt(vscale))))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + S(i, j) * v(j)))
+      v = renorm(orth(renorm(w)))
+    }
+    val top = v.indices.maxBy(i => (v(i).abs, -i))
+    if (v(top).signum < 0) v.map(-_) else v
+  }
+
+  /** Top TWO principal axes as `(d, loading1, loading2)` — the 2-D
+    * embedding-map coordinates (corpus visualization, coarse 2-D
+    * binning). Same determinism recipe; the second axis deflates via
+    * [[secondVector]]'s exact integer orthogonalization.
+    */
+  def topComponents2(emb: DataFrame, vecCol: String, idCol: String,
+                     iters: Int = 8, qscale: Long = 1L << 20,
+                     vscale: Long = 1L << 20): DataFrame = {
+    require(iters > 0, s"Pca.topComponents2: iters must be positive, got $iters")
+    val spark = emb.sparkSession
+    val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
+    val n = qdf.count()
+    require(n > 0, "Pca.topComponents2: empty input")
+    val (v1, v2) = try {
+      val (s, d) = scatterFn(qdf, n)
+      val first = powerVector(s, d, iters, vscale)
+      (first, secondVector(s, first, iters, vscale))
+    } finally qdf.unpersist()
+    val rows = v1.indices.map(i =>
+      Row(i.toLong, v1(i).toDouble / vscale, v2(i).toDouble / vscale))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("d", LongType, nullable = false),
+        StructField("loading1", DoubleType, nullable = false),
+        StructField("loading2", DoubleType, nullable = false))))
   }
 
   /** Project every vector onto the leading axis: `(id, score)` with

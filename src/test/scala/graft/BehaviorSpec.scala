@@ -350,6 +350,23 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r(0) - 0.75) < 1e-4, s"expected 3/4 ratio, got ${r(0)}")
   }
 
+  test("Pca.topComponents2: second axis recovers the orthogonal planted direction") {
+    // spread mostly along (3,4,0), secondarily along (0,0,1): v1 must be
+    // the in-plane direction, v2 the z axis (orthogonal by construction)
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f)), (2L, Array(6.0f, 8.0f, 0.0f)),
+      (3L, Array(-3.0f, -4.0f, 0.0f)), (4L, Array(0.0f, 0.0f, 5.0f)),
+      (5L, Array(0.0f, 0.0f, -5.0f)), (6L, Array(1.5f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Pca.topComponents2(emb, "embedding", "vec_id")
+      .orderBy("d").collect()
+    val l1 = r.map(_.getDouble(1)); val l2 = r.map(_.getDouble(2))
+    assert(math.abs(l1(0) - 0.75) < 1e-3 && l1(1) == 1.0 && math.abs(l1(2)) < 1e-3,
+      s"v1: ${l1.toSeq}")
+    assert(math.abs(l2(0)) < 1e-3 && math.abs(l2(1)) < 1e-3 && l2(2) == 1.0,
+      s"v2: ${l2.toSeq}")
+  }
+
   test("sceneCuts: first frame never a cut, threshold strict, per-clip lag") {
     val frames = Seq(
       (1L, 0L, 8L, 8L, 10.0), (1L, 1L, 8L, 8L, 50.0), (1L, 2L, 8L, 8L, 251.0),
