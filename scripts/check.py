@@ -25,7 +25,9 @@ def canon(df):
 def connect(sf_dir):
     import duckdb
     con = duckdb.connect()
-    con.execute("SET memory_limit='8GB'")
+    # threads capped too: the sandbox enforces a process-wide thread
+    # budget and DuckDB's default (=nproc) trips EAGAIN under load
+    con.execute("SET memory_limit='8GB'; SET threads=8")
     for tname in ["region","nation","customer","supplier","part","orders",
                   "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{tname}.parquet"

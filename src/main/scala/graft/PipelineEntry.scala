@@ -2133,6 +2133,18 @@ object PipelineEntry {
           Seq("returnflag_holed", "l_quantity"))
         .orderBy("col_name")
     },
+    "profile_psi" -> { (s, dir) =>
+      // drift gate: population-stability contributions of the
+      // event-type mix between two user cohorts (floor-log2 quantized,
+      // add-one smoothed, exact int64) — a large contrib_q names WHICH
+      // category moved
+      val ev = t(s, dir, "events")
+      Validate.populationStability(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1),
+          "event_type")
+        .orderBy("category")
+    },
     "priv_kanon" -> { (s, dir) =>
       // k-anonymity / l-diversity audit: equivalence classes over the
       // (segment, nation) quasi-identifiers with exact sensitive-value
@@ -4128,6 +4140,20 @@ object PipelineEntry {
            |  CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct AS distinct_ratio
            |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin
       },
+      "profile_psi" ->
+        """WITH ca AS (SELECT event_type AS category, COUNT(*) AS c FROM events
+          |  WHERE user_id % 2 = 0 GROUP BY 1),
+          |cb AS (SELECT event_type AS category, COUNT(*) AS c FROM events
+          |  WHERE user_id % 2 = 1 GROUP BY 1),
+          |j AS (SELECT coalesce(ca.category, cb.category) AS category,
+          |    CAST(coalesce(ca.c, 0) + 1 AS BIGINT) AS c_a,
+          |    CAST(coalesce(cb.c, 0) + 1 AS BIGINT) AS c_b
+          |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+          |t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na, CAST(SUM(c_b) AS BIGINT) AS nb FROM j)
+          |SELECT category, c_a, c_b,
+          |  CAST((c_a * nb - c_b * na) *
+          |    ((length(bin(c_a * nb)) - 1) - (length(bin(c_b * na)) - 1)) AS BIGINT) AS contrib_q
+          |FROM j, t ORDER BY category""".stripMargin,
       "priv_kanon" ->
         """SELECT c_mktsegment, c_nationkey,
           |  COUNT(*) AS class_size,

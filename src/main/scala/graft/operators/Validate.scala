@@ -156,6 +156,45 @@ object Validate {
         (col("l_diversity") < l).as("violates_l")): _*)
   }
 
+  /** Population-stability index between two snapshots of a discrete
+    * column (the drift gate model-serving and dump-over-dump ingestion
+    * both run; the numeric face bins first, e.g. `floor(value)`),
+    * in the repo's floor-log2 quantization:
+    * per category `contrib_q = (c_a·n_b − c_b·n_a) ·
+    * (⌊log2 c_a·n_b⌋ − ⌊log2 c_b·n_a⌋)` with add-one smoothing over
+    * the UNION of category domains (classic PSI is undefined on empty
+    * bins) — both factors share sign, so contributions are ≥ 0 like
+    * the real PSI terms, and everything is exact int64. The cross
+    * products reach c·n ≤ n², exact while each snapshot stays under
+    * ~3·10⁹ rows — beyond that, PSI a pre-aggregated/sampled slice
+    * (drift gates run per partition-day, not per exabyte).
+    * Output: one row per category `(category, c_a, c_b, contrib_q)`
+    * plus the caller sums for the index; a large `contrib_q` names
+    * WHICH category moved, which is what the alert needs anyway.
+    *
+    * Scale shape: one count aggregate per side (domain-bounded
+    * outputs), a full outer join of the two small count tables, two
+    * 1-row totals broadcast back. Raw rows are scanned once each.
+    */
+  def populationStability(a: DataFrame, b: DataFrame,
+                          keyCol: String): DataFrame = {
+    require(a.columns.contains(keyCol) && b.columns.contains(keyCol),
+      s"populationStability: no such column: $keyCol")
+    def counts(df: DataFrame, out: String) =
+      df.groupBy(col(keyCol).as("category")).agg(count(lit(1)).as(out))
+    def ilog2(c: Column) = (length(bin(c)) - 1).cast(LongType)
+    val joined = counts(a, "_ca").join(counts(b, "_cb"), Seq("category"), "full_outer")
+      .select(col("category"),
+        (coalesce(col("_ca"), lit(0L)) + 1L).as("c_a"),
+        (coalesce(col("_cb"), lit(0L)) + 1L).as("c_b"))
+    val totals = joined.agg(sum(col("c_a")).as("_na"), sum(col("c_b")).as("_nb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("c_a"), col("c_b"),
+        ((col("c_a") * col("_nb") - col("c_b") * col("_na")) *
+          (ilog2(col("c_a") * col("_nb")) - ilog2(col("c_b") * col("_na"))))
+          .as("contrib_q"))
+  }
+
   /** t-closeness audit (Li, Li, Venkatasubramanian 2007) for a
     * CATEGORICAL sensitive attribute: per equivalence class (the
     * quasi-identifier combination), the total-variation distance

@@ -299,6 +299,20 @@ class BehaviorSpec extends SparkSpec {
     assert(r("c") == ((1L, 1L, true, true)))
   }
 
+  test("populationStability: identical mixes contribute zero, a vanished category is named") {
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val same = Seq("x", "x", "y", "z").toDF("k")
+    val zeroed = graft.operators.Validate.populationStability(a, same, "k")
+      .collect().map(_.getLong(3))
+    assert(zeroed.forall(_ == 0L), s"identical mixes must be all-zero: ${zeroed.toSeq}")
+    // b drops z entirely: smoothing keeps the term defined, z's
+    // contribution is positive, and equal-count x keeps contributing 0
+    val b = Seq("x", "x", "y", "y").toDF("k")
+    val r = graft.operators.Validate.populationStability(a, b, "k")
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("z") > 0L && r("x") == 0L, s"got $r")
+  }
+
   test("tCloseness: zero for global-matching classes, exact TV otherwise, absent values counted") {
     // global sens distribution: x:4, y:2 over N=6 → p = (2/3, 1/3)
     val df = Seq(
