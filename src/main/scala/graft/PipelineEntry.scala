@@ -483,6 +483,30 @@ object PipelineEntry {
         .filter(pmod(col("event_id"), lit(7L)) === 0L)
         .select("event_id", "user_id", "value").orderBy("event_id")
     },
+    "ev_holt" -> { (s, dir) =>
+      // Holt level+trend smoothing per user (α=2/10, β=3/10): the
+      // trending-metric sibling of ev_ewma, same rational-coefficient
+      // fold determinism; oracle replays the recursion per user
+      Behavior.holtLast(t(s, dir, "events"), 2, 10, 3, 10)
+        .orderBy("user_id")
+    },
+    "ev_seasonal_outliers" -> { (s, dir) =>
+      // composition: the 20 events most anomalous GIVEN their
+      // time-of-day (largest |seasonal residual|) — deseasonalize,
+      // then TakeOrdered on the exact-replay residual
+      Behavior.seasonalDecompose(
+          t(s, dir, "events").select(col("event_id"), col("ts"), col("value")),
+          "value", hour(col("ts")).cast(LongType), keyName = "hr")
+        .select(col("event_id"), col("hr"), col("value"), col("residual"))
+        .orderBy(abs(col("residual")).desc, col("event_id"))
+        .limit(20)
+    },
+    "ev_top_paths" -> { (s, dir) =>
+      // path analysis: the 15 most frequent 3-step event sequences
+      // across user journeys — one lead-window pass builds the
+      // trigrams (no self-joins), TakeOrdered bounds the ranking
+      Behavior.topPaths(t(s, dir, "events"), k = 3, topN = 15)
+    },
     "ev_seasonal" -> { (s, dir) =>
       // seasonal-naive decomposition: hour-of-day mean (exact decimal
       // sum / count) broadcast back, residual per event — the
@@ -2653,6 +2677,36 @@ object PipelineEntry {
           |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
       // interval union (gaps-and-islands): running max end over strictly
       // preceding intervals opens islands; exact int64 µs arithmetic
+      "ev_holt" ->
+        """WITH RECURSIVE l AS (
+          |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+          |    COUNT(*) AS n FROM events GROUP BY user_id),
+          |rec AS (
+          |  SELECT user_id, n, vals, 1 AS i, vals[1] AS l,
+          |    CASE WHEN n >= 2 THEN vals[2] - vals[1] ELSE 0.0 END AS b
+          |  FROM l
+          |  UNION ALL
+          |  SELECT user_id, n, vals, i + 1,
+          |    (2 * vals[i + 1] + 8 * (l + b)) / 10,
+          |    (3 * ((2 * vals[i + 1] + 8 * (l + b)) / 10 - l) + 7 * b) / 10
+          |  FROM rec WHERE i < n)
+          |SELECT user_id, n AS n_events, l AS level, b AS trend
+          |FROM rec WHERE i = n ORDER BY user_id""".stripMargin,
+      "ev_seasonal_outliers" ->
+        """WITH m AS (SELECT EXTRACT(HOUR FROM ts) AS hr,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS seasonal
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, CAST(m.hr AS BIGINT) AS hr, value,
+          |  value - seasonal AS residual
+          |FROM events e JOIN m ON EXTRACT(HOUR FROM e.ts) = m.hr
+          |ORDER BY ABS(value - seasonal) DESC, event_id LIMIT 20""".stripMargin,
+      "ev_top_paths" ->
+        """WITH s AS (SELECT user_id, event_type,
+          |    lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT event_type || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+          |FROM s WHERE e2 IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
       "ev_seasonal" ->
         """WITH m AS (SELECT EXTRACT(HOUR FROM ts) AS hr,
           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS seasonal

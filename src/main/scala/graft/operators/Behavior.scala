@@ -184,6 +184,31 @@ object Behavior {
     pi
   }
 
+  /** Most frequent k-step event paths (order-preserving n-gram mining
+    * over each user's event-time sequence) — the path-analysis staple
+    * ("view → click → purchase happens N times"). One window pass
+    * builds the k-grams via `lead` (no self-joins), one count
+    * aggregate ranks them; `topN` rides TakeOrdered. Ties break on the
+    * path string, so the ranking is total and engine-exact.
+    */
+  def topPaths(events: DataFrame, k: Int, topN: Int,
+               typeCol: String = "event_type", tsCol: String = "ts",
+               idCol: String = "event_id", userCol: String = "user_id"): DataFrame = {
+    require(k >= 2 && k <= 8, s"topPaths: k in [2,8], got $k")
+    require(topN >= 1, s"topPaths: topN must be positive, got $topN")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = (0 until k).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    events
+      .select(concat_ws(">", steps: _*).as("path"), steps.last.isNotNull.as("_full"))
+      .filter(col("_full")) // k-grams truncated by the sequence end drop out
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(topN)
+  }
+
   /** Seasonal-naive decomposition of a metric: the seasonal component
     * is the mean at each position of the cycle (`periodKey`, e.g.
     * hour-of-day), the residual is what's left — the baseline
@@ -327,6 +352,51 @@ object Behavior {
           element_at(col("_a"), 1).getField("v"),
           (acc, e) => (lit(aNum) * e.getField("v") + lit(aDen - aNum) * acc) / lit(aDen))
           .as("ewma"))
+  }
+
+  /** Holt double-exponential (level + trend) smoothing to the last
+    * state per key — [[ewmaLast]]'s sibling for trending metrics (an
+    * EWMA lags a ramp forever; the trend state doesn't). Standard
+    * init `l₁ = x₁, b₁ = x₂ − x₁`, then per step
+    * `l' = (aNum·x + (aDen−aNum)·(l+b)) / aDen`,
+    * `b' = (bNum·(l'−l) + (bDen−bNum)·b) / bDen` — rational
+    * coefficients as integer literals, one IEEE division per state per
+    * step, fixed association order, so both states replay bit-exactly
+    * on any engine (the ewma determinism recipe with a 2-field fold
+    * state). Single-event keys take trend 0. Output:
+    * `(key, n_events, level, trend)`.
+    *
+    * Scale shape: one per-key aggregate; state per key is the sorted
+    * event list during the fold — the same bounded-per-entity contract
+    * as ewmaLast (cap upstream for pathological keys).
+    */
+  def holtLast(events: DataFrame, aNum: Long, aDen: Long,
+               bNum: Long, bDen: Long,
+               keyCol: String = "user_id", tsCol: String = "ts",
+               valueCol: String = "value"): DataFrame = {
+    require(0 < aNum && aNum <= aDen && 0 < bNum && bNum <= bDen,
+      s"holtLast: alphas must be rationals in (0, 1]: $aNum/$aDen, $bNum/$bDen")
+    val pair = struct(col(tsCol), col(valueCol).cast("double").as("v"))
+    val state = events.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(pair)).as("_a"), count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("n_events"),
+        aggregate(
+          slice(col("_a"), lit(2), size(col("_a")) - 1),
+          struct(
+            element_at(col("_a"), 1).getField("v").as("l"),
+            when(size(col("_a")) >= 2,
+              element_at(col("_a"), 2).getField("v") -
+                element_at(col("_a"), 1).getField("v"))
+              .otherwise(lit(0.0)).as("b")),
+          (acc, e) => {
+            val l2 = (lit(aNum) * e.getField("v") +
+              lit(aDen - aNum) * (acc.getField("l") + acc.getField("b"))) / lit(aDen)
+            struct(l2.as("l"),
+              ((lit(bNum) * (l2 - acc.getField("l")) +
+                lit(bDen - bNum) * acc.getField("b")) / lit(bDen)).as("b"))
+          }).as("_h"))
+    state.select(col(keyCol), col("n_events"),
+      col("_h.l").as("level"), col("_h.b").as("trend"))
   }
 
   /** Per-key rolling z-score anomaly flag with EXACT integer

@@ -299,6 +299,19 @@ class BehaviorSpec extends SparkSpec {
     assert(r("c") == ((1L, 1L, true, true)))
   }
 
+  test("holtLast tracks a linear ramp exactly; single event takes trend 0") {
+    // on x_t = c + m*t the prediction l+b equals the next value every
+    // step, so the fold is EXACT: level = last x, trend = m (a plain
+    // EWMA would lag the ramp forever — the reason the operator exists)
+    val ramp = (1 to 5).map(t => (7L, ts(f"2024-01-01 00:0$t:00"), 10.0 + 2 * t))
+      .toDF("user_id", "ts", "value")
+      .union(Seq((8L, ts("2024-01-01 00:01:00"), 5.0)).toDF("user_id", "ts", "value"))
+    val r = graft.operators.Behavior.holtLast(ramp, 2, 10, 3, 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(7L) == ((5L, 20.0, 2.0)), s"ramp: ${r(7L)}")
+    assert(r(8L) == ((1L, 5.0, 0.0)), s"singleton: ${r(8L)}")
+  }
+
   test("populationStability: identical mixes contribute zero, a vanished category is named") {
     val a = Seq("x", "x", "y", "z").toDF("k")
     val same = Seq("x", "x", "y", "z").toDF("k")
