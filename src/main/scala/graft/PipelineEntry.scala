@@ -1565,6 +1565,16 @@ object PipelineEntry {
           k = 5, z = 3L)
         .orderBy("user_id", "event_id")
     },
+    "stream_holt" -> { (s, dir) =>
+      // streaming Holt as a REAL multi-batch stateful job: same
+      // rational level+trend fold and ordering as the batch ev_holt —
+      // the final emit per user is bit-identical to the batch answer,
+      // so ONE recursive-CTE oracle serves both faces
+      StreamReplay.replayHolt(s,
+          t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          2L, 10L, 3L, 10L)
+        .orderBy("user_id")
+    },
     "stream_ewma" -> { (s, dir) =>
       // streaming EWMA as a REAL multi-batch stateful job
       // (mapGroupsWithState, Update mode): same rational fold and same
@@ -2552,6 +2562,21 @@ object PipelineEntry {
           |FROM w ORDER BY user_id, event_id""".stripMargin,
       // the streaming replay's final per-user emit must equal the same
       // batch fold — one oracle serves both faces
+      "stream_holt" ->
+        """WITH RECURSIVE l AS (
+          |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+          |    COUNT(*) AS n FROM events GROUP BY user_id),
+          |rec AS (
+          |  SELECT user_id, n, vals, 1 AS i, vals[1] AS l,
+          |    CASE WHEN n >= 2 THEN vals[2] - vals[1] ELSE 0.0 END AS b
+          |  FROM l
+          |  UNION ALL
+          |  SELECT user_id, n, vals, i + 1,
+          |    (2 * vals[i + 1] + 8 * (l + b)) / 10,
+          |    (3 * ((2 * vals[i + 1] + 8 * (l + b)) / 10 - l) + 7 * b) / 10
+          |  FROM rec WHERE i < n)
+          |SELECT user_id, n AS n_events, l AS level, b AS trend
+          |FROM rec WHERE i = n ORDER BY user_id""".stripMargin,
       "stream_ewma" ->
         """SELECT user_id, count(*) AS n_events,
           |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),

@@ -34,6 +34,13 @@ case class AnomalyVerdict(user_id: Long, event_id: Long, n_prev: Long,
 /** running EWMA emit — matches Behavior.ewmaLast columns. */
 case class EwmaRow(user_id: Long, n_events: Long, ewma: Double)
 
+/** per-user Holt state (level, trend); n==1 means the trend is still
+  * the batch-parity placeholder 0 until the second value fixes it. */
+case class HoltState(n: Long, l: Double, b: Double)
+
+/** running Holt emit — matches Behavior.holtLast columns. */
+case class HoltRow(user_id: Long, n_events: Long, level: Double, trend: Double)
+
 /** emitted closed session — matches Sessionize.sessions columns. */
 case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
                          total_value: Double, start_us: Long, end_us: Long)
@@ -365,6 +372,45 @@ object StreamOps {
         }
         state.update(EwmaState(n, y))
         EwmaRow(user, n, y)
+    }
+  }
+
+  /** Streaming Holt level+trend smoothing — the online face of
+    * [[graft.operators.Behavior.holtLast]]: per-user (n, level, trend)
+    * state folded with the SAME rational steps and the same in-batch
+    * (ts, value) ordering, so a chronologically-fed replay's final
+    * emit per user is BIT-IDENTICAL to the batch fold. The second
+    * value fixes the trend to `x₂ − x₁` exactly as the batch init
+    * does, then feeds the same step. State = three numbers per user.
+    */
+  def holtStream(spark: SparkSession, events: DataFrame,
+                 aNum: Long, aDen: Long, bNum: Long, bDen: Long): Dataset[HoltRow] = {
+    import spark.implicits._
+    require(0 < aNum && aNum <= aDen && 0 < bNum && bNum <= bDen,
+      s"holtStream: alphas must be rationals in (0, 1]: $aNum/$aDen, $bNum/$bDen")
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+    typed.mapGroupsWithState[HoltState, HoltRow](GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[HoltState]) =>
+        val st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+        val evs = it.toArray.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+        var n = st.n; var l = st.l; var b = st.b
+        evs.foreach { case (_, _, x) =>
+          if (n == 0L) { l = x; b = 0.0 }
+          else {
+            val b0 = if (n == 1L) x - l else b
+            val l2 = (aNum * x + (aDen - aNum) * (l + b0)) / aDen
+            b = (bNum * (l2 - l) + (bDen - bNum) * b0) / bDen
+            l = l2
+          }
+          n += 1
+        }
+        state.update(HoltState(n, l, b))
+        HoltRow(user, n, l, b)
     }
   }
 

@@ -151,6 +151,55 @@ object StreamReplay {
     * final answer — selected with one `max_by` aggregate. Matches
     * `Behavior.ewmaLast` bit-for-bit by construction.
     */
+  /** multi-batch replay of [[StreamOps.holtStream]] — same chunked
+    * chronological feed as [[replayEwma]]; the final (max-n) emit per
+    * user is the batch [[graft.operators.Behavior.holtLast]] answer
+    * bit-for-bit. */
+  def replayHolt(spark: SparkSession, events: DataFrame,
+                 aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+                 nChunks: Int = 4,
+                 name: String = "stream_holt_sink",
+                 statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = events.select(col("user_id").cast("long"), col("ts"),
+      col("value").cast("double"))
+    val total = src.count()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val smoothed = graft.streaming.StreamOps
+      .holtStream(spark, stream, aNum, aDen, bNum, bDen).toDF()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = smoothed.writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val chunkSize = math.max(1L, (total + nChunks - 1) / nChunks).toInt
+      val it = src.orderBy(col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].toLocalIterator()
+      var batch = Vector.newBuilder[(Long, java.sql.Timestamp, Double)]
+      var inBatch = 0
+      def flush(): Unit = if (inBatch > 0) {
+        mem.addData(batch.result())
+        q.processAllAvailable()
+        batch = Vector.newBuilder; inBatch = 0
+      }
+      while (it.hasNext) {
+        batch += it.next(); inBatch += 1
+        if (inBatch >= chunkSize) flush()
+      }
+      flush()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("level"), col("n_events")).as("level"),
+        max_by(col("trend"), col("n_events")).as("trend"))
+  }
+
   def replayEwma(spark: SparkSession, events: DataFrame,
                  aNum: Long, aDen: Long, nChunks: Int = 4,
                  name: String = "stream_ewma_sink",
