@@ -483,6 +483,15 @@ object PipelineEntry {
         .filter(pmod(col("event_id"), lit(7L)) === 0L)
         .select("event_id", "user_id", "value").orderBy("event_id")
     },
+    "ev_cusum" -> { (s, dir) =>
+      // sequential changepoint detection: one-sided CUSUM per user in
+      // exact centi-int64 via the prefix-min identity (no stateful
+      // fold — two running windows over one shuffle); alarms replay
+      // bit-identically
+      Behavior.cusum(t(s, dir, "events"), kCenti = 5000L, hCenti = 20000L)
+        .select(col("event_id"), col("user_id"), col("cusum_c"), col("alarm"))
+        .orderBy("event_id")
+    },
     "ev_holt" -> { (s, dir) =>
       // Holt level+trend smoothing per user (α=2/10, β=3/10): the
       // trending-metric sibling of ev_ewma, same rational-coefficient
@@ -2702,6 +2711,19 @@ object PipelineEntry {
           |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
       // interval union (gaps-and-islands): running max end over strictly
       // preceding intervals opens islands; exact int64 µs arithmetic
+      "ev_cusum" ->
+        """WITH s AS (SELECT event_id, user_id, ts,
+          |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000)
+          |      OVER w AS p
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |m AS (SELECT event_id, user_id, p,
+          |    MIN(LEAST(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+          |  FROM s)
+          |SELECT event_id, user_id, p - pmin AS cusum_c,
+          |  p - pmin > 20000 AS alarm
+          |FROM m ORDER BY event_id""".stripMargin,
       "ev_holt" ->
         """WITH RECURSIVE l AS (
           |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,

@@ -354,6 +354,39 @@ object Behavior {
           .as("ewma"))
   }
 
+  /** One-sided CUSUM control chart per entity — sequential changepoint
+    * detection ("this key's metric has drifted up"): with centi-unit
+    * integer values, reference `k` and threshold `h` (both centi),
+    * the classic recursion `S_t = max(0, S_{t−1} + (x_t − k))` is
+    * computed WITHOUT a stateful fold via the prefix-min identity
+    * `S_t = P_t − min_{j≤t} P_j` where `P_t = Σ_{i≤t}(x_i − k)` —
+    * two running windows over one shuffle, all int64-exact, so alarms
+    * replay bit-identically on any engine. Output: input keys +
+    * `(event_id, cusum_c, alarm)` with `alarm = S_t > h`.
+    *
+    * Magnitude: |x−k| ≤ 2·10⁷ centi over ≤ 2^35 events per key stays
+    * inside int64 — the practical bound is never the issue the float
+    * CUSUM's accumulated rounding is.
+    *
+    * Scale shape: one window partitioned by the entity key; no fold
+    * state, no collect_list — this is the streaming-friendly batch
+    * face (the stateful stream face would carry one long per key).
+    */
+  def cusum(events: DataFrame, kCenti: Long, hCenti: Long,
+            keyCol: String = "user_id", tsCol: String = "ts",
+            idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(hCenti > 0, s"cusum: threshold must be positive, got $hCenti")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType) - kCenti
+    events
+      .withColumn("_p", sum(step).over(w))
+      .withColumn("_pmin", min(least(col("_p"), lit(0L))).over(w))
+      .withColumn("cusum_c", col("_p") - col("_pmin"))
+      .withColumn("alarm", col("cusum_c") > hCenti)
+      .drop("_p", "_pmin")
+  }
+
   /** Holt double-exponential (level + trend) smoothing to the last
     * state per key — [[ewmaLast]]'s sibling for trending metrics (an
     * EWMA lags a ramp forever; the trend state doesn't). Standard

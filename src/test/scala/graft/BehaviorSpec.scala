@@ -299,6 +299,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r("c") == ((1L, 1L, true, true)))
   }
 
+  test("cusum: prefix-min identity equals the max(0, S+d) recursion, reset included") {
+    // d (centi, k=100): +100, -50, +200, -50, -300, +100
+    // S:                 100,   50,  250,  200,    0,  100   (reset at the -300)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 9L, 2.0), (2L, ts("2024-01-01 00:02:00"), 9L, 0.5),
+      (3L, ts("2024-01-01 00:03:00"), 9L, 3.0), (4L, ts("2024-01-01 00:04:00"), 9L, 0.5),
+      (5L, ts("2024-01-01 00:05:00"), 9L, -2.0), (6L, ts("2024-01-01 00:06:00"), 9L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = graft.operators.Behavior.cusum(ev, kCenti = 100L, hCenti = 200L)
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq((100L, false), (50L, false), (250L, true),
+      (200L, false), (0L, false), (100L, false)), s"got ${r.toSeq}")
+  }
+
   test("holtLast tracks a linear ramp exactly; single event takes trend 0") {
     // on x_t = c + m*t the prediction l+b equals the next value every
     // step, so the fold is EXACT: level = last x, trend = m (a plain
