@@ -2176,6 +2176,13 @@ object PipelineEntry {
           Seq("returnflag_holed", "l_quantity"))
         .orderBy("col_name")
     },
+    "profile_benford" -> { (s, dir) =>
+      // fabricated-data screen: leading-digit mix of order totals vs
+      // the Benford expectation — integer weight table shared with the
+      // oracle, deviation as an exact cross product
+      Validate.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    },
     "profile_psi" -> { (s, dir) =>
       // drift gate: population-stability contributions of the
       // event-type mix between two user cohorts (floor-log2 quantized,
@@ -4240,6 +4247,18 @@ object PipelineEntry {
            |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
            |  CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct AS distinct_ratio
            |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin
+      },
+      "profile_benford" -> {
+        val w = graft.operators.Validate.BenfordWeights.mkString("[", ", ", "]")
+        s"""WITH c AS (SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |    COUNT(*) AS n_obs
+           |  FROM orders
+           |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+           |SELECT digit, n_obs,
+           |  CAST(n_obs * 1048576 - t.n * ($w)[digit] AS BIGINT) AS dev_q
+           |FROM c, t ORDER BY digit""".stripMargin
       },
       "profile_psi" ->
         """WITH ca AS (SELECT event_type AS category, COUNT(*) AS c FROM events

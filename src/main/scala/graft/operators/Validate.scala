@@ -195,6 +195,41 @@ object Validate {
           .as("contrib_q"))
   }
 
+  /** Benford weight table: `w_d = round(2^20 · log10(1 + 1/d))` for
+    * leading digits 1..9 — computed once and embedded as literals in
+    * both the operator and its oracle (the ndcgWeights pattern: the
+    * law is a shared integer SPEC, never a per-engine libm log). */
+  val BenfordWeights: Seq[Long] = (1 to 9).map(d =>
+    math.round(1048576.0 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford leading-digit audit of a positive 2-decimal metric — the
+    * fabricated-data / unit-mixup screen: observed counts per leading
+    * digit vs the Benford expectation, deviation as the exact integer
+    * cross product `dev_q = c_d·2^20 − n·w_d` (positive = excess).
+    * The leading digit comes from the CENTI-integer's decimal string —
+    * no float log10 anywhere. Non-positive values are excluded (the
+    * law only covers positive magnitudes). Output per digit:
+    * `(digit, n_obs, dev_q)`.
+    *
+    * Scale shape: one scan → 9-row aggregate; the total re-aggregates
+    * those 9 rows.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    require(df.columns.contains(valueCol), s"benford: no such column: $valueCol")
+    val centi = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val digit = substring(centi.cast(StringType), 1, 1).cast(LongType)
+    val wArr = array(BenfordWeights.map(lit): _*)
+    val counts = df.filter(centi > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("_n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs") * lit(1048576L) -
+          col("_n") * element_at(wArr, col("digit").cast(IntegerType)))
+          .as("dev_q"))
+  }
+
   /** t-closeness audit (Li, Li, Venkatasubramanian 2007) for a
     * CATEGORICAL sensitive attribute: per equivalence class (the
     * quasi-identifier combination), the total-variation distance
