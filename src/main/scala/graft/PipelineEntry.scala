@@ -362,6 +362,31 @@ object PipelineEntry {
         .orderBy(col("n_docs").desc, col("ngram"))
         .limit(20)
     },
+    "text_zipf" -> { (s, dir) =>
+      // corpus-law audit: Zipf slope of the top-256 token frequencies —
+      // least squares of ilog2(count) on ilog2(rank), every sum exact
+      // int64 so the rational slope (then ONE double division) replays
+      // bit-identically; the rank window runs over the AGGREGATED
+      // vocabulary top slice only, never the corpus
+      import org.apache.spark.sql.expressions.Window
+      def il(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast(LongType)
+      val counts = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(256)
+      val ranked = counts
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))).cast(LongType))
+        .select(il(col("rank")).as("x"), il(col("n")).as("y"))
+      ranked.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("k"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          ((col("k") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+    },
     "text_domains" -> { (s, dir) =>
       import TextFunctions._
       // per-domain doc counts — the fixture text carries no URLs, so the
@@ -2467,6 +2492,19 @@ object PipelineEntry {
            |s AS (SELECT unnest(${sqlShingles(2)}) AS ngram FROM t)
            |SELECT ngram, COUNT(*) AS n_docs FROM s
            |GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+      "text_zipf" ->
+        s"""WITH t AS (SELECT $sqlTokens AS ts FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS n FROM (SELECT unnest(ts) AS tok FROM t)
+           |  GROUP BY 1 ORDER BY n DESC, tok LIMIT 256),
+           |r AS (SELECT length(bin(row_number() OVER (ORDER BY n DESC, tok))) - 1 AS x,
+           |    length(bin(n)) - 1 AS y FROM c),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM r)
+           |SELECT k, CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+           |  CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+           |  CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS slope
+           |FROM a""".stripMargin,
       "text_domains" ->
         s"""WITH n AS (SELECT doc_id, $sqlNoisyUrl AS t2 FROM documents),
            |d AS (SELECT unnest($sqlDomains) AS domain FROM n)
