@@ -176,6 +176,17 @@ object SparkEntry {
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
     },
 
+    "sql_lateral" -> { (s, dir) =>
+      // SQL generator surface: LATERAL VIEW explode (the HiveQL form
+      // Spark SQL keeps) — tokenize in SQL, count per token, top-20;
+      // oracle spells the same with DuckDB's unnest
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT tok, COUNT(*) AS n
+          |FROM documents
+          |LATERAL VIEW explode(split(trim(text), '\\s+')) AS tok
+          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+    },
     "sql_pivot" -> { (s, dir) =>
       // SQL PIVOT surface (Spark 4 syntax): order counts per priority
       // spread into columns by status; the oracle spells the same
@@ -1255,6 +1266,10 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "sql_lateral" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "sql_pivot" ->
       """SELECT o_orderpriority,
         |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
