@@ -97,14 +97,26 @@ def main(sf_dir, out_dir):
              "--batch", ",".join(chunk)],
             capture_output=True, text=True)
         sys.stdout.write(r.stdout)
-        if r.returncode not in (0, 1) or not r.stdout:
-            sys.stderr.write(r.stderr)
-            print(f"FAIL  batch {i//BATCH}: checker subprocess died rc={r.returncode}")
-            n_fail += len(chunk); continue
+        # A child that died mid-batch (uncaught exception, OOM-kill,
+        # allocator abort) still exits 1 like a normal some-fail run —
+        # so completion is judged per NAME, not per exit code: every
+        # query in the chunk must have produced its own status line,
+        # and anything missing is an explicit failure.
+        seen = set()
         for line in r.stdout.splitlines():
-            if line.startswith("PASS"): n_pass += 1
-            elif line.startswith("FAIL"): n_fail += 1
-            elif line.startswith("ROWS"): n_rowsonly += 1
+            parts = line.split()
+            if len(parts) >= 2 and parts[0] in ("PASS", "FAIL", "ROWS"):
+                seen.add(parts[1].rstrip(":"))
+                if parts[0] == "PASS": n_pass += 1
+                elif parts[0] == "FAIL": n_fail += 1
+                else: n_rowsonly += 1
+        missing = [n for n in chunk if n not in seen]
+        if missing:
+            sys.stderr.write(r.stderr)
+            for n in missing:
+                print(f"FAIL  {n}: checker subprocess died before reaching it "
+                      f"(rc={r.returncode})")
+            n_fail += len(missing)
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
     return 1 if n_fail else 0
 

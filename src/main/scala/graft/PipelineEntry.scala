@@ -2758,7 +2758,7 @@ object PipelineEntry {
       // preceding intervals opens islands; exact int64 µs arithmetic
       "ev_cusum" ->
         """WITH s AS (SELECT event_id, user_id, ts,
-          |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000)
+          |    SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) - 5000)
           |      OVER w AS p
           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -2795,7 +2795,8 @@ object PipelineEntry {
       "ev_top_paths" ->
         """WITH s AS (SELECT user_id, event_type,
           |    lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |  FROM events WHERE event_type IS NOT NULL
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           |SELECT event_type || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
           |FROM s WHERE e2 IS NOT NULL
           |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,

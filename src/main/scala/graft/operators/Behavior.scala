@@ -190,6 +190,12 @@ object Behavior {
     * builds the k-grams via `lead` (no self-joins), one count
     * aggregate ranks them; `topN` rides TakeOrdered. Ties break on the
     * path string, so the ranking is total and engine-exact.
+    *
+    * NULL event types are dropped BEFORE the k-grams are built (a
+    * NULL step is not a path step): `concat_ws` would silently skip a
+    * NULL mid-gram and produce a shortened path, while SQL `||`
+    * concatenation nulls the whole gram — filtering first gives every
+    * engine the same sequence domain.
     */
   def topPaths(events: DataFrame, k: Int, topN: Int,
                typeCol: String = "event_type", tsCol: String = "ts",
@@ -202,6 +208,7 @@ object Behavior {
       case i => lead(col(typeCol), i).over(w)
     }
     events
+      .filter(col(typeCol).isNotNull)
       .select(concat_ws(">", steps: _*).as("path"), steps.last.isNotNull.as("_full"))
       .filter(col("_full")) // k-grams truncated by the sequence end drop out
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
@@ -368,6 +375,12 @@ object Behavior {
     * inside int64 — the practical bound is never the issue the float
     * CUSUM's accumulated rounding is.
     *
+    * Centi quantization is `floor(value·100 + 0.5)` — two IEEE double
+    * ops plus a floor, bit-identical on every engine. (A
+    * double→DECIMAL(18,2) cast is NOT: it rounds the decimal
+    * shortest-representation in some engines and the binary value in
+    * others, so half-cent inputs like 1.005 diverge across builds.)
+    *
     * Scale shape: one window partitioned by the entity key; no fold
     * state, no collect_list — this is the streaming-friendly batch
     * face (the stateful stream face would carry one long per key).
@@ -378,7 +391,8 @@ object Behavior {
     require(hCenti > 0, s"cusum: threshold must be positive, got $hCenti")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val step = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType) - kCenti
+    val step =
+      floor(col(valueCol).cast("double") * 100d + 0.5d).cast(LongType) - kCenti
     events
       .withColumn("_p", sum(step).over(w))
       .withColumn("_pmin", min(least(col("_p"), lit(0L))).over(w))

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
 
 /** Feature-engineering operators for model-training pipelines:
   * one-hot encoding, the hashing trick, per-group standardization,
@@ -23,10 +23,21 @@ object Features {
     * the driver — legitimate for a categorical by definition; the
     * encode itself is a shuffle-free per-row projection. Category →
     * column name is deterministic (sorted), NULL encodes to all-zeros.
+    *
+    * `maxCategories` caps the fit IN-PLAN (computed before any
+    * collect): pointing this at a high-cardinality column — a user id,
+    * a URL — would otherwise pull the whole domain onto the driver and
+    * emit a million columns. Misuse fails loudly instead.
     */
-  def oneHot(df: DataFrame, catCol: String, prefix: String = "is_"): DataFrame = {
-    val cats = df.select(catCol).distinct().collect()
+  def oneHot(df: DataFrame, catCol: String, prefix: String = "is_",
+             maxCategories: Int = 10000): DataFrame = {
+    require(maxCategories > 0, s"oneHot: maxCategories=$maxCategories")
+    val cats = df.select(catCol).distinct().limit(maxCategories + 1).collect()
       .map(_.getString(0)).filter(_ != null).sorted
+    require(cats.length <= maxCategories,
+      s"oneHot: '$catCol' has more than $maxCategories distinct values — " +
+        "not a one-hot-able categorical (raise maxCategories only if you " +
+        "really want that many columns)")
     val safe = cats.map(c => c -> (prefix + c.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
     safe.foldLeft(df) { case (d, (cat, name)) =>
       d.withColumn(name,
@@ -227,24 +238,35 @@ object Features {
     *
     * Scale shape: ONE scan aggregates to the (x, y) contingency table;
     * the marginals re-aggregate that domain-bounded frame — the raw
-    * rows are never read twice.
+    * rows are never read twice. The three entropies are 1-row
+    * aggregates, so they materialize EAGERLY here and the contingency
+    * cache is released before returning (the Pca try/finally pattern —
+    * no persisted frame outlives the call).
     */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val missing = Seq(xCol, yCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"mutualInfo: no such column(s): ${missing.mkString(", ")}")
+    val spark = df.sparkSession
     def ilog2(c: Column) = (length(bin(c)) - 1).cast(LongType)
-    def hq(counts: DataFrame): DataFrame = counts
+    def hq(counts: DataFrame): Row = counts
       .agg(sum(col("_c")).as("_n"),
         sum(col("_c") * ilog2(col("_c"))).as("_cl"))
       .select(col("_n"), (col("_n") * ilog2(col("_n")) - col("_cl")).as("_h"))
+      .head()
     val cxy = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("_c")).cache()
-    val hx = hq(cxy.groupBy(col(xCol)).agg(sum(col("_c")).as("_c")))
-      .select(col("_n").as("n"), col("_h").as("hx_qbits"))
-    val hy = hq(cxy.groupBy(col(yCol)).agg(sum(col("_c")).as("_c")))
-      .select(col("_h").as("hy_qbits"))
-    val hxy = hq(cxy).select(col("_h").as("hxy_qbits"))
-    hx.crossJoin(hy).crossJoin(hxy)
-      .withColumn("mi_qbits",
-        col("hx_qbits") + col("hy_qbits") - col("hxy_qbits"))
+    val (n, hx, hy, hxy) = try {
+      val x = hq(cxy.groupBy(col(xCol)).agg(sum(col("_c")).as("_c")))
+      val y = hq(cxy.groupBy(col(yCol)).agg(sum(col("_c")).as("_c")))
+      val xy = hq(cxy)
+      (x.get(0), x.get(1), y.get(1), xy.get(1))
+    } finally cxy.unpersist()
+    val mi = // null-through on empty input (all sums NULL), like the lazy form
+      if (hx == null || hy == null || hxy == null) null
+      else java.lang.Long.valueOf(
+        hx.asInstanceOf[Long] + hy.asInstanceOf[Long] - hxy.asInstanceOf[Long])
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(n, hx, hy, hxy, mi)),
+      StructType(Seq("n", "hx_qbits", "hy_qbits", "hxy_qbits", "mi_qbits")
+        .map(f => StructField(f, LongType, nullable = true))))
   }
 }

@@ -79,6 +79,20 @@ object Pca {
     if (v(top).signum < 0) v.map(-_) else v
   }
 
+  /** row count with the unique-id precondition ENFORCED: the oracle's
+    * `nn` CTE counts DISTINCT ids while the scatter matrices sum over
+    * rows, so a duplicated id would silently skew the mean-centering
+    * term on one side only — fail loudly instead (one aggregate job,
+    * same cost as the plain count). */
+  private def countedUnique(qdf: DataFrame, what: String): Long = {
+    val r = qdf.agg(count(lit(1)), count_distinct(col("_id"))).head()
+    val (n, ids) = (r.getLong(0), r.getLong(1))
+    require(n == ids,
+      s"Pca.$what: ${n - ids} duplicate id rows — ids must be unique " +
+        "(the scatter matrix and the distinct-id count would diverge)")
+    n
+  }
+
   private def axisVector(qdf: DataFrame, n: Long, iters: Int,
                          vscale: Long): Array[BigInt] = {
     val (s, d) = scatterFn(qdf, n)
@@ -97,7 +111,7 @@ object Pca {
     val spark = emb.sparkSession
     // the quantized frame feeds three jobs (gram, sums, count)
     val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
-    val n = qdf.count()
+    val n = countedUnique(qdf, "topComponent")
     require(n > 0, "Pca.topComponent: empty input")
     val v = try axisVector(qdf, n, iters, vscale) finally qdf.unpersist()
     val rows = v.indices.map(i => Row(i.toLong, v(i).toDouble / vscale))
@@ -150,7 +164,7 @@ object Pca {
     require(iters > 0, s"Pca.topComponents2: iters must be positive, got $iters")
     val spark = emb.sparkSession
     val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
-    val n = qdf.count()
+    val n = countedUnique(qdf, "topComponents2")
     require(n > 0, "Pca.topComponents2: empty input")
     val (v1, v2) = try {
       val (s, d) = scatterFn(qdf, n)
@@ -179,7 +193,7 @@ object Pca {
                  vscale: Long = 1L << 20): DataFrame = {
     require(iters > 0, s"Pca.projectTop: iters must be positive, got $iters")
     val qdf = quantizeArr(emb, vecCol, idCol, qscale).cache()
-    val n = qdf.count()
+    val n = countedUnique(qdf, "projectTop")
     require(n > 0, "Pca.projectTop: empty input")
     val v = try axisVector(qdf, n, iters, vscale) finally qdf.unpersist()
     // per-row fold over zip(qv, axis-literal): no explode, no join, no

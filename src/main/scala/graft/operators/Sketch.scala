@@ -143,15 +143,21 @@ object Sketch {
       .withColumn("_uall", array_sort(array_distinct(concat(col("_ha"), col("_hb")))))
       .withColumn("_m", least(lit(k), size(col("_uall"))).cast(LongType))
       .withColumn("_u", slice(col("_uall"), lit(1), col("_m")))
-      .withColumn("_theta", element_at(col("_u"), col("_m").cast(IntegerType)))
+      // both-empty guard: _m = 0 would index element_at(_u, 0) (a
+      // runtime error) — degenerate to the exact empty-set answer
+      // (0, 0, NULL-jaccard: J(∅,∅) is undefined) instead
+      .withColumn("_theta",
+        when(col("_m") > 0, element_at(col("_u"), col("_m").cast(IntegerType))))
       .withColumn("_c", size(filter(col("_u"),
         h => array_contains(col("_ha"), h) && array_contains(col("_hb"), h))).cast(LongType))
       .withColumn("n_union_est",
         when(size(col("_uall")) < k, size(col("_uall")).cast(LongType))
           .otherwise(expr(s"${(k - 1).toLong * KmvSpace}L div _theta")))
       .select(col("n_union_est"),
-        expr("_c * n_union_est div _m").as("n_inter_est"),
-        (col("_c").cast(DoubleType) / col("_m")).as("jaccard_est"))
+        when(col("_m") > 0, expr("_c * n_union_est div _m"))
+          .otherwise(lit(0L)).as("n_inter_est"),
+        when(col("_m") > 0, col("_c").cast(DoubleType) / col("_m"))
+          .as("jaccard_est"))
   }
 
   /** Per-group discrete quantile over a deterministic hash sample:

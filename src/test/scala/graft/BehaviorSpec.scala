@@ -138,6 +138,16 @@ class BehaviorSpec extends SparkSpec {
     assert(r == Seq((0, 1), (1, 0), (0, 0)))
   }
 
+  test("oneHot: cardinality past the cap fails loudly, never collects the domain") {
+    val wide = (1 to 20).map(i => (i.toLong, s"cat$i")).toDF("id", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Features.oneHot(wide, "cat", maxCategories = 8)
+    }
+    assert(e.getMessage.contains("more than 8 distinct"), e.getMessage)
+    assert(Features.oneHot(wide, "cat", maxCategories = 20)
+      .columns.count(_.startsWith("is_")) == 20)
+  }
+
   test("hashingTrick: weights preserve token counts, dims stay in range") {
     val docs = Seq((1L, "x y x z"), (2L, "  "), (3L, "x")).toDF("doc_id", "text")
     val r = Features.hashingTrick(docs, 8)
@@ -314,6 +324,23 @@ class BehaviorSpec extends SparkSpec {
       (200L, false), (0L, false), (100L, false)), s"got ${r.toSeq}")
   }
 
+  test("cusum: half-cent boundary values quantize via floor(v*100+0.5), engine-independently") {
+    // 1.005 is binary ≈1.00499999999999989…: a double→DECIMAL(18,2)
+    // cast rounds the shortest decimal repr in some engines (→101
+    // centi) and the binary value in others (→100) — the formulation
+    // must avoid that cast entirely. floor(1.005*100 + 0.5) =
+    // floor(100.49…) = 100 centi everywhere; 2.675·100 rounds UP to
+    // exactly 267.5 in IEEE (the product is within half an ulp), so
+    // 268 — verified identical in Spark, Python and DuckDB.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 9L, 1.005),
+      (2L, ts("2024-01-01 00:02:00"), 9L, 2.675))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = graft.operators.Behavior.cusum(ev, kCenti = 0L, hCenti = 1L)
+      .orderBy("event_id").collect().map(_.getLong(4))
+    assert(r.toSeq == Seq(100L, 368L), s"got ${r.toSeq}")
+  }
+
   test("holtLast tracks a linear ramp exactly; single event takes trend 0") {
     // on x_t = c + m*t the prediction l+b equals the next value every
     // step, so the fold is EXACT: level = last x, trend = m (a plain
@@ -376,6 +403,19 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getLong(0) == 45L, s"union: ${r.getLong(0)}")
     assert(r.getLong(1) == 15L, s"inter: ${r.getLong(1)}")
     assert(r.getDouble(2) == 15.0 / 45, s"jaccard: ${r.getDouble(2)}")
+  }
+
+  test("kmvOverlap: empty sides degrade to (0, 0, NULL-jaccard), not a runtime error") {
+    // both-empty used to hit element_at(_u, 0) ("array indices start
+    // at 1"); one-empty exercises the normal path with zero overlap
+    val e = Seq.empty[String].toDF("k")
+    val a = (1 to 5).map(i => s"key$i").toDF("k")
+    val both = graft.operators.Sketch.kmvOverlap(e, e, col("k")).collect()(0)
+    assert(both.getLong(0) == 0L && both.getLong(1) == 0L && both.isNullAt(2),
+      s"both-empty: $both")
+    val one = graft.operators.Sketch.kmvOverlap(a, e, col("k")).collect()(0)
+    assert(one.getLong(0) == 5L && one.getLong(1) == 0L && one.getDouble(2) == 0.0,
+      s"one-empty: $one")
   }
 
   test("Pca.topComponent recovers a planted direction, max-normalized, sign-fixed") {
