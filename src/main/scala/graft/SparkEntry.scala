@@ -242,6 +242,15 @@ object SparkEntry {
         .sliceSorted(5000, 5100, Seq(col("o_orderkey"))).df
         .orderBy("o_orderkey")
     },
+    "sel_slice_strided" -> { (s, dir) =>
+      // numpy-backend slice parity: orders[-6000::7] — negative start
+      // resolved against the counted total, stride as per-partition
+      // index arithmetic on the same SortedPages machinery (no funnel,
+      // no extra shuffle); oracle replays via row_number − 1
+      Table(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+        .sliceStrided(Some(-6000L), None, 7L, Seq(col("o_orderkey"))).df
+        .orderBy("o_orderkey")
+    },
     "sel_with_index" -> { (s, dir) =>
       // global 0-based row index under a total order WITHOUT the
       // single-partition row_number() window: the SortedPages count
@@ -1299,6 +1308,15 @@ object SparkEntry {
     "sel_slice_sorted" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100 OFFSET 5000""".stripMargin,
+    "sel_slice_strided" ->
+      """WITH x AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS idx,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice FROM x
+        |WHERE idx >= GREATEST(n - 6000, 0)
+        |  AND (idx - GREATEST(n - 6000, 0)) % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "sel_with_index" ->
       """SELECT c_custkey, c_acctbal,
         |  CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS row_idx

@@ -40,6 +40,43 @@ object TpchEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Q2: minimum-cost supplier — the correlated-scalar-subquery shape
+    // (cost = MIN over the part's suppliers in one region). Proxy for
+    // the missing partsupp: the observed (part, supplier) bridge in
+    // lineitem with supplycost = min extendedprice of that pair (exact
+    // decimal, so the correlated min compares bit-stably). The
+    // textbook re-scan subquery lowers to ONE window (partitionBy
+    // partkey) over the already-joined frame — the q17 pattern — so
+    // the partsupp proxy aggregates once and is never re-read; region
+    // -restricted supplier detail and the part filter both broadcast.
+    // All-tie semantics preserved: every supplier AT the min survives.
+    "q2_mincost" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast(D)).as("supplycost"))
+      val eu = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_size").isin(5, 15, 25, 35, 45) &&
+          col("p_type") === "STANDARD")
+        .select("p_partkey", "p_brand"))
+      val w = Window.partitionBy(col("p_partkey"))
+      ps.join(eu, col("l_suppkey") === col("s_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("_mc", min(col("supplycost")).over(w))
+        .filter(col("supplycost") === col("_mc"))
+        .select(col("s_acctbal").cast(DoubleType).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          col("supplycost").cast(DoubleType).as("supplycost"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
+    },
+
     // Q4: order-priority checking — the EXISTS (correlated semi-join)
     // shape. Proxy: "commit date missed" becomes "some line shipped
     // more than 60 days after the order date". The semi join keeps
@@ -366,6 +403,28 @@ object TpchEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q2_mincost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT p_partkey, p_brand, s_acctbal, s_name, n_name, supplycost,
+        |    MIN(supplycost) OVER (PARTITION BY p_partkey) AS mc
+        |  FROM ps JOIN eu ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD')
+        |SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+        |  p_partkey, p_brand, CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM j WHERE supplycost = mc
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

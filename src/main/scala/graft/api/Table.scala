@@ -370,6 +370,13 @@ final case class Table(df: DataFrame) {
     paginateSorted(sortCols).slice(start, stop)
   }
 
+  /** Strided/negative Python-slice parity with the reference's numpy
+    * backend (`numpy.py:331`) under an explicit total order — see
+    * [[SortedPages.sliceStrided]]. */
+  def sliceStrided(start: Option[Long], stop: Option[Long], step: Long,
+                   sortCols: Seq[Column]): Table =
+    paginateSorted(sortCols).sliceStrided(start, stop, step)
+
   /** Pagination handle over one materialized total order: the range
     * exchange + per-partition count pass run ONCE (at construction) and
     * every [[SortedPages.slice]]/[[SortedPages.page]] reuses them. Both
@@ -693,6 +700,50 @@ final class SortedPages private[api] (
       if (base >= stop || base + cnt <= start) Iterator.empty
       else it.zipWithIndex.collect {
         case (row, i) if base + i >= start && base + i < stop => row
+      }
+    }
+    Table(spark.createDataFrame(sliced, schema))
+  }
+
+  /** Python-slice `[start:stop:step]` semantics under the total order —
+    * the strided/negative form the reference's numpy backend supports
+    * (`expressions.py:488-515`, `numpy.py:331`) and its SQL backend
+    * rejects (`sql.py:1632-1644`); here it's EXACT and distributed.
+    * `None` bounds take the Python defaults for the step's sign;
+    * negative bounds resolve against [[totalRows]] (already counted —
+    * resolution is free). Selection is pure per-partition index
+    * arithmetic on the one materialized order: partitions wholly
+    * outside the resolved range emit nothing (and never fetch their
+    * shuffle blocks), in-range partitions keep rows with
+    * `(idx − anchor) ≡ 0 (mod |step|)` — no extra shuffle, no funnel.
+    */
+  def sliceStrided(start: Option[Long], stop: Option[Long], step: Long): Table = {
+    require(step != 0, "sliceStrided: step must be nonzero")
+    val n = totalRows
+    def resolve(i: Long): Long = if (i < 0) n + i else math.min(i, n)
+    // (anchor, rLo, rHi): selected = {anchor ± k·|step|} ∩ [rLo, rHi)
+    val (anchor, stride, rLo, rHi) =
+      if (step > 0) {
+        // python: start default 0, stop default n; clamp into [0, n]
+        val lo = math.max(0L, start.map(resolve).getOrElse(0L))
+        val hi = math.max(lo, stop.map(resolve).getOrElse(n))
+        (lo, step, lo, hi)
+      } else {
+        // python: start default n−1, stop default "past 0" (exclusive
+        // lower bound −1); a negative bound resolving below −1 empties
+        val hi = math.min(start.map(i => if (i < 0) n + i else i).getOrElse(n - 1), n - 1)
+        val loEx = math.max(stop.map(i => if (i < 0) n + i else i).getOrElse(-1L), -1L)
+        (hi, -step, loEx + 1, hi + 1)
+      }
+    val (startsB, countsB) = (starts, counts)
+    val sliced = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = startsB.getOrElse(pid, 0L)
+      val cnt = countsB.getOrElse(pid, 0L)
+      // wholly outside [rLo, rHi): emit nothing, never consume `it`
+      if (base >= rHi || base + cnt <= rLo) Iterator.empty
+      else it.zipWithIndex.collect {
+        case (row, i) if base + i >= rLo && base + i < rHi &&
+          (base + i - anchor) % stride == 0 => row
       }
     }
     Table(spark.createDataFrame(sliced, schema))

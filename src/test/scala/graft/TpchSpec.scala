@@ -13,6 +13,19 @@ class TpchSpec extends SparkSpec {
   private def plan(name: String): String =
     TpchEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("q2: correlated min is ONE window pass, dims broadcast, partsupp proxy never re-read") {
+    val p = plan("q2_mincost")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    // lineitem + supplier + nation + region + part = 5 scans; the
+    // textbook re-scan subquery shape would read lineitem twice
+    assert(scans == 5, s"expected exactly 5 parquet scans, got $scans:\n$p")
+    assert(p.contains("Window"), s"expected the correlated min as a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    val shuffledDims = "(?s)(SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
+      .findAllIn(p).toList.filter(j => j.contains("p_partkey") || j.contains("s_suppkey"))
+    assert(shuffledDims.isEmpty, s"q2: a dimension got shuffled: $shuffledDims")
+  }
+
   test("q4: EXISTS lowers to a left-semi join, no post-join dedup") {
     val p = plan("q4_priority")
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
@@ -74,7 +87,7 @@ class TpchSpec extends SparkSpec {
   }
 
   test("q4/q12 shipped-late predicates and q19 disjunction stay non-vacuous at sf0.001") {
-    for (q <- Seq("q4_priority", "q12_shipmode", "q19_disjunct",
+    for (q <- Seq("q2_mincost", "q4_priority", "q12_shipmode", "q19_disjunct",
         "q20_greensupp", "q22_opportunity", "q7_volume", "q11_value"))
       assert(TpchEntry.queries(q)(spark, sf).count() > 0, s"$q is vacuous at $sf")
   }
