@@ -247,15 +247,24 @@ object Graph {
     * like Adamic-Adar, deliberately — same rational-threshold house
     * rule as the dedup family).
     *
-    * Scale shape: wedge generation at the shared neighbor —
-    * Σ deg(v)² fan-out, the same budget as [[triangleCount]] (run on
-    * a degree-capped or sampled graph, as the gate query does);
-    * one (pair) count aggregate; existing edges leave by a broadcast
-    * anti join when the edge list is small, shuffle anti otherwise
-    * (left to AQE); degrees attach by two joins on the pair ids.
+    * Scale shape: wedge generation at the shared neighbor is
+    * Σ deg(v)² over wedge CENTERS, so a single 10⁵-degree hub would
+    * emit 10¹⁰ pairs — `maxDegree` caps that IN the operator: centers
+    * above the cap are excluded from wedge generation (one node-sized
+    * semi join before the self-join; endpoint degrees still count the
+    * full graph). That is the standard link-prediction treatment of
+    * super-hubs — a neighbor shared with everyone carries ~no signal,
+    * which is also why common-neighbor evidence through it is noise —
+    * and it turns the worst case into Σ min(deg, cap)², linear in
+    * edges for fixed cap. Remaining cost: one (pair) count aggregate;
+    * existing edges leave by a broadcast anti join when the edge list
+    * is small, shuffle anti otherwise (left to AQE); degrees attach by
+    * two joins on the pair ids.
     */
-  def linkPrediction(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+  def linkPrediction(edges: DataFrame, minCommon: Long = 1L,
+                     maxDegree: Long = 10000L): DataFrame = {
     require(minCommon >= 1, s"linkPrediction: minCommon >= 1, got $minCommon")
+    require(maxDegree >= 1, s"linkPrediction: maxDegree >= 1, got $maxDegree")
     val e0 = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -265,8 +274,13 @@ object Graph {
     val adj = e0.select(col("a").as("v"), col("b").as("u"))
       .union(e0.select(col("b").as("v"), col("a").as("u")))
     val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // super-hub cap: drop wedge CENTERS over maxDegree before the
+    // self-join (deg is symmetric, so it doubles as the center count)
+    val adjCapped = adj.join(
+      deg.filter(col("deg") <= maxDegree).select(col("id").as("v")),
+      Seq("v"), "left_semi")
     // wedges centered at v: unordered endpoint pair (x.u < y.u)
-    val wedges = adj.alias("x").join(adj.alias("y"),
+    val wedges = adjCapped.alias("x").join(adjCapped.alias("y"),
         col("x.v") === col("y.v") && col("x.u") < col("y.u"))
       .select(col("x.u").as("id_a"), col("y.u").as("id_b"))
     val common = wedges.groupBy("id_a", "id_b")

@@ -519,6 +519,91 @@ class BehaviorSpec extends SparkSpec {
     assert(r((1L, 4L)) == ((2L, 2L, 1.0)))
   }
 
+  test("linkPrediction: super-hub centers over maxDegree generate no wedges") {
+    // star K1,5 (hub 0, leaves 1..5) plus a path 10-11-12 off to the
+    // side: hub-mediated leaf pairs must vanish under a cap < 5 while
+    // the low-degree wedge (10,12 via 11) survives untouched
+    val star = (1L to 5L).map(i => (0L, i))
+    val path = Seq((10L, 11L), (11L, 12L))
+    val e = (star ++ path).toDF("src", "dst")
+    def pairs(cap: Long) =
+      graft.operators.Graph.linkPrediction(e, minCommon = 1L, maxDegree = cap)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val uncapped = pairs(10000L)
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 12L)),
+      s"uncapped must keep hub and path wedges: $uncapped")
+    val capped = pairs(4L)
+    assert(capped == Set((10L, 12L)),
+      s"cap=4 must drop every hub-centered wedge, keep the path wedge: $capped")
+  }
+
+  test("labelPropagation: monotone-relabeling equivariance and fixpoint stability") {
+    // independent semantic witnesses (the DuckDB oracle replays the
+    // identical recursion, so a shared-formulation bug would pass the
+    // gate): (1) a monotone id relabeling must relabel communities and
+    // nothing else — LPA's tie-break is ORDER-based, so any
+    // order-preserving map is a graph isomorphism for it; (2) once the
+    // partition stops changing, more rounds must not change it.
+    def partition(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(x => (x.getLong(0), x.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    // two 4-cliques with INTERLEAVED ids (evens vs odds) + one bridge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val base = clique(Seq(0L, 2L, 4L, 6L)) ++ clique(Seq(1L, 3L, 5L, 7L)) ++
+      Seq((6L, 7L))
+    val e = base.toDF("src", "dst")
+    val p1 = partition(graft.operators.Graph.labelPropagation(e, iters = 6))
+    assert(p1 == Set(Set(0L, 2L, 4L, 6L), Set(1L, 3L, 5L, 7L)),
+      s"interleaved cliques must separate: $p1")
+    // monotone relabel: id -> 10·id + 3 (order-preserving, non-uniform)
+    def m(i: Long) = 10 * i + 3
+    val e2 = base.map { case (a, b) => (m(a), m(b)) }.toDF("src", "dst")
+    val p2 = partition(graft.operators.Graph.labelPropagation(e2, iters = 6))
+    assert(p2 == p1.map(_.map(m)), s"equivariance broken: $p2")
+    // fixpoint: extra rounds leave the converged partition alone
+    val p3 = partition(graft.operators.Graph.labelPropagation(e, iters = 12))
+    assert(p3 == p1, s"fixpoint drifted with more rounds: $p3")
+  }
+
+  test("Pca.topComponent satisfies the eigen-residual law on an independent scatter matrix") {
+    // the oracle replays the same power iteration, so this witness is
+    // the non-replaying check: build S = n·Σqqᵀ − ssᵀ INDEPENDENTLY
+    // (driver-side BigInt loop over the same floor-quantization) and
+    // assert S·v ≈ λ·v for the operator's returned axis — a bug in the
+    // distributed Gram explosion or the renorm recipe fails this even
+    // though the replay-oracle would agree with itself.
+    val rnd = new scala.util.Random(7)
+    val d = 6
+    val u = Array(3.0, -1.0, 2.0, 0.5, -2.5, 1.0) // planted direction
+    val emb = (1 to 300).map { i =>
+      val a = rnd.nextGaussian() * 4            // strong component on u
+      (i.toLong, Array.tabulate(d)(j => (a * u(j) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qscale = 1L << 20
+    val v = graft.operators.Pca.topComponent(emb, "embedding", "vec_id")
+      .orderBy("d").collect().map(r => BigInt((r.getDouble(1) * (1L << 20)).round))
+    // independent S from the collected rows (no Spark aggregation)
+    val q = emb.collect().map(_.getSeq[Float](1).toArray
+      .map(x => BigInt(math.floor(x.toDouble * qscale).toLong)))
+    val n = BigInt(q.length)
+    val s = Array.tabulate(d)(j => q.map(_(j)).sum)
+    def S(i: Int, j: Int) = n * q.map(r => r(i) * r(j)).sum - s(i) * s(j)
+    val sv = Array.tabulate(d)(i => (0 until d).map(j => S(i, j) * v(j)).sum)
+    val lamNum = (0 until d).map(i => v(i) * sv(i)).sum   // vᵀSv
+    val lamDen = (0 until d).map(i => v(i) * v(i)).sum    // vᵀv
+    // residual r = S·v − λ·v computed in exact rationals: r_i·den =
+    // sv_i·den − num·v_i; compare ‖r‖² against ε²·‖S·v‖²
+    val resNum = (0 until d).map(i => sv(i) * lamDen - lamNum * v(i))
+    val res2 = resNum.map(x => x * x).sum
+    val sv2 = sv.map(x => x * x).sum * lamDen * lamDen
+    // ‖r‖ ≤ 1e-3 ‖Sv‖ — loose enough for 8 power iterations on a
+    // strongly-gapped spectrum, tight enough to catch any real defect
+    assert(res2 * BigInt(1000000) <= sv2,
+      s"eigen-residual too large: ||r||^2/||Sv||^2 = ${
+        (BigDecimal(res2) / BigDecimal(sv2)).toDouble}")
+  }
+
   test("diversity: hand-computed gini and quantized entropy; degenerate group") {
     val df = Seq(("en", "web"), ("en", "web"), ("en", "book"), ("en", "book"),
       ("de", "web"), ("de", "web"), ("de", "web"))
