@@ -186,19 +186,29 @@ object PipelineEntry {
     */
   private def sqlLshBucket(vec: String, dim: Int, nBits: Int): String =
     (0 until nBits).map { i =>
-      val dot = Similarity.hyperplane(i + 1, dim).zipWithIndex
-        .map { case (w, j) => s"CAST($vec[${j + 1}] AS DOUBLE) * $w" }
-        .mkString("0.0 + ", " + ", "")
+      val ws = Similarity.hyperplane(i + 1, dim).mkString("[", ", ", "]")
+      val dot = s"list_sum(list_transform(list_zip($vec, $ws), p -> CAST(p[1] AS DOUBLE) * p[2]))"
       s"(CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
   private def sqlDot(a: String, b: String): String =
-    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString("0.0 + ", " + ", "")
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def sqlNorm(a: String): String =
-    "SQRT(" + (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
-      .mkString("0.0 + ", " + ", "") + ")"
+    s"SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  /** Elementwise integer-mean centroid as one list-valued subquery:
+    * unnest member vectors positionally, per-(group, dim) exact mean
+    * (same FLOOR(SUM/COUNT) arithmetic as before), regroup ordered by
+    * dim. Replaces 64 unrolled SUM(qv[i]) aggregates — the unrolled
+    * plan allocated tens of thousands of transient memory maps in the
+    * oracle process (the round-9 gate OOM); this form is three
+    * operators regardless of dimension. */
+  private def sqlCentSelect(src: String, grp: String, out: String, dim: Int = 64): String =
+    s"""(SELECT $grp AS $out, list(v ORDER BY d) AS cv FROM (
+       |  SELECT $grp, d, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |  FROM (SELECT $grp, unnest(qv) AS x, unnest(range(1, ${dim + 1})) AS d FROM $src)
+       |  GROUP BY $grp, d) GROUP BY $grp)""".stripMargin
 
   /** PQ/ADC replay shared by sim_pq and sim_pq_refined: `m` independent
     * `sub`-dim Lloyd's trainings (one per subspace, mirroring
@@ -210,16 +220,14 @@ object PipelineEntry {
   private def pqSqlCtes(m: Int, sub: Int, ksub: Int): String = {
     def kmQv(lo: Int, hi: Int) =
       s"list_transform(embedding[$lo:$hi], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-    val kmDist = (1 to sub).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
-    val kmCent = (1 to sub).map(i =>
-      s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+    val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
     val per = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = lo + sub - 1
       s"""q0_$j AS (SELECT vec_id, ${kmQv(lo, hi)} AS qv FROM embeddings),
          |c0_$j AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0_$j WHERE vec_id < $ksub),
          |j1_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c0_$j),
          |w1_$j AS (SELECT vec_id, qv, cid FROM j1_$j WHERE rn = 1),
-         |c1_$j AS (SELECT cid, $kmCent AS cv FROM w1_$j GROUP BY cid),
+         |c1_$j AS ${sqlCentSelect(s"w1_$j", "cid", "cid", sub)},
          |j2_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c1_$j),
          |w2_$j AS (SELECT vec_id, cid AS code_$j FROM j2_$j WHERE rn = 1),
          |qt_$j AS (SELECT q.vec_id AS q_id, c.cid, $kmDist AS d FROM (SELECT vec_id, qv FROM q0_$j WHERE vec_id < 10) q CROSS JOIN c1_$j c)""".stripMargin
@@ -3713,12 +3721,9 @@ object PipelineEntry {
       },
       "dedup_pr_audit" -> sqlPrAudit,
       "dedup_semantic" -> {
-        val kmCent = (1 to 64).map(i =>
-          s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)")
-          .mkString("[", ", ", "]")
         s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
            |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
-           |cents AS (SELECT cluster, $kmCent AS cv FROM q0 GROUP BY 1),
+           |cents AS ${sqlCentSelect("q0", "cluster", "cluster")},
            |wc AS (SELECT q0.vec_id, q0.cluster, q0.embedding, ${sqlCos("q0.embedding", "cents.cv")} AS cos_centroid
            |  FROM q0 JOIN cents ON q0.cluster = cents.cluster),
            |drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b ON a.cluster = b.cluster
@@ -3732,18 +3737,16 @@ object PipelineEntry {
         // dedup_semantic chain: clusters = 2-round Lloyd's assignment,
         // centroids recomputed from member vectors per semanticDedup
         val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
-        val kmCent = (1 to 64).map(i =>
-          s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
         s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
            |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
            |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
            |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
-           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |c1 AS ${sqlCentSelect("w1", "cid", "cid")},
            |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
            |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
            |m AS (SELECT q0.vec_id, w2.cid AS cluster, q0.embedding, q0.qv FROM q0 JOIN w2 ON w2.vec_id = q0.vec_id),
-           |cents AS (SELECT cluster, $kmCent AS cv FROM m GROUP BY 1),
+           |cents AS ${sqlCentSelect("m", "cluster", "cluster")},
            |wc AS (SELECT m.vec_id, m.cluster, m.embedding, ${sqlCos("m.embedding", "cents.cv")} AS cos_centroid
            |  FROM m JOIN cents ON m.cluster = cents.cluster),
            |drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b ON a.cluster = b.cluster
@@ -3769,10 +3772,9 @@ object PipelineEntry {
         // per-label quantized centroid fit + nearest-centroid argmin —
         // the kmeans CTE vocabulary with labels as the (fixed) cells
         val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
-        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
         s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl, $kmQv AS qv FROM embeddings),
-           |cents AS (SELECT lbl AS cid, $kmCent AS cv FROM q0 GROUP BY 1),
+           |cents AS ${sqlCentSelect("q0", "lbl", "cid")},
            |j AS (SELECT vec_id, lbl, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn
            |  FROM q0 CROSS JOIN cents),
            |w AS (SELECT vec_id, lbl, cid FROM j WHERE rn = 1)
@@ -3783,13 +3785,12 @@ object PipelineEntry {
         // the same 2 Lloyd's iterations, in SQL: quantize → assign(c0) →
         // recompute → assign(c1) → IVF search within learned partition
         val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
-        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
         s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
            |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
            |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
            |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
-           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |c1 AS ${sqlCentSelect("w1", "cid", "cid")},
            |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
            |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
            |e AS (SELECT em.vec_id, em.embedding, w2.cid FROM embeddings em JOIN w2 ON em.vec_id = w2.vec_id),
@@ -3832,13 +3833,12 @@ object PipelineEntry {
         // row is the corpus assignment — probing replays the exact
         // geometry that defined the cells
         val kmQv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-        val kmDist = (1 to 64).map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])").mkString(" + ")
-        val kmCent = (1 to 64).map(i => s"CAST(FLOOR(CAST(SUM(qv[$i]) AS DOUBLE) / COUNT(*)) AS BIGINT)").mkString("[", ", ", "]")
+        val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
         s"""WITH q0 AS (SELECT vec_id, embedding, $kmQv AS qv FROM embeddings),
            |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0 WHERE vec_id < 4),
            |j1 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c0),
            |w1 AS (SELECT vec_id, qv, cid FROM j1 WHERE rn = 1),
-           |c1 AS (SELECT cid, $kmCent AS cv FROM w1 GROUP BY cid),
+           |c1 AS ${sqlCentSelect("w1", "cid", "cid")},
            |j2 AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0 CROSS JOIN c1),
            |w2 AS (SELECT vec_id, cid FROM j2 WHERE rn = 1),
            |wp AS (SELECT vec_id, cid FROM j2 WHERE rn <= 2),
