@@ -525,6 +525,26 @@ object PipelineEntry {
         .select(col("event_id"), col("user_id"), col("cusum_c"), col("alarm"))
         .orderBy("event_id")
     },
+    "eval_auc" -> { (s, dir) =>
+      // exact ROC-AUC of "value predicts purchase" via the midrank
+      // Mann–Whitney rank-sum: one domain-bounded distinct-score
+      // window, decimal rank sums, a single double division
+      graft.operators.Eval.auc(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase")
+    },
+    "eval_calibration" -> { (s, dir) =>
+      // reliability diagram of prob = value/512 (exact power-of-two
+      // division) vs observed purchase rate: milli-quantized probs,
+      // integer bin assignment, 10 bins
+      graft.operators.Eval.calibration(t(s, dir, "events"),
+        col("value") / lit(512d), col("event_type") === "purchase")
+    },
+    "eval_confusion" -> { (s, dir) =>
+      // confusion + precision/recall/F1 at centi threshold 25000
+      // (value >= 250): quantized compare, exact-count rates
+      graft.operators.Eval.confusion(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase", 25000L)
+    },
     "ev_holt" -> { (s, dir) =>
       // Holt level+trend smoothing per user (α=2/10, β=3/10): the
       // trending-metric sibling of ev_ewma, same rational-coefficient
@@ -2777,6 +2797,42 @@ object PipelineEntry {
           |SELECT event_id, user_id, p - pmin AS cusum_c,
           |  p - pmin > 20000 AS alarm
           |FROM m ORDER BY event_id""".stripMargin,
+      "eval_auc" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
+          |    (event_type = 'purchase') AS y FROM events),
+          |g AS (SELECT qs, COUNT(*) AS cnt,
+          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM q GROUP BY qs),
+          |r AS (SELECT qs, cnt, np,
+          |    COALESCE(SUM(cnt) OVER (ORDER BY qs
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r FROM g)
+          |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+          |  CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+          |  CAST(SUM(CAST(np AS HUGEINT) * (2 * r + cnt + 1))
+          |      - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
+          |    / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE) AS auc
+          |FROM r""".stripMargin,
+      "eval_calibration" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
+          |    (event_type = 'purchase') AS y FROM events),
+          |b AS (SELECT LEAST(qp * 10 // 1000, 9) AS bin, qp, y FROM q)
+          |SELECT bin, COUNT(*) AS n,
+          |  CAST(SUM(qp) AS DOUBLE) / (COUNT(*) * 1000) AS mean_prob,
+          |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_pos
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+      "eval_confusion" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) >= 25000 AS pred,
+          |    (event_type = 'purchase') AS y FROM events),
+          |c AS (SELECT
+          |    CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |    CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |    CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |    CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM q)
+          |SELECT tp, fp, fn, tn,
+          |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+          |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+          |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+          |FROM c""".stripMargin,
       "ev_holt" ->
         """WITH RECURSIVE l AS (
           |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Classifier-evaluation metrics over scored rows — the model-eval
+  * face a training-data pipeline needs next to its ranking metrics
+  * (ndcg/recall in [[graft.operators.Similarity]]): exact ROC-AUC,
+  * reliability-diagram calibration bins, and threshold confusion
+  * counts. The reference stops at reductions; these are extensions in
+  * the same exact-arithmetic house style.
+  *
+  * Determinism recipe: scores quantize through the tie-free
+  * `floor(x·scale + 0.5)` (two IEEE ops + floor — bit-identical on
+  * every engine, the [[Behavior.cusum]] lesson), every count/sum is
+  * exact integer/decimal, and each metric performs ONE final double
+  * division of two exact integers — so AUC/precision/frac_pos replay
+  * bit-for-bit in any engine at any partitioning.
+  */
+object Eval {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Exact ROC-AUC via the Mann–Whitney rank-sum with midrank tie
+    * handling: with per-distinct-score counts `(cnt, np)` ordered by
+    * score ascending and `r` = rows strictly below the group, each
+    * positive in the group takes midrank `r + (cnt+1)/2`, so twice the
+    * positive rank-sum is `S2 = Σ np·(2r + cnt + 1)` — integers end to
+    * end — and `AUC = (S2 − P(P+1)) / (2PN)`. Ties-as-half-credit is
+    * exactly the probabilistic definition
+    * `P(s⁺ > s⁻) + ½P(s⁺ = s⁻)`.
+    *
+    * Output: one row `(n_pos, n_neg, auc)`; AUC is NULL when either
+    * class is absent (undefined, not 0 — same contract as
+    * [[Sketch.kmvOverlap]]'s empty-side Jaccard).
+    *
+    * Scale shape: one scan partial-aggregates to the DISTINCT
+    * quantized-score frame (bounded by the score DOMAIN — centi
+    * buckets — not the corpus, the `text_zipf` contract), one ordered
+    * prefix-sum window over that bounded frame, one 1-row reduce.
+    * Rank sums run in DECIMAL(38,0): S2 < 2n² overflows int64 past
+    * ~2³¹ rows, and 128-bit decimal carries it to ~10¹⁸ rows.
+    */
+  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val per = df
+      .select(floor(scoreCol.cast(DoubleType) * 100d + 0.5d).cast(LongType).as("_qs"),
+        labelCol.cast("boolean").as("_y"))
+      .groupBy(col("_qs"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_np"))
+    // bounded window: one row per distinct centi score
+    val w = Window.orderBy(col("_qs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("_r", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("_np")).as("_p"),
+        sum(col("_cnt") - col("_np")).as("_n"),
+        sum(col("_np").cast(D38) *
+          (lit(2) * col("_r") + col("_cnt") + 1).cast(D38)).as("_s2"))
+      .select(col("_p").as("n_pos"), col("_n").as("n_neg"),
+        when(col("_p") > 0 && col("_n") > 0,
+          (col("_s2") - col("_p").cast(D38) * (col("_p").cast(D38) + 1))
+            .cast(DoubleType) /
+            (lit(2).cast(D38) * col("_p").cast(D38) * col("_n").cast(D38))
+              .cast(DoubleType))
+          .as("auc"))
+  }
+
+  /** Reliability-diagram calibration bins for a probability column:
+    * probabilities quantize to milli (`floor(p·1000 + 0.5)`), bin
+    * assignment is pure integer division `min(qp·bins div 1000,
+    * bins−1)` (no float boundary ambiguity), and each bin reports its
+    * count, exact mean predicted probability and observed positive
+    * rate. Empty bins are absent (join against `range(bins)` to
+    * densify if needed). Output: `(bin, n, mean_prob, frac_pos)`.
+    *
+    * Scale shape: one scan, one `bins`-bounded aggregate — no window,
+    * no second pass.
+    */
+  def calibration(df: DataFrame, probCol: Column, labelCol: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"calibration: bins in [2,1000], got $bins")
+    df
+      .select(floor(probCol.cast(DoubleType) * 1000d + 0.5d).cast(LongType).as("_qp"),
+        labelCol.cast("boolean").as("_y"))
+      .select(least(expr(s"_qp * $bins div 1000"), lit(bins - 1L)).as("bin"),
+        col("_qp"), col("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_qp")).cast(DoubleType) / (count(lit(1)) * 1000)).as("mean_prob"),
+        (sum(when(col("_y"), 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)))
+          .as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  /** Threshold confusion counts with exact derived rates: predictions
+    * are `centi(score) ≥ thresholdCenti` (quantized compare — no
+    * float boundary), and precision/recall/F1 are single double
+    * divisions of exact counts (NULL when the denominator is 0, the
+    * undefined-not-zero contract). Output: one row
+    * `(tp, fp, fn, tn, precision, recall, f1)`.
+    *
+    * Scale shape: one scan, one 1-row aggregate — entirely map-side
+    * until the final combine.
+    */
+  def confusion(df: DataFrame, scoreCol: Column, labelCol: Column,
+                thresholdCenti: Long): DataFrame = {
+    val pred = floor(scoreCol.cast(DoubleType) * 100d + 0.5d)
+      .cast(LongType) >= thresholdCenti
+    val y = labelCol.cast("boolean")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.agg(
+        cnt(pred && y).as("tp"), cnt(pred && !y).as("fp"),
+        cnt(!pred && y).as("fn"), cnt(!pred && !y).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast(DoubleType) / (col("tp") + col("fn"))).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2) * col("tp")).cast(DoubleType) /
+            (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+}

@@ -604,6 +604,51 @@ class BehaviorSpec extends SparkSpec {
         (BigDecimal(res2) / BigDecimal(sv2)).toDouble}")
   }
 
+  test("Eval.auc: hand example with ties, brute-force pair witness, degenerate NULL") {
+    import graft.operators.Eval
+    // (0.2⁺ vs 0.1⁻)=1, (0.2⁺ vs 0.2⁻)=½, (0.3⁺ vs both)=2 → 3.5/4
+    val df = Seq((0.10, false), (0.20, true), (0.20, false), (0.30, true))
+      .toDF("score", "label")
+    val r = Eval.auc(df, col("score"), col("label")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.875, s"auc: ${r.getDouble(2)}")
+    // brute-force witness on a seeded random set: rank-sum formula vs
+    // direct P(s+>s-) + ½P(s+=s-) pair counting
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ =>
+      ((rnd.nextInt(30) + 1) / 10.0, rnd.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.size.toLong * neg.size)
+    val got = Eval.auc(rows.toDF("score", "label"), col("score"), col("label"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
+    // single-class input: AUC undefined -> NULL, not 0
+    val one = Eval.auc(Seq((0.5, true), (0.7, true)).toDF("s", "y"),
+      col("s"), col("y")).collect()(0)
+    assert(one.isNullAt(2), "single-class AUC must be NULL")
+  }
+
+  test("Eval.calibration and Eval.confusion: integer bins, exact rates, empty-denominator NULL") {
+    import graft.operators.Eval
+    val df = Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y")
+    val bins = Eval.calibration(df, col("p"), col("y"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(bins == Map(0L -> ((2L, 0.05, 0.5)), 9L -> ((1L, 0.95, 1.0))), s"$bins")
+    val c = Eval.confusion(Seq((260.0, true), (260.0, false), (100.0, true))
+        .toDF("s", "y"), col("s"), col("y"), 25000L).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((1L, 1L, 1L, 0L)))
+    assert(c.getDouble(4) == 0.5 && c.getDouble(5) == 0.5, "precision/recall")
+    assert(c.getDouble(6) == 0.5, "f1")
+    // no predicted positives: precision NULL, recall 0
+    val c2 = Eval.confusion(Seq((1.0, true)).toDF("s", "y"),
+      col("s"), col("y"), 25000L).collect()(0)
+    assert(c2.isNullAt(4) && c2.getDouble(5) == 0.0)
+  }
+
   test("diversity: hand-computed gini and quantized entropy; degenerate group") {
     val df = Seq(("en", "web"), ("en", "web"), ("en", "book"), ("en", "book"),
       ("de", "web"), ("de", "web"), ("de", "web"))
