@@ -395,6 +395,42 @@ object PipelineEntry {
           ((col("k") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
             (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"))
     },
+    "text_heaps" -> { (s, dir) =>
+      // Heaps'-law audit (text_zipf's growth-curve sibling): cumulative
+      // vocabulary V vs cumulative token count n over 16 doc-id-ordered
+      // corpus prefixes, slope of ilog2(V) on ilog2(n) by the same
+      // exact-integer least squares. New-vocab attribution is each
+      // token's FIRST bucket (min over doc ids) — one token scan, two
+      // bounded aggregates, windows over the 16-row curve only
+      import org.apache.spark.sql.expressions.Window
+      def il(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast(LongType)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val eb = toks.crossJoin(broadcast(bounds))
+        .select(expr("((doc_id - lo) * 16) div (hi - lo + 1)").as("b"), col("tok"))
+      val tc = eb.groupBy("b").agg(count(lit(1)).as("nt"))
+      val vc = eb.groupBy("tok").agg(min("b").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = tc.join(vc, Seq("b"), "left_outer")
+        .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+        .select(col("b"), sum(col("nt")).over(w).as("tokens_cum"),
+          sum(col("nv")).over(w).as("vocab_cum"))
+      val ls = cum
+        .select(il(col("tokens_cum")).as("x"), il(col("vocab_cum")).as("y"))
+        .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select((col("k") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      cum.crossJoin(broadcast(ls))
+        .select(col("b"), col("tokens_cum"), col("vocab_cum"),
+          col("slope_num"), col("slope_den"),
+          (col("slope_num").cast(DoubleType) / col("slope_den")).as("slope"))
+        .orderBy("b")
+    },
     "text_domains" -> { (s, dir) =>
       import TextFunctions._
       // per-domain doc counts — the fixture text carries no URLs, so the
@@ -524,6 +560,11 @@ object PipelineEntry {
       Behavior.cusum(t(s, dir, "events"), kCenti = 5000L, hCenti = 20000L)
         .select(col("event_id"), col("user_id"), col("cusum_c"), col("alarm"))
         .orderBy("event_id")
+    },
+    "ev_ohlc" -> { (s, dir) =>
+      // hourly OHLC bars over the event metric: one bucket-keyed
+      // aggregate, argmin/argmax over the total (ts, event_id) order
+      Behavior.resampleOhlc(t(s, dir, "events"), date_trunc("hour", col("ts")))
     },
     "eval_auc" -> { (s, dir) =>
       // exact ROC-AUC of "value predicts purchase" via the midrank
@@ -2520,6 +2561,28 @@ object PipelineEntry {
            |s AS (SELECT unnest(${sqlShingles(2)}) AS ngram FROM t)
            |SELECT ngram, COUNT(*) AS n_docs FROM s
            |GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+      "text_heaps" ->
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+           |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+           |bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM e),
+           |eb AS (SELECT ((doc_id - lo) * 16) // (hi - lo + 1) AS b, tok FROM e, bounds),
+           |tc AS (SELECT b, COUNT(*) AS nt FROM eb GROUP BY b),
+           |fv AS (SELECT tok, MIN(b) AS fb FROM eb GROUP BY tok),
+           |vc AS (SELECT fb AS b, COUNT(*) AS nv FROM fv GROUP BY fb),
+           |cum AS (SELECT tc.b,
+           |    CAST(SUM(nt) OVER (ORDER BY tc.b) AS BIGINT) AS tokens_cum,
+           |    CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY tc.b) AS BIGINT) AS vocab_cum
+           |  FROM tc LEFT JOIN vc ON tc.b = vc.b),
+           |xy AS (SELECT length(bin(tokens_cum)) - 1 AS x,
+           |    length(bin(vocab_cum)) - 1 AS y FROM cum),
+           |ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM xy)
+           |SELECT CAST(b AS BIGINT) AS b, tokens_cum, vocab_cum,
+           |  CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+           |  CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+           |  CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS slope
+           |FROM cum, ls ORDER BY b""".stripMargin,
       "text_zipf" ->
         s"""WITH t AS (SELECT $sqlTokens AS ts FROM documents),
            |c AS (SELECT tok, COUNT(*) AS n FROM (SELECT unnest(ts) AS tok FROM t)
@@ -2797,6 +2860,19 @@ object PipelineEntry {
           |SELECT event_id, user_id, p - pmin AS cusum_c,
           |  p - pmin > 20000 AS alarm
           |FROM m ORDER BY event_id""".stripMargin,
+      "ev_ohlc" ->
+        """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value FROM events),
+          |o AS (SELECT bucket, value,
+          |    row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+          |  FROM h)
+          |SELECT bucket,
+          |  MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |  MAX(value) AS high, MIN(value) AS low,
+          |  MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |  COUNT(*) AS volume,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin,
       "eval_auc" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
           |    (event_type = 'purchase') AS y FROM events),

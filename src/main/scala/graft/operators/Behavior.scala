@@ -216,6 +216,35 @@ object Behavior {
       .limit(topN)
   }
 
+  /** OHLC resampling: downsample a per-entity metric stream to
+    * open/high/low/close/volume bars per time bucket — the standard
+    * metric-compaction step before charting or coarse modeling. Open
+    * and close are argmin/argmax over the TOTAL (ts, id) order, so
+    * bars are deterministic even with equal timestamps; values pass
+    * through untouched (no float arithmetic to diverge), and the
+    * exact-decimal `vsum` makes the volume-weighted reading exact.
+    * Output: `(bucket, open, high, low, close, volume, vsum)`.
+    *
+    * Scale shape: ONE aggregate keyed by the bucket — min_by/max_by
+    * carry a (value, ord) pair per partial state, so the whole bar
+    * computes map-side with one bucket-count-sized shuffle; no window,
+    * no per-bucket sort.
+    */
+  def resampleOhlc(events: DataFrame, bucket: Column,
+                   valueCol: String = "value", tsCol: String = "ts",
+                   idCol: String = "event_id"): DataFrame = {
+    val ord = struct(col(tsCol), col(idCol))
+    events
+      .groupBy(bucket.as("bucket"))
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DoubleType).as("vsum"))
+      .orderBy("bucket")
+  }
+
   /** Seasonal-naive decomposition of a metric: the seasonal component
     * is the mean at each position of the cycle (`periodKey`, e.g.
     * hour-of-day), the residual is what's left — the baseline

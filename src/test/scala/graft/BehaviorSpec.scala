@@ -604,6 +604,23 @@ class BehaviorSpec extends SparkSpec {
         (BigDecimal(res2) / BigDecimal(sv2)).toDouble}")
   }
 
+  test("resampleOhlc: bars with tied timestamps stay deterministic via the id tiebreak") {
+    // two events share the opening timestamp: open must be the LOWER
+    // event_id's value (total (ts, id) order), not either-or
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, 9.0),
+      (3L, ts("2024-01-01 10:30:00"), 1L, 1.0),
+      (4L, ts("2024-01-01 10:59:00"), 1L, 7.0),
+      (5L, ts("2024-01-01 11:15:00"), 1L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = graft.operators.Behavior.resampleOhlc(ev, date_trunc("hour", col("ts")))
+      .collect().map(x => (x.getDouble(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getLong(5), x.getDouble(6)))
+    assert(r(0) == ((5.0, 9.0, 1.0, 7.0, 4L, 22.0)), s"hour bar: ${r(0)}")
+    assert(r(1) == ((2.0, 2.0, 2.0, 2.0, 1L, 2.0)), s"singleton bar: ${r(1)}")
+  }
+
   test("Eval.auc: hand example with ties, brute-force pair witness, degenerate NULL") {
     import graft.operators.Eval
     // (0.2⁺ vs 0.1⁻)=1, (0.2⁺ vs 0.2⁻)=½, (0.3⁺ vs both)=2 → 3.5/4
