@@ -1254,6 +1254,24 @@ object PipelineEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
     },
+    "sim_index_persist" -> { (s, dir) =>
+      // build-once/query-many: train the PQ codebook, persist codebook
+      // AND codes as parquet, then answer the query from the LOADED
+      // index without touching a corpus vector — the round-trip must
+      // land on sim_pq's exact rows (shared oracle), proving the
+      // persisted form carries the full search state
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2, dim = 64)
+      val base = s"target/pq_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      model.save(s, s"$base/codebook")
+      Similarity.pqEncode(emb, model).withColumnRenamed("vec_id", "c_id")
+        .write.mode("overwrite").parquet(s"$base/codes")
+      val loaded = Similarity.PqModel.load(s, s"$base/codebook")
+      Similarity.pqTopKFromCodes(s.read.parquet(s"$base/codes"),
+          emb.filter(col("vec_id") < 10), k = 5, loaded)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
     "sim_pq" -> { (s, dir) =>
       // product-quantization ADC search: four deterministic per-subspace
       // integer k-means codebooks (m=4 × 16 dims, ksub=4, 2 Lloyd's
@@ -3983,6 +4001,9 @@ object PipelineEntry {
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       },
 
+      "sim_index_persist" ->
+        s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)}
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "sim_pq" ->
         s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)}
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,

@@ -189,6 +189,9 @@ object TpchEntry {
     // a second tiny aggregate over that ALREADY-AGGREGATED frame
     // (cached, so no rescan of lineitem), broadcast back as a 1-row
     // cross join. Threshold compare happens in exact decimal.
+    // Cache contract (also q15): the persisted per-key aggregate is
+    // referenced by the returned plan and lives until the caller
+    // clears it (spark.catalog.clearCache(), as TpchSpec does).
     "q11_value" -> { (s, dir) =>
       val perPart = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "supplier")

@@ -26,6 +26,11 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *  - `unpruned-wide-scan` (info): a columnar file scan reading every
   *    column of a wide relation — the projection never reached the
   *    reader (`ReadSchema` should shrink when the query needs less).
+  *  - `sorted-wide-join` (warn): a sort-merge join whose streamed
+  *    input carries array/map/binary columns — the sort spills the
+  *    WIDEST relation in the plan (the round-10 sf10 rehearsal's
+  *    dedup_prefix_pairs failure mode); a shuffled-hash hint streams
+  *    it unsorted.
   *
   * Driver-side by construction, like [[Profile.metrics]]: cost is
   * bounded by plan NODE COUNT, not data size, and nothing executes.
@@ -58,6 +63,16 @@ object Advisor {
       case w: window.WindowGroupLimitExec if w.partitionSpec.isEmpty =>
         out += (("error", "single-partition-window", w.nodeName,
           "window group-limit with no PARTITION BY funnels every row through one task"))
+      case j: joins.SortMergeJoinExec
+          if j.output.exists(a => a.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 org.apache.spark.sql.types.BinaryType => true
+            case _ => false
+          }) =>
+        out += (("warn", "sorted-wide-join", j.nodeName,
+          "sort-merge join over array/map/binary columns sorts (and spills) " +
+            "the wide relation; a shuffle_hash hint streams it unsorted"))
       case s: SortExec if s.global =>
         out += (("warn", "global-sort-no-limit", s.nodeName,
           "global total order: range exchange + full sort (deliberate only for write layout / pagination)"))

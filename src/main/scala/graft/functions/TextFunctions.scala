@@ -480,6 +480,13 @@ object TextFunctions {
     * BOTH the actual and the ideal top-k ride the bounded
     * [[graft.plans.TopKByScore]] partial aggregate (k entries per term
     * per map partition — no per-term full sort anywhere).
+    *
+    * Cache contract: the per-term candidate frame is persisted and
+    * referenced by the RETURNED lazy plan (actual + ideal rankings
+    * share it), so it cannot be released here — it lives until the
+    * caller drops it (`spark.catalog.clearCache()`, as the test suite
+    * does after consuming the result). Long-lived sessions issuing
+    * many evaluations should do the same between calls.
     */
   def evalRanking(docs: DataFrame, textCol: Column, queryTerms: Seq[String],
                   k: Int = 10, idCol: String = "doc_id"): DataFrame = {

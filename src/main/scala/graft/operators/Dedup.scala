@@ -514,19 +514,26 @@ object Dedup {
           greatest(szA, szB) * tNum <= least(szA, szB) * tDen &&
           ubound * lit(tNum + tDen) >= alphaNum)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // verify straight off the candidate stream — NO mid-pipeline
-    // DISTINCT: a pair colliding on k prefix tokens is verified k
-    // times (k is small — bounded by the prefix length), which is
-    // strictly cheaper than a full extra shuffle of the candidate set
-    // just to dedupe before verifying; the dedupe runs AFTER the
-    // threshold filter instead, where survivors are the (tiny) true
-    // near-dup set. The verify itself is one fused native kernel
-    // (ArrayIntersectCount: one hash build + one counting probe per
-    // pair) — the built-in size(array_intersect)/size(array_union)
-    // pair materializes two throwaway arrays per candidate.
+      // dedupe the NARROW (16-byte) pair stream BEFORE the verify joins
+      // attach the shingle arrays: a pair colliding on k prefix tokens
+      // would otherwise be verified k times, and each duplicate carries
+      // ~sh-array bytes through the second join's exchange — at sf10
+      // rehearsal scale that amplification (k × ~0.7 KB per candidate)
+      // sort-spilled past the local disk. One cheap narrow shuffle here
+      // shrinks the expensive wide stage by k×; the post-verify
+      // distinct then drops.
+      .distinct()
+    // The verify joins use SHUFFLED HASH (hint) rather than sort-merge:
+    // the array side is the per-key build map, and the wide candidate
+    // stream is STREAMED, never sorted — sort-merge would sort the
+    // widest relation in the plan and spill it. The verify itself is
+    // one fused native kernel (ArrayIntersectCount: one hash build +
+    // one counting probe per pair) — the built-in
+    // size(array_intersect)/size(array_union) pair materializes two
+    // throwaway arrays per candidate.
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.plans.ArrayIntersectCount(col("sh_a"), col("sh_b")).as("_i"),
         (size(col("sh_a")) + size(col("sh_b"))).cast(LongType).as("_ab"))
@@ -534,7 +541,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("_i").cast(DoubleType) /
           (col("_ab") - col("_i")).cast(DoubleType)).as("jaccard"))
-      .distinct()
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:

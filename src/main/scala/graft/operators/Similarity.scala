@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -337,6 +337,33 @@ object Similarity {
   final case class PqModel(m: Int, dim: Int,
       cents: IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]]) {
     def sub: Int = dim / m
+
+    /** Persist the codebook as parquet rows `(m, dim, sub, cid, cv)` —
+      * with [[pqEncode]]'s codes table this is the whole index: build
+      * once, write both, and every later session queries without
+      * re-reading a single corpus vector. Config-sized (m·ksub rows). */
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      cents.zipWithIndex.flatMap { case (cs, j) =>
+        cs.map { case (cid, cv) => (m, dim, j, cid, cv.toSeq) }
+      }.toSeq.toDF("m", "dim", "sub", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object PqModel {
+    /** Load a codebook persisted by [[PqModel.save]]. */
+    def load(spark: SparkSession, path: String): PqModel = {
+      val rows = spark.read.parquet(path)
+        .select("m", "dim", "sub", "cid", "cv").collect()
+      require(rows.nonEmpty, s"PqModel.load: empty codebook at $path")
+      val (m, dim) = (rows.head.getInt(0), rows.head.getInt(1))
+      val bySub = rows.groupBy(_.getInt(2))
+      PqModel(m, dim, (0 until m).map { j =>
+        bySub(j).map(r => (r.getLong(3), r.getSeq[Long](4).toIndexedSeq))
+          .sortBy(_._1).toIndexedSeq
+      }.toIndexedSeq)
+    }
   }
 
   private val QScale = 1L << 20
@@ -449,9 +476,20 @@ object Similarity {
     * distance, ties to the lower c_id.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, model: PqModel,
-             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pqTopKFromCodes(
+      pqEncode(emb, model, vecCol, idCol).withColumnRenamed(idCol, "c_id"),
+      queries, k, model, vecCol, idCol)
+
+  /** ADC over an ALREADY-ENCODED codes table (`c_id, code_0..code_{m−1}`,
+    * as written by [[pqEncode]]) — the query-time face of a persisted
+    * index: load the [[PqModel]] codebook and the codes parquet, and the
+    * search never touches a corpus vector. [[pqTopK]] is this plus an
+    * inline encode. */
+  def pqTopKFromCodes(codes: DataFrame, queries: DataFrame, k: Int,
+                      model: PqModel, vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
     val sub = model.sub
-    val codes = pqEncode(emb, model, vecCol, idCol).withColumnRenamed(idCol, "c_id")
     val qCols = (0 until model.m).map { j =>
       val qv = quantizeVec(slice(col(vecCol), j * sub + 1, sub))
       map_from_arrays(

@@ -448,6 +448,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rRec > 0.4, s"refined recall=$rRec")
   }
 
+  test("PqModel save/load roundtrip: identical codebook, identical search from persisted codes") {
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2, dim = 64)
+    val base = "target/pq_test_index"
+    model.save(spark, s"$base/codebook")
+    Similarity.pqEncode(emb, model).withColumnRenamed("vec_id", "c_id")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    val loaded = Similarity.PqModel.load(spark, s"$base/codebook")
+    assert(loaded == model, "codebook must roundtrip exactly")
+    val q = emb.filter(col("vec_id") < 10)
+    val direct = Similarity.pqTopK(emb, q, 5, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val persisted = Similarity.pqTopKFromCodes(
+        spark.read.parquet(s"$base/codes"), q, 5, loaded).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(persisted.sorted == direct.sorted,
+      "persisted-index search must reproduce the in-memory search exactly")
+  }
+
   test("multi-probe IVF recall >= single-cell IVF on the trained quantizer") {
     val emb = Tables(spark, sf, "embeddings")
     val (assign, cents) = Similarity.kmeansTrain(emb, k = 4, iters = 2, dim = 64)
