@@ -1561,6 +1561,16 @@ object PipelineEntry {
       StreamReplay.runToMemory(s, agg, "stream_tumbling_sink", "complete", statePartitions = Some(8))
         .orderBy("window_start", "event_type")
     },
+    "stream_ohlc" -> { (s, dir) =>
+      // hourly OHLC bars as a REAL streaming job — bit-exact vs the
+      // batch resampleOhlc face (epoch-aligned window = date_trunc
+      // hour), sharing ev_ohlc's oracle
+      import graft.streaming.StreamOps
+      val bars = StreamOps.ohlcStream(eventsStream(s, dir), widthSeconds = 3600L)
+      StreamReplay.runToMemory(s, bars, "stream_ohlc_sink", "complete",
+          statePartitions = Some(8))
+        .orderBy("bucket")
+    },
     "stream_window_users" -> { (s, dir) =>
       // exact unique visitors per 5-min window as a REAL streaming job:
       // stateful (window, user) dedup feeding a stateful count (the
@@ -2879,6 +2889,21 @@ object PipelineEntry {
           |  p - pmin > 20000 AS alarm
           |FROM m ORDER BY event_id""".stripMargin,
       "ev_ohlc" ->
+        """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value FROM events),
+          |o AS (SELECT bucket, value,
+          |    row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+          |  FROM h)
+          |SELECT bucket,
+          |  MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |  MAX(value) AS high, MIN(value) AS low,
+          |  MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |  COUNT(*) AS volume,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin,
+      // the streaming bars' final complete-mode emit must equal the
+      // batch resample — one oracle serves both faces
+      "stream_ohlc" ->
         """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value FROM events),
           |o AS (SELECT bucket, value,
           |    row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a,

@@ -85,6 +85,30 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming OHLC bars — the online face of
+    * [[graft.operators.Behavior.resampleOhlc]], same bar semantics
+    * (argmin/argmax over the total (ts, id) order via min_by/max_by,
+    * exact-decimal vsum), as a watermarked tumbling-window aggregate:
+    * epoch-aligned `window(ts, width)` equals the batch face's
+    * date_trunc buckets, so ONE oracle serves both. State per bar is
+    * O(1) (two (value, ord) pairs + three scalars).
+    */
+  def ohlcStream(events: DataFrame, widthSeconds: Long,
+                 watermark: String = "10 minutes"): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$widthSeconds seconds"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("vsum"))
+      .select(col("window.start").as("bucket"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("vsum"))
+  }
+
   /** gap-based session windows (streaming native session_window). */
   def sessionAgg(events: DataFrame, gapSeconds: Long,
                  watermark: String = "30 minutes"): DataFrame =
