@@ -106,23 +106,44 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, s"labelPropagation: iters must be positive, got $iters")
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions("src")
-      .localCheckpoint(true)
+    // checkpoint retires the (possibly expensive) edge derivation so no
+    // round recomputes it. NOT pre-repartitioned: a checkpoint comes
+    // back as a LogicalRDD with no partitioning metadata, so a
+    // repartition here would be paid and then thrown away — the
+    // per-round join plans its own exchange (and AQE broadcasts the
+    // node-sized label side while it fits, which skips the edge
+    // exchange entirely).
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var st = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
+    // argmax by (count desc, label asc) WITHOUT a struct-max aggregate:
+    // max(struct(...)) compiles to SortAggregate (struct buffers are
+    // not hash-aggregable), which SORTED the edge-sized vote stream
+    // twice per round — measured 20× super-linear at the sf10
+    // rehearsal. Packing (c, lab) into one DECIMAL(38,0) as
+    // c·10¹⁹ + (10¹⁹−1−lab) keeps the same total order under plain
+    // max() with a mutable (hash-aggregable) buffer; exact for any
+    // 0 ≤ c, lab < 10¹⁹ — i.e. every non-negative int64.
+    val P = DecimalType(38, 0)
+    val packBase = lit(BigDecimal("10000000000000000000")).cast(P) // 10^19
     var retirable: DataFrame = null
     for (_ <- 1 to iters) {
-      val votes = e.join(st, e("src") === st("id"))
+      // shuffle_hash on the node-sized label side: the edge stream is
+      // hash-probed, never sorted (SMJ would sort the edge relation
+      // every round), and the plan stops flip-flopping across AQE's
+      // broadcast-threshold boundary as the label table grows
+      val votes = e.join(st.hint("shuffle_hash"), e("src") === st("id"))
         .select(col("dst").as("id"), col("lab"))
         .unionByName(st.select(col("id"), col("lab")))
         .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
       val prev = st
-      // argmax by (count desc, label asc) through struct ordering —
-      // max(struct(c, -lab)) picks the winner without any window
-      st = votes.groupBy(col("id"))
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("_w"))
-        .select(col("id"), (-col("_w.nl")).as("lab"))
+      st = votes
+        .select(col("id"),
+          (col("c").cast(P) * packBase +
+            (packBase - 1 - col("lab").cast(P))).as("_p"))
+        .groupBy(col("id")).agg(max(col("_p")).as("_w"))
+        .select(col("id"),
+          (packBase - 1 - (col("_w") % packBase)).cast(LongType).as("lab"))
         .localCheckpoint(true)
       if (retirable ne null)
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
