@@ -892,6 +892,37 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.labelPropagation(e, iters = 3).orderBy("id")
     },
+    "graph_powerlaw" -> { (s, dir) =>
+      // degree-distribution audit over the co-purchase graph — the
+      // graph face of the corpus-law family (text_zipf / text_heaps /
+      // profile_benford): bucket node degrees by ilog2, count nodes
+      // per bucket, slope of ilog2(count) on bucket by the shared
+      // exact-integer least squares. One edge scan → node-sized degree
+      // aggregate → ≤64-row bucket aggregate; windows never touch the
+      // graph
+      def il(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast(LongType)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val deg = e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val buckets = deg.select(il(col("deg")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_nodes"))
+      val ls = buckets
+        .agg(count(lit(1)).as("k"), sum(col("b")).as("sx"),
+          sum(il(col("n_nodes"))).as("sy"),
+          sum(col("b") * il(col("n_nodes"))).as("sxy"),
+          sum(col("b") * col("b")).as("sxx"))
+        .select((col("k") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      buckets.crossJoin(broadcast(ls))
+        .select(col("b"), col("n_nodes"), col("slope_num"), col("slope_den"),
+          (col("slope_num").cast(DoubleType) / col("slope_den")).as("slope"))
+        .orderBy("b")
+    },
     "graph_pagerank" -> { (s, dir) =>
       // graph-centrality curation prior: PageRank over the customer↔
       // supplier affinity graph (undirected — reversed edges unioned,
@@ -3269,6 +3300,24 @@ object PipelineEntry {
            |$steps
            |SELECT id, lab AS label FROM p3 ORDER BY id""".stripMargin
       },
+      "graph_powerlaw" ->
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |d AS (SELECT id, COUNT(*) AS deg FROM
+          |    (SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0)
+          |  GROUP BY id),
+          |bk AS (SELECT length(bin(deg)) - 1 AS b, COUNT(*) AS n_nodes
+          |  FROM d GROUP BY 1),
+          |ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          |    CAST(SUM(b) AS BIGINT) AS sx,
+          |    CAST(SUM(length(bin(n_nodes)) - 1) AS BIGINT) AS sy,
+          |    CAST(SUM(b * (length(bin(n_nodes)) - 1)) AS BIGINT) AS sxy,
+          |    CAST(SUM(b * b) AS BIGINT) AS sxx FROM bk)
+          |SELECT CAST(b AS BIGINT) AS b, CAST(n_nodes AS BIGINT) AS n_nodes,
+          |  CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+          |  CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+          |  CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS slope
+          |FROM bk, ls ORDER BY b""".stripMargin,
       "graph_pagerank" -> {
         // unrolled power iterations, same scaled-int64 floor arithmetic
         val iters = 3
