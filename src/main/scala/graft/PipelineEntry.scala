@@ -1441,9 +1441,16 @@ object PipelineEntry {
       // doc_id%60 get near-identical rasters (content base differs by a
       // small additive delta), so the hash is a closed-form function of
       // (base, w, h) the oracle recomputes in SQL — the whole PNG
-      // encode→decode→sample path is differentially verified
+      // encode→decode→sample path is differentially verified.
+      // The `DIV 10^9 · 97` term is ZERO for every fixture doc_id and
+      // only fires on ScaleUp replicas (ids shifted by k·10^9): each
+      // replica lands on a distinct mod-256 wrap phase, so near-dup
+      // structure stays WITHIN a replica instead of every image having
+      // ~replicas·copies corpus-wide (the r9 dedup_fuzzy
+      // fixture-faithfulness rule, applied to the image modality)
       val dims = t(s, dir, "documents").select(col("doc_id"),
-        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4 +
+          expr("doc_id DIV 1000000000") * 97).as("base"),
         ((col("doc_id") % 60) % 24 + 9).as("w"),
         ((col("doc_id") % 60) % 16 + 9).as("h"))
       Multimodal.imageDHash(s,
@@ -1455,7 +1462,8 @@ object PipelineEntry {
       // (complete at the threshold), verified against the brute-force
       // all-pairs oracle — the image-modality sibling of dedup_simhash_pairs
       val dims = t(s, dir, "documents").select(col("doc_id"),
-        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4 +
+          expr("doc_id DIV 1000000000") * 97).as("base"),
         ((col("doc_id") % 60) % 24 + 9).as("w"),
         ((col("doc_id") % 60) % 16 + 9).as("h"))
       Multimodal.dhashPairs(
@@ -1485,7 +1493,8 @@ object PipelineEntry {
       // transitive closure (recursive CTE) — the image-modality
       // sibling of dedup_clusters
       val dims = t(s, dir, "documents").select(col("doc_id"),
-        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4).as("base"),
+        ((col("doc_id") % 60) * 131 + expr("doc_id DIV 60") % 4 +
+          expr("doc_id DIV 1000000000") * 97).as("base"),
         ((col("doc_id") % 60) % 24 + 9).as("w"),
         ((col("doc_id") % 60) % 16 + 9).as("h"))
       val pairs = Multimodal.dhashPairs(
@@ -4156,7 +4165,7 @@ object PipelineEntry {
       // px(r,c) = (base + ((c*w)//8)*31 + ((r*h)//8)*17) % 256, bit
       // r*7+c set iff px(r,c) > px(r,c+1) — recomputed exactly in SQL
       "mm_dhash" ->
-        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 + (doc_id // 1000000000) * 97 AS base,
           |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
           |bits AS (SELECT doc_id,
           |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
@@ -4166,7 +4175,7 @@ object PipelineEntry {
           |SELECT doc_id AS media_id, CAST(SUM(bit) AS BIGINT) AS dhash
           |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
       "mm_dhash_pairs" ->
-        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+        """WITH g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 + (doc_id // 1000000000) * 97 AS base,
           |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
           |bits AS (SELECT doc_id,
           |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
@@ -4190,7 +4199,7 @@ object PipelineEntry {
           |  luma_diff, COALESCE(luma_diff > 100.0, FALSE) AS is_cut
           |FROM d ORDER BY media_id, frame_idx""".stripMargin,
       "mm_dhash_clusters" ->
-        """WITH RECURSIVE g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 AS base,
+        """WITH RECURSIVE g AS (SELECT doc_id, (doc_id % 60) * 131 + (doc_id // 60) % 4 + (doc_id // 1000000000) * 97 AS base,
           |    (doc_id % 60) % 24 + 9 AS w, (doc_id % 60) % 16 + 9 AS h FROM documents),
           |bits AS (SELECT doc_id,
           |    CASE WHEN (base + ((c * w) // 8) * 31 + ((r * h) // 8) * 17) % 256 >
