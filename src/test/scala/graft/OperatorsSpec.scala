@@ -852,6 +852,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 == r13)
   }
 
+  test("pagerank: relabeling equivariance and teleport mass conservation (non-replay witnesses)") {
+    // the DuckDB oracle replays the identical iterations, so these are
+    // the independent checks a shared-formulation bug would fail:
+    // (1) ranks are a function of the graph SHAPE — any id relabeling
+    // permutes them and changes nothing else; (2) each round holds
+    // Σranks within the rounding slack of n·scale (every node floors
+    // at most 1 unit per incoming term), so mass can neither leak nor
+    // be invented.
+    import graft.operators.Graph
+    def undirected(pairs: (Long, Long)*) = {
+      val e0 = pairs.toDF("src", "dst")
+      e0.union(e0.select(col("dst"), col("src")))
+    }
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val r = Graph.pagerank(undirected(base: _*), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    def m(i: Long) = 1000 - 7 * i // NON-monotone relabeling: order must not matter
+    val r2 = Graph.pagerank(
+      undirected(base.map { case (a, b) => (m(a), m(b)) }: _*), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2 == r.map { case (id, v) => m(id) -> v },
+      s"relabeling must permute ranks only: $r vs $r2")
+    val n = r.size; val scale = 1000000L
+    val total = r.values.sum
+    // deterministic floor rounding loses < (in-degree) units per node
+    // per round; 3 rounds on degree ≤ 3 nodes → slack far under 100
+    assert(total <= n * scale && total > n * scale - 100,
+      s"mass conservation violated: $total vs ${n * scale}")
+  }
+
   test("kCore: cascading peel, whole-graph core, empty core, bad input") {
     import graft.operators.Graph
     // K4 {1,2,3,4} plus a pendant chain 4—5—6: the 2-core must peel 6
