@@ -573,6 +573,20 @@ object PipelineEntry {
       graft.operators.Eval.auc(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase")
     },
+    "eval_pr" -> { (s, dir) =>
+      // precision-recall curve: one point per distinct centi score
+      // (descending threshold), exact cumulative tp/fp — the curve
+      // face of eval_auc over the same bounded domain frame
+      graft.operators.Eval.prCurve(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase")
+    },
+    "eval_logloss" -> { (s, dir) =>
+      // quantized binary cross-entropy via the shared 999-entry
+      // integer -log2 table (the ndcgWeights pattern): milli-clamped
+      // probs, pure table lookups, one exact integer sum
+      graft.operators.Eval.logLoss(t(s, dir, "events"),
+        col("value") / lit(512d), col("event_type") === "purchase")
+    },
     "eval_calibration" -> { (s, dir) =>
       // reliability diagram of prob = value/512 (exact power-of-two
       // division) vs observed purchase rate: milli-quantized probs,
@@ -2970,6 +2984,27 @@ object PipelineEntry {
           |      - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
           |    / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE) AS auc
           |FROM r""".stripMargin,
+      "eval_pr" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
+          |    (event_type = 'purchase') AS y FROM events),
+          |g AS (SELECT qs, COUNT(*) AS cnt,
+          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM q GROUP BY qs),
+          |c AS (SELECT qs, CAST(SUM(np) OVER w AS BIGINT) AS tp,
+          |    CAST(SUM(cnt - np) OVER w AS BIGINT) AS fp,
+          |    CAST(SUM(np) OVER () AS BIGINT) AS p FROM g
+          |  WINDOW w AS (ORDER BY qs DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT qs AS threshold_centi, tp, fp,
+          |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+          |  CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END AS recall
+          |FROM c ORDER BY threshold_centi DESC""".stripMargin,
+      "eval_logloss" ->
+        s"""WITH q AS (SELECT LEAST(GREATEST(
+           |      CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT), 1), 999) AS qp,
+           |    (event_type = 'purchase') AS y FROM events),
+           |t AS (SELECT [${graft.operators.Eval.logLossWeights.mkString(", ")}] AS w)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(w[CAST(CASE WHEN y THEN qp ELSE 1000 - qp END AS INT)]) AS BIGINT) AS logloss_q
+           |FROM q, t""".stripMargin,
       "eval_calibration" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
           |    (event_type = 'purchase') AS y FROM events),

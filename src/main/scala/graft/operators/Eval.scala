@@ -68,6 +68,65 @@ object Eval {
           .as("auc"))
   }
 
+  /** Precision–recall curve at EVERY distinct score threshold: one
+    * point per distinct centi-quantized score (descending — predict
+    * positive at `score ≥ threshold`), with exact cumulative tp/fp
+    * from the top and single-division precision/recall. The natural
+    * curve sibling of [[auc]], sharing its scale shape: the window
+    * runs over the distinct-score DOMAIN frame, never the corpus.
+    * Output: `(threshold_centi, tp, fp, precision, recall)`; rows
+    * ordered by descending threshold so the curve reads left-to-right
+    * in recall. P = 0 yields an empty recall denominator — NULL, the
+    * undefined-not-zero contract.
+    */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val per = df
+      .select(floor(scoreCol.cast(DoubleType) * 100d + 0.5d).cast(LongType).as("_qs"),
+        labelCol.cast("boolean").as("_y"))
+      .groupBy(col("_qs"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_np"))
+    val wDesc = Window.orderBy(col("_qs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("tp", sum(col("_np")).over(wDesc))
+      .withColumn("fp", sum(col("_cnt") - col("_np")).over(wDesc))
+      .withColumn("_p", sum(col("_np")).over(wAll))
+      .select(col("_qs").as("threshold_centi"), col("tp"), col("fp"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
+        when(col("_p") > 0, col("tp").cast(DoubleType) / col("_p")).as("recall"))
+      .orderBy(col("threshold_centi").desc)
+  }
+
+  /** Quantized binary cross-entropy (log loss) — engine-exact via the
+    * shared-integer-weight-table rule (the `ndcgWeights` /
+    * `profile_benford` pattern): probabilities quantize to milli and
+    * clamp into [1, 999] (the standard epsilon-clip), and
+    * `⌊−log2(i/1000)·2^20⌋` lives in a 999-entry table embedded
+    * identically in operator and oracle — no per-engine libm call
+    * anywhere. Output: one row `(n, logloss_q)` where `logloss_q` is
+    * the total quantized loss in 2^-20 log2-units (divide by n·2^20
+    * for mean bits; exact integer, so hash-comparable).
+    *
+    * Scale shape: one scan, one 1-row aggregate; the 999-long table
+    * rides the plan as a literal array.
+    */
+  def logLoss(df: DataFrame, probCol: Column, labelCol: Column): DataFrame = {
+    val table = logLossWeights
+    val tableCol = array(table.map(lit): _*)
+    val qp = least(greatest(
+      floor(probCol.cast(DoubleType) * 1000d + 0.5d).cast(LongType), lit(1L)), lit(999L))
+    val idx = when(labelCol.cast("boolean"), qp).otherwise(lit(1000L) - qp)
+    df.select(element_at(tableCol, idx.cast("int")).as("_w"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("logloss_q"))
+  }
+
+  /** `w[i] = ⌊−log2(i/1000)·2^20⌋` for i = 1..999 — the spec constant
+    * both engines share verbatim. */
+  lazy val logLossWeights: IndexedSeq[Long] =
+    (1 to 999).map(i =>
+      math.floor(-math.log(i / 1000.0) / math.log(2.0) * (1L << 20)).toLong)
+
   /** Reliability-diagram calibration bins for a probability column:
     * probabilities quantize to milli (`floor(p·1000 + 0.5)`), bin
     * assignment is pure integer division `min(qp·bins div 1000,

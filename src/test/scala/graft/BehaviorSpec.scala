@@ -647,6 +647,28 @@ class BehaviorSpec extends SparkSpec {
     assert(one.isNullAt(2), "single-class AUC must be NULL")
   }
 
+  test("Eval.prCurve and Eval.logLoss: hand-checked points, clamp edges, table lookup") {
+    import graft.operators.Eval
+    // scores 0.3(+), 0.2(+), 0.2(-), 0.1(-): thresholds 30, 20, 10
+    val df = Seq((0.10, false), (0.20, true), (0.20, false), (0.30, true))
+      .toDF("score", "label")
+    val pts = Eval.prCurve(df, col("score"), col("label"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(pts(30L) == ((1L, 0L, 1.0, 0.5)), s"t=30: ${pts(30L)}")
+    assert(pts(20L) == ((2L, 1L, 2.0 / 3, 1.0)), s"t=20: ${pts(20L)}")
+    assert(pts(10L) == ((2L, 2L, 0.5, 1.0)), s"t=10: ${pts(10L)}")
+    // logloss: p=0.5/y=1 costs exactly 1 bit (2^20 units); p=0 clamps
+    // to milli 1 (w[999] for y=0 is near-free, w[1] for y=1 is ~10 bits)
+    val w = Eval.logLossWeights
+    val ll = Eval.logLoss(
+      Seq((0.5, true), (0.0, true), (1.0, false)).toDF("p", "y"),
+      col("p"), col("y")).collect()(0)
+    assert(ll.getLong(0) == 3L)
+    assert(ll.getLong(1) == (1L << 20) + w(0) + w(0),
+      s"expected ${(1L << 20) + 2 * w(0)}, got ${ll.getLong(1)}")
+  }
+
   test("Eval.calibration and Eval.confusion: integer bins, exact rates, empty-denominator NULL") {
     import graft.operators.Eval
     val df = Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y")
