@@ -587,6 +587,19 @@ object PipelineEntry {
       graft.operators.Eval.logLoss(t(s, dir, "events"),
         col("value") / lit(512d), col("event_type") === "purchase")
     },
+    "eval_ks" -> { (s, dir) =>
+      // Kolmogorov-Smirnov separation of the purchase/non-purchase
+      // score distributions: exact max |tp*N - fp*P| over the distinct
+      // centi thresholds, packed argmax, one double division
+      graft.operators.Eval.ks(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase")
+    },
+    "eval_ece" -> { (s, dir) =>
+      // expected calibration error with an exact integer numerator
+      // over the same milli-quantized 10-bin layout as eval_calibration
+      graft.operators.Eval.calibrationError(t(s, dir, "events"),
+        col("value") / lit(512d), col("event_type") === "purchase")
+    },
     "eval_calibration" -> { (s, dir) =>
       // reliability diagram of prob = value/512 (exact power-of-two
       // division) vs observed purchase rate: milli-quantized probs,
@@ -3005,6 +3018,38 @@ object PipelineEntry {
            |SELECT CAST(COUNT(*) AS BIGINT) AS n,
            |  CAST(SUM(w[CAST(CASE WHEN y THEN qp ELSE 1000 - qp END AS INT)]) AS BIGINT) AS logloss_q
            |FROM q, t""".stripMargin,
+      "eval_ks" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
+          |    (event_type = 'purchase') AS y FROM events),
+          |g AS (SELECT qs, COUNT(*) AS cnt,
+          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM q GROUP BY qs),
+          |c AS (SELECT qs,
+          |    CAST(SUM(np) OVER w AS HUGEINT) AS tp,
+          |    CAST(SUM(cnt - np) OVER w AS HUGEINT) AS fp,
+          |    CAST(SUM(np) OVER () AS HUGEINT) AS p,
+          |    CAST(SUM(cnt - np) OVER () AS HUGEINT) AS nn FROM g
+          |  WINDOW w AS (ORDER BY qs DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |d AS (SELECT qs, ABS(tp * nn - fp * p) AS dd, p, nn FROM c),
+          |m AS (SELECT MAX(dd) AS dmax,
+          |    MAX(dd * CAST('10000000000000000000' AS HUGEINT)
+          |      + (CAST('5000000000000000000' AS HUGEINT) - qs)) AS pk,
+          |    ANY_VALUE(p) AS p, ANY_VALUE(nn) AS nn FROM d)
+          |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+          |  CAST(CAST('5000000000000000000' AS HUGEINT)
+          |    - pk % CAST('10000000000000000000' AS HUGEINT) AS BIGINT) AS ks_threshold_centi,
+          |  CASE WHEN p > 0 AND nn > 0
+          |    THEN CAST(dmax AS DOUBLE) / CAST(p * nn AS DOUBLE) END AS ks
+          |FROM m""".stripMargin,
+      "eval_ece" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
+          |    (event_type = 'purchase') AS y FROM events),
+          |b AS (SELECT LEAST(qp * 10 // 1000, 9) AS bin, qp, y FROM q),
+          |g AS (SELECT bin, COUNT(*) AS n, SUM(qp) AS sq,
+          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos FROM b GROUP BY bin)
+          |SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |  CAST(SUM(ABS(1000 * pos - sq)) AS BIGINT) AS ece_num,
+          |  CAST(SUM(ABS(1000 * pos - sq)) AS DOUBLE) / (SUM(n) * 1000) AS ece
+          |FROM g""".stripMargin,
       "eval_calibration" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
           |    (event_type = 'purchase') AS y FROM events),

@@ -98,6 +98,76 @@ object Eval {
       .orderBy(col("threshold_centi").desc)
   }
 
+  /** Kolmogorov–Smirnov statistic between the positive and negative
+    * score distributions: `KS = max_t |TPR(t) − FPR(t)|`, computed
+    * EXACTLY as `max |tp·N − fp·P| / (P·N)` over the distinct
+    * centi-score thresholds — integer cross-products, one double
+    * division at the end, argmax threshold reported with
+    * smallest-threshold tie-break so the row is total-order
+    * deterministic. Output: one row
+    * `(n_pos, n_neg, ks_threshold_centi, ks)`; NULL ks on a
+    * single-class input (undefined, not 0). Same scale shape as
+    * [[auc]]: the ordered window runs over the score DOMAIN frame.
+    */
+  def ks(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val per = df
+      .select(floor(scoreCol.cast(DoubleType) * 100d + 0.5d).cast(LongType).as("_qs"),
+        labelCol.cast("boolean").as("_y"))
+      .groupBy(col("_qs"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_np"))
+    val wDesc = Window.orderBy(col("_qs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("_tp", sum(col("_np")).over(wDesc))
+      .withColumn("_fp", sum(col("_cnt") - col("_np")).over(wDesc))
+      .withColumn("_p", sum(col("_np")).over(wAll))
+      .withColumn("_n", sum(col("_cnt") - col("_np")).over(wAll))
+      .withColumn("_d", abs(col("_tp").cast(D38) * col("_n") -
+        col("_fp").cast(D38) * col("_p")))
+      // argmax with smallest-threshold ties via one packed max (the
+      // labelPropagation recipe): d·10¹⁹ + (10¹⁹−1−qs), qs ≥ 0; the
+      // max numerator itself rides a second plain max — no unpack
+      // division anywhere
+      .agg(max(col("_d")).as("_dmax"),
+        max(col("_d") * lit(BigDecimal("10000000000000000000")).cast(D38) +
+          (lit(BigDecimal("5000000000000000000")).cast(D38) - col("_qs").cast(D38)))
+          .as("_pk"),
+        first(col("_p")).as("n_pos"), first(col("_n")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (lit(BigDecimal("5000000000000000000")).cast(D38) -
+          col("_pk") % lit(BigDecimal("10000000000000000000")).cast(D38))
+          .cast(LongType).as("ks_threshold_centi"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_dmax").cast(DoubleType) /
+            (col("n_pos").cast(D38) * col("n_neg").cast(D38)).cast(DoubleType))
+          .as("ks"))
+  }
+
+  /** Expected calibration error with an EXACT integer numerator: with
+    * milli-quantized probabilities and `bins` integer-assigned buckets
+    * (as [[calibration]]), per-bin `|observed − predicted|` mass is
+    * `|1000·pos_b − Σqp_b|`, so
+    * `ECE = Σ_b |1000·pos_b − Σqp_b| / (1000·n)` — one integer sum,
+    * one double division. Output: one row `(n, ece_num, ece)`.
+    */
+  def calibrationError(df: DataFrame, probCol: Column, labelCol: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"calibrationError: bins in [2,1000], got $bins")
+    df
+      .select(floor(probCol.cast(DoubleType) * 1000d + 0.5d).cast(LongType).as("_qp"),
+        labelCol.cast("boolean").as("_y"))
+      .select(least(expr(s"_qp * $bins div 1000"), lit(bins - 1L)).as("_b"),
+        col("_qp"), col("_y"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_qp")).as("_sq"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_pos"))
+      .agg(sum(col("_n")).as("n"),
+        sum(abs(lit(1000) * col("_pos") - col("_sq"))).as("ece_num"))
+      .select(col("n"), col("ece_num"),
+        (col("ece_num").cast(DoubleType) / (col("n") * 1000)).as("ece"))
+  }
+
   /** Quantized binary cross-entropy (log loss) — engine-exact via the
     * shared-integer-weight-table rule (the `ndcgWeights` /
     * `profile_benford` pattern): probabilities quantize to milli and

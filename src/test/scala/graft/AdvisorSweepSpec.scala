@@ -28,6 +28,7 @@ class AdvisorSweepSpec extends SparkSpec {
   private val pinned: Set[(String, String)] = Set(
     ("eval_auc", "single-partition-window"),        // distinct centi-score domain
     ("eval_pr", "single-partition-window"),         // same bounded domain, curve face
+    ("eval_ks", "single-partition-window"),         // same bounded domain, KS face
     ("text_zipf", "single-partition-window"),       // top-256 vocabulary slice
     ("text_heaps", "single-partition-window"),      // 16-bucket growth curve
     ("sel_skyline", "single-partition-window"),     // pass 2 over local-skyline survivors (documented in Skyline)

@@ -669,6 +669,28 @@ class BehaviorSpec extends SparkSpec {
       s"expected ${(1L << 20) + 2 * w(0)}, got ${ll.getLong(1)}")
   }
 
+  test("Eval.ks and Eval.calibrationError: hand-checked statistics, tie-break, degenerate NULL") {
+    import graft.operators.Eval
+    // scores: 0.3(+) 0.2(+) 0.2(-) 0.1(-): P=N=2
+    //   t=30: |1·2 − 0·2| = 2; t=20: |2·2 − 1·2| = 2; t=10: |2·2−2·2|=0
+    //   max numerator 2 is TIED at t=30 and t=20 → smallest threshold
+    //   (20) wins; KS = 2/(2·2) = 0.5
+    val df = Seq((0.10, false), (0.20, true), (0.20, false), (0.30, true))
+      .toDF("score", "label")
+    val r = Eval.ks(df, col("score"), col("label")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 20L)), s"$r")
+    assert(r.getDouble(3) == 0.5, s"ks: ${r.getDouble(3)}")
+    val one = Eval.ks(Seq((0.5, true)).toDF("s", "y"), col("s"), col("y")).collect()(0)
+    assert(one.isNullAt(3), "single-class KS must be NULL")
+    // ECE: bin0 holds (0.05,T),(0.05,F): |1000·1 − 100| = 900;
+    // bin9 holds (0.95,T): |1000·1 − 950| = 50 → (900+50)/(3·1000)
+    val ece = Eval.calibrationError(
+      Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y"),
+      col("p"), col("y")).collect()(0)
+    assert((ece.getLong(0), ece.getLong(1)) == ((3L, 950L)), s"$ece")
+    assert(ece.getDouble(2) == 950.0 / 3000, s"ece: ${ece.getDouble(2)}")
+  }
+
   test("Eval.calibration and Eval.confusion: integer bins, exact rates, empty-denominator NULL") {
     import graft.operators.Eval
     val df = Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y")
