@@ -36,6 +36,28 @@ class PropertySpec extends SparkSpec {
   private val text = Gen.listOf(Gen.oneOf(word, email, phone, ip, number))
     .map(_.mkString(" "))
 
+  test("Eval laws: AUC antisymmetry and KS reversal-invariance under score negation") {
+    // midrank AUC maps U → PN−U under order reversal, so EXACTLY
+    // auc(−s) = 1 − auc(s); the KS curve mirrors, so its max is
+    // unchanged. Scores are drawn centi-exact so the floor(±x·100+0.5)
+    // quantizations are exact mirrors (no half-cent boundary cases) —
+    // laws a replay-oracle can never enforce, and any rank-sum or
+    // cumulative-count bug breaks them.
+    import graft.operators.Eval
+    val rows = draw(for {
+      c <- Gen.choose(-300, 300); y <- Gen.oneOf(true, false)
+    } yield (c / 100.0, y), 400, seed = 9L)
+    assert(rows.exists(_._2) && rows.exists(!_._2), "need both classes")
+    val df = rows.toDF("s", "y")
+    val neg = df.select((-col("s")).as("s"), col("y"))
+    val a1 = Eval.auc(df, col("s"), col("y")).collect()(0).getDouble(2)
+    val a2 = Eval.auc(neg, col("s"), col("y")).collect()(0).getDouble(2)
+    assert(a1 + a2 == 1.0, s"antisymmetry: $a1 + $a2 != 1")
+    val k1 = Eval.ks(df, col("s"), col("y")).collect()(0).getDouble(3)
+    val k2 = Eval.ks(neg, col("s"), col("y")).collect()(0).getDouble(3)
+    assert(k1 == k2, s"KS reversal: $k1 != $k2")
+  }
+
   test("scrubPii: Spark == JVM regex fold, and is idempotent (500 random docs)") {
     val docs = draw(text, 500)
     def jvmScrub(s: String): String =
