@@ -600,6 +600,12 @@ object PipelineEntry {
       graft.operators.Eval.calibrationError(t(s, dir, "events"),
         col("value") / lit(512d), col("event_type") === "purchase")
     },
+    "eval_brier" -> { (s, dir) =>
+      // Brier score of prob = value/512 vs purchase: exact integer
+      // squared-error sum, one double division
+      graft.operators.Eval.brier(t(s, dir, "events"),
+        col("value") / lit(512d), col("event_type") === "purchase")
+    },
     "eval_calibration" -> { (s, dir) =>
       // reliability diagram of prob = value/512 (exact power-of-two
       // division) vs observed purchase rate: milli-quantized probs,
@@ -3050,6 +3056,13 @@ object PipelineEntry {
           |  CAST(SUM(ABS(1000 * pos - sq)) AS BIGINT) AS ece_num,
           |  CAST(SUM(ABS(1000 * pos - sq)) AS DOUBLE) / (SUM(n) * 1000) AS ece
           |FROM g""".stripMargin,
+      "eval_brier" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT)
+          |      - CASE WHEN event_type = 'purchase' THEN 1000 ELSE 0 END AS e FROM events)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(e * e AS HUGEINT)) AS BIGINT) AS brier_num,
+          |  CAST(SUM(CAST(e * e AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS brier
+          |FROM q""".stripMargin,
       "eval_calibration" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
           |    (event_type = 'purchase') AS y FROM events),

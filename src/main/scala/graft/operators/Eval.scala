@@ -168,6 +168,23 @@ object Eval {
         (col("ece_num").cast(DoubleType) / (col("n") * 1000)).as("ece"))
   }
 
+  /** Brier score (mean squared probability error) with an exact
+    * integer numerator: milli-quantized probabilities give
+    * `Σ (qp − 1000·y)²` as one int sum (DECIMAL(38,0) — n·10⁶ per
+    * term), `brier = num / (10⁶·n)` in one double division. The
+    * calibration family's third leg beside [[calibration]] and
+    * [[calibrationError]]. Output: one row `(n, brier_num, brier)`.
+    * Scale shape: one scan, one 1-row aggregate.
+    */
+  def brier(df: DataFrame, probCol: Column, labelCol: Column): DataFrame = {
+    val e = floor(probCol.cast(DoubleType) * 1000d + 0.5d).cast(LongType) -
+      when(labelCol.cast("boolean"), 1000L).otherwise(0L)
+    df.select((e * e).cast(D38).as("_e2"))
+      .agg(count(lit(1)).as("n"), sum(col("_e2")).as("brier_num"))
+      .select(col("n"), col("brier_num").cast(LongType).as("brier_num"),
+        (col("brier_num").cast(DoubleType) / (col("n") * 1000000L)).as("brier"))
+  }
+
   /** Quantized binary cross-entropy (log loss) — engine-exact via the
     * shared-integer-weight-table rule (the `ndcgWeights` /
     * `profile_benford` pattern): probabilities quantize to milli and

@@ -691,6 +691,17 @@ class BehaviorSpec extends SparkSpec {
     assert(ece.getDouble(2) == 950.0 / 3000, s"ece: ${ece.getDouble(2)}")
   }
 
+  test("Eval.brier: exact integer squared error, perfect and worst-case bounds") {
+    import graft.operators.Eval
+    // (0.9,T): (900-1000)^2 = 10000; (0.2,F): 200^2 = 40000;
+    // (1.0,T): 0; (0.0,F): 0 → num 50000, brier 50000/4e6 = 0.0125
+    val r = Eval.brier(
+      Seq((0.9, true), (0.2, false), (1.0, true), (0.0, false)).toDF("p", "y"),
+      col("p"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 50000L)), s"$r")
+    assert(r.getDouble(2) == 0.0125, s"brier: ${r.getDouble(2)}")
+  }
+
   test("Eval.calibration and Eval.confusion: integer bins, exact rates, empty-denominator NULL") {
     import graft.operators.Eval
     val df = Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y")
