@@ -63,7 +63,20 @@ def run_batch(sf_dir, out_dir, names):
         bad = []
         for c in g.columns:
             gc, ec = g[c], e[c]
-            if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(ec):
+            # Representation-strict: the driver hashes canonical string forms,
+            # so int64 "12" vs float64 "12.0" is a driver mismatch even when
+            # the values are equal. Fail on integer-vs-float dtype skew here
+            # so local green predicts driver green (r10 lesson: 4 queries were
+            # locally "value-exact" but driver-red purely on this skew).
+            g_int = pd.api.types.is_integer_dtype(gc)
+            e_int = pd.api.types.is_integer_dtype(ec)
+            g_flt = pd.api.types.is_float_dtype(gc)
+            e_flt = pd.api.types.is_float_dtype(ec)
+            if (g_int and e_flt) or (g_flt and e_int):
+                bad.append(f"{c} (DTYPE-SKEW spark={gc.dtype} oracle={ec.dtype}:"
+                           f" cast the oracle expr, e.g. CAST(... AS BIGINT))")
+                continue
+            if g_flt or e_flt:
                 gv = gc.astype(float).to_numpy(); ev = ec.astype(float).to_numpy()
                 both_nan = np.isnan(gv) & np.isnan(ev)
                 neq = ~both_nan & (gv != ev)

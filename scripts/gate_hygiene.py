@@ -16,6 +16,51 @@ Warnings (exit 0): dirs with no oracle entry (rows-only checks by design).
 """
 import json, os, subprocess, sys
 
+def scan_dtype_skew(out_dir, names, sf_dir):
+    """Compare each Spark export's column dtypes against the dtypes the
+    oracle SQL would produce in DuckDB (schema-only: LIMIT 0, so cheap even
+    at sf0.001). Returns [(name, col, spark_dtype, oracle_dtype)] for every
+    integer-vs-float pair — the exact skew the driver's hash rejects."""
+    try:
+        import duckdb, pandas as pd, pyarrow.parquet as pq
+    except ImportError as e:
+        print(f"WARN  dtype-skew scan skipped ({e})")
+        return []
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    con.execute("SET memory_limit='4GB'; SET threads=4")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = []
+    for name in names:
+        d = os.path.join(out_dir, name)
+        pf = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not pf:
+            continue
+        spark_schema = pq.read_schema(os.path.join(d, pf[0]))
+        sdt = {spark_schema.field(i).name: str(spark_schema.field(i).type)
+               for i in range(len(spark_schema))}
+        try:
+            exp = con.execute(
+                f"SELECT * FROM ({oracle[name]}) LIMIT 0").df()
+        except Exception as e:
+            # the full checker will report oracle errors; not a skew issue
+            continue
+        for col in exp.columns:
+            if col not in sdt:
+                continue
+            o_flt = pd.api.types.is_float_dtype(exp[col])
+            o_int = pd.api.types.is_integer_dtype(exp[col])
+            s_int = sdt[col].startswith("int") or sdt[col].startswith("uint")
+            s_flt = sdt[col] in ("float", "double", "halffloat")
+            if (s_int and o_flt) or (s_flt and o_int):
+                out.append((name, col, sdt[col], str(exp[col].dtype)))
+    con.close()
+    return out
+
 def main(out_dir):
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     if not os.path.exists(oracle_path):
@@ -49,6 +94,18 @@ def main(out_dir):
         print(f"FAIL  {len(stale)} exports predate the last src commit "
               f"(re-run Verify): {', '.join(stale[:8])}"
               + (" …" if len(stale) > 8 else ""))
+    # dtype-skew scan: the driver hashes canonical string forms, so an
+    # integer column on one side rendered float on the other ("12" vs
+    # "12.0") is a driver red even when values match. DuckDB SUM over
+    # integers returns HUGEINT -> pandas float64; catch any oracle whose
+    # schema would skew against the Spark export (r10: 4 such queries).
+    sf_dir = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+    skew = scan_dtype_skew(out_dir, sorted(dirs & oracle), sf_dir)
+    if skew:
+        rc = 1
+        for name, col, sdt, odt in skew:
+            print(f"FAIL  {name}: dtype skew on '{col}' spark={sdt} "
+                  f"oracle={odt} — CAST the oracle expr (AS BIGINT)")
     if rc == 0:
         print(f"OK    {len(oracle)} oracles, {len(dirs)} exports, none stale")
     return rc

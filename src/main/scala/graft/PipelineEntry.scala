@@ -2958,7 +2958,7 @@ object PipelineEntry {
           |    MIN(LEAST(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
           |  FROM s)
-          |SELECT event_id, user_id, p - pmin AS cusum_c,
+          |SELECT event_id, user_id, CAST(p - pmin AS BIGINT) AS cusum_c,
           |  p - pmin > 20000 AS alarm
           |FROM m ORDER BY event_id""".stripMargin,
       "ev_ohlc" ->
@@ -2972,7 +2972,7 @@ object PipelineEntry {
           |  MAX(value) AS high, MIN(value) AS low,
           |  MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  COUNT(*) AS volume,
-          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS vsum
           |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin,
       // the streaming bars' final complete-mode emit must equal the
       // batch resample — one oracle serves both faces
@@ -2987,7 +2987,7 @@ object PipelineEntry {
           |  MAX(value) AS high, MIN(value) AS low,
           |  MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  COUNT(*) AS volume,
-          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS vsum
           |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin,
       "eval_auc" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
@@ -2999,9 +2999,11 @@ object PipelineEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r FROM g)
           |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
           |  CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
-          |  CAST(SUM(CAST(np AS HUGEINT) * (2 * r + cnt + 1))
-          |      - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
-          |    / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE) AS auc
+          |  CASE WHEN SUM(np) > 0 AND SUM(cnt - np) > 0 THEN
+          |    CAST(SUM(CAST(np AS HUGEINT) * (2 * r + cnt + 1))
+          |        - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
+          |      / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE)
+          |  END AS auc
           |FROM r""".stripMargin,
       "eval_pr" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
@@ -3467,7 +3469,9 @@ object PipelineEntry {
           |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
           |adj AS (SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0),
           |deg AS (SELECT u AS id, count(*) AS deg FROM adj GROUP BY u),
-          |wed AS (SELECT x.u AS id_a, y.u AS id_b FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u),
+          |adjc AS (SELECT adj.v, adj.u FROM adj
+          |  JOIN deg ON adj.v = deg.id WHERE deg.deg <= 10000),
+          |wed AS (SELECT x.u AS id_a, y.u AS id_b FROM adjc x JOIN adjc y ON x.v = y.v AND x.u < y.u),
           |cm AS (SELECT id_a, id_b, count(*) AS common_neighbors FROM wed
           |  GROUP BY id_a, id_b HAVING count(*) >= 3),
           |ne AS (SELECT cm.* FROM cm LEFT JOIN e0 ON cm.id_a = e0.a AND cm.id_b = e0.b
@@ -4656,7 +4660,7 @@ object PipelineEntry {
           |cv AS (SELECT c_nationkey, c_mktsegment AS v, COUNT(*) AS cvn
           |       FROM customer GROUP BY 1, 2),
           |cw AS (SELECT *, SUM(cvn) OVER (PARTITION BY c_nationkey) AS ncls FROM cv),
-          |per AS (SELECT c_nationkey, MAX(ncls) AS class_size,
+          |per AS (SELECT c_nationkey, CAST(MAX(ncls) AS BIGINT) AS class_size,
           |    SUM(ABS(CAST(cvn AS HUGEINT) * nt - CAST(gv AS HUGEINT) * ncls)) AS num_present,
           |    SUM(gv) AS g_present, MAX(nt) AS nt
           |  FROM cw JOIN g USING (v) CROSS JOIN n

@@ -241,7 +241,13 @@ object Behavior {
         min(col(valueCol)).as("low"),
         max_by(col(valueCol), ord).as("close"),
         count(lit(1)).as("volume"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DoubleType).as("vsum"))
+        // house quantization rule (same recipe as cusum): half-up centi
+        // quantization floor(v·100 + 0.5) summed as long, ONE final IEEE
+        // division — not a double→DECIMAL(18,2) cast, whose half-cent
+        // rounding is engine-divergent (shortest-representation vs
+        // binary-value rounding)
+        (sum(floor(col(valueCol).cast(DoubleType) * 100 + lit(0.5))
+          .cast(LongType)).cast(DoubleType) / lit(100.0)).as("vsum"))
       .orderBy("bucket")
   }
 

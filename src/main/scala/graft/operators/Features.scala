@@ -32,8 +32,12 @@ object Features {
   def oneHot(df: DataFrame, catCol: String, prefix: String = "is_",
              maxCategories: Int = 10000): DataFrame = {
     require(maxCategories > 0, s"oneHot: maxCategories=$maxCategories")
-    val cats = df.select(catCol).distinct().limit(maxCategories + 1).collect()
-      .map(_.getString(0)).filter(_ != null).sorted
+    // NULLs are filtered in-plan BEFORE the limit: otherwise a column with
+    // exactly maxCategories+1 non-null values plus NULL rows could have the
+    // limit pick the NULL row, pass the guard, and silently drop a category.
+    val cats = df.select(catCol).where(col(catCol).isNotNull)
+      .distinct().limit(maxCategories + 1).collect()
+      .map(_.getString(0)).sorted
     require(cats.length <= maxCategories,
       s"oneHot: '$catCol' has more than $maxCategories distinct values — " +
         "not a one-hot-able categorical (raise maxCategories only if you " +

@@ -103,6 +103,10 @@ object Graph {
     * key (as [[pagerank]]); each round is one edge join + one
     * (node, label) count aggregate + one per-node argmax via struct
     * ordering — never a per-node sort or window. State is node-sized.
+    *
+    * Requires non-negative node ids (enforced with a loud failure):
+    * the hash-aggregable decimal argmax packing is only order-correct
+    * for ids in `[0, 10^19)`.
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, s"labelPropagation: iters must be positive, got $iters")
@@ -114,6 +118,16 @@ object Graph {
     // node-sized label side while it fits, which skips the edge
     // exchange entirely).
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // PRECONDITION (enforced, not just documented): node ids must be
+    // non-negative. The decimal argmax packing below is order-correct
+    // only for 0 <= lab < 10^19; a negative id would overflow the
+    // label offset into the count digits and silently corrupt the
+    // winner. One early-out scan of the checkpointed edges — cheap
+    // relative to the per-round joins — makes misuse fail loudly.
+    require(e.filter(col("src") < 0 || col("dst") < 0).limit(1).isEmpty,
+      "labelPropagation: negative node ids are not supported (the " +
+        "count·10^19 + (10^19-1-label) argmax packing requires ids in " +
+        "[0, 10^19)); relabel ids to non-negative first")
     var st = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
     // argmax by (count desc, label asc) WITHOUT a struct-max aggregate:

@@ -104,7 +104,10 @@ object StreamOps {
         min(col("value")).as("low"),
         max_by(col("value"), ord).as("close"),
         count(lit(1)).as("volume"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("vsum"))
+        // same centi quantization as the batch face (house rule; see
+        // Behavior.resampleOhlc) so one oracle serves both bit-exactly
+        (sum(floor(col("value").cast("double") * 100 + lit(0.5))
+          .cast("long")).cast("double") / lit(100.0)).as("vsum"))
       .select(col("window.start").as("bucket"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("vsum"))
   }
