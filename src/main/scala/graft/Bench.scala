@@ -25,6 +25,20 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Box-drift calibration probe: a CONSTANT-work query (no data read,
+    // sf-independent — one codegen'd range-scan aggregate plus one small
+    // shuffle) timed as the median of 3. Recorded in the JSON so a
+    // cross-round per-query ratio can be read against the probe ratio:
+    // if both move ~1.2× together it's box drift, not a plan regression.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .selectExpr("sum(`sum(v)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = Seq.fill(3)(probeOnce()).sorted.apply(1)
     // A failed query is reported as time -1 plus an entry in "errors" —
     // never silently folded into the totals as a fast success.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -56,7 +70,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

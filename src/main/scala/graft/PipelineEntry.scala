@@ -506,6 +506,20 @@ object PipelineEntry {
           iters = 3)
         .orderBy("state")
     },
+    "ev_stationary_relabel" -> { (s, dir) =>
+      // NON-REPLAY witness for ev_stationary: relabeling equivariance.
+      // States are pushed through a bijection (string reversal) BEFORE
+      // transitions + power iteration and mapped back after; the oracle
+      // is the plain original-label unrolling (ev_stationary's SQL
+      // verbatim), so any label-order or hash-order dependence in the
+      // engine's iteration — a bug class the replay oracle can never
+      // see — diverges loudly here.
+      val ev = t(s, dir, "events")
+        .withColumn("event_type", reverse(col("event_type")))
+      Behavior.stationaryDist(Behavior.transitions(ev), iters = 3)
+        .select(reverse(col("state")).as("state"), col("pi"))
+        .orderBy("state")
+    },
     "ev_funnel_window" -> { (s, dir) =>
       // conversion-window funnel: click and purchase only count within
       // 24h of the user's FIRST view (first-anchor semantics, exact
@@ -625,6 +639,27 @@ object PipelineEntry {
       // fold determinism; oracle replays the recursion per user
       Behavior.holtLast(t(s, dir, "events"), 2, 10, 3, 10)
         .orderBy("user_id")
+    },
+    "ev_holt_ramp" -> { (s, dir) =>
+      // NON-REPLAY witness for ev_holt: on an exactly linear series
+      // Holt's recursion is a FIXPOINT — level ends at the last ramp
+      // value and trend at the slope, for any smoothing constants
+      // (dyadic 1/2 here so every IEEE step is exact on integer
+      // values). The ramp is built deterministically from events
+      // (value = user_id%50 + (user_id%7+1)·t over the per-user
+      // (ts, event_id) order); the oracle computes the CLOSED FORM
+      // base + slope·n and never runs the recursion, so an init /
+      // slice / association bug shared with the ev_holt replay oracle
+      // fails here.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val ramp = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("_t", row_number().over(w).cast(LongType))
+        .withColumn("value",
+          (col("user_id") % 50 + (col("user_id") % 7 + 1) * col("_t"))
+            .cast(DoubleType))
+      Behavior.holtLast(ramp, 1, 2, 1, 2).orderBy("user_id")
     },
     "ev_seasonal_outliers" -> { (s, dir) =>
       // composition: the 20 events most anomalous GIVEN their
@@ -1097,6 +1132,35 @@ object PipelineEntry {
       val (merges, _) = graft.functions.Bpe.train(
         t(s, dir, "documents"), col("text"), rounds = 5)
       merges.toDF().orderBy("round")
+    },
+    "text_bpe_roundtrip" -> { (s, dir) =>
+      // NON-REPLAY BPE witness: decode∘encode is the identity on
+      // held-out text (expanding the \\u0002 joiner restores the
+      // whitespace-normalized document), and re-encoding the decoded
+      // text reproduces the token stream bit-for-bit. The oracle pins
+      // both booleans TRUE without running any BPE — a merge kernel
+      // that drops, duplicates, or reorders tokens fails here with no
+      // shared formulation to hide behind (the text_bpe oracle, while
+      // an independent fold encoding, still replays the algorithm).
+      val docs = t(s, dir, "documents")
+      val (merges, _) = graft.functions.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), col("text"), rounds = 5)
+      val held = docs.filter(col("doc_id") % 2 === 1)
+      val enc1 = graft.functions.Bpe.encode(held, col("text"), merges)
+      val decoded = enc1.select(col("doc_id"),
+        concat_ws(" ", transform(col("ts"),
+          x => translate(x, "\u0002", " "))).as("text"))
+      val enc2 = graft.functions.Bpe.encode(decoded, col("text"), merges)
+      val norm = held.select(col("doc_id"),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("_orig"))
+      enc1.select(col("doc_id"), col("ts").as("_t1"))
+        .join(enc2.select(col("doc_id"), col("ts").as("_t2")), "doc_id")
+        .join(decoded.select(col("doc_id"), col("text").as("_dec")), "doc_id")
+        .join(norm, "doc_id")
+        .select(col("doc_id"),
+          (col("_dec") === col("_orig")).as("roundtrip_ok"),
+          (col("_t1") === col("_t2")).as("stable"))
+        .orderBy("doc_id")
     },
     "text_bm25" -> { (s, dir) =>
       // BM25 ranking for a fixed 3-term query: rational idf (no ln —
@@ -2493,6 +2557,31 @@ object PipelineEntry {
     // noisy URL synthesis + domain extraction (mirrors noisyUrlText /
     // TextFunctions.extractDomains; the regex is the shared SPEC, the
     // two regex engines and normalization executions are independent)
+    // unrolled power iterations over the transition counts, same floor
+    // arithmetic as the library loop; shared by ev_stationary (direct)
+    // and ev_stationary_relabel (the engine relabels + maps back, so the
+    // original-label oracle doubles as the equivariance witness)
+    val sqlStationary = {
+      val steps = (1 to 3).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS (SELECT next_type AS state,
+           |    CAST(SUM(FLOOR(CAST(pi * transitions AS DOUBLE) / CAST(o.out AS DOUBLE))) AS BIGINT) AS s
+           |  FROM tr JOIN o USING (prev_type) JOIN $p ON $p.state = tr.prev_type
+           |  GROUP BY next_type),
+           |p$i AS (SELECT st.state, coalesce(c$i.s, 0) AS pi
+           |  FROM st LEFT JOIN c$i ON c$i.state = st.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT user_id, event_type, ts, event_id,
+         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events),
+         |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS transitions
+         |  FROM base WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS out FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT state FROM
+         |  (SELECT prev_type AS state FROM tr UNION SELECT next_type FROM tr)),
+         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
+         |$steps
+         |SELECT state, CAST(pi AS BIGINT) AS pi FROM p3 ORDER BY state""".stripMargin
+    }
     val sqlNoisyUrl =
       "text || ' read https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.example.' || " +
         "(CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) || " +
@@ -2736,29 +2825,11 @@ object PipelineEntry {
           |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step_2,
           |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step_3
           |FROM w3""".stripMargin,
-      "ev_stationary" -> {
-        // unrolled power iterations over the transition counts, same
-        // floor arithmetic as the library loop
-        val steps = (1 to 3).map { i =>
-          val p = s"p${i - 1}"
-          s"""c$i AS (SELECT next_type AS state,
-             |    CAST(SUM(FLOOR(CAST(pi * transitions AS DOUBLE) / CAST(o.out AS DOUBLE))) AS BIGINT) AS s
-             |  FROM tr JOIN o USING (prev_type) JOIN $p ON $p.state = tr.prev_type
-             |  GROUP BY next_type),
-             |p$i AS (SELECT st.state, coalesce(c$i.s, 0) AS pi
-             |  FROM st LEFT JOIN c$i ON c$i.state = st.state)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH base AS (SELECT user_id, event_type, ts, event_id,
-           |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events),
-           |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS transitions
-           |  FROM base WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-           |o AS (SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS out FROM tr GROUP BY 1),
-           |st AS (SELECT DISTINCT state FROM
-           |  (SELECT prev_type AS state FROM tr UNION SELECT next_type FROM tr)),
-           |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
-           |$steps
-           |SELECT state, CAST(pi AS BIGINT) AS pi FROM p3 ORDER BY state""".stripMargin
-      },
+      "ev_stationary" -> sqlStationary,
+      // relabeling-equivariance witness: the ENGINE ran the iteration on
+      // reversed state labels and mapped back; the oracle is the plain
+      // original-label unrolling — identical SQL by construction
+      "ev_stationary_relabel" -> sqlStationary,
       "ev_funnel_window" ->
         """WITH w1 AS (SELECT user_id, ts, event_type,
           |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t0 FROM events),
@@ -3102,6 +3173,15 @@ object PipelineEntry {
           |  FROM rec WHERE i < n)
           |SELECT user_id, n AS n_events, l AS level, b AS trend
           |FROM rec WHERE i = n ORDER BY user_id""".stripMargin,
+      // CLOSED FORM — no recursion: on the deterministic linear ramp the
+      // engine built (base = user_id%50, slope = user_id%7+1, t = 1..n),
+      // Holt with any smoothing lands at level = base + slope*n and
+      // trend = slope (trend 0 for single-event users)
+      "ev_holt_ramp" ->
+        """SELECT user_id, COUNT(*) AS n_events,
+          |  CAST(user_id % 50 + (user_id % 7 + 1) * COUNT(*) AS DOUBLE) AS level,
+          |  CAST(CASE WHEN COUNT(*) >= 2 THEN user_id % 7 + 1 ELSE 0 END AS DOUBLE) AS trend
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "ev_seasonal_outliers" ->
         """WITH m AS (SELECT EXTRACT(HOUR FROM ts) AS hr,
           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS seasonal
@@ -3544,6 +3624,11 @@ object PipelineEntry {
            |  CAST(len(list_filter(ts, x -> contains(x, chr(2)))) AS BIGINT) AS n_merged
            |FROM o$rounds ORDER BY doc_id""".stripMargin
       },
+      // the encode/decode round-trip witness asserts identities the
+      // engine must earn, so the oracle carries NO BPE at all
+      "text_bpe_roundtrip" ->
+        """SELECT doc_id, true AS roundtrip_ok, true AS stable
+          |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
       "text_bpe" -> {
         val rounds = 5
         def fold(p: String) =

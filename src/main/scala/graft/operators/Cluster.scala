@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * pipeline can keep exactly one canonical document per cluster.
   * North-star extension; the reference has no graph surface.
   *
-  * Algorithm: hash-min label propagation — every node starts labeled
-  * with its own id; each round a node takes the min label over itself
-  * and its neighbors; converged when no label changes. This is the
-  * standard distributed-CC shape (each round = one shuffle over the
-  * edge list, O(diameter) rounds). Near-dup clusters are shallow
-  * (diameter ≪ 10 in practice), so the round count stays small at any
-  * corpus size; for adversarially long chains the large-star/small-star
-  * variant halves rounds — not needed for dedup workloads.
+  * Algorithm: hash-min label propagation with per-round pointer
+  * doubling — every node starts labeled with its own id; each round a
+  * node takes the min label over itself and its neighbors (one shuffle
+  * over the edge list), then every label is shortcut to its parent's
+  * label (one node-sized self-join, the star-contraction move from the
+  * two-phase CC literature, e.g. Kiveris et al. 2014). Propagation
+  * alone needs O(diameter) rounds; the doubling compresses label
+  * chains geometrically, so convergence is O(log diameter) — a
+  * 10⁶-link path converges inside the default 25-round budget instead
+  * of tripping the fail-fast. Near-dup clusters are shallow
+  * (diameter ≪ 10 in practice) and pay one cheap extra join per round
+  * for the guarantee.
   *
   * Lineage is truncated every round with `localCheckpoint` so the plan
   * doesn't grow exponentially across iterations; a production cluster
@@ -64,10 +68,22 @@ object Cluster {
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"),
           when(lit(false), col("label")).as("prev"))
-      val next = labels.select(col("id"), col("label"), col("label").as("prev"))
+      val prop = labels.select(col("id"), col("label"), col("label").as("prev"))
         .unionByName(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
+      // pointer doubling (star contraction on the label forest): replace
+      // label(u) by label(label(u)). Labels always point at a smaller id
+      // that itself appears in the edge-touched node set, so the parent
+      // lookup is a node-sized self-join; the least() keeps monotone
+      // descent even if the parent row were somehow missing. This is
+      // what turns O(diameter) rounds into O(log diameter).
+      val next = prop.alias("a")
+        .join(prop.select(col("id").as("_pid"), col("label").as("_plab")).alias("b"),
+          col("a.label") === col("_pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("_plab"), col("a.label"))).as("label"),
+          col("a.prev").as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") < col("prev")).isEmpty
       // `next` is materialized (eager checkpoint), so the previous round's
@@ -79,7 +95,9 @@ object Cluster {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
-          "(component diameter exceeds maxIter — raise it, or use star-contraction)")
+          "(with pointer doubling that means component diameter > ~2^" +
+          s"$maxIter — almost certainly a pair-generation bug upstream; " +
+          "raise maxIter only if such a graph is truly intended)")
     // the converged labels no longer depend on the edge checkpoint
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
     // isolated vertices: their own label, via one left join (no iteration)

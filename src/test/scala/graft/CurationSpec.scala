@@ -31,6 +31,20 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connectedComponents: pointer doubling converges a chain far longer than maxIter") {
+    // a 400-link path has diameter 400: plain hash-min propagation would
+    // need ~400 rounds and trip the 25-round fail-fast; the per-round
+    // label shortcutting compresses chains geometrically, so the default
+    // budget converges it (this is the sf10 mm_dhash_clusters shape —
+    // phase-adjacent replica chains — reduced to a hand fixture)
+    val n = 400L
+    val nodes = (0L to n).toDF("id")
+    val edges = (0L until n).map(i => (i + 1, i)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(nodes, edges, maxIter = 25)
+      .as[(Long, Long)].collect()
+    assert(got.length == n.toInt + 1 && got.forall(_._2 == 0L))
+  }
+
   test("dedupClusters: canonical flag marks exactly one doc per cluster") {
     val docs = Seq((10L, "x"), (20L, "x"), (30L, "y"), (40L, "z")).toDF("doc_id", "text")
     val pairs = Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b")
