@@ -106,9 +106,38 @@ def main(out_dir):
         for name, col, sdt, odt in skew:
             print(f"FAIL  {name}: dtype skew on '{col}' spark={sdt} "
                   f"oracle={odt} — CAST the oracle expr (AS BIGINT)")
+    # per-family runtime budget (VERDICT r10 #10): a family that blows its
+    # sf0.1 budget should surface here, not in the driver tail. Opt-in via
+    # --bench <BENCH json line file> since timings need a bench run.
+    bench = None
+    if "--bench" in sys.argv:
+        bench = sys.argv[sys.argv.index("--bench") + 1]
+    if bench and os.path.exists(bench):
+        over = check_family_budgets(bench)
+        for fam, tot, cap in over:
+            rc = 1
+            print(f"FAIL  family '{fam}' runtime {tot:.1f}s exceeds its "
+                  f"{cap}s sf0.1 budget (scripts/family_budgets.json)")
     if rc == 0:
         print(f"OK    {len(oracle)} oracles, {len(dirs)} exports, none stale")
     return rc
+
+def check_family_budgets(bench_path):
+    """Aggregate BENCH per-query seconds by name prefix (q* rows fold into
+    'tpch') and return [(family, total, budget)] for every family over its
+    scripts/family_budgets.json cap."""
+    line = open(bench_path).read()
+    data = json.loads(line[line.index("{"):])
+    budgets = json.load(open(os.path.join(os.path.dirname(__file__),
+                                          "family_budgets.json")))
+    totals = {}
+    for q, t in data.get("queries", {}).items():
+        if not isinstance(t, (int, float)) or t < 0:
+            continue
+        fam = "tpch" if q[0] == "q" and q[1].isdigit() else q.split("_")[0]
+        totals[fam] = totals.get(fam, 0.0) + t
+    return [(f, tot, budgets[f]) for f, tot in sorted(totals.items())
+            if f in budgets and tot > budgets[f]]
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "target/verify_out"))

@@ -46,8 +46,17 @@ object Bench {
     // suspect query (same contract as Verify; driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // explicit exclusions for scale rehearsals (e.g. the documented
+    // one-box sf10 ceilings) — ALWAYS logged, never a silent cap, and
+    // surfaced in the JSON so a skipped run can't read as a full one
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (skip.nonEmpty)
+      System.err.println(s"[bench] SKIPPING ${skip.size} queries by request: " +
+        skip.toSeq.sorted.mkString(", "))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .map { case (name, fn) =>
       spark.catalog.clearCache() // no cross-query cache pollution
       val t0 = System.nanoTime()
@@ -70,7 +79,8 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val skipJson = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

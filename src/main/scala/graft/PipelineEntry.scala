@@ -26,7 +26,7 @@ object PipelineEntry {
     * parquet TIMESTAMP(NANOS) read as raw long (→ integral DIV to µs)
     * vs TIMESTAMP(MICROS, adjusted=false) read as NTZ (→ cast; session
     * timezone is UTC so the instants are identical). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")

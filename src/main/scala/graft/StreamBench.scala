@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput faces, separated (VERDICT r10 "What's wrong" #5):
+  * the gate's `stream_sessions` / `stream_interval_left` rows replay the
+  * bounded fixture through a driver-side MemoryStream in event-time-ordered
+  * micro-batches — the right CORRECTNESS harness (the watermark genuinely
+  * advances, Append emits mid-stream) but a misleading THROUGHPUT probe:
+  * the driver iterator feed + 4-5 state-store commit rounds dominate.
+  *
+  * This main times BOTH faces per operator so BASELINE.md can record
+  * harness cost and operator cost side by side:
+  *   - `*_file`: the OPERATOR face — a real file-source parquet stream
+  *     (no driver feed, executor-parallel reads), one `processAllAvailable`
+  *     pass. Stateful work (sort, state build/commit, join buffering) all
+  *     happens; tail rows whose emit needs a later watermark stay in
+  *     state, which is exactly the steady-state shape of a live job.
+  *   - `*_replay`: the HARNESS face — the same lock-step MemoryStream
+  *     replay the gate row uses, timed end-to-end for the delta.
+  *
+  * Prints one JSON line:
+  *   {"metric":"stream_faces","sessions_file":s,"sessions_replay":s,
+  *    "interval_left_file":s,"interval_left_replay":s,"sf":"…"}
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .setLevel(org.apache.log4j.Level.ERROR)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one state-store instance commits per shuffle partition per
+    // micro-batch — same 8-partition setting as the gate rows so the
+    // file/replay delta isolates the FEED, not the partitioning
+    def withStatePartitions[A](n: Int)(f: => A): A = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+    def runToCount(streaming: DataFrame, name: String): Unit = {
+      val q = streaming.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).count()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+
+    // ---- sessions: operator face (file source, one pass) ----
+    val sessionsFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("value"))
+        runToCount(
+          graft.streaming.StreamOps
+            .statefulSessions(spark, src, gapSeconds = 1800L,
+              watermark = "1 second").toDF(),
+          "sb_sessions_file")
+      }
+    }
+    // ---- sessions: harness face (the gate's MemoryStream replay) ----
+    val events = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val sessionsReplay = timed {
+      graft.testkit.StreamReplay
+        .replayStatefulSessions(spark, events, gapSeconds = 1800L,
+          name = "sb_sessions_replay").count()
+    }
+
+    // ---- interval left join: operator face ----
+    val intervalFile = timed {
+      withStatePartitions(8) {
+        def src() = PipelineEntry.eventsStream(spark, sfDir)
+        val views = src().filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        runToCount(
+          graft.streaming.StreamOps.intervalJoinLeftOuter(
+            views, purchases, "user_id", windowSeconds = 600L,
+            watermark = "1 second"),
+          "sb_interval_file")
+      }
+    }
+    // ---- interval left join: harness face ----
+    val intervalReplay = timed {
+      val all = Tables(spark, sfDir, "events")
+      val views = all.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = all.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.testkit.StreamReplay
+        .replayIntervalJoinLeftOuter(spark, views, purchases, "user_id",
+          windowSeconds = 600L, name = "sb_interval_replay").count()
+    }
+
+    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
