@@ -57,8 +57,17 @@ object Bench {
         skip.toSeq.sorted.mkString(", "))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), qi) =>
       spark.catalog.clearCache() // no cross-query cache pollution
+      // iterative operators release their own checkpoints, but a failed
+      // query can strand blocks; stranded executor storage plus old-gen
+      // garbage from hundreds of prior queries inflates later rows (the
+      // r11 sf10 full-suite read 2-4x over isolated re-times for
+      // late-suite queries purely from this pressure). Cleanup runs
+      // OUTSIDE the timed region; gc is periodic, not per-query, so the
+      // pause cost stays negligible against the suite.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (qi % 20 == 19) System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch {

@@ -876,8 +876,13 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     },
     "dedup_embedding" -> { (s, dir) =>
-      // sign-LSH bucket candidates + exact cosine verify (linear in corpus)
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, nBits = 6)
+      // sign-LSH bucket candidates + exact cosine verify. nBits=0 →
+      // autoBits(n, 256): bucket count tracks the corpus so per-bucket
+      // occupancy (and thus candidate work per row) stays ~constant at
+      // ANY sf — the pinned nBits=6 this replaced measured 25.9× on the
+      // 10× sf10 rehearsal (in-bucket quadratic growth). The oracle
+      // replays the same integer bit-length formula in SQL.
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
     "dedup_prefix_pairs" -> { (s, dir) =>
@@ -886,6 +891,17 @@ object PipelineEntry {
       // guarantees every qualifying pair is found (superset asserted
       // in the unit suite); rational threshold arithmetic throughout
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), n = 2, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_prefix_chunked" -> { (s, dir) =>
+      // the SAME exact join executed as 4 bounded-footprint waves (the
+      // out-of-core / 100 TB shape): candidate space partitioned by
+      // pmod(prefix hash, 4), staged wave outputs, identical pair set —
+      // certified against the identical oracle as dedup_prefix_pairs
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-ppjoin-gate").toString
+      Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
+          n = 2, tNum = 1, tDen = 2, passes = 4, stagingDir = staging)
         .orderBy("id_a", "id_b")
     },
     "dedup_pr_audit" -> { (s, dir) =>
@@ -2622,6 +2638,26 @@ object PipelineEntry {
          |  CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) AS jaccard
          |FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b
          |WHERE CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS DOUBLE) >= $threshold)""".stripMargin
+    // exact PPJoin pair set at (n=2, t=1/2) — shared by the single-pass
+    // and wave-partitioned gate queries, which return the identical set
+    val sqlPrefixPairs = {
+      val (tNum, tDen) = (1L, 2L)
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+         |s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+         |hd AS (SELECT doc_id, list_distinct(list_transform(sh, tk -> ${sqlHash("tk")})) AS hsd FROM s),
+         |e AS (SELECT doc_id, unnest(hsd) AS h FROM hd),
+         |f AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+         |r AS (SELECT e.doc_id, e.h, row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rn,
+         |  count(*) OVER (PARTITION BY e.doc_id) AS sz FROM e JOIN f USING (h)),
+         |p AS (SELECT doc_id, h FROM r WHERE rn <= sz - (($tNum * sz + ${tDen - 1}) // $tDen) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b, len(list_intersect(ha.hsd, hb.hsd)) AS i,
+         |    len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS u
+         |  FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+         |FROM v WHERE i * $tDen >= $tNum * u ORDER BY id_a, id_b""".stripMargin
+    }
     // recall/precision audit: exact side = brute-force rational-threshold
     // jaccard over the same distinct shingle hashes (hd), approx side =
     // the minhash pairs CTE
@@ -4110,30 +4146,28 @@ object PipelineEntry {
            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
       "dedup_embedding" ->
-        s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("embedding", 64, 6)} AS bkey FROM embeddings)
+        // autoBits replay: cells = ceil(n/256), bits = bit-length of
+        // cells−1 (= integer ceil-log2, clamped to [1,62] — identical to
+        // Similarity.autoBits); plane i sits at bit i in the packed key,
+        // so masking a 16-bit-wide key to the low `bits` bits IS the
+        // bits-plane bucket (16 covers corpora to ~16M rows at target 256)
+        s"""WITH nb AS (SELECT LEAST(62, GREATEST(1,
+           |    LENGTH(bin(CAST(GREATEST(1, (COUNT(*) + 255) // 256) - 1 AS BIGINT))))) AS bits
+           |  FROM embeddings),
+           |b AS (SELECT vec_id, embedding,
+           |    (${sqlLshBucket("embedding", 64, 16)}) %
+           |      (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS bkey FROM embeddings)
            |SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${sqlCos("a.embedding", "c.embedding")} AS cos
            |FROM b a JOIN b c ON a.bkey = c.bkey AND a.vec_id < c.vec_id
            |WHERE ${sqlCos("a.embedding", "c.embedding")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
-      "dedup_prefix_pairs" -> {
-        val (tNum, tDen) = (1L, 2L)
-        s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
-           |s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
-           |hd AS (SELECT doc_id, list_distinct(list_transform(sh, tk -> ${sqlHash("tk")})) AS hsd FROM s),
-           |e AS (SELECT doc_id, unnest(hsd) AS h FROM hd),
-           |f AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
-           |r AS (SELECT e.doc_id, e.h, row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rn,
-           |  count(*) OVER (PARTITION BY e.doc_id) AS sz FROM e JOIN f USING (h)),
-           |p AS (SELECT doc_id, h FROM r WHERE rn <= sz - (($tNum * sz + ${tDen - 1}) // $tDen) + 1),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
-           |v AS (SELECT id_a, id_b, len(list_intersect(ha.hsd, hb.hsd)) AS i,
-           |    len(list_distinct(list_concat(ha.hsd, hb.hsd))) AS u
-           |  FROM cand JOIN hd ha ON ha.doc_id = id_a JOIN hd hb ON hb.doc_id = id_b)
-           |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
-           |FROM v WHERE i * $tDen >= $tNum * u ORDER BY id_a, id_b""".stripMargin
-      },
+      "dedup_prefix_pairs" -> sqlPrefixPairs,
+      // the wave-partitioned execution computes the IDENTICAL pair set
+      // (candidate space partitioned exactly by shared prefix token),
+      // so the chunked operator answers to the same oracle — that
+      // identity is the point being certified
+      "dedup_prefix_chunked" -> sqlPrefixPairs,
       "dedup_pr_audit" -> sqlPrAudit,
       "dedup_semantic" -> {
         s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,

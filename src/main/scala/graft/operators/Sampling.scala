@@ -107,10 +107,10 @@ object Sampling {
     * split is deterministic across runs/engines/partitionings and
     * different seeds draw independent splits.
     *
-    * Scale shape: clustering is [[Cluster.dedupClusters]] (O(diameter)
-    * hash-min rounds over the pair graph — pairs come from LSH, never
-    * all-pairs); the split itself is one codegen'd projection over the
-    * cluster table. Output: (idCol, cluster_id, split∈{train,test}).
+    * Scale shape: clustering is [[Cluster.dedupClusters]] (O(log n)
+    * Borůvka contraction rounds over the pair graph — pairs come from
+    * LSH, never all-pairs); the split itself is one codegen'd projection
+    * over the cluster table. Output: (idCol, cluster_id, split∈{train,test}).
     */
   def splitByCluster(docs: DataFrame, pairs: DataFrame, trainPct: Int,
                      seed: Long = 0L, idCol: String = "doc_id"): DataFrame = {

@@ -260,8 +260,12 @@ object Similarity {
   def autoBits(corpusSize: Long, targetBucket: Long = 1024L): Int = {
     require(corpusSize >= 0 && targetBucket > 0,
       s"autoBits: corpusSize>=0 and targetBucket>0, got n=$corpusSize target=$targetBucket")
-    val cells = math.max(1.0, corpusSize.toDouble / targetBucket)
-    math.min(62, math.max(1, math.ceil(math.log(cells) / math.log(2.0)).toInt))
+    // INTEGER-exact ceil(log2(ceil(n/target))): bit-length of cells−1.
+    // The float form (ceil(log(cells)/log 2)) wobbles at exact powers of
+    // two, which matters now that oracles replay this formula in SQL
+    // (LENGTH(bin(cells−1)) — identical integer semantics).
+    val cellsInt = math.max(1L, (corpusSize + targetBucket - 1) / targetBucket)
+    math.min(62, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(cellsInt - 1)))
   }
 
   /** Auto-scaled IVF cell count: `ceil(n / cellTarget)` centroids keep

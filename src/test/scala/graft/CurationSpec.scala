@@ -31,18 +31,59 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
-  test("connectedComponents: pointer doubling converges a chain far longer than maxIter") {
+  test("connectedComponents: contraction converges a chain far longer than maxIter") {
     // a 400-link path has diameter 400: plain hash-min propagation would
-    // need ~400 rounds and trip the 25-round fail-fast; the per-round
-    // label shortcutting compresses chains geometrically, so the default
-    // budget converges it (this is the sf10 mm_dhash_clusters shape —
-    // phase-adjacent replica chains — reduced to a hand fixture)
+    // need ~400 rounds and trip the fail-fast; Borůvka hooking +
+    // contraction merges supervertices along every frontier per round,
+    // so a small budget converges it (this is the sf10 mm_dhash_clusters
+    // shape — phase-adjacent replica chains — reduced to a hand fixture)
     val n = 400L
     val nodes = (0L to n).toDF("id")
     val edges = (0L until n).map(i => (i + 1, i)).toDF("src", "dst")
-    val got = Cluster.connectedComponents(nodes, edges, maxIter = 25)
+    val got = Cluster.connectedComponents(nodes, edges, maxIter = 15)
       .as[(Long, Long)].collect()
     assert(got.length == n.toInt + 1 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: PERMUTED-id chain converges (the case a per-node jump cannot)") {
+    // same 400-link path but with node ids SHUFFLED along the chain —
+    // every local id minimum is then its own label-forest root, so the
+    // r11 prop+jump formulation degrades to O(diameter) rounds (>100 at
+    // 400 nodes in simulation) and this test times out its budget; the
+    // sf10 replica chains have exactly this non-monotone id layout
+    // (adjacent replicas live in far-apart id blocks). Supervertex
+    // contraction converges it in O(log n) regardless of id order.
+    val n = 400
+    val rng = new scala.util.Random(42)
+    val perm = rng.shuffle((0 until n).toVector)
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(nodes, edges, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L),
+      s"labels ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
+  test("connectedComponents: labels match a brute-force transitive closure") {
+    // random graph, random ids; ground truth via driver-side union-find
+    val rng = new scala.util.Random(7)
+    val ids = rng.shuffle((0L until 500L).toVector)
+    val edges = (0 until 350).map { _ =>
+      (ids(rng.nextInt(500)), ids(rng.nextInt(500)))
+    }.filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map((0L until 500L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0L until 500L).map(i => i -> find(i)).toMap
+    // canonical root per component = min id: compress to min via re-find
+    val got = Cluster.connectedComponents(
+        (0L until 500L).toDF("id"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"mismatches: ${got.filter { case (k, v) => want(k) != v }.take(5)}")
   }
 
   test("dedupClusters: canonical flag marks exactly one doc per cluster") {

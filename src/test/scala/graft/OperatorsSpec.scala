@@ -127,6 +127,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(got))
   }
 
+  test("prefixJaccardPairsChunked: wave-partitioned result equals single-pass") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 300)
+    val single = Dedup.prefixJaccardPairs(docs, n = 2, tNum = 3, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-ppjoin-chunk").toString
+    try {
+      // 3 waves: pair space split by pmod(h, 3); pairs sharing prefix
+      // tokens across waves must collapse to one identical row
+      val chunked = Dedup
+        .prefixJaccardPairsChunked(docs, n = 2, tNum = 3, tDen = 10,
+          passes = 3, stagingDir = staging)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(chunked == single,
+        s"chunked missed ${single -- chunked}, extra ${chunked -- single}")
+      assert(single.nonEmpty, "empty pair set — equivalence proves nothing")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(staging)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("imageStats nulls corrupt payloads and sums real rasters exactly") {
     val dims = Seq((7L, 3, 2)).toDF("doc_id", "w", "h")
     val good = Multimodal.synthesizePng(spark, dims, "doc_id", "w", "h")
