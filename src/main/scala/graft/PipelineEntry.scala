@@ -900,8 +900,12 @@ object PipelineEntry {
       // certified against the identical oracle as dedup_prefix_pairs
       val staging = java.nio.file.Files
         .createTempDirectory("graft-ppjoin-gate").toString
+      // wave count is a pure execution knob (result identical by
+      // construction at ANY value — pinned by the equivalence test);
+      // scale rehearsals raise it so one wave's spill fits local disk
+      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
       Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
-          n = 2, tNum = 1, tDen = 2, passes = 4, stagingDir = staging)
+          n = 2, tNum = 1, tDen = 2, passes = passes, stagingDir = staging)
         .orderBy("id_a", "id_b")
     },
     "dedup_pr_audit" -> { (s, dir) =>

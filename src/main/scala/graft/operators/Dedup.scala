@@ -621,6 +621,12 @@ object Dedup {
       val wave = prefix.filter(pmod(col("h"), lit(passes.toLong)) === p)
       ppjoinVerify(ppjoinCandidates(wave, tNum, tDen, idCol), sh, tNum, tDen, idCol)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
+      // wave p's shuffle files must release before wave p+1 spills its
+      // own, or peak disk is NOT bounded by one wave — Spark's
+      // ContextCleaner frees shuffle state when the owning RDDs are
+      // collected, so nudge collection at the wave boundary (outside
+      // any timed work; a no-op when the driver heap is quiet)
+      System.gc()
     }
     spark.read.parquet(s"$stagingDir/out")
       .select(col("id_a"), col("id_b"), col("jaccard"))
