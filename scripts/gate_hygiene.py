@@ -130,12 +130,24 @@ def check_family_budgets(bench_path):
     data = json.loads(line[line.index("{"):])
     budgets = json.load(open(os.path.join(os.path.dirname(__file__),
                                           "family_budgets.json")))
+    # probe-normalize: the bench's constant-work probe moves with box
+    # drift exactly as every family does, so scaling by _probe_ref/probe
+    # (clamped to a [0.5, 2] correction) compares the family against its
+    # budget as if run on the reference box — a 1.3x-noisy box no longer
+    # false-fails every family at once, and a genuinely 2x-fast box
+    # still flags a family that regressed into its old budget.
+    scale = 1.0
+    probe = data.get("probe_sec")
+    ref = budgets.get("_probe_ref")
+    if isinstance(probe, (int, float)) and probe > 0 and \
+       isinstance(ref, (int, float)) and ref > 0:
+        scale = min(2.0, max(0.5, ref / probe))
     totals = {}
     for q, t in data.get("queries", {}).items():
         if not isinstance(t, (int, float)) or t < 0:
             continue
         fam = "tpch" if q[0] == "q" and q[1].isdigit() else q.split("_")[0]
-        totals[fam] = totals.get(fam, 0.0) + t
+        totals[fam] = totals.get(fam, 0.0) + t * scale
     return [(f, tot, budgets[f]) for f, tot in sorted(totals.items())
             if f in budgets and tot > budgets[f]]
 

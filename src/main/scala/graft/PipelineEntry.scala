@@ -961,9 +961,32 @@ object PipelineEntry {
     },
     "dedup_clusters" -> { (s, dir) =>
       // near-dup pairs → connected components → one canonical doc per
-      // cluster (hash-min label propagation; O(diameter) shuffles)
+      // cluster (Borůvka hooking + contraction; O(log n) rounds)
       val docs = t(s, dir, "documents")
       Cluster.dedupClusters(docs, Dedup.minhashPairs(docs, threshold = 0.3))
+        .orderBy("doc_id")
+    },
+    "dedup_clusters_chain" -> { (s, dir) =>
+      // ADVERSARIAL component shape for the CC operator, driver-
+      // certified: 5 chains of ~n/5 docs each (diameter ~100 at the
+      // driver's sf0.01, ~12k at sf10), chained in md5
+      // order so consecutive chain neighbors have SCATTERED ids — the
+      // non-monotone layout where per-node pointer jumping degrades to
+      // O(diameter) (the r11 root cause at sf10). Borůvka contraction
+      // converges it in O(log n) rounds; the oracle recomputes the
+      // same chains and closes them with a recursive CTE — a different
+      // algorithm entirely, so a shared-formulation bug cannot hide.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"),
+        md5(concat(lit("chain:"), col("doc_id").cast(StringType))).as("_k"),
+        graft.plans.HashBucket(
+          concat(lit("chain:"), col("doc_id").cast(StringType)), 5).as("_g"))
+      val nxt = lead(col("doc_id"), 1)
+        .over(Window.partitionBy(col("_g")).orderBy(col("_k"), col("doc_id")))
+      val edges = keyed.select(col("doc_id").as("id_a"), nxt.as("id_b"))
+        .filter(col("id_b").isNotNull)
+      Cluster.dedupClusters(docs.select(col("doc_id")), edges)
         .orderBy("doc_id")
     },
 
@@ -3503,6 +3526,26 @@ object PipelineEntry {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      // same md5-ordered chain construction (28-bit 0x-substr bucket =
+      // the HashBucket kernel), closed by the recursive CTE — a
+      // different closure algorithm than the engine's contraction
+      "dedup_clusters_chain" ->
+        """WITH RECURSIVE k AS (SELECT doc_id,
+          |    md5('chain:' || CAST(doc_id AS VARCHAR)) AS k,
+          |    CAST(concat('0x', substr(md5('chain:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 5 AS g
+          |  FROM documents),
+          |r AS (SELECT doc_id, g, row_number() OVER (PARTITION BY g ORDER BY k, doc_id) AS rn FROM k),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM r a JOIN r b ON a.g = b.g AND b.rn = a.rn + 1),
+          |e AS (SELECT id_a AS src, id_b AS dst FROM p
+          |      UNION ALL SELECT id_b, id_a FROM p),
+          |reach AS (
+          |  SELECT doc_id AS id, doc_id AS lab FROM documents
+          |  UNION
+          |  SELECT e.dst AS id, r2.lab FROM reach r2 JOIN e ON e.src = r2.id)
+          |SELECT id AS doc_id, MIN(lab) AS cluster_id,
+          |  (MIN(lab) = id) AS is_canonical
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "graph_labelprop" -> {
         // unrolled synchronous rounds: same votes (neighbors + self),
         // same (count desc, label asc) argmax; MATERIALIZED because

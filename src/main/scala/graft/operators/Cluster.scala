@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.util.chaining._
+
 /** Duplicate-cluster resolution: turn near-dup PAIRS (from any of the
   * [[Dedup]] candidate generators) into connected components, so a
   * pipeline can keep exactly one canonical document per cluster.
@@ -40,6 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Round-loop checkpoint: truncate lineage AND drop the origin plan's
+    * carried statistics. Without the drop, each round's checkpoint
+    * re-captures the PRODUCT-estimated sizeInBytes of a join of previous
+    * checkpoints, exponentiating the carried BigInt (~64·k^r bits after
+    * r rounds) until driver-side stats estimation dominates wall time —
+    * see [[org.apache.spark.sql.GraftBridge.freshStats]] for the
+    * measured pathology. AQE re-derives real sizes at runtime.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftBridge.freshStats(df.localCheckpoint(true))
+
   /** Connected components of an undirected graph.
     *
     * @param nodes one column `id` — every vertex (isolated vertices keep
@@ -73,7 +86,7 @@ object Cluster {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_m"))
       .select(col("id"), least(col("id"), col("_m")).as("label"))
-      .localCheckpoint(true)
+      .pipe(ckpt)
 
     // contract the edge list onto the seeded labels: canonical
     // (least, greatest) orientation, self-loops dropped, duplicates
@@ -90,11 +103,16 @@ object Cluster {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var e = contract(e0, labels).localCheckpoint(true)
+    var e = ckpt(contract(e0, labels))
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
 
+    // opt-in round diagnostics (set GRAFT_CC_LOG=1): per-round wall time
+    // and inner-compression depth, for triaging convergence on hostile
+    // component shapes without touching the production plan
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
     var it = 0
     while (!e.isEmpty && it < maxIter) {
+      val roundT0 = System.nanoTime()
       // hooking: each supervertex adopts its minimum neighboring
       // supervertex when that neighbor is smaller — one aggregate over
       // the (symmetrized) contracted edges. parent < f always, so the
@@ -103,9 +121,8 @@ object Cluster {
       // mCk is always the LIVE checkpoint handle (releaseCheckpoint
       // resolves the backing RDD only on a direct LogicalRDD plan);
       // m is the (f, t) view used in joins
-      var mCk = both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
-        .filter(col("t") < col("f"))
-        .localCheckpoint(true)
+      var mCk = ckpt(both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
+        .filter(col("t") < col("f")))
       var m = mCk
       // path-compress the hooking forest by pointer doubling: depth
       // halves per step, so the loop is O(log depth) label-sized
@@ -119,7 +136,7 @@ object Cluster {
             col("x.t") === col("_f2"), "left")
           .select(col("x.f").as("f"), coalesce(col("_t2"), col("x.t")).as("t"),
             (col("_t2") < col("x.t")).as("_chg"))
-          .localCheckpoint(true)
+          .pipe(ckpt)
         compressed = m2.filter(col("_chg")).isEmpty
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
         mCk = m2
@@ -138,7 +155,7 @@ object Cluster {
           col("l.label") === col("_lf"), "left")
         .select(col("l.id").as("id"),
           coalesce(col("_lt"), col("l.label")).as("label"))
-        .localCheckpoint(true)
+        .pipe(ckpt)
       // edge endpoints are ALREADY label values, so they re-contract
       // through the partial map m directly (left join + coalesce —
       // unhooked labels keep themselves)
@@ -153,13 +170,16 @@ object Cluster {
           greatest(col("_ns"), col("_nd")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .pipe(ckpt)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
       labels = labels2
       e = e2
       it += 1
+      if (ccLog)
+        System.err.println(f"[cc] round $it%2d depth=$depth " +
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
     }
     if (!e.isEmpty)
       throw new IllegalStateException(

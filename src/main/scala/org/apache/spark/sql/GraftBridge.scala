@@ -27,4 +27,33 @@ object GraftBridge {
     }
     case _ => ()
   }
+
+  /** Rebuild a `localCheckpoint`ed Dataset's `LogicalRDD` WITHOUT the
+    * origin plan's carried `Statistics` (partitioning/ordering kept).
+    *
+    * Why this exists: `localCheckpoint` deliberately captures the origin
+    * plan's stats so downstream joins can still static-broadcast. In an
+    * ITERATIVE operator that checkpoints every round, that capture is a
+    * trap: `sizeInBytes` of a join is estimated as the PRODUCT of its
+    * children's, so a checkpoint-of-a-join-of-checkpoints re-captures an
+    * already-multiplied size, and k (self-)joins per round exponentiate
+    * it — after r rounds the carried BigInt has ~64·k^r BITS, and the
+    * driver spends minutes per round inside
+    * `SizeInBytesOnlyStatsPlanVisitor`'s BigInt products
+    * (`BigInteger.multiplyToomCook3`; observed: round 5 of connected
+    * components on a 5000-node chain took 72 s vs round 4's 2 s, all of
+    * it stats estimation on the driver). Dropping the carried stats
+    * resets each round's checkpoint to `defaultSizeInBytes`; static
+    * broadcast planning is lost for the loop's intermediates, which
+    * AQE's runtime shuffle statistics reinstate where actually
+    * warranted. No-op for non-checkpoint plans.
+    */
+  def freshStats(df: Dataset[_]): DataFrame = df match {
+    case d: classic.Dataset[_] => d.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(d.sparkSession,
+          l.copy()(d.sparkSession, None, None))
+      case _ => d.toDF()
+    }
+  }
 }
