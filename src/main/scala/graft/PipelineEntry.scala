@@ -2331,6 +2331,39 @@ object PipelineEntry {
           col("total").cast(DoubleType).as("total"))
         .orderBy("o_orderstatus")
     },
+    "inc_clusters" -> { (s, dir) =>
+      // incremental dedup clustering: the standing corpus (doc_id %5
+      // != 0) is clustered once over md5-ordered chain edges; the new
+      // batch (doc_id %5 == 0) arrives with pairs linking new->old
+      // (d, d-1) and new->new (d, d-5). mergeClusters folds the batch
+      // in by contracting pairs onto PRIOR LABELS and running CC over
+      // that O(|pairs|) supervertex graph only — never re-walking the
+      // corpus — and must land bit-identical to the oracle's
+      // from-scratch recursive-CTE closure over the UNION graph.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val keyed = oldDocs.select(col("doc_id"),
+        md5(concat(lit("inc:"), col("doc_id").cast(StringType))).as("_k"),
+        graft.plans.HashBucket(
+          concat(lit("inc:"), col("doc_id").cast(StringType)), 5).as("_g"))
+      val nxt = lead(col("doc_id"), 1)
+        .over(Window.partitionBy(col("_g")).orderBy(col("_k"), col("doc_id")))
+      val oldEdges = keyed.select(col("doc_id").as("src"), nxt.as("dst"))
+        .filter(col("dst").isNotNull)
+      val prev = Cluster.connectedComponents(
+        oldDocs.select(col("doc_id").as("id")), oldEdges)
+      val ids = docs.select(col("doc_id").as("id_b"))
+      def link(off: Int) = newDocs
+        .select(col("doc_id").as("id_a"), (col("doc_id") - off).as("id_b"))
+        .join(ids, Seq("id_b"), "left_semi")
+      Incremental.mergeClusters(prev,
+          newDocs.select(col("doc_id").as("id")),
+          link(1).unionByName(link(5)))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
     "dedup_incremental" -> { (s, dir) =>
       // incoming batch (doc_id >= 250) deduped against the standing
       // corpus (doc_id < 250): cross-set LSH candidates + jaccard verify
@@ -4110,6 +4143,33 @@ object PipelineEntry {
         """SELECT o_orderstatus, COUNT(*) AS n,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      // from-scratch closure over the UNION graph (old chains + new
+      // links) — a different algorithm AND a different decomposition
+      // than the engine's prev-labels-then-merge route
+      "inc_clusters" ->
+        """WITH RECURSIVE k AS (SELECT doc_id,
+          |    md5('inc:' || CAST(doc_id AS VARCHAR)) AS k,
+          |    CAST(concat('0x', substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 5 AS g
+          |  FROM documents WHERE doc_id % 5 <> 0),
+          |r AS (SELECT doc_id, g, row_number() OVER (PARTITION BY g ORDER BY k, doc_id) AS rn FROM k),
+          |oldp AS (SELECT a.doc_id AS s, b.doc_id AS d
+          |  FROM r a JOIN r b ON a.g = b.g AND b.rn = a.rn + 1),
+          |newp AS (
+          |  SELECT n.doc_id AS s, n.doc_id - 1 AS d FROM documents n
+          |  WHERE n.doc_id % 5 = 0
+          |    AND EXISTS (SELECT 1 FROM documents o WHERE o.doc_id = n.doc_id - 1)
+          |  UNION ALL
+          |  SELECT n.doc_id, n.doc_id - 5 FROM documents n
+          |  WHERE n.doc_id % 5 = 0
+          |    AND EXISTS (SELECT 1 FROM documents o WHERE o.doc_id = n.doc_id - 5)),
+          |e AS (SELECT s AS src, d AS dst FROM oldp UNION ALL SELECT d, s FROM oldp
+          |      UNION ALL SELECT s, d FROM newp UNION ALL SELECT d, s FROM newp),
+          |reach AS (
+          |  SELECT doc_id AS id, doc_id AS lab FROM documents
+          |  UNION
+          |  SELECT e.dst AS id, r2.lab FROM reach r2 JOIN e ON e.src = r2.id)
+          |SELECT id AS doc_id, MIN(lab) AS cluster_id
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "inc_diff" ->
         """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
           |chg AS (

@@ -384,4 +384,63 @@ object Incremental {
     }
     audits.reduce(_ unionByName _)
   }
+
+  /** Merge a new batch's near-dup PAIRS into an EXISTING clustering
+    * without re-running connected components over the whole corpus —
+    * the daily-increment shape of dedup clustering at 100 TB scale.
+    *
+    * `prev` is a prior `(id, label)` assignment (labels = component
+    * minima, as [[Cluster.connectedComponents]] emits). Each new pair's
+    * endpoints are mapped to their SUPERVERTEX — the previous label if
+    * the endpoint was already clustered, else the (new) node id — so
+    * the merge graph contracts to one vertex per touched prior cluster
+    * plus the incoming nodes. Connected components then run over THAT
+    * graph only: its size is O(|pairs|), independent of corpus size.
+    * The resulting relabel map (old label → merged label) is small, so
+    * rewriting `prev` is one broadcast-able left join over the base —
+    * the corpus is scanned once and never shuffled (writers pair this
+    * with partition overwrite so only touched partitions rewrite).
+    *
+    * Equivalence: because prior labels are component MINIMA, the merged
+    * label of every node equals min(node ids of its component in the
+    * union graph) — bit-identical to re-running CC from scratch over
+    * (prior edges ∪ new pairs). The `IncrementalSpec` property test
+    * pins this against a two-batch random graph.
+    *
+    * @param prev     (id, label) from the previous run
+    * @param incoming new nodes (column `id`); nodes already present in
+    *                 `prev` are tolerated and not duplicated
+    * @param pairs    near-dup pairs (`id_a`, `id_b`) — endpoints may be
+    *                 previous nodes, incoming nodes, or a mix
+    * @return (id, label) for prev ∪ incoming under the merged clustering
+    */
+  def mergeClusters(prev: DataFrame, incoming: DataFrame,
+                    pairs: DataFrame): DataFrame = {
+    val lab = prev.select(col("id").as("_pid"), col("label").as("_plab"))
+    // endpoint → supervertex (previous label, or self for a new node).
+    // The pair batch is small (incremental premise) so both lookups
+    // broadcast the pair side's keys... but the LOOKUP side is the
+    // corpus-sized `prev`: join pairs INTO prev (pairs left) so the
+    // big side streams and AQE can pick the efficient build side.
+    val p2 = pairs
+      .join(lab.select(col("_pid").as("id_a"), col("_plab").as("_la")), Seq("id_a"), "left")
+      .join(lab.select(col("_pid").as("id_b"), col("_plab").as("_lb")), Seq("id_b"), "left")
+      .select(coalesce(col("_la"), col("id_a")).as("src"),
+        coalesce(col("_lb"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val touched = p2.select(col("src").as("id"))
+      .unionByName(p2.select(col("dst").as("id"))).distinct()
+    // CC over the contracted supervertex graph — O(|pairs|) vertices
+    val map = Cluster.connectedComponents(touched, p2)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("_f"), col("label").as("_t"))
+    val prevOut = prev
+      .join(map, prev("label") === col("_f"), "left")
+      .select(prev("id"), coalesce(col("_t"), prev("label")).as("label"))
+    val newOut = incoming.select(col("id"))
+      .join(prev.select(col("id")), Seq("id"), "left_anti")
+      .join(map, col("id") === col("_f"), "left")
+      .select(col("id"), coalesce(col("_t"), col("id")).as("label"))
+    prevOut.unionByName(newOut)
+  }
 }

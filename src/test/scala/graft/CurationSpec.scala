@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.api.{Col, Table}
 import graft.functions.TextFunctions
-import graft.operators.{Cluster, Pack, Quantile, Sampling}
+import graft.operators.{Cluster, Incremental, Pack, Quantile, Sampling}
 
 /** Round-3 corpus-curation operators: connected-component dedup
   * clustering, sequence packing, deterministic sampling, PII scrubbing,
@@ -84,6 +84,38 @@ class CurationSpec extends SparkSpec {
         (0L until 500L).toDF("id"), edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
     assert(got == want, s"mismatches: ${got.filter { case (k, v) => want(k) != v }.take(5)}")
+  }
+
+  test("mergeClusters: two-batch incremental == from-scratch CC (random graph)") {
+    // the incremental contract: fold batch-2 pairs into batch-1's
+    // clustering and land bit-identical to CC over the union graph
+    val rng = new scala.util.Random(11)
+    val ids = rng.shuffle((0L until 500L).toVector)
+    val oldIds = ids.take(400).toSet
+    val edges = (0 until 400).map { _ =>
+      (ids(rng.nextInt(500)), ids(rng.nextInt(500)))
+    }.filter(p => p._1 != p._2)
+    val (batch1, batch2) = edges.partition {
+      case (a, b) => oldIds(a) && oldIds(b)
+    }
+    val prev = Cluster.connectedComponents(
+      oldIds.toSeq.toDF("id"), batch1.toDF("src", "dst"))
+    val merged = Incremental.mergeClusters(prev,
+        ids.drop(400).toDF("id"), batch2.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val want = Cluster.connectedComponents(
+        (0L until 500L).toDF("id"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == want,
+      s"mismatches: ${merged.filter { case (k, v) => want(k) != v }.take(5)}")
+  }
+
+  test("mergeClusters: incoming ids already in prev are not duplicated") {
+    val prev = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "label")
+    val r = Incremental.mergeClusters(prev, Seq(2L, 9L).toDF("id"),
+        Seq((9L, 5L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((1L, 1L), (2L, 1L), (5L, 5L), (9L, 5L)))
   }
 
   test("dedupClusters: canonical flag marks exactly one doc per cluster") {
