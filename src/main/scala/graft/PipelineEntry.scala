@@ -101,6 +101,51 @@ object PipelineEntry {
     s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"
   private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
 
+  /** feat_logreg replay: `iters` fast-sigmoid GD iterations unrolled.
+    * Mirrors Features.logisticTrain exactly — z is the same left-assoc
+    * dot product, e/d/gradient the same rational trees, gradient sums
+    * floor-quantized HUGEINTs, and the weight update replays the BigInt
+    * floor division with a sign split (DuckDB `//` truncates toward
+    * zero; `-((-t + d - 1) // d)` is floor for negative t). The CTE
+    * count is 3·iters + 3 — scalar width is 4 columns, far below the
+    * mmap-hazard vector unrolls the gate-hygiene note bans.
+    */
+  private def logregOracleSql(iters: Int, lrNum: Long): String = {
+    val z = "(w0/16777216.0 + w1/16777216.0*f1 + w2/16777216.0*f2 + w3/16777216.0*f3)"
+    val e = "(0.5 + 0.5*z/(1.0 + abs(z)) - y)"
+    val d = "(0.5/((1.0 + abs(z))*(1.0 + abs(z))))"
+    def gq(x: String) = {
+      val xm = if (x.isEmpty) "" else s" * $x"
+      s"SUM(CAST(FLOOR($e * $d$xm * 1073741824.0) AS HUGEINT))"
+    }
+    def upd(w: String, g: String) =
+      s"""$w - CASE WHEN $lrNum*$g >= 0 THEN ($lrNum*$g) // (64*n)
+         |    ELSE -((-($lrNum*$g) + 64*n - 1) // (64*n)) END AS $w""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prevW = if (k == 1) "wt0" else s"wt${k - 1}"
+      s"""px$k AS (SELECT f.*, $z AS z FROM f CROSS JOIN $prevW),
+         |gr$k AS (SELECT COUNT(*) AS n, ${gq("")} AS gq0, ${gq("f1")} AS gq1,
+         |  ${gq("f2")} AS gq2, ${gq("f3")} AS gq3 FROM px$k),
+         |wt$k AS MATERIALIZED (SELECT ${upd("w0", "gq0")}, ${upd("w1", "gq1")},
+         |  ${upd("w2", "gq2")}, ${upd("w3", "gq3")} FROM $prevW CROSS JOIN gr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, n_chars, text, $sqlTokens AS ts FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |    CAST(least(len(ts), 300) AS DOUBLE)/300.0 AS f1,
+       |    CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) AS f2,
+       |    CAST(least(length(replace(text, ' ', '')), 2000) AS DOUBLE)/2000.0 AS f3,
+       |    CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM t0),
+       |wt0 AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+       |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3),
+       |$steps,
+       |fin AS (SELECT f.*, $z AS z FROM f CROSS JOIN wt$iters)
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |  0.5 + 0.5*z/(1.0 + abs(z)) AS p,
+       |  CAST(CASE WHEN 0.5 + 0.5*z/(1.0 + abs(z)) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** shared PCA replay chain (arr_pca / arr_pca_project): unrolled
     * quantized power iterations over the exact-integer scatter matrix —
     * the same arithmetic as Pca.axisVector. Every CTE is referenced
@@ -1328,6 +1373,39 @@ object PipelineEntry {
       Sampling.topMassByScore(
           t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
           "lang", "n_chars", 1, 2)
+        .orderBy("doc_id")
+    },
+    "sample_dsir" -> { (s, dir) =>
+      // DSIR importance weights of the whole corpus against an
+      // in-domain target (here: the 'en' slice as the clean reference)
+      // — hashed-bigram multinomials, add-one smoothing, quantized
+      // ilog2 log-likelihood ratios; dims=4096 keeps bucket collisions
+      // realistic at the fixture's vocabulary
+      val docs = t(s, dir, "documents")
+      Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"), dims = 4096)
+        .orderBy("doc_id")
+    },
+    "feat_logreg" -> { (s, dir) =>
+      // in-engine quality-classifier training + scoring: fast-sigmoid
+      // GD (16 full-batch iterations, effective lr 16) on three
+      // token-level features, label = "long document" (n_chars > 300 —
+      // learnable THROUGH the features, not in them); the oracle
+      // replays all 16 iterations unrolled. ~81% train accuracy vs a
+      // 51% base rate at sf0.01.
+      import TextFunctions._
+      val f = t(s, dir, "documents").select(
+        col("doc_id"),
+        (least(size(tokens(col("text"))), lit(300)).cast(DoubleType) / 300.0).as("f1"),
+        (size(array_distinct(tokens(col("text")))).cast(DoubleType)
+          / size(tokens(col("text")))).as("f2"),
+        (least(length(expr("replace(text, ' ', '')")), lit(2000)).cast(DoubleType)
+          / 2000.0).as("f3"),
+        when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+      val wq = Features.logisticTrain(f, Seq("f1", "f2", "f3"), "y",
+        iters = 16, lrNum = 16L)
+      Features.logisticScore(f, wq.toSeq, Seq("f1", "f2", "f3"))
+        .select(col("doc_id"), col("y").cast(LongType).as("y"),
+          col("p"), col("p_pred").cast(LongType).as("pred"))
         .orderBy("doc_id")
     },
     "sample_temperature" -> { (s, dir) =>
@@ -3504,6 +3582,34 @@ object PipelineEntry {
           |SELECT d.doc_id, d.lang, d.n_chars
           |FROM documents d JOIN cut c ON d.lang = c.lang
           |WHERE d.n_chars >= c.cutv ORDER BY d.doc_id""".stripMargin,
+      // DSIR replay: hashed-bigram bucket counts (the feat_hashing
+      // md5-28-bit family) for raw = all docs and target = the 'en'
+      // slice, add-one multinomials, quantized ilog2 likelihood ratio
+      // summed per doc — same integer arithmetic as text_lm_score
+      "sample_dsir" ->
+        s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS ts FROM documents),
+           |inst AS (SELECT doc_id, lang,
+           |  unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2 FROM t),
+           |b AS (SELECT doc_id, lang,
+           |  ${sqlHash("w1 || ' ' || w2")} % 4096 AS bk FROM inst),
+           |rc AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY bk),
+           |tc AS (SELECT bk, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+           |rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS rtot FROM rc),
+           |tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS ttot FROM tc),
+           |sc AS (SELECT doc_id,
+           |    (length(bin(COALESCE(ct, 0) + 1)) - 1) - (length(bin(ttot + 4096)) - 1)
+           |  - (length(bin(cr + 1)) - 1) + (length(bin(rtot + 4096)) - 1) AS lr
+           |  FROM b JOIN rc USING (bk) LEFT JOIN tc USING (bk) CROSS JOIN rt CROSS JOIN tt)
+           |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(lr) AS BIGINT) AS dsir_q
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // in-engine classifier replay: the 8 fast-sigmoid GD iterations
+      // unrolled as (per-row z | gradient aggregate | integer weight
+      // update) CTE triples — every float op is a fixed tree of
+      // correctly-rounded rational arithmetic both engines evaluate
+      // bit-identically (no exp/libm anywhere), gradients floor-
+      // quantized to 2^-30 HUGEINTs, weights on the 2^-24 integer grid
+      // with a sign-split floor division (DuckDB's // truncates)
+      "feat_logreg" -> logregOracleSql(iters = 16, lrNum = 16L),
       "text_scrub" -> {
         // regexp_replace chain generated from the SAME PiiPatterns
         // constants the Scala operator folds over (single-backslash RE2

@@ -656,7 +656,7 @@ object TextFunctions {
     * multiply-referenced non-cheap alias is not collapsed, so `_ts`
     * stays a per-row attribute read).
     */
-  private def bigramInstances(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def bigramInstances(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
     val ts = col("_ts")
     // adjacent pairs; guarded sequence (Spark's sequence(1, 0) would

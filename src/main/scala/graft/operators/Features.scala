@@ -247,6 +247,95 @@ object Features {
     * cache is released before returning (the Pca try/finally pattern —
     * no persisted frame outlives the call).
     */
+  /** In-engine quality-classifier training — fixed-iteration batch
+    * gradient descent on a RATIONAL "fast sigmoid", fully deterministic
+    * and oracle-replayable. The 100 TB use: train the fastText-style
+    * document-quality / domain classifier that gates a pretraining
+    * corpus WITHOUT exporting features to a separate ML system — each
+    * iteration is ONE map-side-combined aggregate over the (cached)
+    * feature frame; the model is a handful of integers on the driver
+    * (the config-sized-fitted-model collect() pattern, like
+    * [[graft.operators.Similarity]]'s k-means centroids).
+    *
+    * Determinism (the house no-libm rule): the activation is the fast
+    * sigmoid `σ(z) = 1/2 + z/(2(1+|z|))` — pure rational arithmetic,
+    * so every per-row quantity is a fixed tree of correctly-rounded
+    * IEEE ops both engines evaluate bit-identically (a true logistic
+    * would need `exp`, whose libm rounding differs across engines).
+    * Per-row gradient contributions (squared-error loss through the
+    * fast sigmoid: `e·σ'(z)·xⱼ` with `σ'(z) = 1/(2(1+|z|)²)`) are
+    * floor-quantized to 2⁻³⁰ units and summed as DECIMAL(38,0) —
+    * order-independent, no float-sum nondeterminism, no overflow to
+    * ~10¹² rows × full gradient range. Weights live on a 2⁻²⁴ integer
+    * grid; the update `w ← w − ⌊lrNum·G / (64·n)⌋` is exact BigInt
+    * floor arithmetic (lr = lrNum·2⁻³⁰·2²⁴ per unit gradient). Same
+    * data → same model, at any partitioning, on any engine.
+    *
+    * `featureCols` must be DOUBLE columns (normalize into ~[0,1] for
+    * the fixed lr to behave); the intercept is implicit. `labelCol` is
+    * 0.0/1.0. Returns the quantized weights `(w₀=intercept, w₁…w_d)`
+    * in 2⁻²⁴ units — feed to [[logisticScore]], persist like any
+    * fitted model.
+    */
+  def logisticTrain(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                    iters: Int = 8, lrNum: Long = 16L): Array[Long] = {
+    require(featureCols.nonEmpty, "logisticTrain: no feature columns")
+    require(iters >= 1 && iters <= 64, s"logisticTrain: iters=$iters (1..64 — " +
+      "each iteration is a full pass; more usually means the lr is wrong)")
+    require(lrNum >= 1, s"logisticTrain: lrNum=$lrNum")
+    val missing = (featureCols :+ labelCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"logisticTrain: no such column(s): ${missing.mkString(", ")}")
+    val feats = df.select((labelCol +: featureCols).map(col): _*).cache()
+    try {
+      val dec = DecimalType(38, 0)
+      var wq = Array.fill[BigInt](featureCols.length + 1)(BigInt(0))
+      def floorDiv(a: BigInt, b: BigInt): BigInt = {
+        val (q, r) = a /% b
+        if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+      }
+      for (_ <- 1 to iters) {
+        // z in the FIXED left-assoc order the oracle replays
+        val z = featureCols.zipWithIndex.foldLeft(
+          lit(wq(0).toDouble / 16777216.0)) { case (acc, (f, j)) =>
+          acc + lit(wq(j + 1).toDouble / 16777216.0) * col(f)
+        }
+        val e = (lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))) - col(labelCol)
+        val d = lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))
+        val gs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
+          case (x, j) =>
+            sum(floor(e * d * x * lit(1073741824.0)).cast(dec)).as(s"g$j")
+        }
+        val row = feats.agg(count(lit(1)).as("n"), gs: _*).head()
+        val n = row.getLong(0)
+        if (n > 0) wq = wq.zipWithIndex.map { case (w, j) =>
+          val gq = BigInt(row.getDecimal(j + 1).toBigInteger)
+          w - floorDiv(BigInt(lrNum) * gq, BigInt(64) * n)
+        }
+      }
+      wq.map { w =>
+        require(w.isValidLong, s"logisticTrain: weight overflow ($w) — lr too high")
+        w.toLong
+      }
+    } finally feats.unpersist()
+  }
+
+  /** Score rows against a [[logisticTrain]] model: `outCol` = the fast-
+    * sigmoid probability (bit-identical to training's internal z — the
+    * weights ride the plan as literals), `outCol_pred` = p ≥ 1/2.
+    * Shuffle-free codegen'd projection; nothing broadcast or joined.
+    */
+  def logisticScore(df: DataFrame, weightsQ: Seq[Long], featureCols: Seq[String],
+                    outCol: String = "p"): DataFrame = {
+    require(weightsQ.length == featureCols.length + 1,
+      s"logisticScore: ${weightsQ.length} weights for ${featureCols.length} features (+1 intercept)")
+    val z = featureCols.zipWithIndex.foldLeft(
+      lit(weightsQ(0).toDouble / 16777216.0)) { case (acc, (f, j)) =>
+      acc + lit(weightsQ(j + 1).toDouble / 16777216.0) * col(f)
+    }
+    val p = lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+    df.withColumn(outCol, p).withColumn(s"${outCol}_pred", (p >= 0.5).cast("int"))
+  }
+
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val missing = Seq(xCol, yCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"mutualInfo: no such column(s): ${missing.mkString(", ")}")

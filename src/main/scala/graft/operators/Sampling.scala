@@ -259,4 +259,53 @@ object Sampling {
       .filter(col(scoreCol) >= col("_cut"))
       .select(df.columns.map(col): _*)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-bigram bag is under a
+    * TARGET (clean/reference) corpus model than under the RAW corpus
+    * model — the data-selection signal that upsamples
+    * Wikipedia/books-like text out of a crawl. Both models are
+    * add-one-smoothed multinomials over `dims` hash buckets; the
+    * per-gram log-likelihood ratio uses the same quantized integer
+    * `ilog2` arithmetic as [[graft.functions.TextFunctions.lmQualityScore]]
+    * (no libm, ranking-grade, engine-exact):
+    * `lr(b) = [ilog2(ct_b+1) − ilog2(Tt+dims)] − [ilog2(cr_b+1) − ilog2(Tr+dims)]`.
+    * Output `(idCol, n_grams, dsir_q)` with `dsir_q = Σ_grams lr(bucket)`;
+    * docs with fewer than two tokens have no grams and are absent
+    * (the [[graft.functions.TextFunctions.lmQualityScore]] contract).
+    * Select with [[topMassByScore]] / a top-k over `dsir_q`, or turn
+    * the weights into sampling rates.
+    *
+    * Scale shape: each corpus contributes ONE explode pass folded into
+    * a map-side-combined bucket count (the models are `dims`-bounded —
+    * 16 K rows at the default — regardless of corpus size); totals are
+    * aggregates OVER the count tables; scoring joins raw instances to
+    * the broadcast model and aggregates per doc — the raw text itself
+    * never shuffles, only (doc_id, bucket) pairs. The target corpus is
+    * typically benchmark/reference-sized but may be arbitrarily large:
+    * nothing here materializes it beyond its bucket counts.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, dims: Int = 16384,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dims > 0 && dims <= (1 << 28), s"dsirWeights: dims=$dims")
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+    def buckets(docs: DataFrame) =
+      graft.functions.TextFunctions.bigramInstances(docs, textCol, idCol)
+        .select(col(idCol),
+          graft.plans.HashBucket(concat_ws(" ", col("w1"), col("w2")), dims).as("_bk"))
+    val ri = buckets(raw)
+    val rc = ri.groupBy("_bk").agg(count(lit(1)).as("_cr"))
+    val tc = buckets(target).groupBy("_bk").agg(count(lit(1)).as("_ct"))
+    val model = rc.join(tc, Seq("_bk"), "left")
+      .select(col("_bk"), col("_cr"), coalesce(col("_ct"), lit(0L)).as("_ct"))
+      .crossJoin(broadcast(rc.agg(sum("_cr").as("_rt"))))
+      .crossJoin(broadcast(tc.agg(coalesce(sum("_ct"), lit(0L)).as("_tt"))))
+      .select(col("_bk"),
+        (ilog2(col("_ct") + 1) - ilog2(col("_tt") + dims)
+          - ilog2(col("_cr") + 1) + ilog2(col("_rt") + dims)).as("_lr"))
+    ri.join(broadcast(model), "_bk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("_lr")).as("dsir_q"))
+  }
 }

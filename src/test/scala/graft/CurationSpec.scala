@@ -794,4 +794,59 @@ class CurationSpec extends SparkSpec {
       .select("w1", "w2").as[(String, String)].collect().toSet
     assert(w1 == Set(("a", "b")))
   }
+
+  // ---- DSIR importance weights ----
+  test("dsirWeights: docs matching the target's bigrams outscore off-target docs") {
+    // target corpus is saturated with "alpha beta"; raw doc 1 repeats it,
+    // doc 2 is bigram-disjoint noise — under the target-vs-raw likelihood
+    // ratio doc 1 must rank strictly higher
+    val target = (1L to 8L).map(i => (100L + i, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, dims = 4096)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.map(_._1).toSeq == Seq(1L, 2L))
+    assert(w(0)._2 == 3L && w(1)._2 == 3L) // n_grams = tokens − 1
+    assert(w(0)._3 > w(1)._3,
+      s"on-target doc must outscore off-target: ${w.toSeq}")
+    // partition invariance: the weights are a pure function of the data
+    val w2 = Sampling.dsirWeights(raw.repartition(7), target.repartition(3), dims = 4096)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w2.toSeq == w.toSeq)
+    // sub-2-token docs carry no grams and are absent (the lm contract)
+    val short = Sampling.dsirWeights(
+      Seq((9L, "solo")).toDF("doc_id", "text"), target, dims = 64)
+    assert(short.count() == 0L)
+  }
+
+  // ---- in-engine classifier training ----
+  test("logisticTrain: learns a planted linear separation and is partition-invariant") {
+    import graft.operators.Features
+    // y = 1 iff f1 large: perfectly separable with margin
+    val rows = (0 until 200).map { i =>
+      val f1 = if (i % 2 == 0) 0.9 else 0.1
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (i.toLong, f1, (i % 7) / 7.0, y)
+    }
+    val df = rows.toDF("id", "f1", "f2", "y")
+    val wq = Features.logisticTrain(df, Seq("f1", "f2"), "y", iters = 16, lrNum = 16L)
+    // f1 must dominate with positive weight
+    assert(wq(1) > 0L, s"w1 should be positive: ${wq.toSeq}")
+    val scored = Features.logisticScore(df, wq.toSeq, Seq("f1", "f2"))
+    val acc = scored.filter(col("p_pred") === col("y").cast("int")).count() / 200.0
+    assert(acc == 1.0, s"separable fixture must be fully learned, got $acc")
+    // determinism at any partitioning: same data → bit-identical model
+    val wq2 = Features.logisticTrain(df.repartition(13), Seq("f1", "f2"), "y",
+      iters = 16, lrNum = 16L)
+    assert(wq2.toSeq == wq.toSeq)
+    // all-one-class input stays finite and predicts that class
+    val oneClass = rows.map { case (id, f1, f2, _) => (id, f1, f2, 1.0) }
+      .toDF("id", "f1", "f2", "y")
+    val wq3 = Features.logisticTrain(oneClass, Seq("f1", "f2"), "y", iters = 4)
+    val p3 = Features.logisticScore(oneClass, wq3.toSeq, Seq("f1", "f2"))
+    assert(p3.filter(col("p_pred") === 1).count() == 200L)
+  }
 }
