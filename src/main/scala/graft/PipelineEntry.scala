@@ -632,6 +632,14 @@ object PipelineEntry {
       graft.operators.Eval.auc(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase")
     },
+    "eval_auc_ci" -> { (s, dir) =>
+      // Poisson-bootstrap band around the exact AUC: weighted midrank
+      // rank-sums per replica over the same bounded score domain, the
+      // eval_brier_ci threshold-table weights — fully deterministic
+      graft.operators.Eval.aucBootstrapCi(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase",
+        col("event_id"), reps = 32)
+    },
     "eval_pr" -> { (s, dir) =>
       // precision-recall curve: one point per distinct centi score
       // (descending threshold), exact cumulative tp/fp — the curve
@@ -664,6 +672,15 @@ object PipelineEntry {
       // squared-error sum, one double division
       graft.operators.Eval.brier(t(s, dir, "events"),
         col("value") / lit(512d), col("event_type") === "purchase")
+    },
+    "eval_brier_ci" -> { (s, dir) =>
+      // deterministic Poisson-bootstrap 2.5/97.5% band around the Brier
+      // point estimate: per-(event, replica) weights from the md5-28-bit
+      // inverse-CDF threshold table — RNG-free, so the whole CI replays
+      // in the oracle (32 replicas → the band is the replica min/max)
+      graft.operators.Eval.brierBootstrapCi(t(s, dir, "events"),
+        col("value") / lit(512d), col("event_type") === "purchase",
+        col("event_id"), reps = 32)
     },
     "eval_calibration" -> { (s, dir) =>
       // reliability diagram of prob = value/512 (exact power-of-two
@@ -1456,6 +1473,20 @@ object PipelineEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, coarseCol = "label")
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
+    },
+    "sim_margin_mining" -> { (s, dir) =>
+      // margin-based pair mining (the bitext-mining scorer): a bounded
+      // batch of even-id queries (the production shape — mining runs in
+      // query batches, so suite cost stays LINEAR in the corpus at any
+      // SF) mines its best partner in the odd-id half, cosine normalized
+      // by both endpoints' k=4 neighborhood mass, "max" strategy at
+      // margin >= 1.0 — hubs that are close to everything score LOW
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMining(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+          emb.filter(col("vec_id") % 2 === 1),
+          k = 4, minMarginMicro = 1000000L)
+        .orderBy("x_id")
     },
     "sim_lsh" -> { (s, dir) => // ANN path; recall vs brute force unit-tested
       val emb = t(s, dir, "embeddings")
@@ -3250,6 +3281,43 @@ object PipelineEntry {
           |      / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE)
           |  END AS auc
           |FROM r""".stripMargin,
+      // weighted-midrank bootstrap replay: the eval_auc chain per
+      // replica with Poisson threshold-table multiplicities (the
+      // eval_brier_ci recipe); 32 replicas → band = replica MIN/MAX
+      "eval_auc_ci" ->
+        s"""WITH q0 AS (SELECT CAST(event_id AS VARCHAR) AS id,
+          |    CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
+          |    (event_type = 'purchase') AS y FROM events),
+          |rq AS (SELECT id, qs, y, unnest(range(32)) AS rb FROM q0),
+          |uw AS (SELECT qs, y, rb,
+          |    (CASE WHEN u >= 98751885 THEN 1 ELSE 0 END) + (CASE WHEN u >= 197503771 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 246879713 THEN 1 ELSE 0 END) + (CASE WHEN u >= 263338361 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 267453023 THEN 1 ELSE 0 END) + (CASE WHEN u >= 268275955 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 268413111 THEN 1 ELSE 0 END) AS w
+          |  FROM (SELECT qs, y, rb, ${sqlHash("id || '_' || CAST(rb AS VARCHAR)")} % 268435456 AS u FROM rq)),
+          |g2 AS (SELECT rb, qs, CAST(SUM(w) AS BIGINT) AS cnt,
+          |    CAST(SUM(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS np FROM uw GROUP BY rb, qs),
+          |r2 AS (SELECT rb, qs, cnt, np, COALESCE(SUM(cnt) OVER (PARTITION BY rb ORDER BY qs
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r FROM g2),
+          |rep AS (SELECT rb, SUM(np) AS p, SUM(cnt - np) AS nn,
+          |    SUM(CAST(np AS HUGEINT) * (2 * r + cnt + 1)) AS s2 FROM r2 GROUP BY rb
+          |  HAVING SUM(np) > 0 AND SUM(cnt - np) > 0),
+          |m AS (SELECT CAST(s2 - CAST(p AS HUGEINT) * (p + 1) AS DOUBLE)
+          |    / CAST(2 * CAST(p AS HUGEINT) * nn AS DOUBLE) AS mean FROM rep),
+          |g AS (SELECT qs, COUNT(*) AS cnt,
+          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM q0 GROUP BY qs),
+          |r AS (SELECT qs, cnt, np,
+          |    COALESCE(SUM(cnt) OVER (ORDER BY qs
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r FROM g)
+          |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+          |  CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+          |  CASE WHEN SUM(np) > 0 AND SUM(cnt - np) > 0 THEN
+          |    CAST(SUM(CAST(np AS HUGEINT) * (2 * r + cnt + 1))
+          |        - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
+          |      / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE)
+          |  END AS auc,
+          |  (SELECT MIN(mean) FROM m) AS ci_lo, (SELECT MAX(mean) FROM m) AS ci_hi
+          |FROM r""".stripMargin,
       "eval_pr" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qs,
           |    (event_type = 'purchase') AS y FROM events),
@@ -3310,6 +3378,32 @@ object PipelineEntry {
           |  CAST(SUM(CAST(e * e AS HUGEINT)) AS BIGINT) AS brier_num,
           |  CAST(SUM(CAST(e * e AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS brier
           |FROM q""".stripMargin,
+      // Poisson-bootstrap replay: per-(event, replica) weight = number
+      // of baked inverse-CDF thresholds (floor(CDF_Pois(1)·2^28), the
+      // Eval.PoissonCdf28 table) cleared by the md5-28-bit hash of
+      // "id_replica" — no RNG, no libm; replica means are one double
+      // division of exact int64 sums; at 32 replicas the 2.5/97.5%
+      // percentile ranks are 1 and 32, i.e. the replica MIN/MAX
+      "eval_brier_ci" ->
+        s"""WITH b1 AS (SELECT CAST(event_id AS VARCHAR) AS id,
+          |    CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT)
+          |      - CASE WHEN event_type = 'purchase' THEN 1000 ELSE 0 END AS e
+          |  FROM events),
+          |b2 AS (SELECT id, e * e AS e2 FROM b1),
+          |r AS (SELECT id, e2, unnest(range(32)) AS rb FROM b2),
+          |uw AS (SELECT e2, rb,
+          |    (CASE WHEN u >= 98751885 THEN 1 ELSE 0 END) + (CASE WHEN u >= 197503771 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 246879713 THEN 1 ELSE 0 END) + (CASE WHEN u >= 263338361 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 267453023 THEN 1 ELSE 0 END) + (CASE WHEN u >= 268275955 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN u >= 268413111 THEN 1 ELSE 0 END) AS w
+          |  FROM (SELECT e2, rb, ${sqlHash("id || '_' || CAST(rb AS VARCHAR)")} % 268435456 AS u FROM r)),
+          |rep AS (SELECT rb, CAST(SUM(w) AS BIGINT) AS nb, CAST(SUM(w * e2) AS BIGINT) AS numb
+          |  FROM uw GROUP BY rb HAVING SUM(w) > 0),
+          |m AS (SELECT CAST(numb AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0) AS mean FROM rep)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(e2 AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS brier,
+          |  (SELECT MIN(mean) FROM m) AS ci_lo, (SELECT MAX(mean) FROM m) AS ci_hi
+          |FROM b2""".stripMargin,
       "eval_calibration" ->
         """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 512 * 1000 + 0.5) AS BIGINT) AS qp,
           |    (event_type = 'purchase') AS y FROM events),
@@ -4430,6 +4524,27 @@ object PipelineEntry {
            |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      // margin-mining replay: the same quantized-neighborhood-mass
+      // arithmetic — cq = FLOOR(cos·2^20), per-endpoint top-4 sums as
+      // exact int64, margin = one truncating integral division (DuckDB
+      // // and Spark DIV both truncate toward zero; both operands are
+      // positive by the cq>0 / mass>0 guards), argmax ties to lower y_id
+      "sim_margin_mining" ->
+        s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200),
+           |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings WHERE vec_id % 2 = 1),
+           |s AS (SELECT x_id, y_id, ${sqlCos("xv", "yv")} AS cos FROM x CROSS JOIN y),
+           |sq AS (SELECT x_id, y_id, cos, CAST(FLOOR(cos * 1048576.0) AS BIGINT) AS cq,
+           |    row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rx,
+           |    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS ry FROM s),
+           |mx AS (SELECT x_id, CAST(SUM(cq) AS BIGINT) AS sx FROM sq WHERE rx <= 4 GROUP BY x_id),
+           |my AS (SELECT y_id, CAST(SUM(cq) AS BIGINT) AS sy FROM sq WHERE ry <= 4 GROUP BY y_id),
+           |cand AS (SELECT q.x_id, q.y_id, q.cos, (8000000 * q.cq) // (mx.sx + my.sy) AS margin_micro
+           |  FROM sq q JOIN mx ON q.x_id = mx.x_id JOIN my ON q.y_id = my.y_id
+           |  WHERE q.rx <= 4 AND q.cq > 0 AND mx.sx + my.sy > 0),
+           |best AS (SELECT cand.*, row_number() OVER (PARTITION BY x_id
+           |    ORDER BY margin_micro DESC, y_id) AS rn FROM cand)
+           |SELECT x_id, y_id, cos, margin_micro FROM best
+           |WHERE rn = 1 AND margin_micro >= 1000000 ORDER BY x_id""".stripMargin,
       "sim_centroid_classify" -> {
         // per-label quantized centroid fit + nearest-centroid argmin —
         // the kmeans CTE vocabulary with labels as the (fixed) cells

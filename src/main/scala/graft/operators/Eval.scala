@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Classifier-evaluation metrics over scored rows — the model-eval
   * face a training-data pipeline needs next to its ranking metrics
@@ -268,5 +268,126 @@ object Eval {
         when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
           (lit(2) * col("tp")).cast(DoubleType) /
             (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+
+  /** `floor(CDF_Poisson(1)(j) · 2²⁸)` for j = 0..6 — the inverse-CDF
+    * threshold table for DETERMINISTIC Poisson(1) bootstrap weights.
+    * Like the logLoss table, the constants are baked identically into
+    * operator and oracle so no engine calls libm at runtime; a weight
+    * is just how many thresholds a 28-bit row hash clears (capped at 7
+    * — P(X>7) ≈ 1.02e-5, a documented truncation of the tail).
+    */
+  private[graft] val PoissonCdf28: Seq[Long] = Seq(
+    98751885L, 197503771L, 246879713L, 263338361L,
+    267453023L, 268275955L, 268413111L)
+
+  /** Percentile-bootstrap confidence interval for the Brier score —
+    * the error-bar face of [[brier]]. Classical bootstrap resampling
+    * is RNG-driven and unreproducible across engines; this uses the
+    * POISSON bootstrap (each row enters replica b with multiplicity
+    * ~ Poisson(1) — the resampling scheme that needs no global n and
+    * therefore distributes): the multiplicity is the number of
+    * [[PoissonCdf28]] thresholds cleared by the 28-bit md5 hash of
+    * `(row id, replica)`, so every weight — and hence the whole CI —
+    * is a pure function of the data, bit-identical in the oracle.
+    *
+    * Output: one row `(n, brier, ci_lo, ci_hi)` — the full-sample
+    * point estimate (same arithmetic as [[brier]]) and the percentile
+    * band over `reps` replica means, rank `⌊(reps−1)·25/1000⌋ + 1`
+    * from each end (2.5%/97.5%; at reps ≤ 40 that is the min/max —
+    * a conservative band, use more replicas for tighter quantiles).
+    * Replicas where every weight is 0 contribute no mean (NULL-safe:
+    * they are dropped from the band, which can only widen it).
+    *
+    * Scale shape: one scan exploded ×reps feeding ONE map-side
+    * combined aggregate (reps output rows); replica sums are exact
+    * DECIMAL(38,0) (order-free at any partitioning); the band is a
+    * `sort_array` over the reps-length array — no window, no second
+    * scan of the data. Cost is reps× the [[brier]] scan; at 100 TB
+    * run it on the eval slice, not the corpus.
+    */
+  def brierBootstrapCi(df: DataFrame, probCol: Column, labelCol: Column,
+                       idCol: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 8 && reps <= 1024, s"brierBootstrapCi: reps=$reps (8..1024)")
+    val e = floor(probCol.cast(DoubleType) * 1000d + 0.5d).cast(LongType) -
+      when(labelCol.cast("boolean"), 1000L).otherwise(0L)
+    val base = df.select(idCol.cast(StringType).as("_id"), (e * e).as("_e2"))
+    val u = graft.plans.HashBucket(
+      concat(col("_id"), lit("_"), col("_b").cast(StringType)), 1 << 28)
+    val w = PoissonCdf28.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = base
+      .select(col("_id"), col("_e2"), explode(sequence(lit(0), lit(reps - 1))).as("_b"))
+      .select(col("_e2"), col("_b"), w.as("_w"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_w").cast(D38)).as("_nb"),
+        sum((col("_w") * col("_e2")).cast(D38)).as("_numb"))
+      .filter(col("_nb") > 0)
+      .select((col("_numb").cast(LongType).cast(DoubleType) /
+        (col("_nb").cast(LongType).cast(DoubleType) * lit(1000000d))).as("_m"))
+    val rLo = (reps - 1) * 25 / 1000 + 1
+    val band = rep.agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .select(try_element_at(col("_ms"), lit(rLo)).as("ci_lo"),
+        try_element_at(col("_ms"), lit(-rLo)).as("ci_hi"))
+    base.agg(count(lit(1)).as("n"), sum(col("_e2").cast(D38)).as("_num"))
+      .select(col("n"),
+        (col("_num").cast(DoubleType) / (col("n") * 1000000L)).as("brier"))
+      .crossJoin(band)
+  }
+
+  /** Percentile-bootstrap confidence interval for the exact ROC-AUC —
+    * the same deterministic Poisson-bootstrap machinery as
+    * [[brierBootstrapCi]] (per-(row, replica) multiplicities from the
+    * [[PoissonCdf28]] threshold table, RNG-free and engine-exact)
+    * applied to [[auc]]'s midrank rank-sum: within each replica the
+    * per-distinct-score counts are WEIGHTED counts `(Σw, Σw·y)`, and
+    * the weighted `S2 = Σ np·(2r + cnt + 1)` over the score-ascending
+    * prefix sum is exactly the AUC of the resampled multiset. Replicas
+    * missing a class drop from the band (undefined-not-zero, the
+    * [[auc]] contract). Output: one row
+    * `(n_pos, n_neg, auc, ci_lo, ci_hi)` — the point estimate is
+    * bit-identical to [[auc]]'s.
+    *
+    * Scale shape: the explode ×reps lands on the DISTINCT-score frame
+    * via one map-side-combined aggregate (reps × score-domain rows —
+    * centi buckets, bounded); the prefix window partitions BY REPLICA
+    * over that bounded frame (reps parallel bounded windows, never the
+    * corpus); rank sums in DECIMAL(38,0).
+    */
+  def aucBootstrapCi(df: DataFrame, scoreCol: Column, labelCol: Column,
+                     idCol: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 8 && reps <= 1024, s"aucBootstrapCi: reps=$reps (8..1024)")
+    val base = df.select(idCol.cast(StringType).as("_id"),
+      floor(scoreCol.cast(DoubleType) * 100d + 0.5d).cast(LongType).as("_qs"),
+      labelCol.cast("boolean").as("_y"))
+    val u = graft.plans.HashBucket(
+      concat(col("_id"), lit("_"), col("_b").cast(StringType)), 1 << 28)
+    val w = PoissonCdf28.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val win = Window.partitionBy(col("_b")).orderBy(col("_qs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rep = base
+      .select(col("_id"), col("_qs"), col("_y"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_b"))
+      .select(col("_qs"), col("_y"), col("_b"), w.as("_w"))
+      .groupBy(col("_b"), col("_qs"))
+      .agg(sum(col("_w")).as("_cnt"),
+        sum(when(col("_y"), col("_w")).otherwise(0L)).as("_np"))
+      .withColumn("_r", coalesce(sum(col("_cnt")).over(win), lit(0L)))
+      .groupBy(col("_b"))
+      .agg(sum(col("_np")).as("_p"),
+        sum(col("_cnt") - col("_np")).as("_n"),
+        sum(col("_np").cast(D38) *
+          (lit(2) * col("_r") + col("_cnt") + 1).cast(D38)).as("_s2"))
+      .filter(col("_p") > 0 && col("_n") > 0)
+      .select(((col("_s2") - col("_p").cast(D38) * (col("_p").cast(D38) + 1))
+        .cast(DoubleType) /
+        (lit(2).cast(D38) * col("_p").cast(D38) * col("_n").cast(D38))
+          .cast(DoubleType)).as("_m"))
+    val rLo = (reps - 1) * 25 / 1000 + 1
+    val band = rep.agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .select(try_element_at(col("_ms"), lit(rLo)).as("ci_lo"),
+        try_element_at(col("_ms"), lit(-rLo)).as("ci_hi"))
+    auc(df, scoreCol, labelCol).crossJoin(band)
   }
 }

@@ -632,4 +632,77 @@ object Similarity {
       .orderBy(desc("rrf"), asc(idCol))
       .limit(k)
   }
+
+  /** Margin-based candidate-pair mining between two embedding sets
+    * (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings" — the CCMatrix/LASER bitext-
+    * mining scorer): a raw cosine threshold over-mines hubs (vectors
+    * that are close to EVERYTHING), so each candidate's cosine is
+    * normalized by the average similarity of both endpoints' own
+    * k-neighborhoods — `margin(x,y) = cos(x,y) / ((avgₖ(x)+avgₖ(y))/2)`
+    * — and each x keeps its best y by margin (the "max" strategy),
+    * thresholded at `minMarginMicro` (10⁻⁶ units; 1 050 000 = the
+    * paper's 1.05 neighborhood-excess ratio).
+    *
+    * Engine-exact arithmetic: cosines come from the codegen'd
+    * [[cosine]] kernel (bit-identical left folds in both engines), but
+    * a SUM of double cosines would be partitioning-order-dependent — so
+    * neighborhood mass is summed over `cq = floor(cos·2²⁰)` quantized
+    * units (exact int64, order-free; the kmeans 2²⁰ grid), and the
+    * margin is one integral division `(2k·10⁶·cq) DIV (sxₖ+syₖ)` —
+    * Spark `DIV` and the oracle's `//` both truncate toward zero, and
+    * both operands are positive by construction (candidates with
+    * non-positive cosine or non-positive neighborhood mass are not
+    * mineable and are dropped before the argmax). Ranking ties break to
+    * the lower y_id ([[graft.plans.TopKByScore]] order).
+    *
+    * Scale shape: this is the exact baseline — |X|×|Y| cosine work,
+    * distributed with no corpus self-shuffle, both top-k reductions
+    * bounded map-side by [[graft.plans.TopKByScore]] (the exchange
+    * carries ≤ k rows per id per map partition, never a window funnel);
+    * neighborhood sums are id-keyed narrow aggregates. At 100 TB the
+    * candidate generator swaps for the blocked/ANN family
+    * ([[ivfTopKProbe]]/[[pqTopKRefined]] produce the same
+    * (x_id, y_id, cos) candidate frame) — the margin normalization and
+    * argmax stages are unchanged.
+    *
+    * Output: `(x_id, y_id, cos, margin_micro)` — at most one row per x,
+    * only where `margin_micro >= minMarginMicro`.
+    */
+  def marginMining(x: DataFrame, y: DataFrame, k: Int,
+                   minMarginMicro: Long = 1050000L,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= 1024, s"marginMining: k=$k (1..1024)")
+    require(minMarginMicro >= 0, s"marginMining: minMarginMicro=$minMarginMicro")
+    val xs = x.select(col(idCol).as("x_id"), col(vecCol).as("xv"))
+    val ys = y.select(col(idCol).as("y_id"), col(vecCol).as("yv"))
+    val scored = xs.crossJoin(ys)
+      .select(col("x_id"), col("y_id"), cosine(col("xv"), col("yv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    def cq(c: Column): Column = floor(c * lit(1048576.0)).cast(LongType)
+    // forward top-k per x: the candidate pairs AND x's neighborhood mass
+    val fwd = scored.groupBy(col("x_id"))
+      .agg(graft.plans.TopKByScore(col("cos"), col("y_id"), k).as("_top"))
+      .select(col("x_id"), explode(col("_top")).as("_e"))
+      .select(col("x_id"), col("_e.c_id").as("y_id"), col("_e.cos").as("cos"))
+    val sx = fwd.groupBy(col("x_id")).agg(sum(cq(col("cos"))).as("sx"))
+    // backward top-k per y: only the neighborhood mass is needed
+    val sy = scored.groupBy(col("y_id"))
+      .agg(graft.plans.TopKByScore(col("cos"), col("x_id"), k).as("_top"))
+      .select(col("y_id"), explode(col("_top")).as("_e"))
+      .groupBy(col("y_id")).agg(sum(cq(col("_e.cos"))).as("sy"))
+    fwd.join(sx, "x_id").join(sy, "y_id")
+      .filter(cq(col("cos")) > 0 && (col("sx") + col("sy")) > 0)
+      .select(col("x_id"), col("y_id"), col("cos"),
+        (lit(2L * k * 1000000L) * cq(col("cos"))).as("_num"),
+        (col("sx") + col("sy")).as("_den"))
+      .withColumn("margin_micro", expr("_num DIV _den"))
+      .groupBy(col("x_id"))
+      .agg(max_by(struct(col("y_id"), col("cos"), col("margin_micro")),
+        struct(col("margin_micro"), -col("y_id"))).as("_w"))
+      .select(col("x_id"), col("_w.y_id").as("y_id"),
+        col("_w.cos").as("cos"), col("_w.margin_micro").as("margin_micro"))
+      .filter(col("margin_micro") >= minMarginMicro)
+  }
 }

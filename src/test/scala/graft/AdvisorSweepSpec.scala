@@ -27,6 +27,7 @@ class AdvisorSweepSpec extends SparkSpec {
   // (query, rule) pairs that are known, documented, and bounded
   private val pinned: Set[(String, String)] = Set(
     ("eval_auc", "single-partition-window"),        // distinct centi-score domain
+    ("eval_auc_ci", "single-partition-window"),     // the point-estimate face reuses eval_auc's bounded domain window; the replica windows partition BY replica
     ("eval_pr", "single-partition-window"),         // same bounded domain, curve face
     ("eval_ks", "single-partition-window"),         // same bounded domain, KS face
     ("text_zipf", "single-partition-window"),       // top-256 vocabulary slice

@@ -702,6 +702,53 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0125, s"brier: ${r.getDouble(2)}")
   }
 
+  test("brierBootstrapCi: degenerate-constant collapse, bracketing, partition invariance") {
+    import graft.operators.Eval
+    // constant per-row error 0.25: EVERY replica mean is exactly 0.25
+    // whatever the Poisson weights, so the band collapses to the point
+    val const = (1L to 400L).map(i => (i, 0.5, false)).toDF("id", "p", "y")
+    val r = Eval.brierBootstrapCi(const, col("p"), col("y"), col("id"), reps = 32)
+      .head()
+    assert(r.getLong(0) == 400L)
+    assert(r.getDouble(1) == 0.25 && r.getDouble(2) == 0.25 &&
+      r.getDouble(3) == 0.25, s"$r")
+    // mixed fixture: deterministic band brackets the point estimate and
+    // survives any partitioning bit-identically
+    val mixed = (1L to 400L).map(i => (i, (i % 10) / 10.0, i % 3 == 0))
+      .toDF("id", "p", "y")
+    val a = Eval.brierBootstrapCi(mixed, col("p"), col("y"), col("id")).head()
+    val b = Eval.brierBootstrapCi(mixed.repartition(7), col("p"), col("y"),
+      col("id")).head()
+    assert(a == b, s"partitioning changed the CI: $a vs $b")
+    assert(a.getDouble(2) < a.getDouble(3), "nondegenerate band must have width")
+    assert(a.getDouble(2) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(3),
+      s"band must bracket the point estimate: $a")
+  }
+
+  test("aucBootstrapCi: perfect separation collapses the band at 1.0; invariance") {
+    import graft.operators.Eval
+    // perfectly separated: EVERY Poisson resample of it is still
+    // perfectly separated (replicas that lose a whole class drop), so
+    // point and band all sit exactly at 1.0
+    val sep = (1L to 300L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1, i % 2 == 0))
+      .toDF("id", "s", "y")
+    val r = Eval.aucBootstrapCi(sep, col("s"), col("y"), col("id")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((150L, 150L)), s"$r")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0, s"$r")
+    // noisy fixture: band brackets the point, bit-identical at any
+    // partitioning
+    val noisy = (1L to 300L).map(i => (i, (i % 17) / 17.0, i % 3 == 0))
+      .toDF("id", "s", "y")
+    val a = Eval.aucBootstrapCi(noisy, col("s"), col("y"), col("id")).head()
+    val b = Eval.aucBootstrapCi(noisy.repartition(9), col("s"), col("y"),
+      col("id")).head()
+    assert(a == b, s"partitioning changed the CI: $a vs $b")
+    assert(a.getDouble(3) < a.getDouble(4), "nondegenerate band must have width")
+    assert(a.getDouble(3) <= a.getDouble(2) && a.getDouble(2) <= a.getDouble(4),
+      s"band must bracket the point AUC: $a")
+  }
+
   test("Eval.calibration and Eval.confusion: integer bins, exact rates, empty-denominator NULL") {
     import graft.operators.Eval
     val df = Seq((0.05, true), (0.05, false), (0.95, true)).toDF("p", "y")

@@ -1400,4 +1400,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).getLong(3) == vs.map(math.abs).sum)
     assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
   }
+
+  test("marginMining: hub normalization demotes the universally-close vector") {
+    // x0's true partner y1 is nearly parallel; the hub y9 sits at 45° to
+    // EVERYTHING (its own neighborhood mass is huge), so raw cosine
+    // would often mine the hub while the margin demotes it
+    val x = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val y = Seq(
+      (1L, Array(0.995f, 0.1f)),   // x0's partner
+      (3L, Array(0.1f, 0.995f)),   // x2's partner
+      (9L, Array(0.71f, 0.7f))).toDF("vec_id", "embedding") // the hub
+    val got = Similarity.marginMining(x, y, k = 2, minMarginMicro = 0L)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (2L, 3L)),
+      s"each x must mine its true partner, not the hub: ${got.toSeq}")
+    // margins exceed 1.0 (partner cosine above the neighborhood average)
+    assert(got.forall(_._3 > 1000000L), got.toSeq.toString)
+    // threshold filters: an impossible margin empties the result
+    assert(Similarity.marginMining(x, y, k = 2,
+      minMarginMicro = 3000000L).count() == 0L)
+    // partition invariance: quantized masses + integral division are
+    // order-free, so the mined set is a pure function of the data
+    val got2 = Similarity.marginMining(x.repartition(5), y.repartition(3),
+        k = 2, minMarginMicro = 0L)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got2.toSeq == got.toSeq)
+  }
 }
