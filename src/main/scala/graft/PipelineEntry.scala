@@ -262,15 +262,28 @@ object PipelineEntry {
     * distance table qt_j joined on the stored code. Ends at CTE `r`
     * with (q_id, c_id, adist, rank) — pure int64 throughout.
     */
-  private def pqSqlCtes(m: Int, sub: Int, ksub: Int): String = {
+  private def pqSqlCtes(m: Int, sub: Int, ksub: Int,
+                        trainWhere: String = ""): String = {
     def kmQv(lo: Int, hi: Int) =
       s"list_transform(embedding[$lo:$hi], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
     val kmDist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
     val per = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = lo + sub - 1
+      // with a training filter, the TRAIN set (init + Lloyd's rounds)
+      // restricts to it — the codebook never sees the appended batch —
+      // while encoding (j2) and the query table stay over ALL vectors;
+      // init = first ksub BY ID of the train set (the kmeansTrain
+      // orderBy(id).limit(k) contract; == `vec_id < ksub` on the dense
+      // unfiltered fixture, which the no-filter branch keeps verbatim)
+      val trainCte = if (trainWhere.isEmpty) ""
+        else s"qt0_$j AS (SELECT * FROM q0_$j WHERE $trainWhere),\n"
+      val trainSrc = if (trainWhere.isEmpty) s"q0_$j" else s"qt0_$j"
+      val c0 = if (trainWhere.isEmpty)
+        s"SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0_$j WHERE vec_id < $ksub"
+        else s"SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM qt0_$j ORDER BY vec_id LIMIT $ksub"
       s"""q0_$j AS (SELECT vec_id, ${kmQv(lo, hi)} AS qv FROM embeddings),
-         |c0_$j AS (SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q0_$j WHERE vec_id < $ksub),
-         |j1_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c0_$j),
+         |${trainCte}c0_$j AS ($c0),
+         |j1_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM $trainSrc CROSS JOIN c0_$j),
          |w1_$j AS (SELECT vec_id, qv, cid FROM j1_$j WHERE rn = 1),
          |c1_$j AS ${sqlCentSelect(s"w1_$j", "cid", "cid", sub)},
          |j2_$j AS (SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY $kmDist, cid) AS rn FROM q0_$j CROSS JOIN c1_$j),
@@ -1028,6 +1041,19 @@ object PipelineEntry {
       Cluster.dedupClusters(docs, Dedup.minhashPairs(docs, threshold = 0.3))
         .orderBy("doc_id")
     },
+    "dedup_survivors" -> { (s, dir) =>
+      // quality-aware survivor selection: same near-dup clustering as
+      // dedup_clusters, but each cluster keeps its LONGEST member
+      // (n_chars, ties to the lower doc_id) instead of the min-id
+      // canonical — the policy stage of a real curation pipeline
+      val docs = t(s, dir, "documents")
+      val cl = Cluster.dedupClusters(docs, Dedup.minhashPairs(docs, threshold = 0.3))
+      Cluster.bestPerCluster(
+          cl.join(docs.select(col("doc_id"), col("n_chars")), "doc_id"),
+          scoreCol = "n_chars")
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+        .orderBy("doc_id")
+    },
     "dedup_clusters_chain" -> { (s, dir) =>
       // ADVERSARIAL component shape for the CC operator, driver-
       // certified: 5 chains of ~n/5 docs each (diameter ~100 at the
@@ -1548,6 +1574,31 @@ object PipelineEntry {
         .write.mode("overwrite").parquet(s"$base/codes")
       val loaded = Similarity.PqModel.load(s, s"$base/codebook")
       Similarity.pqTopKFromCodes(s.read.parquet(s"$base/codes"),
+          emb.filter(col("vec_id") < 10), k = 5, loaded)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("q_id", "rank")
+    },
+    "sim_index_append" -> { (s, dir) =>
+      // the index-GROWTH half of the lifecycle: train the codebook on
+      // the base corpus only (vec_id % 3 != 0), persist; the daily
+      // batch (vec_id % 3 = 0) is encoded by the LOADED codebook with
+      // no retraining and lands next to the base codes; queries answer
+      // over the union — bit-identical to encoding everything with the
+      // base-trained model, which is what the oracle replays
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      val p = s"target/pq_append_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = Similarity.pqTrain(base, m = 4, ksub = 16, iters = 2, dim = 64)
+      model.save(s, s"$p/codebook")
+      Similarity.pqEncode(base, model).withColumnRenamed("vec_id", "c_id")
+        .write.mode("overwrite").parquet(s"$p/codes_base")
+      val loaded = Similarity.PqModel.load(s, s"$p/codebook")
+      Similarity.pqEncode(batch, loaded).withColumnRenamed("vec_id", "c_id")
+        .write.mode("overwrite").parquet(s"$p/codes_batch")
+      Similarity.pqTopKFromCodes(
+          s.read.parquet(s"$p/codes_base")
+            .unionByName(s.read.parquet(s"$p/codes_batch")),
           emb.filter(col("vec_id") < 10), k = 5, loaded)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("q_id", "rank")
@@ -3759,6 +3810,24 @@ object PipelineEntry {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id,
            |  (MIN(lab) = id) AS is_canonical
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      // survivor replay: the dedup_clusters closure + per-cluster
+      // argmax by (n_chars DESC, doc_id) — a different winner rule
+      // than the engine's max_by(id, struct(score, -id)) formulation
+      "dedup_survivors" ->
+        s"""WITH RECURSIVE ${minhashPairCtes(n = 3, threshold = 0.3)},
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |      UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS lab FROM documents
+           |  UNION
+           |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+           |j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+           |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+           |w AS (SELECT j.*, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+           |SELECT doc_id, cluster_id, n_chars, (rn = 1) AS keep
+           |FROM w ORDER BY doc_id""".stripMargin,
       // same md5-ordered chain construction (28-bit 0x-substr bucket =
       // the HashBucket kernel), closed by the recursive CTE — a
       // different closure algorithm than the engine's contraction
@@ -4633,6 +4702,13 @@ object PipelineEntry {
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "sim_pq" ->
         s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)}
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      // append replay: the same PQ chain with TRAINING (init + Lloyd's
+      // rounds) restricted to the base corpus while encoding and the
+      // ADC scan run over all vectors — append-without-retrain answers
+      // must equal encode-everything-with-the-base-model
+      "sim_index_append" ->
+        s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16, trainWhere = "vec_id % 3 != 0")}
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, CAST(adist AS BIGINT) AS adist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "sim_pq_refined" ->
         s"""WITH ${pqSqlCtes(m = 4, sub = 16, ksub = 16)},

@@ -206,4 +206,37 @@ object Cluster {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id").as(idCol), col("label").as("cluster_id"),
         (col("label") === col("id")).as("is_canonical"))
+
+  /** Quality-aware survivor selection over a clustering — the stage
+    * after [[dedupClusters]] in a real curation pipeline: instead of
+    * the structural min-id canonical, keep the HIGHEST-QUALITY member
+    * of each near-dup cluster (longest / cleanest / best-scored — the
+    * policy rides in as any numeric `scoreCol`). Ties break to the
+    * LOWER id, so the kept set is a pure function of the data.
+    * `idCol` must be numeric (the tiebreak negates it — and an 8-byte
+    * surrogate beats a string key on every exchange anyway).
+    *
+    * Output: the input rows plus `keep` — exactly one true per
+    * cluster. Filter `keep` for the deduplicated corpus; the
+    * complement is the audit trail of what was dropped and why
+    * (its cluster's winner).
+    *
+    * Scale shape: one map-side-combined `max_by` per cluster (narrow —
+    * id + score only) and one id-keyed join back; the document
+    * payload is never shuffled twice, no window over the corpus.
+    */
+  def bestPerCluster(clustered: DataFrame, scoreCol: String,
+                     idCol: String = "doc_id",
+                     clusterCol: String = "cluster_id"): DataFrame = {
+    val missing = Seq(scoreCol, idCol, clusterCol)
+      .filterNot(clustered.columns.contains)
+    require(missing.isEmpty,
+      s"bestPerCluster: no such column(s): ${missing.mkString(", ")}")
+    val winners = clustered.groupBy(col(clusterCol))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), -col(idCol))).as("_winner"))
+    clustered.join(winners, Seq(clusterCol))
+      .select(clustered.columns.map(col) :+
+        (col(idCol) === col("_winner")).as("keep"): _*)
+  }
 }

@@ -126,6 +126,21 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((10L, 10L, true), (20L, 10L, false), (30L, 10L, false), (40L, 40L, true)))
   }
 
+  test("bestPerCluster: highest score survives, ties to the lower id, singletons keep") {
+    val clustered = Seq(
+      (10L, 1L, 5L), (20L, 1L, 9L), (30L, 1L, 9L), // tie at 9 → 20 wins
+      (40L, 4L, 1L)).toDF("doc_id", "cluster_id", "q")
+    val r = Cluster.bestPerCluster(clustered, "q").orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((10L, 1L, 5L, false), (20L, 1L, 9L, true),
+      (30L, 1L, 9L, false), (40L, 4L, 1L, true)), r.toString)
+    // exactly one survivor per cluster at any partitioning
+    val k = Cluster.bestPerCluster(clustered.repartition(5), "q")
+      .filter(col("keep")).select("cluster_id")
+      .as[Long].collect().toSeq.sorted
+    assert(k == Seq(1L, 4L))
+  }
+
   // ---- sequence packing ----
   test("packSequences: offsets/packs accumulate shard-locally") {
     val docs = Seq(

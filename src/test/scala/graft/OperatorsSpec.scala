@@ -1401,6 +1401,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("index append: batch encoded by the loaded codebook answers as the full encode") {
+    // the law behind sim_index_append: PQ encoding distributes over
+    // union — codes(base) ∪ codes(batch) under one codebook answer
+    // bit-identically to encoding the whole corpus with that codebook
+    val emb = Tables(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val model = Similarity.pqTrain(base, m = 4, ksub = 16, iters = 2, dim = 64)
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val appended = rows(Similarity.pqTopKFromCodes(
+      Similarity.pqEncode(base, model).withColumnRenamed("vec_id", "c_id")
+        .unionByName(Similarity.pqEncode(batch, model)
+          .withColumnRenamed("vec_id", "c_id")), q, 5, model))
+    val full = rows(Similarity.pqTopK(emb, q, 5, model))
+    assert(appended == full, s"append != full encode: ${appended.size}/${full.size}")
+    assert(appended.nonEmpty)
+  }
+
   test("marginMining: hub normalization demotes the universally-close vector") {
     // x0's true partner y1 is nearly parallel; the hub y9 sits at 45° to
     // EVERYTHING (its own neighborhood mass is huge), so raw cosine
