@@ -1451,6 +1451,25 @@ object PipelineEntry {
           col("p"), col("p_pred").cast(LongType).as("pred"))
         .orderBy("doc_id")
     },
+    "feat_logreg_sep" -> { (s, dir) =>
+      // NON-REPLAY witness for the GD trainer (the driver-certified
+      // face of the planted-separation unit law): on a margin-separated
+      // frame the trained classifier must recover the planted rule
+      // EXACTLY — the oracle computes predictions from the CLOSED-FORM
+      // rule (doc_id parity), not by replaying gradient descent, so a
+      // shared-formulation bug in the trainer fails the gate
+      import graft.operators.Features
+      val f = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, 0.9).otherwise(0.1).as("f1"),
+        ((col("doc_id") % 7).cast(DoubleType) / 7.0).as("f2"),
+        when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("y"))
+      val wq = Features.logisticTrain(f, Seq("f1", "f2"), "y",
+        iters = 16, lrNum = 16L)
+      Features.logisticScore(f, wq.toSeq, Seq("f1", "f2"))
+        .select(col("doc_id"), col("p_pred").cast(LongType).as("pred"))
+        .orderBy("doc_id")
+    },
     "sample_temperature" -> { (s, dir) =>
       // α=0.5 temperature rebalancing of the language mix: low-resource
       // languages keep ~everything, the dominant one is downsampled —
@@ -3755,6 +3774,12 @@ object PipelineEntry {
       // quantized to 2^-30 HUGEINTs, weights on the 2^-24 integer grid
       // with a sign-split floor division (DuckDB's // truncates)
       "feat_logreg" -> logregOracleSql(iters = 16, lrNum = 16L),
+      // non-replay GD witness: the oracle is the PLANTED closed-form
+      // rule — zero shared arithmetic with the trainer
+      "feat_logreg_sep" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "text_scrub" -> {
         // regexp_replace chain generated from the SAME PiiPatterns
         // constants the Scala operator folds over (single-backslash RE2
