@@ -673,13 +673,32 @@ object Similarity {
                    minMarginMicro: Long = 1050000L,
                    vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1 && k <= 1024, s"marginMining: k=$k (1..1024)")
-    require(minMarginMicro >= 0, s"marginMining: minMarginMicro=$minMarginMicro")
     val xs = x.select(col(idCol).as("x_id"), col(vecCol).as("xv"))
     val ys = y.select(col(idCol).as("y_id"), col(vecCol).as("yv"))
     val scored = xs.crossJoin(ys)
       .select(col("x_id"), col("y_id"), cosine(col("xv"), col("yv")).as("cos"))
-      .filter(col("cos").isNotNull)
+    marginMiningFrom(scored, k, minMarginMicro)
+  }
+
+  /** The candidate-frame seam of [[marginMining]] — this is where the
+    * 100 TB swap happens: feed it `(x_id, y_id, cos)` candidates from
+    * ANY generator (the exact cross product above, a blocked join, an
+    * [[ivfTopKProbe]]/[[pqTopKRefined]] shortlist re-scored with exact
+    * cosines) and the margin normalization, per-endpoint neighborhood
+    * mass, argmax, and threshold are identical. Neighborhood mass is
+    * measured WITHIN the candidate frame (top-k of what the generator
+    * surfaced) — the standard ANN-mining approximation; with the exact
+    * cross product it is the exact margin.
+    */
+  def marginMiningFrom(candidates: DataFrame, k: Int,
+                       minMarginMicro: Long = 1050000L): DataFrame = {
+    require(k >= 1 && k <= 1024, s"marginMining: k=$k (1..1024)")
+    require(minMarginMicro >= 0, s"marginMining: minMarginMicro=$minMarginMicro")
+    val missing = Seq("x_id", "y_id", "cos")
+      .filterNot(candidates.columns.contains)
+    require(missing.isEmpty,
+      s"marginMiningFrom: candidate frame lacks: ${missing.mkString(", ")}")
+    val scored = candidates.filter(col("cos").isNotNull)
     def cq(c: Column): Column = floor(c * lit(1048576.0)).cast(LongType)
     // forward top-k per x: the candidate pairs AND x's neighborhood mass
     val fwd = scored.groupBy(col("x_id"))

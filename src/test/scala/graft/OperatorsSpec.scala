@@ -1449,5 +1449,14 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("x_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(got2.toSeq == got.toSeq)
+    // the candidate-frame seam: feeding the exact cross product through
+    // marginMiningFrom is the identity path, bit-identical
+    val cand = x.crossJoin(y.select(col("vec_id").as("y_id"), col("embedding").as("yv")))
+      .select(col("vec_id").as("x_id"), col("y_id"),
+        Similarity.cosine(col("embedding"), col("yv")).as("cos"))
+    val got3 = Similarity.marginMiningFrom(cand, k = 2, minMarginMicro = 0L)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got3.toSeq == got.toSeq)
   }
 }
