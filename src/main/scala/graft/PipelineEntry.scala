@@ -1355,6 +1355,15 @@ object PipelineEntry {
         .select("doc_id", "source", "n_tokens", "tok_offset", "pack_id", "pack_pos")
         .orderBy("doc_id")
     },
+    "pack_bins" -> { (s, dir) =>
+      import TextFunctions._
+      // whole-document FFD bin packing, shard-local by `source`: the
+      // no-split sibling of pack_sequences; budget 128 ≈ 2.4 docs/bin
+      // on the fixture so the first-fit structure is actually exercised
+      Pack.packBins(t(s, dir, "documents"), budget = 128L,
+        tokens = tokenCount(col("text")))
+        .orderBy("doc_id")
+    },
     "pipe_curation" -> { (s, dir) =>
       import TextFunctions._
       import org.apache.spark.sql.expressions.Window
@@ -3682,6 +3691,31 @@ object PipelineEntry {
            |SELECT doc_id, source, n_tokens, tok_offset,
            |  tok_offset // 2048 AS pack_id, tok_offset % 2048 AS pack_pos
            |FROM o ORDER BY doc_id""".stripMargin,
+      // FFD replay: one recursion step per (shard, doc) in the same
+      // (n DESC, doc_id) order; the bin-loads LIST rides the recursion
+      // state, first-fit = the first index whose load admits the doc
+      // (a different formulation than the engine's segment tree —
+      // the oracle is O(d·bins), the operator O(d·log bins))
+      "pack_bins" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, source, CAST(len($sqlTokens) AS BIGINT) AS n FROM documents),
+           |r AS (SELECT source, doc_id, n,
+           |  row_number() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rn FROM t),
+           |ffd AS (
+           |  SELECT source, 0 AS i, CAST([] AS BIGINT[]) AS bins,
+           |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin_id
+           |  FROM (SELECT DISTINCT source FROM r)
+           |  UNION ALL
+           |  SELECT f.source, f.i + 1,
+           |    CASE WHEN fit.fj IS NOT NULL
+           |      THEN list_transform(range(1, len(f.bins)+1), q -> CASE WHEN q = fit.fj THEN f.bins[q] + r.n ELSE f.bins[q] END)
+           |      ELSE list_append(f.bins, r.n) END,
+           |    r.doc_id, r.n, COALESCE(fit.fj, len(f.bins) + 1)
+           |  FROM ffd f
+           |  JOIN r ON r.source = f.source AND r.rn = f.i + 1
+           |  LEFT JOIN LATERAL (SELECT list_filter(range(1, len(f.bins)+1), q -> f.bins[q] + r.n <= 128)[1] AS fj) fit ON TRUE
+           |)
+           |SELECT source, doc_id, n AS n_tokens, bin_id
+           |FROM ffd WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
       "pipe_curation" ->
         s"""WITH t0 AS (SELECT doc_id, source, text, $sqlTokens AS ts FROM documents),
            |sc AS (SELECT doc_id, source, text, ts,

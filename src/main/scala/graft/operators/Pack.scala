@@ -39,6 +39,39 @@ object Pack {
       .withColumn("pack_pos", col("tok_offset") % budget)
   }
 
+  /** Whole-document bin packing under a token budget, shard-locally —
+    * the padding-efficiency sibling of [[packSequences]] for pipelines
+    * that must NOT split a document across training examples (SFT /
+    * contrastive batches, long-context eval sets): first-fit-decreasing
+    * via [[graft.plans.FfdPack]] (sort by tokens DESC then id, place
+    * into the lowest-indexed bin that fits, open a new bin otherwise;
+    * oversized docs get a bin of their own). FFD packs within
+    * 11/9·OPT + 1 bins — concat-and-chunk has zero padding but splits;
+    * this keeps documents whole and minimizes the padding instead.
+    *
+    * Output: `(shardCol, idCol, n_tokens, bin_id)` — bin ids 1-based,
+    * shard-local. Deterministic at any partitioning (the FFD order is
+    * a total order), replayed row-for-row by the oracle's recursive
+    * CTE.
+    *
+    * Scale shape: one map-side-collected aggregate per shard; the
+    * shard's (n, id) pairs — 16 bytes each — are the aggregate state
+    * (the documented sort-like memory contract), so the shard key must
+    * keep shards executor-sized, exactly as [[packSequences]] already
+    * requires for its windows.
+    */
+  def packBins(docs: DataFrame, budget: Long, tokens: Column,
+               shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"packBins: budget must be positive, got $budget")
+    docs.select(col(shardCol), col(idCol).as("_id"),
+        tokens.cast("long").as("_n"))
+      .groupBy(col(shardCol))
+      .agg(graft.plans.FfdPack(col("_n"), col("_id"), budget).as("_p"))
+      .select(col(shardCol), explode(col("_p")).as("_e"))
+      .select(col(shardCol), col("_e.id").as(idCol),
+        col("_e.n_tokens").as("n_tokens"), col("_e.bin_id").as("bin_id"))
+  }
+
   /** Overlapping token-window chunking: split each document into windows
     * of `window` whitespace tokens starting every `stride` tokens (the
     * context-window chunking step of RAG indexing / long-doc training

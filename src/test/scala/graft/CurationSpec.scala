@@ -141,6 +141,32 @@ class CurationSpec extends SparkSpec {
     assert(k == Seq(1L, 4L))
   }
 
+  test("packBins: FFD placement, oversized isolation, partition invariance") {
+    // budget 10, s1 lengths 7,6,4,3,2 sorted desc:
+    // 7→bin1, 6→bin2, 4→bin2 (6+4=10), 3→bin1 (7+3=10), 2→bin3;
+    // s2: the 15-token doc overflows alone in bin1 (capacity negative,
+    // admits nothing), the 1-token doc opens bin2
+    val docs = Seq(
+      ("s1", 1L, Seq.fill(7)("a").mkString(" ")),
+      ("s1", 2L, Seq.fill(6)("b").mkString(" ")),
+      ("s1", 3L, Seq.fill(4)("c").mkString(" ")),
+      ("s1", 4L, Seq.fill(3)("d").mkString(" ")),
+      ("s1", 5L, Seq.fill(2)("e").mkString(" ")),
+      ("s2", 9L, Seq.fill(15)("z").mkString(" ")),
+      ("s2", 10L, "x")).toDF("source", "doc_id", "text")
+    val got = Pack.packBins(docs, budget = 10L,
+        tokens = TextFunctions.tokenCount(col("text")))
+      .orderBy("doc_id")
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 3L),
+      (9L, 1L), (10L, 2L)), got.toString)
+    val got2 = Pack.packBins(docs.repartition(7), budget = 10L,
+        tokens = TextFunctions.tokenCount(col("text")))
+      .orderBy("doc_id")
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toSeq
+    assert(got2 == got, "FFD must be partition-invariant")
+  }
+
   // ---- sequence packing ----
   test("packSequences: offsets/packs accumulate shard-locally") {
     val docs = Seq(
