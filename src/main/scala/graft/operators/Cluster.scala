@@ -232,6 +232,9 @@ object Cluster {
       .filterNot(clustered.columns.contains)
     require(missing.isEmpty,
       s"bestPerCluster: no such column(s): ${missing.mkString(", ")}")
+    require(!clustered.columns.contains("keep"),
+      "bestPerCluster: input already has a 'keep' column — rename it " +
+        "(the output's keep flag would silently shadow it)")
     val winners = clustered.groupBy(col(clusterCol))
       .agg(max_by(col(idCol),
         struct(col(scoreCol), -col(idCol))).as("_winner"))

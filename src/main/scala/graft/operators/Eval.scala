@@ -305,6 +305,10 @@ object Eval {
     * `sort_array` over the reps-length array — no window, no second
     * scan of the data. Cost is reps× the [[brier]] scan; at 100 TB
     * run it on the eval slice, not the corpus.
+    *
+    * `idCol` must be UNIQUE per row — duplicate ids would give those
+    * rows identical (fully correlated) resample weights, silently
+    * narrowing the band. Same contract for [[aucBootstrapCi]].
     */
   def brierBootstrapCi(df: DataFrame, probCol: Column, labelCol: Column,
                        idCol: Column, reps: Int = 32): DataFrame = {

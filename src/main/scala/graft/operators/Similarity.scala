@@ -689,6 +689,12 @@ object Similarity {
     * measured WITHIN the candidate frame (top-k of what the generator
     * surfaced) — the standard ANN-mining approximation; with the exact
     * cross product it is the exact margin.
+    *
+    * The frame must carry each (x_id, y_id) pair AT MOST ONCE — a
+    * generator that emits duplicates would double-count that pair in
+    * both endpoints' neighborhood mass (every standard generator —
+    * cross product, blocked join, ranked shortlist — is distinct by
+    * construction, so no dedup shuffle is imposed here).
     */
   def marginMiningFrom(candidates: DataFrame, k: Int,
                        minMarginMicro: Long = 1050000L): DataFrame = {
