@@ -975,6 +975,12 @@ object PipelineEntry {
       // certified against the identical oracle as dedup_prefix_pairs
       val staging = java.nio.file.Files
         .createTempDirectory("graft-ppjoin-gate").toString
+      // the returned DataFrame reads the staged wave outputs lazily, so
+      // the dir must outlive the query run — reclaim it at JVM exit
+      // (repeated gate/bench runs must not accumulate /tmp data)
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      }
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
@@ -3800,7 +3806,7 @@ object PipelineEntry {
            |  FROM b JOIN rc USING (bk) LEFT JOIN tc USING (bk) CROSS JOIN rt CROSS JOIN tt)
            |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(lr) AS BIGINT) AS dsir_q
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      // in-engine classifier replay: the 8 fast-sigmoid GD iterations
+      // in-engine classifier replay: the 16 fast-sigmoid GD iterations
       // unrolled as (per-row z | gradient aggregate | integer weight
       // update) CTE triples — every float op is a fixed tree of
       // correctly-rounded rational arithmetic both engines evaluate

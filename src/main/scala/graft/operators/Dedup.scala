@@ -581,8 +581,10 @@ object Dedup {
     * collapsed by the final pair-key dedup). Each wave's candidate
     * join, narrow dedup, and wide array-verify run as their OWN job
     * over ~1/passes of the candidate volume, with results landed to
-    * `stagingDir` before the next wave starts — so peak shuffle/spill
-    * footprint is divided by ~passes, which is what lets the sf10
+    * `stagingDir` and the wave's shuffle files released SYNCHRONOUSLY
+    * (via the ContextCleaner's cleanup path, not a GC nudge) before
+    * the next wave starts — so peak shuffle/spill footprint is
+    * divided by ~passes as a guarantee, which is what lets the sf10
     * fixture (whose 931-bigram vocabulary makes 99.997% of candidates
     * false) complete on one box instead of exceeding local disk. The
     * linear-size shingle and prefix tables are computed ONCE and
@@ -616,17 +618,23 @@ object Dedup {
     val sh = spark.read.parquet(s"$stagingDir/sh")
     val prefix = spark.read.parquet(s"$stagingDir/prefix")
     (0 until passes).foreach { p =>
+      val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
       // pmod on the already-uniform shingle hash: no re-hash needed —
       // one codegen'd filter directly over the staged columnar scan
       val wave = prefix.filter(pmod(col("h"), lit(passes.toLong)) === p)
       ppjoinVerify(ppjoinCandidates(wave, tNum, tDen, idCol), sh, tNum, tDen, idCol)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
       // wave p's shuffle files must release before wave p+1 spills its
-      // own, or peak disk is NOT bounded by one wave — Spark's
-      // ContextCleaner frees shuffle state when the owning RDDs are
-      // collected, so nudge collection at the wave boundary (outside
-      // any timed work; a no-op when the driver heap is quiet)
-      System.gc()
+      // own, or peak disk is NOT bounded by one wave. GC+ContextCleaner
+      // is advisory and asynchronous, so release DETERMINISTICALLY
+      // instead: the ids that appeared during this wave's job are
+      // exactly its shuffles (waves run sequentially — the operator's
+      // batch contract), and the wave's output is already landed to
+      // parquet, so nothing can re-read them. Blocking call: when it
+      // returns, the blocks are gone.
+      val created =
+        org.apache.spark.sql.GraftBridge.activeShuffleIds(spark) -- before
+      org.apache.spark.sql.GraftBridge.removeShuffles(spark, created)
     }
     spark.read.parquet(s"$stagingDir/out")
       .select(col("id_a"), col("id_b"), col("jaccard"))

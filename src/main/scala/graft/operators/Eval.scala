@@ -327,15 +327,21 @@ object Eval {
       .agg(sum(col("_w").cast(D38)).as("_nb"),
         sum((col("_w") * col("_e2")).cast(D38)).as("_numb"))
       .filter(col("_nb") > 0)
-      .select((col("_numb").cast(LongType).cast(DoubleType) /
-        (col("_nb").cast(LongType).cast(DoubleType) * lit(1000000d))).as("_m"))
+      // decimal → double DIRECTLY (the aucBootstrapCi rule): a long
+      // intermediate would overflow to NULL silently past ~1.3e12 rows
+      // under non-ANSI casts, against the loud-failure convention
+      .select((col("_numb").cast(DoubleType) /
+        (col("_nb").cast(DoubleType) * lit(1000000d))).as("_m"))
     val rLo = (reps - 1) * 25 / 1000 + 1
     val band = rep.agg(sort_array(collect_list(col("_m"))).as("_ms"))
       .select(try_element_at(col("_ms"), lit(rLo)).as("ci_lo"),
         try_element_at(col("_ms"), lit(-rLo)).as("ci_hi"))
     base.agg(count(lit(1)).as("n"), sum(col("_e2").cast(D38)).as("_num"))
       .select(col("n"),
-        (col("_num").cast(DoubleType) / (col("n") * 1000000L)).as("brier"))
+        // double multiply, not n*1000000L: bit-identical below 2^53 and
+        // immune to the int64 overflow past ~9.2e12 rows
+        (col("_num").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1000000d))).as("brier"))
       .crossJoin(band)
   }
 
@@ -393,5 +399,125 @@ object Eval {
       .select(try_element_at(col("_ms"), lit(rLo)).as("ci_lo"),
         try_element_at(col("_ms"), lit(-rLo)).as("ci_hi"))
     auc(df, scoreCol, labelCol).crossJoin(band)
+  }
+
+  /** Cohen's kappa (Cohen 1960, "A coefficient of agreement for
+    * nominal scales"): chance-corrected agreement between two
+    * categorical ratings of the same items — the standard
+    * inter-annotator agreement number for label quality audits, and
+    * (with rating A = a classifier's prediction, rating B = the truth)
+    * the chance-corrected cousin of plain accuracy. With n items,
+    * `agree = Σ_items [a = b]`, and per-category marginals `r_k`
+    * (rating A) and `c_k` (rating B):
+    *
+    *   κ = (n·agree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)
+    *
+    * — the cross-multiplied form of `(p_o − p_e)/(1 − p_e)`, exact
+    * DECIMAL(38,0) end to end with ONE final IEEE division (plus the
+    * two observed/expected-rate divisions reported alongside), so the
+    * statistic replays bit-identically in any engine. κ is NULL when
+    * both raters are constant (p_e = 1, the undefined case —
+    * NULL-not-zero, the [[auc]] contract). NULL ratings participate as
+    * a category of their own is NOT the convention here: rows where
+    * either rating is NULL are excluded (agreement on missingness is
+    * not agreement), and `n` reports the rows actually compared.
+    *
+    * Output: one row `(n, agree, po, pe, kappa)`.
+    *
+    * Scale shape: one scan partial-aggregates to the contingency-cell
+    * frame (bounded by the category-domain product, not the corpus);
+    * marginals and the Σ r_k·c_k join re-aggregate that bounded frame;
+    * one row out, nothing collected. */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df
+      .select(raterA.cast(StringType).as("_a"), raterB.cast(StringType).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+    val tot = cells.agg(sum(col("_c")).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("_c"))), lit(0L)).as("agree"))
+    val rk = cells.groupBy(col("_a").as("_k")).agg(sum(col("_c")).as("_r"))
+    val ck = cells.groupBy(col("_b").as("_k")).agg(sum(col("_c")).as("_cc"))
+    val pe = rk.join(ck, Seq("_k"))
+      .agg(coalesce(sum(col("_r").cast(D38) * col("_cc").cast(D38)),
+        lit(0).cast(D38)).as("_pe"))
+    tot.crossJoin(pe)
+      .select(col("n"), col("agree"),
+        (col("agree").cast(DoubleType) / col("n").cast(DoubleType)).as("po"),
+        (col("_pe").cast(DoubleType) /
+          (col("n").cast(D38) * col("n").cast(D38)).cast(DoubleType)).as("pe"),
+        when(col("n").cast(D38) * col("n").cast(D38) =!= col("_pe"),
+          (col("n").cast(D38) * col("agree").cast(D38) - col("_pe"))
+            .cast(DoubleType) /
+            (col("n").cast(D38) * col("n").cast(D38) - col("_pe"))
+              .cast(DoubleType)).as("kappa"))
+  }
+
+  /** Per-cluster SIMPLIFIED silhouette (Rousseeuw 1987 via the
+    * centroid approximation of Hruschka et al. 2004): for each vector,
+    * `a` = distance to its OWN cluster centroid, `b` = distance to the
+    * NEAREST OTHER centroid, `s = (b − a) / max(a, b)` (0 when both
+    * are 0) — the O(n·k) cluster-quality score that replaces the exact
+    * silhouette's O(n²) pairwise pass, the only form that survives a
+    * 100 TB corpus. Centroids are the integer-quantized per-cluster
+    * means (floor(Σ floor(x·2^20)/n) per dimension — the
+    * [[graft.operators.Similarity#kmeansTrain]] update rule), squared
+    * distances are exact int64 over those grids, and each `s` is a
+    * fixed tree of correctly-rounded double ops (two sqrt — IEEE
+    * correctly-rounded — one subtraction, one division), quantized to
+    * `floor(s·2^20)` before the per-cluster mean so the aggregate is
+    * order-free: every engine replays the result bit-identically.
+    *
+    * Output: `(cluster, n, mean_silhouette)` per cluster —
+    * mean_silhouette ≈ +1 compact/separated, ≈ 0 on cluster borders,
+    * < 0 misassigned.
+    *
+    * Scale shape: one cluster-sized centroid aggregate COLLECTED as
+    * the fitted model (k·dim longs — the config-sized-model rule,
+    * same as [[Sampling.temperatureSample]]'s group stats), then ONE
+    * shuffle-free scan: own-centroid lookup and the min over other
+    * centroids are per-row HOF folds over the k-entry literal, and the
+    * per-cluster mean is one map-side-combined aggregate. Fails fast
+    * when fewer than 2 clusters exist (b is undefined). */
+  def clusterSilhouette(emb: DataFrame, clusterCol: String, dim: Int = 64,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    val S = 1L << 20
+    val qv = transform(col(vecCol), x => floor(x.cast(DoubleType) * S).cast(LongType))
+    val base = emb.select(col(idCol),
+      col(clusterCol).cast(LongType).as("cluster"), qv.as("_qv"))
+    val centRows = base.groupBy(col("cluster"))
+      .agg(array((0 until dim).map(i =>
+        floor(sum(element_at(col("_qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+          .cast(LongType)): _*).as("_cv"))
+      .collect()
+    require(centRows.length >= 2,
+      s"clusterSilhouette: needs >= 2 clusters, got ${centRows.length} " +
+        "(the nearest-other-centroid term is undefined)")
+    val centsLit = array(centRows.sortBy(_.getLong(0)).map { r =>
+      struct(lit(r.getLong(0)).as("cl"),
+        array(r.getSeq[Long](1).map(lit): _*).as("cv"))
+    }: _*)
+    val sq = (cv: Column) => aggregate(
+      zip_with(col("_qv"), cv, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val withD = base.select(col("cluster"),
+      sq(element_at(filter(centsLit, s => s.getField("cl") === col("cluster")), 1)
+        .getField("cv")).as("_a2"),
+      array_min(transform(filter(centsLit, s => s.getField("cl") =!= col("cluster")),
+        s => sq(s.getField("cv")))).as("_b2"))
+    val sil = withD.select(col("cluster"),
+      when(greatest(sqrt(col("_a2").cast(DoubleType)), sqrt(col("_b2").cast(DoubleType))) === 0d,
+        lit(0.0d))
+        .otherwise((sqrt(col("_b2").cast(DoubleType)) - sqrt(col("_a2").cast(DoubleType))) /
+          greatest(sqrt(col("_a2").cast(DoubleType)), sqrt(col("_b2").cast(DoubleType))))
+        .as("_s"))
+    sil.select(col("cluster"),
+        floor(col("_s") * lit(S.toDouble)).cast(LongType).as("_sq"))
+      .groupBy(col("cluster"))
+      // D38 sum: |_sq| ≤ 2^20, so an int64 sum would overflow at
+      // ~8.8e12 rows per cluster — decimal carries it to ~10^18
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_sq").cast(D38)).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(S.toDouble))).as("mean_silhouette"))
   }
 }

@@ -411,11 +411,41 @@ object Incremental {
     * @param incoming new nodes (column `id`); nodes already present in
     *                 `prev` are tolerated and not duplicated
     * @param pairs    near-dup pairs (`id_a`, `id_b`) — endpoints may be
-    *                 previous nodes, incoming nodes, or a mix
+    *                 previous nodes, incoming nodes, or a mix, but every
+    *                 endpoint MUST belong to prev ∪ incoming. A foreign
+    *                 endpoint would become a supervertex that can win the
+    *                 min-label election for a real component while never
+    *                 appearing as an output row — silently breaking the
+    *                 label-is-a-member-id invariant downstream consumers
+    *                 (and the equivalence law above) rely on. Pair
+    *                 producers that score against a wider corpus must
+    *                 left-semi filter both endpoints first (as the
+    *                 `inc_clusters` gate query does), or pass
+    *                 `validate = true` to have the operator assert it.
+    * @param validate when true, eagerly (one bounded job over the pair
+    *                 batch) assert the endpoint contract and fail loudly
+    *                 with a sample of the foreign ids. Off by default:
+    *                 the check anti-joins the small pair batch against
+    *                 the corpus-sized `prev`, a scan the steady-state
+    *                 caller who already guarantees the contract should
+    *                 not pay twice.
     * @return (id, label) for prev ∪ incoming under the merged clustering
     */
   def mergeClusters(prev: DataFrame, incoming: DataFrame,
-                    pairs: DataFrame): DataFrame = {
+                    pairs: DataFrame, validate: Boolean = false): DataFrame = {
+    if (validate) {
+      val known = prev.select(col("id"))
+        .unionByName(incoming.select(col("id")))
+      val foreign = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .join(known, Seq("id"), "left_anti")
+        .limit(5).collect().map(_.get(0))
+      require(foreign.isEmpty,
+        "mergeClusters: pair endpoints absent from prev ∪ incoming " +
+          s"(sample: ${foreign.mkString(", ")}) — a foreign endpoint can " +
+          "be elected as a merged label while never appearing in the " +
+          "output; left-semi filter the pair batch to known ids first")
+    }
     val lab = prev.select(col("id").as("_pid"), col("label").as("_plab"))
     // endpoint → supervertex (previous label, or self for a new node).
     // The pair batch is small (incremental premise) so both lookups

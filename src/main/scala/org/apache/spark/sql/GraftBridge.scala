@@ -48,6 +48,35 @@ object GraftBridge {
     * AQE's runtime shuffle statistics reinstate where actually
     * warranted. No-op for non-checkpoint plans.
     */
+  /** Shuffle ids currently registered with the driver's map-output
+    * tracker. Pair with [[removeShuffles]]: snapshot before a job,
+    * snapshot after it completes, and the delta is exactly the shuffle
+    * state that job registered (provided no concurrent jobs ran in the
+    * session — the sequential-waves contract of the callers). */
+  def activeShuffleIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.env.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        m.shuffleStatuses.keySet.toSet
+      case _ => Set.empty
+    }
+
+  /** Eagerly release the shuffle files behind `ids` — map statuses,
+    * executor shuffle blocks, ESS state — via the ContextCleaner's own
+    * cleanup path, but synchronously instead of waiting for the
+    * owning `ShuffleDependency` to be GC'd. This is what makes a
+    * "peak disk is bounded by one wave" claim a guarantee rather than
+    * a `System.gc()` nudge: by the time the call returns, the blocks
+    * are gone. Only call on shuffles whose consuming job has
+    * COMPLETED and landed its output (a later recomputation would
+    * re-run the producing stages from scratch). Idempotent per id; a
+    * later GC-driven cleanup of the same id is a no-op. No-op when
+    * reference tracking is disabled (`spark.cleaner.referenceTracking
+    * =false`) — callers fall back to the advisory GC path. */
+  def removeShuffles(spark: SparkSession, ids: Iterable[Int]): Unit =
+    spark.sparkContext.cleaner.foreach { c =>
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+
   def freshStats(df: Dataset[_]): DataFrame = df match {
     case d: classic.Dataset[_] => d.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>

@@ -118,6 +118,24 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((1L, 1L), (2L, 1L), (5L, 5L), (9L, 5L)))
   }
 
+  test("mergeClusters: validate=true rejects foreign pair endpoints loudly") {
+    val prev = Seq((10L, 10L), (20L, 10L)).toDF("id", "label")
+    val inc = Seq(30L).toDF("id")
+    // endpoint 7 is in neither prev nor incoming — without validation it
+    // could be elected as a merged label while never appearing as a row
+    val dirty = Seq((7L, 20L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.mergeClusters(prev, inc, dirty, validate = true)
+    }
+    assert(ex.getMessage.contains("pair endpoints absent"))
+    assert(ex.getMessage.contains("7"))
+    // clean pairs pass validation and produce the usual merge
+    val r = Incremental.mergeClusters(prev, inc,
+        Seq((30L, 20L)).toDF("id_a", "id_b"), validate = true)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((10L, 10L), (20L, 10L), (30L, 10L)))
+  }
+
   test("dedupClusters: canonical flag marks exactly one doc per cluster") {
     val docs = Seq((10L, "x"), (20L, "x"), (30L, "y"), (40L, "z")).toDF("doc_id", "text")
     val pairs = Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b")
