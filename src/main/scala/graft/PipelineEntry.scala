@@ -596,6 +596,23 @@ object PipelineEntry {
       Behavior.anomalies(t(s, dir, "events"), k = 5, z = 3)
         .orderBy("user_id", "event_id")
     },
+    "ev_acf" -> { (s, dir) =>
+      // per-user autocorrelation at lags 1..3: is the metric stream
+      // white noise, sticky, or periodic? n²-cross-multiplied
+      // deviations (d = n·x − Σx exact int64), D38 product sums, one
+      // IEEE division per (user, lag) — bit-replayable at any
+      // partitioning; one window sort per user computes all 3 leads
+      Behavior.autocorrelation(t(s, dir, "events"), maxLag = 3)
+        .orderBy("user_id", "lag")
+    },
+    "ev_trend" -> { (s, dir) =>
+      // windowed Mann–Kendall drift monitor: pairwise sign trend over
+      // each user's 16 most recent events (bounded k² work per user),
+      // tie-corrected 18·Var exact int64, trend = S/√(Var) as a fixed
+      // double tree
+      Behavior.mannKendallRecent(t(s, dir, "events"), k = 16)
+        .orderBy("user_id")
+    },
     "ev_ewma" -> { (s, dir) =>
       // per-user exponential smoother, α = 1/5: chronological left
       // fold per key (aggregate HOF), rational-coefficient step
@@ -708,6 +725,32 @@ object PipelineEntry {
       graft.operators.Eval.confusion(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase", 25000L)
     },
+    "eval_kappa" -> { (s, dir) =>
+      // Cohen's kappa between eval_confusion's centi-threshold
+      // predictor and the purchase label — chance-corrected agreement
+      // as exact D38 marginal products into one final division; the
+      // inter-annotator agreement operator applied to the
+      // prediction-vs-truth face the fixture supports
+      graft.operators.Eval.cohensKappa(t(s, dir, "events"),
+        floor(col("value").cast(DoubleType) * 100d + 0.5d) >= 25000L,
+        col("event_type") === "purchase")
+    },
+    "eval_silhouette" -> { (s, dir) =>
+      // simplified (centroid) silhouette of the pinned fixture
+      // clustering — cluster-quality audit on dedup_semantic's exact
+      // quantized-mean centroids: int64 squared distances, per-point
+      // s quantized to 2^-20 BEFORE the order-free per-cluster mean
+      graft.operators.Eval.clusterSilhouette(t(s, dir, "embeddings"), "label")
+        .orderBy("cluster")
+    },
+    "eval_db_index" -> { (s, dir) =>
+      // Davies–Bouldin worst-ratio per cluster on the same pinned
+      // clustering: which clusters blur together — scatter and
+      // separation through the silhouette family's quantized trees,
+      // all pair work on k-row frames
+      graft.operators.Eval.daviesBouldin(t(s, dir, "embeddings"), "label")
+        .orderBy("cluster")
+    },
     "ev_holt" -> { (s, dir) =>
       // Holt level+trend smoothing per user (α=2/10, β=3/10): the
       // trending-metric sibling of ev_ewma, same rational-coefficient
@@ -793,6 +836,14 @@ object PipelineEntry {
       // floor-log2 quantization as the entropy/PMI family — one scan
       // to the contingency table, marginals re-aggregate that frame
       Features.mutualInfo(t(s, dir, "documents"), "lang", "source")
+    },
+    "feat_cramers_v" -> { (s, dir) =>
+      // χ²/Cramér's V on feat_mutual_info's exact contingency frame —
+      // the [0,1]-normalized association a feature-selection sweep
+      // ranks by across pairs of different cardinality; per-cell
+      // contributions floor-quantized to 2^-20 before the order-free
+      // integer sum, one hardware sqrt at the end
+      Features.cramersV(t(s, dir, "documents"), col("lang"), col("source"))
     },
     "red_weighted_quantile" -> { (s, dir) =>
       // revenue-weighted median and p90 QUANTITY per return flag ("the
@@ -1159,6 +1210,35 @@ object PipelineEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       Graph.kCore(e, k = 9).orderBy("id")
+    },
+    "graph_assortativity" -> { (s, dir) =>
+      // degree-mixing audit of the same sampled part co-purchase
+      // graph: symmetrized Pearson of endpoint degrees — exact D38
+      // sums into ONE division (symmetrization equalizes the margins,
+      // so no sqrt); negative here = hubs attach to leaves
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.degreeAssortativity(e)
+    },
+    "graph_clustcoef" -> { (s, dir) =>
+      // per-node clustering coefficient on the same graph — the
+      // clique/template detector: triangle credit from the same
+      // degree-ordered enumeration as graph_triangles (the oracle
+      // proves the per-node counts from a plain id-ordered 3-way
+      // self-join), coefficient = one IEEE division of exact ints
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.localClusteringCoefficient(e).orderBy("id")
     },
     "graph_triangles" -> { (s, dir) =>
       // clustering structure of the part co-purchase graph, on a
@@ -1576,6 +1656,16 @@ object PipelineEntry {
           Similarity.lshTopK(emb, q, k = 5, dim = 64, nBits = 8),
           Similarity.bruteForceTopK(emb, q, k = 5))
         .orderBy("q_id")
+    },
+    "sim_mutual_knn" -> { (s, dir) =>
+      // mutual 5-NN similarity graph within the pinned coarse blocks
+      // (label — the sim_ivf pinned-assignment pattern): edge kept iff
+      // BOTH endpoints rank each other top-5 — the denoised graph
+      // clustering pipelines actually build; ranking is the bounded
+      // TopKByScore aggregate, never a corpus-side window
+      Similarity.mutualKnnGraph(t(s, dir, "embeddings"), k = 5,
+          blockCol = "label")
+        .orderBy("id_a", "id_b")
     },
     "sim_centroid_classify" -> { (s, dir) =>
       // label-separability diagnostic: per-label integer centroids,
@@ -2068,6 +2158,18 @@ object PipelineEntry {
           t(s, dir, "events").select(col("user_id"), col("event_id"),
             col("ts"), col("value")),
           k = 5, z = 3L)
+        .orderBy("user_id", "event_id")
+    },
+    "stream_cusum" -> { (s, dir) =>
+      // streaming CUSUM drift detector as a REAL multi-batch stateful
+      // job: two longs of state per user (running drift sum + clamped
+      // min), same pure-int64 arithmetic as the batch ev_cusum window
+      // formulation — chronological replay is bit-identical, one
+      // oracle formula serves both faces
+      StreamReplay.replayCusum(s,
+          t(s, dir, "events").select(col("user_id"), col("event_id"),
+            col("ts"), col("value")),
+          kCenti = 5000L, hCenti = 20000L)
         .orderBy("user_id", "event_id")
     },
     "stream_holt" -> { (s, dir) =>
@@ -3150,6 +3252,52 @@ object PipelineEntry {
           |SELECT user_id, event_id, ts, value, n AS n_prev,
           |  (n >= 3 AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
           |FROM w ORDER BY user_id, event_id""".stripMargin,
+      // ACF replay: the same n²-cross-multiplied deviations, one
+      // window pass for all three leads, HUGEINT product sums, one
+      // division per (user, lag)
+      "ev_acf" ->
+        """WITH e AS (SELECT user_id, event_id, ts,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s FROM e GROUP BY user_id),
+          |d AS (SELECT e.user_id, st.n, e.ts, e.event_id, st.n * e.v - st.s AS d0
+          |  FROM e JOIN st USING (user_id)),
+          |l AS (SELECT user_id, n, d0,
+          |    lead(d0, 1) OVER w AS d1, lead(d0, 2) OVER w AS d2, lead(d0, 3) OVER w AS d3
+          |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |agg AS (SELECT user_id, n, SUM(CAST(d0 AS HUGEINT) * d0) AS den,
+          |    SUM(CAST(d0 AS HUGEINT) * d1) AS n1,
+          |    SUM(CAST(d0 AS HUGEINT) * d2) AS n2,
+          |    SUM(CAST(d0 AS HUGEINT) * d3) AS n3
+          |  FROM l GROUP BY user_id, n)
+          |SELECT user_id, lag, n, acf FROM (
+          |  SELECT user_id, CAST(1 AS BIGINT) AS lag, n,
+          |    CASE WHEN den <> 0 AND n1 IS NOT NULL THEN CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) END AS acf FROM agg
+          |  UNION ALL SELECT user_id, CAST(2 AS BIGINT), n,
+          |    CASE WHEN den <> 0 AND n2 IS NOT NULL THEN CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) END FROM agg
+          |  UNION ALL SELECT user_id, CAST(3 AS BIGINT), n,
+          |    CASE WHEN den <> 0 AND n3 IS NOT NULL THEN CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) END FROM agg)
+          |ORDER BY user_id, lag""".stripMargin,
+      // Mann–Kendall replay: newest-16 window, pairwise CASE signs,
+      // tie-corrected 18·Var, identical S/√(Var/18) double tree
+      "ev_trend" ->
+        """WITH e AS (SELECT user_id, ts, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |r AS (SELECT user_id, v,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+          |rec AS (SELECT user_id, 17 - rn AS p, v FROM r WHERE rn <= 16),
+          |sgn AS (SELECT x.user_id,
+          |    CAST(SUM(CASE WHEN y.v > x.v THEN 1 WHEN y.v < x.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          |  FROM rec x JOIN rec y ON x.user_id = y.user_id AND x.p < y.p GROUP BY x.user_id),
+          |np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM rec GROUP BY user_id),
+          |ti AS (SELECT user_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+          |  FROM (SELECT user_id, v, COUNT(*) AS t FROM rec GROUP BY user_id, v) GROUP BY user_id)
+          |SELECT np.user_id, np.n, sgn.s_stat,
+          |  CAST(np.n * (np.n - 1) * (2 * np.n + 5) - ti.tie AS BIGINT) AS var18,
+          |  CASE WHEN np.n * (np.n - 1) * (2 * np.n + 5) - ti.tie > 0
+          |    THEN CAST(sgn.s_stat AS DOUBLE)
+          |       / SQRT(CAST(np.n * (np.n - 1) * (2 * np.n + 5) - ti.tie AS DOUBLE) / 18.0) END AS trend
+          |FROM np JOIN ti USING (user_id) JOIN sgn USING (user_id)
+          |WHERE np.n >= 2 ORDER BY np.user_id""".stripMargin,
       // same left fold, same rational step (1*x + 4*acc)/5 — identical
       // IEEE op sequence, so the doubles hash-match
       "ev_ewma" ->
@@ -3157,6 +3305,22 @@ object PipelineEntry {
           |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
           |    (acc, x) -> (1 * x + 4 * acc) / 5) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // the streaming CUSUM's chronological replay equals the batch
+      // window formulation bit-for-bit — same formula as ev_cusum,
+      // projected to the stream's columns and total order
+      "stream_cusum" ->
+        """WITH s AS (SELECT event_id, user_id, ts,
+          |    SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) - 5000)
+          |      OVER w AS p
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |m AS (SELECT event_id, user_id, p,
+          |    MIN(LEAST(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+          |  FROM s)
+          |SELECT user_id, event_id, CAST(p - pmin AS BIGINT) AS cusum_c,
+          |  p - pmin > 20000 AS alarm
+          |FROM m ORDER BY user_id, event_id""".stripMargin,
       "stream_anomaly" ->
         """WITH e AS (SELECT user_id, event_id, ts,
           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
@@ -3283,6 +3447,31 @@ object PipelineEntry {
           |SELECT hx.n, hx.h AS hx_qbits, hy.h AS hy_qbits, hxy.h AS hxy_qbits,
           |  hx.h + hy.h - hxy.h AS mi_qbits
           |FROM hx, hy, hxy""".stripMargin,
+      // χ²/Cramér replay: exact HUGEINT cell products, the identical
+      // ((d·d)/e)·2^20 double tree per cell, order-free integer sum,
+      // one hardware sqrt
+      "feat_cramers_v" ->
+        """WITH obs AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+          |    COUNT(*) AS o FROM documents GROUP BY 1, 2),
+          |rk AS (SELECT x, SUM(o) AS r FROM obs GROUP BY x),
+          |ck AS (SELECT y, SUM(o) AS c FROM obs GROUP BY y),
+          |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+          |xc AS (SELECT CAST(COUNT(*) AS BIGINT) AS x_cats FROM rk),
+          |yc AS (SELECT CAST(COUNT(*) AS BIGINT) AS y_cats FROM ck),
+          |cells AS (SELECT rk.r, ck.c, COALESCE(cl.o, 0) AS o
+          |  FROM rk CROSS JOIN ck LEFT JOIN obs cl
+          |  ON rk.x IS NOT DISTINCT FROM cl.x AND ck.y IS NOT DISTINCT FROM cl.y),
+          |pc AS (SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+          |      CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+          |    * CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+          |    / CAST(CAST(r AS HUGEINT) * c * n AS DOUBLE) * 1048576.0) AS BIGINT)), 0) AS BIGINT) AS chi2_q
+          |  FROM cells CROSS JOIN tot)
+          |SELECT n, x_cats, y_cats, chi2_q,
+          |  CAST(chi2_q AS DOUBLE) / 1048576.0 AS chi2,
+          |  CASE WHEN LEAST(x_cats, y_cats) > 1
+          |    THEN SQRT((CAST(chi2_q AS DOUBLE) / 1048576.0)
+          |      / (CAST(n AS DOUBLE) * CAST(LEAST(x_cats, y_cats) - 1 AS DOUBLE))) END AS cramers_v
+          |FROM tot CROSS JOIN xc CROSS JOIN yc CROSS JOIN pc""".stripMargin,
       "red_histogram" ->
         """WITH mm AS (SELECT min(l_extendedprice) AS h_min, max(l_extendedprice) AS h_max FROM lineitem),
           |b AS (SELECT CASE WHEN h_max = h_min THEN 0
@@ -3511,6 +3700,67 @@ object PipelineEntry {
           |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
           |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
           |FROM c""".stripMargin,
+      // kappa replay: booleans cast to VARCHAR categories exactly as
+      // the engine does; marginal products in HUGEINT, κ = the same
+      // cross-multiplied single division
+      "eval_kappa" ->
+        """WITH q AS (SELECT
+          |    CAST(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) >= 25000 AS VARCHAR) AS a,
+          |    CAST(event_type = 'purchase' AS VARCHAR) AS b FROM events),
+          |cells AS (SELECT a, b, COUNT(*) AS c FROM q GROUP BY a, b),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          |    CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree FROM cells),
+          |rk AS (SELECT a AS k, SUM(c) AS r FROM cells GROUP BY a),
+          |ck AS (SELECT b AS k, SUM(c) AS cc FROM cells GROUP BY b),
+          |pex AS (SELECT COALESCE(SUM(CAST(r AS HUGEINT) * cc), 0) AS pe FROM rk JOIN ck USING (k))
+          |SELECT n, agree, CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |  CAST(pex.pe AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS pe,
+          |  CASE WHEN CAST(n AS HUGEINT) * n <> pex.pe
+          |    THEN CAST(CAST(n AS HUGEINT) * agree - pex.pe AS DOUBLE)
+          |       / CAST(CAST(n AS HUGEINT) * n - pex.pe AS DOUBLE) END AS kappa
+          |FROM tot CROSS JOIN pex""".stripMargin,
+      // simplified-silhouette replay: the dedup_semantic centroid CTE,
+      // exact int64 squared distances to every centroid, the identical
+      // (√b−√a)/max(√a,√b) double tree, 2^-20 quantization before the
+      // order-free per-cluster mean
+      "eval_silhouette" ->
+        s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+           |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+           |cents AS ${sqlCentSelect("q0", "cluster", "cluster")},
+           |j AS (SELECT q0.vec_id, q0.cluster, cents.cluster AS cc,
+           |    list_sum(list_transform(list_zip(q0.qv, cents.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           |  FROM q0 CROSS JOIN cents),
+           |ab AS (SELECT vec_id, cluster, MIN(CASE WHEN cc = cluster THEN d2 END) AS a2,
+           |    MIN(CASE WHEN cc <> cluster THEN d2 END) AS b2 FROM j GROUP BY vec_id, cluster),
+           |sil AS (SELECT cluster,
+           |    CASE WHEN GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE))) = 0 THEN 0.0
+           |    ELSE (SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+           |       / GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE))) END AS s FROM ab),
+           |qs AS (SELECT cluster, CAST(FLOOR(s * 1048576.0) AS BIGINT) AS sq FROM sil)
+           |SELECT cluster, COUNT(*) AS n,
+           |  CAST(SUM(sq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1048576.0) AS mean_silhouette
+           |FROM qs GROUP BY cluster ORDER BY cluster""".stripMargin,
+      // Davies–Bouldin replay: same centroid CTE, the identical
+      // sqrt·2^20-floor distance tree, floor(mean) scatter, k² pair
+      // ratios with zero-separation pairs dropped from the max
+      "eval_db_index" ->
+        s"""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+           |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+           |cents AS ${sqlCentSelect("q0", "cluster", "cluster")},
+           |dd AS (SELECT q0.cluster,
+           |    CAST(FLOOR(SQRT(CAST(list_sum(list_transform(list_zip(q0.qv, cents.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DOUBLE)) * 1048576.0) AS BIGINT) AS dq
+           |  FROM q0 JOIN cents ON q0.cluster = cents.cluster),
+           |sc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(FLOOR(CAST(SUM(dq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS scatter_q
+           |  FROM dd GROUP BY cluster),
+           |f AS (SELECT sc.cluster, sc.n, sc.scatter_q, cents.cv FROM sc JOIN cents USING (cluster)),
+           |pr AS (SELECT a.cluster, a.n, a.scatter_q,
+           |    list_sum(list_transform(list_zip(a.cv, b.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS m2,
+           |    CAST(a.scatter_q + b.scatter_q AS DOUBLE)
+           |      / (1048576.0 * SQRT(CAST(list_sum(list_transform(list_zip(a.cv, b.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DOUBLE))) AS ratio
+           |  FROM f a JOIN f b ON a.cluster <> b.cluster)
+           |SELECT cluster, n, scatter_q, MAX(CASE WHEN m2 > 0 THEN ratio END) AS r_worst
+           |FROM pr GROUP BY cluster, n, scatter_q ORDER BY cluster""".stripMargin,
       "ev_holt" ->
         """WITH RECURSIVE l AS (
           |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
@@ -4017,6 +4267,43 @@ object PipelineEntry {
           |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
           |SELECT CAST(count(*) AS BIGINT) AS n_triangles
           |FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      // symmetrized-Pearson replay: HUGEINT sums over the doubled
+      // edge list, identical single division
+      "graph_assortativity" ->
+        """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
+          |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+          |adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+          |deg AS (SELECT u AS id, count(*) AS deg FROM adj GROUP BY u),
+          |jk AS (SELECT da.deg AS dj, db.deg AS dk FROM adj
+          |  JOIN deg da ON adj.u = da.id JOIN deg db ON adj.v = db.id),
+          |agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+          |    SUM(CAST(dj AS HUGEINT) * dk) AS sjk,
+          |    SUM(CAST(dj AS HUGEINT)) AS sj,
+          |    SUM(CAST(dj AS HUGEINT) * dj) AS sj2 FROM jk)
+          |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+          |  CASE WHEN m2 * sj2 - sj * sj <> 0
+          |    THEN CAST(m2 * sjk - sj * sj AS DOUBLE) / CAST(m2 * sj2 - sj * sj AS DOUBLE)
+          |  END AS assortativity
+          |FROM agg""".stripMargin,
+      // per-node triangle credit proven from the plain id-ordered
+      // 3-way self-join (each triangle once, credited to all 3
+      // corners), coefficient = the same exact-int division
+      "graph_clustcoef" ->
+        """WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 8 = 0),
+          |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+          |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id),
+          |adj AS (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e),
+          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY id)
+          |SELECT deg.id, deg.deg, COALESCE(tc.t, 0) AS triangles,
+          |  CASE WHEN deg.deg >= 2
+          |    THEN CAST(COALESCE(tc.t, 0) * 2 AS DOUBLE) / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+          |    ELSE 0.0 END AS clust_coef
+          |FROM deg LEFT JOIN tc ON deg.id = tc.id ORDER BY deg.id""".stripMargin,
       "text_strip_html" -> {
         // the same MarkupPatterns chain, generated with DuckDB's
         // explicit 'g' flag (Spark's regexp_replace is replace-all by
@@ -4658,6 +4945,21 @@ object PipelineEntry {
            |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      // mutual-kNN replay: block-local exact cosine ranking (the
+      // sim_ivf CTE), top-5 both directions, edge kept iff both ranks
+      // exist — identical ranks, one symmetric cosine per pair
+      "sim_mutual_knn" ->
+        s"""WITH a AS (SELECT vec_id AS q_id, label AS blk, embedding AS qv FROM embeddings),
+           |sc AS (SELECT x.q_id, y.q_id AS c_id, ${sqlCos("x.qv", "y.qv")} AS cos
+           |  FROM a x JOIN a y ON x.blk = y.blk AND x.q_id <> y.q_id),
+           |r AS (SELECT q_id, c_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           |  FROM sc WHERE cos IS NOT NULL),
+           |t AS (SELECT q_id, c_id, cos, rank FROM r WHERE rank <= 5)
+           |SELECT f.q_id AS id_a, f.c_id AS id_b, f.cos,
+           |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(g.rank AS BIGINT) AS rank_ba
+           |FROM t f JOIN t g ON f.q_id = g.c_id AND f.c_id = g.q_id
+           |WHERE f.q_id < f.c_id ORDER BY id_a, id_b""".stripMargin,
       // margin-mining replay: the same quantized-neighborhood-mass
       // arithmetic — cq = FLOOR(cos·2^20), per-endpoint top-4 sums as
       // exact int64, margin = one truncating integral division (DuckDB

@@ -528,4 +528,121 @@ object Behavior {
             lit(z * z) * (col("_n") * col("_s2") - col("_s1") * col("_s1")))
           .as("is_anomaly"))
   }
+
+  /** Per-entity sample autocorrelation at lags `1..maxLag` — the
+    * seasonality/persistence diagnostic (Box & Jenkins): is a user's
+    * metric stream white noise, trending, or periodic? Uses the
+    * standard biased estimator with the per-entity global mean,
+    *
+    *   r_ℓ = Σ_{t≤n−ℓ} (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * cross-multiplied by n² so every term is an exact integer: with
+    * centi-quantized values and per-entity (n, S = Σx), the deviation
+    * `d_t = n·x_t − S` is int64, products accumulate in DECIMAL(38,0),
+    * and each r_ℓ is ONE final IEEE division — bit-identical on any
+    * engine at any partitioning. Events order by (ts, event id), the
+    * house total order. Output: `(entity, lag, n, acf)` — acf NULL for
+    * constant series (zero variance, undefined) and for lags ≥ n.
+    *
+    * Scale shape: one entity-keyed aggregate for (n, S), joined back
+    * on the same key (co-partitioned — Spark reuses the exchange), ONE
+    * window sort per entity producing all `maxLag` leads in a single
+    * pass, one (entity)-grouped final aggregate; per-entity state is
+    * maxLag+2 numbers. Entities parallelize; nothing global. */
+  def autocorrelation(events: DataFrame, maxLag: Int,
+                      entityCol: String = "user_id", tsCol: String = "ts",
+                      idCol: String = "event_id",
+                      valueCol: String = "value"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100,
+      s"autocorrelation: need 1 <= maxLag <= 100, got $maxLag")
+    val D38 = DecimalType(38, 0)
+    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val base = events.select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
+      col(idCol).as("_id"), v.as("_v"))
+    val stats = base.groupBy(col("_e"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"))
+    val w = Window.partitionBy(col("_e")).orderBy(col("_ts"), col("_id"))
+    val dev = base.join(stats, "_e")
+      .withColumn("_d", col("_n") * col("_v") - col("_s"))
+    val leads = (1 to maxLag).foldLeft(dev) { (df, l) =>
+      df.withColumn(s"_d$l", lead(col("_d"), l).over(w))
+    }
+    // cast BEFORE the product: d can reach n·|x| ≈ 10^13 on billion-
+    // event entities, so d² overflows int64 — the decimal multiply is
+    // exact to 10^38
+    val aggs = sum(col("_d").cast(D38) * col("_d").cast(D38)).as("_den") +:
+      (1 to maxLag).map(l =>
+        sum(col("_d").cast(D38) * col(s"_d$l").cast(D38)).as(s"_num$l"))
+    val per = leads.groupBy(col("_e"), col("_n"))
+      .agg(aggs.head, aggs.tail: _*)
+    per.select(col("_e").as(entityCol), col("_n").as("n"), col("_den"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).cast(LongType).as("lag"),
+            col(s"_num$l").as("num"))): _*)).as("_x"))
+      .select(col(entityCol), col("_x.lag").as("lag"), col("n"),
+        when(col("_den") =!= 0 && col("_x.num").isNotNull,
+          col("_x.num").cast(DoubleType) / col("_den").cast(DoubleType))
+          .as("acf"))
+  }
+
+  /** Mann–Kendall trend test over each entity's most recent `k`
+    * events (Mann 1945, Kendall 1975) — the nonparametric "is this
+    * metric drifting?" monitor: S = Σ_{i<j} sign(x_j − x_i) over the
+    * time-ordered window, with the tie-corrected variance
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+    *
+    * (t_g = size of each tied value group). Bounding the test to the
+    * most recent `k` events is what makes the O(k²) pairwise sign sum
+    * scale-safe: work per entity is a constant k(k−1)/2, monitoring
+    * drift NOW rather than averaging over all history. S, n, and the
+    * 18·Var numerator are exact int64; the reported `trend` normalizes
+    * S by √Var as a fixed tree of correctly-rounded double ops
+    * (division, sqrt, division) — bit-identical on any engine. Output:
+    * `(entity, n, s_stat, var18, trend)`; trend is NULL when Var = 0
+    * (fewer than 2 distinct values) and the row is absent for
+    * single-event entities.
+    *
+    * Scale shape: one window pass ranks events newest-first (per-entity
+    * sort, entities parallel), the ≤k survivors self-join ON THE
+    * ENTITY KEY (k² bounded rows per entity), tie groups re-aggregate
+    * the same bounded frame; output is entity-sized. */
+  def mannKendallRecent(events: DataFrame, k: Int,
+                        entityCol: String = "user_id", tsCol: String = "ts",
+                        idCol: String = "event_id",
+                        valueCol: String = "value"): DataFrame = {
+    require(k >= 2 && k <= 1000,
+      s"mannKendallRecent: need 2 <= k <= 1000, got $k")
+    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val wDesc = Window.partitionBy(col("_e"))
+      .orderBy(col("_ts").desc, col("_id").desc)
+    val recent = events.select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), v.as("_v"))
+      .withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") <= k)
+      // time-ascending position within the window: k+1−rn
+      .select(col("_e"), (lit(k + 1) - col("_rn")).as("_p"), col("_v"))
+    val x = recent.alias("x")
+    val y = recent.alias("y")
+    val s = x.join(y, col("x._e") === col("y._e") && col("x._p") < col("y._p"))
+      .groupBy(col("x._e").as("_e"))
+      .agg(sum(when(col("y._v") > col("x._v"), 1L)
+        .when(col("y._v") < col("x._v"), -1L)
+        .otherwise(0L)).as("s_stat"))
+    val nPer = recent.groupBy(col("_e")).agg(count(lit(1)).as("n"))
+    val ties = recent.groupBy(col("_e"), col("_v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_e"))
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+        .as("_tie"))
+    nPer.join(ties, "_e").join(s, "_e")
+      .filter(col("n") >= 2)
+      .select(col("_e").as(entityCol), col("n"), col("s_stat"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("_tie"))
+          .as("var18"))
+      .withColumn("trend",
+        when(col("var18") > 0,
+          col("s_stat").cast(DoubleType) /
+            sqrt(col("var18").cast(DoubleType) / lit(18.0d))))
+  }
 }

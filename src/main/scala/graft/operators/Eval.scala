@@ -478,6 +478,67 @@ object Eval {
     * centroids are per-row HOF folds over the k-entry literal, and the
     * per-cluster mean is one map-side-combined aggregate. Fails fast
     * when fewer than 2 clusters exist (b is undefined). */
+  /** Per-cluster Davies–Bouldin worst-ratio (Davies & Bouldin 1979):
+    * with scatter `S_i` = mean member distance to the own centroid and
+    * `M_ij` = centroid separation, each cluster's
+    * `R_i = max_{j≠i} (S_i + S_j)/M_ij` names its most-confusable
+    * neighbor load — the DB index is the mean of this column, and the
+    * per-cluster rows say WHICH clusters blur together (the actionable
+    * face). Same determinism recipe as [[clusterSilhouette]]: quantized
+    * integer centroids, per-row distances through a fixed
+    * sqrt·2^20-floor tree into int64, scatter = floor(mean) over those
+    * quantized units, centroid separations exact int64 squared
+    * distances — every ratio is one division of engine-exact inputs.
+    * Duplicate centroids (M_ij = 0, ratio undefined) drop from the max
+    * rather than poisoning it with ∞; a cluster whose every peer
+    * duplicates it reports NULL.
+    *
+    * Output: `(cluster, n, scatter_q, r_worst)` per cluster
+    * (scatter_q in 2^-20 distance units). Lower r_worst = tighter,
+    * better-separated cluster.
+    *
+    * Scale shape: one corpus scan with a k-row broadcast join for the
+    * own-centroid distance, one per-cluster mean aggregate, then ALL
+    * remaining work is on k-row frames (k² pair ratios) — corpus-size-
+    * independent past the scatter pass. */
+  def daviesBouldin(emb: DataFrame, clusterCol: String, dim: Int = 64,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val S = 1L << 20
+    val qv = transform(col(vecCol), x => floor(x.cast(DoubleType) * S).cast(LongType))
+    val base = emb.select(col(clusterCol).cast(LongType).as("cluster"), qv.as("_qv"))
+    val cents = base.groupBy(col("cluster"))
+      .agg(array((0 until dim).map(i =>
+        floor(sum(element_at(col("_qv"), i + 1)).cast(DoubleType) / count(lit(1)))
+          .cast(LongType)): _*).as("_cv"))
+    val sq = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val dd = base.join(broadcast(cents), "cluster")
+      .select(col("cluster"),
+        floor(sqrt(sq(col("_qv"), col("_cv")).cast(DoubleType)) * lit(S.toDouble))
+          .cast(LongType).as("_dq"))
+    val scatter = dd.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("_dq").cast(D38)).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("scatter_q"))
+    val f = scatter.join(cents, "cluster")
+    val a = f.select(col("cluster"), col("n"), col("scatter_q"), col("_cv"))
+    val b = f.select(col("cluster").as("_clb"), col("scatter_q").as("_sqb"),
+      col("_cv").as("_cvb"))
+    a.join(b, col("cluster") =!= col("_clb"))
+      .select(col("cluster"), col("n"), col("scatter_q"),
+        sq(col("_cv"), col("_cvb")).as("_m2"), col("_sqb"))
+      // guard INSIDE the ratio: ANSI mode makes the m2 = 0 division a
+      // hard error, not an inf the max could have ignored
+      .select(col("cluster"), col("n"), col("scatter_q"),
+        when(col("_m2") > 0,
+          (col("scatter_q") + col("_sqb")).cast(DoubleType) /
+            (lit(S.toDouble) * sqrt(col("_m2").cast(DoubleType)))).as("_ratio"))
+      .groupBy(col("cluster"), col("n"), col("scatter_q"))
+      .agg(max(col("_ratio")).as("r_worst"))
+  }
+
   def clusterSilhouette(emb: DataFrame, clusterCol: String, dim: Int = 64,
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame = {

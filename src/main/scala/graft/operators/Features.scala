@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Feature-engineering operators for model-training pipelines:
   * one-hot encoding, the hashing trick, per-group standardization,
@@ -361,5 +361,77 @@ object Features {
       java.util.Arrays.asList(Row(n, hx, hy, hxy, mi)),
       StructType(Seq("n", "hx_qbits", "hy_qbits", "hxy_qbits", "mi_qbits")
         .map(f => StructField(f, LongType, nullable = true))))
+  }
+
+  /** Chi-square association and Cramér's V between two categorical
+    * columns (Cramér 1946) — [[mutualInfo]]'s normalized sibling on
+    * the SAME contingency frame: V ∈ [0, 1] is comparable across
+    * feature pairs of different cardinality, the number a feature-
+    * selection sweep actually ranks by. χ² = Σ_cells (o − e)²/e with
+    * e = r·c/n is computed cross-multiplied, per cell:
+    *
+    *   contrib = (o·n − r·c)² / (r·c·n)
+    *
+    * where o·n and r·c are EXACT DECIMAL(38,0) products; each cell
+    * then runs a fixed tree of correctly-rounded double ops (two
+    * casts, one square, one division) and quantizes to
+    * `floor(contrib·2^20)` BEFORE the sum — so the aggregate is
+    * order-free integer addition and the whole statistic replays
+    * bit-identically on any engine (the per-category-contribution
+    * recipe of [[Validate.populationStability]]). V = √(χ²/(n·min(R−1,
+    * C−1))) uses the correctly-rounded hardware sqrt. NULL categories
+    * count as real categories (missingness is association signal —
+    * opposite convention to [[Eval.cohensKappa]], where NULL rows are
+    * excluded; both documented). V is NULL when either column is
+    * constant (min(R−1, C−1) = 0, undefined).
+    *
+    * Output: one row `(n, x_cats, y_cats, chi2_q, chi2, cramers_v)` —
+    * chi2_q is the exact int64 quantized sum, chi2 = chi2_q/2^20.
+    *
+    * Scale shape: one scan partial-aggregates to the contingency
+    * cells (bounded by the category-domain product); marginals and
+    * the per-cell math re-aggregate that bounded frame; one row out.
+    * Exact up to n ≈ 10^12 rows (o·n < 10^38) and χ² < 8.8·10^12
+    * (chi2_q int64 bound) — the [[Validate.populationStability]]
+    * documented-bound convention. */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val S = 1L << 20
+    val obs = df
+      .select(xCol.cast(StringType).as("_x"), yCol.cast(StringType).as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_o"))
+    val rk = obs.groupBy(col("_x")).agg(sum(col("_o")).as("_r"))
+    val ck = obs.groupBy(col("_y")).agg(sum(col("_o")).as("_c"))
+    val tot = obs.agg(sum(col("_o")).as("_n"),
+      count(lit(1)).as("_ncells")).crossJoin(
+      rk.agg(count(lit(1)).as("x_cats"))).crossJoin(
+      ck.agg(count(lit(1)).as("y_cats")))
+    // χ² sums over EVERY cell of the R×C domain — a zero cell (o = 0,
+    // e > 0) still contributes (r·c)²/(r·c·n); dropping absent cells
+    // would understate the statistic (a perfect 2×2 association would
+    // read χ² = n/2 instead of n). Null-safe join: NULL is a real
+    // category here, so the expansion must match it to its own cell.
+    val cells = rk.crossJoin(ck)
+      .join(obs.select(col("_x").as("_xx"), col("_y").as("_yy"), col("_o")),
+        col("_x") <=> col("_xx") && col("_y") <=> col("_yy"), "left")
+      .select(col("_r"), col("_c"), coalesce(col("_o"), lit(0L)).as("_o"))
+    val percell = cells
+      .crossJoin(tot.select(col("_n")))
+      .select(
+        ((col("_o").cast(D38) * col("_n").cast(D38) -
+          col("_r").cast(D38) * col("_c").cast(D38)).cast(DoubleType)).as("_d"),
+        (col("_r").cast(D38) * col("_c").cast(D38) * col("_n").cast(D38))
+          .cast(DoubleType).as("_e"))
+      .select(floor(col("_d") * col("_d") / col("_e") * lit(S.toDouble))
+        .cast(LongType).as("_q"))
+      .agg(coalesce(sum(col("_q")), lit(0L)).as("chi2_q"))
+    tot.crossJoin(percell)
+      .select(col("_n").as("n"), col("x_cats"), col("y_cats"), col("chi2_q"),
+        (col("chi2_q").cast(DoubleType) / lit(S.toDouble)).as("chi2"),
+        when(least(col("x_cats"), col("y_cats")) > 1,
+          sqrt((col("chi2_q").cast(DoubleType) / lit(S.toDouble)) /
+            (col("_n").cast(DoubleType) *
+              (least(col("x_cats"), col("y_cats")) - 1).cast(DoubleType))))
+          .as("cramers_v"))
   }
 }

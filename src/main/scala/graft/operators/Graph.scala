@@ -189,7 +189,15 @@ object Graph {
     * row. Rank comparisons use struct ordering on (deg, id) — no
     * global row_number over the node set.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame): DataFrame =
+    enumerateTriangles(edges).agg(count(lit(1)).as("n_triangles"))
+
+  /** Degree-ordered node-iterator triangle ENUMERATION shared by
+    * [[triangleCount]] and [[localClusteringCoefficient]]: one row
+    * `(t1, v, w)` per distinct triangle (corners in ≺ = (deg, id)
+    * order). Wedge work stays Σ C(outdeg,2) under the orientation —
+    * bounded by O(|E|^1.5) on power-law graphs. */
+  private def enumerateTriangles(edges: DataFrame): DataFrame = {
     val e0 = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -215,12 +223,99 @@ object Graph {
     val y = oriented.alias("y")
     val wedges = x.join(y,
         col("x.lo") === col("y.lo") && col("x.hirank") < col("y.hirank"))
-      .select(col("x.hi").as("v"), col("y.hi").as("w"))
+      .select(col("x.lo").as("t1"), col("x.hi").as("v"), col("y.hi").as("w"))
     // closure: the v—w edge, if present, is oriented v→w (v ≺ w), so a
-    // semi-join on the canonical oriented key closes the triangle
+    // semi-join on the canonical oriented key closes the triangle —
+    // and because each triangle has exactly ONE ≺-least corner, each
+    // closed triangle is emitted exactly once
     wedges.join(oriented.select(col("lo").as("v"), col("hi").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      Seq("v", "w"), "left_semi")
+  }
+
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * `2·t(v) / (deg(v)·(deg(v)−1))` — the fraction of a node's
+    * neighbor pairs that are themselves connected. The template/link-
+    * farm detector beside [[triangleCount]]'s global census: crawl
+    * rings and boilerplate cliques sit at coefficient ≈ 1, organic
+    * hubs far lower. Nodes of degree < 2 get coefficient 0 (no
+    * neighbor pair exists). Output: `(id, deg, triangles, clust_coef)`
+    * per node — triangle counts and degrees are exact int64 and the
+    * coefficient is ONE IEEE division of exact integers, so any engine
+    * replays it bit-identically.
+    *
+    * Scale shape: the [[enumerateTriangles]] wedge economy
+    * (Σ C(outdeg,2) under the (deg, id) orientation), then the
+    * triangle set explodes ×3 corners into one per-node count
+    * aggregate and joins back to the node-sized degree table — no
+    * window, nothing collected; per-pair work never exceeds the
+    * triangle census itself. */
+  def localClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val tri = enumerateTriangles(edges)
+    val corners = tri.select(col("t1").as("id"))
+      .union(tri.select(col("v").as("id")))
+      .union(tri.select(col("w").as("id")))
+    val tcount = corners.groupBy("id").agg(count(lit(1)).as("triangles"))
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(tcount, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2L).cast(DoubleType) /
+            (col("deg") * (col("deg") - 1L)).cast(DoubleType))
+          .otherwise(lit(0.0d)).as("clust_coef"))
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of the degrees at the two
+    * ends of an edge — positive when hubs link to hubs (social
+    * graphs), negative when hubs link to leaves (web/biological
+    * graphs, and the signature of spam farms pointing at one target).
+    * Computed over the SYMMETRIZED edge list (each undirected edge
+    * contributes (d_a, d_b) and (d_b, d_a)), which makes the two
+    * marginals identical — so the Pearson denominator is exactly
+    * `m·Σd² − (Σd)²` with NO square root, and the whole statistic is
+    * exact DECIMAL(38,0) sums into ONE final IEEE division: any
+    * engine replays it bit-identically. Output: one row
+    * `(m_edges, assortativity)` (m_edges counts undirected
+    * edges once; assortativity is NULL for degree-regular graphs,
+    * where the variance is 0 and the coefficient is undefined).
+    *
+    * Scale shape: one node-sized degree aggregate, two joins hanging
+    * the degree on each endpoint (node-key joins, co-locatable by
+    * bucketing), one 4-sum final aggregate — map-side combined, one
+    * row out, nothing collected. Sums are exact up to ~10^12 edges ×
+    * 10^12 max degree (|Σ d_j·d_k| < 10^38 documented bound). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+    val jk = sym
+      .join(deg.select(col("id").as("u"), col("deg").as("dj")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dk")), "v")
+    jk.agg(count(lit(1)).as("_m2"),
+        sum((col("dj") * col("dk")).cast(D38)).as("_sjk"),
+        sum(col("dj").cast(D38)).as("_sj"),
+        sum((col("dj") * col("dj")).cast(D38)).as("_sj2"))
+      .select((col("_m2") / 2).cast(LongType).as("m_edges"),
+        (col("_m2").cast(D38) * col("_sjk") - col("_sj") * col("_sj")).as("_num"),
+        (col("_m2").cast(D38) * col("_sj2") - col("_sj") * col("_sj")).as("_den"))
+      .select(col("m_edges"),
+        when(col("_den") =!= 0,
+          col("_num").cast(DoubleType) / col("_den").cast(DoubleType))
+          .as("assortativity"))
   }
 
   /** k-core membership: the maximal subgraph in which every node has

@@ -730,4 +730,49 @@ object Similarity {
         col("_w.cos").as("cos"), col("_w.margin_micro").as("margin_micro"))
       .filter(col("margin_micro") >= minMarginMicro)
   }
+
+  /** MUTUAL k-nearest-neighbor graph over the corpus itself: the
+    * undirected edge (a, b) exists iff b is in a's top-k cosine
+    * neighbors AND a is in b's — the standard denoising that turns a
+    * directed kNN relation into the similarity graph clustering and
+    * diversity analysis actually run on (hubs collect thousands of
+    * one-way in-links; mutuality keeps only pairs that choose each
+    * other). Neighbor search is block-local — `blockCol` is any
+    * coarse assignment; at scale [[kmeansAssign]] with `autoCells`
+    * holds per-block occupancy (and so the block-quadratic scoring
+    * term) constant in corpus size, same contract as
+    * [[graft.operators.Dedup#semanticDedup]]. Ranking is the bounded
+    * [[rankTopK]] two-stage aggregate (no corpus-side windows), ties
+    * broken by neighbor id; cosine is symmetric so the pair carries
+    * ONE score and both direction ranks.
+    *
+    * Output: `(id_a, id_b, cos, rank_ab, rank_ba)` with id_a < id_b,
+    * one row per mutual pair.
+    *
+    * Scale shape: one block-keyed self-join (occupancy-bounded), one
+    * per-node bounded top-k aggregate (≤ k entries of state per node,
+    * map-side combined), then the ≤ n·k directed edge list self-joins
+    * on the narrow (id, id) pair key to test mutuality — corpus
+    * vectors never shuffle beyond the block key. */
+  def mutualKnnGraph(emb: DataFrame, k: Int, blockCol: String,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"mutualKnnGraph: need 1 <= k <= 1000, got $k")
+    val a = emb.select(col(idCol).as("q_id"), col(blockCol).as("q_blk"),
+      col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("c_id"), col(blockCol).as("c_blk"),
+      col(vecCol).as("cv"))
+    val scored = a.join(c,
+        col("q_blk") === col("c_blk") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val top = rankTopK(scored, k)
+    val fwd = top.select(col("q_id").as("id_a"), col("c_id").as("id_b"),
+      col("cos"), col("rank").as("rank_ab"))
+    val rev = top.select(col("c_id").as("id_a"), col("q_id").as("id_b"),
+      col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        col("rank_ab"), col("rank_ba"))
+  }
 }

@@ -27,6 +27,13 @@ case class EwmaState(n: Long, y: Double)
 /** per-user streaming-anomaly state: ring of the last k centi-values. */
 case class AnomalyState(ring: Vector[Long])
 
+/** [[StreamOps.cusumStream]] per-key fold state: running drift sum and
+  * its running (≤ 0) minimum — two longs, the whole CUSUM memory. */
+case class CusumState(p: Long, pmin: Long)
+
+case class CusumRow(user_id: Long, event_id: Long, cusum_c: Long,
+                    alarm: Boolean)
+
 /** per-event anomaly verdict — matches Behavior.anomalies' key columns. */
 case class AnomalyVerdict(user_id: Long, event_id: Long, n_prev: Long,
                           is_anomaly: Boolean)
@@ -486,6 +493,48 @@ object StreamOps {
           ring = (ring :+ x).takeRight(k)
         }
         state.update(AnomalyState(ring))
+        out.result().iterator
+    }
+  }
+
+  /** Streaming one-sided CUSUM drift detector — the online face of
+    * [[graft.operators.Behavior.cusum]]: per-key state is just the
+    * running drift sum `p = Σ(centi(x) − k)` and its running minimum
+    * clamped at 0, so `cusum_c = p − pmin` and `alarm = cusum_c > h`
+    * replay the batch window formulation EXACTLY (pure int64 — no
+    * float anywhere, the tie-free `floor(x·100 + 0.5)` quantization),
+    * one verdict row per event (Append). In-batch events fold in
+    * (ts, event_id) order, the batch operator's window order, so a
+    * chronological replay is bit-identical to the batch pass and ONE
+    * oracle serves both faces. State = two longs per key — the
+    * smallest state in the streaming family.
+    */
+  def cusumStream(spark: SparkSession, events: DataFrame,
+                  kCenti: Long, hCenti: Long): Dataset[CusumRow] = {
+    import spark.implicits._
+    require(hCenti > 0, s"cusumStream: threshold must be positive, got $hCenti")
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"),
+        (floor(col("value").cast("double") * 100d + 0.5d)).cast("long").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    typed.flatMapGroupsWithState[CusumState, CusumRow](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+       state: GroupState[CusumState]) =>
+        // pmin init 0 is exact: the batch form mins over least(p, 0),
+        // which is ≤ 0 from the first event on
+        var st = state.getOption.getOrElse(CusumState(0L, 0L))
+        val evs = it.toArray.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+        val out = Seq.newBuilder[CusumRow]
+        evs.foreach { case (_, eid, _, x) =>
+          val p = st.p + (x - kCenti)
+          val pmin = math.min(st.pmin, math.min(p, 0L))
+          st = CusumState(p, pmin)
+          out += CusumRow(user, eid, p - pmin, p - pmin > hCenti)
+        }
+        state.update(st)
         out.result().iterator
     }
   }

@@ -288,6 +288,50 @@ object StreamReplay {
     spark.table(name)
   }
 
+  /** Multi-batch replay of [[StreamOps.cusumStream]] over a bounded
+    * events frame: chronological chunks through a MemoryStream, one
+    * verdict row per event collected from the Append sink. Same
+    * harness shape as [[replayAnomalies]]. */
+  def replayCusum(spark: SparkSession, events: DataFrame,
+                  kCenti: Long, hCenti: Long, nChunks: Int = 4,
+                  name: String = "stream_cusum_sink",
+                  statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("ts"), col("value").cast("double"))
+    val total = src.count()
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val judged = graft.streaming.StreamOps
+      .cusumStream(spark, stream, kCenti, hCenti).toDF()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = judged.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val chunkSize = math.max(1L, (total + nChunks - 1) / nChunks).toInt
+      val it = src.orderBy(col("ts"), col("event_id"))
+        .as[(Long, Long, java.sql.Timestamp, Double)].toLocalIterator()
+      var batch = Vector.newBuilder[(Long, Long, java.sql.Timestamp, Double)]
+      var inBatch = 0
+      def flush(): Unit = if (inBatch > 0) {
+        mem.addData(batch.result())
+        q.processAllAvailable()
+        batch = Vector.newBuilder; inBatch = 0
+      }
+      while (it.hasNext) {
+        batch += it.next(); inBatch += 1
+        if (inBatch >= chunkSize) flush()
+      }
+      flush()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
   /** Multi-batch replay of [[StreamOps.intervalJoinLeftOuter]] over two
     * bounded (event_id, user_id, ts) frames: both sides feed
     * MemoryStreams in lock-stepped event-time-ordered chunks (so the

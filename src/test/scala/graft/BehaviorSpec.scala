@@ -825,6 +825,151 @@ class BehaviorSpec extends SparkSpec {
     assert(r3 == Map("a" -> 0L, "b" -> 0L), "sink emits nothing: documented leak")
   }
 
+  test("cohensKappa: hand contingency, perfect/constant/NULL-row handling") {
+    import graft.operators.Eval
+    // cells: (a,a)=20 (b,b)=30 (a,b)=10 (b,a)=40 → po=0.5,
+    // pe=(30·60+70·40)/100²=0.46, κ=400/5400=2/27
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(30)(("b", "b")) ++
+      Seq.fill(10)(("a", "b")) ++ Seq.fill(40)(("b", "a"))
+    val r = Eval.cohensKappa(rows.toDF("ra", "rb"), col("ra"), col("rb")).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.46)
+    assert(r.getDouble(4) == 2.0 / 27.0, "cross-multiplied κ is exact")
+    // perfect agreement on a non-constant rater → κ = 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    assert(Eval.cohensKappa(perfect, col("ra"), col("rb"))
+      .head().getDouble(4) == 1.0)
+    // both raters constant → pe = 1, κ undefined → NULL
+    val const = Seq(("a", "a"), ("a", "a")).toDF("ra", "rb")
+    assert(Eval.cohensKappa(const, col("ra"), col("rb")).head().isNullAt(4))
+    // NULL ratings are excluded, not a category: n drops to 2
+    val withNull = Seq(("a", "a"), ("b", "b"), (null, "a")).toDF("ra", "rb")
+    assert(Eval.cohensKappa(withNull, col("ra"), col("rb"))
+      .head().getLong(0) == 2L)
+  }
+
+  test("clusterSilhouette: separated clusters score high, misassignment negative, k<2 fails") {
+    import graft.operators.Eval
+    def emb(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    val good = emb(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0.1f, 0f), 0),
+      (3L, Seq(10f, 10f), 1), (4L, Seq(10.1f, 10f), 1))
+    val r = Eval.clusterSilhouette(good, "label", dim = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) > 0.95 && r(1L) > 0.95, s"tight+separated ≈ 1: $r")
+    // vector 4 placed in cluster 0 while sitting on cluster 1 → its
+    // own-centroid distance dwarfs the other-centroid distance and the
+    // polluted cluster's mean collapses
+    val bad = emb(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0.1f, 0f), 0),
+      (3L, Seq(10f, 10f), 1), (4L, Seq(10.1f, 10f), 1),
+      (5L, Seq(10f, 10.1f), 0))
+    val rb = Eval.clusterSilhouette(bad, "label", dim = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(rb(0L) < r(0L), "misassignment lowers the cluster mean")
+    intercept[IllegalArgumentException] {
+      Eval.clusterSilhouette(emb((1L, Seq(0f, 0f), 0)), "label", dim = 2)
+    }
+  }
+
+  test("daviesBouldin: tight separated clusters score low; zero-separation pairs drop") {
+    import graft.operators.Eval
+    def emb(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    val good = emb(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0.1f, 0f), 0),
+      (3L, Seq(10f, 10f), 1), (4L, Seq(10.1f, 10f), 1))
+    val r = Eval.daviesBouldin(good, "label", dim = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(0L) < 0.05 && r(1L) < 0.05, s"tight+separated → small ratios: $r")
+    // duplicate centroids: the 0↔1 pair is undefined and DROPS from
+    // the max; each still rates against the far cluster 2
+    val dup = emb(
+      (1L, Seq(1f, 1f), 0), (2L, Seq(1f, 1f), 1), (3L, Seq(30f, 30f), 2))
+    val rd = Eval.daviesBouldin(dup, "label", dim = 2).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(rd.values.forall(_.isDefined), s"far peer keeps every max defined: $rd")
+    // when every peer duplicates the centroid, r_worst is NULL not ∞
+    val onlyDup = emb((1L, Seq(1f, 1f), 0), (2L, Seq(1f, 1f), 1))
+    assert(Eval.daviesBouldin(onlyDup, "label", dim = 2)
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("autocorrelation: alternating series exact lags, constant NULL, short-series NULL") {
+    // alternating ±1 over 4 events: x̄=0, r1=-3/4, r2=+1/2, r3=-1/4
+    val alt = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:00:02"), 1L, -1.0),
+      (3L, ts("2024-01-01 00:00:03"), 1L, 1.0),
+      (4L, ts("2024-01-01 00:00:04"), 1L, -1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Behavior.autocorrelation(alt, maxLag = 3)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> -0.75, 2L -> 0.5, 3L -> -0.25), s"got $r")
+    // constant series: zero variance → every lag NULL
+    val const = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 5.0),
+      (2L, ts("2024-01-01 00:00:02"), 1L, 5.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(Behavior.autocorrelation(const, maxLag = 2)
+      .collect().forall(_.isNullAt(3)))
+    // 2 events: lag 2 has no pairs → NULL, lag 1 defined
+    val short = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:00:02"), 1L, 3.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val rs = Behavior.autocorrelation(short, maxLag = 2)
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(rs(2L).isEmpty && rs(1L).contains(-0.5),
+      "2-point series: one ±d cross term over a 2d² denominator → r1 = -1/2")
+  }
+
+  test("mannKendallRecent: monotone window exact S/Var, ties, recency bound, constant NULL") {
+    def ev(rows: (Long, Int, Double)*) = rows.map { case (id, sec, v) =>
+      (id, ts(f"2024-01-01 00:00:$sec%02d"), 7L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    // strictly increasing 5 events, k covers all: S = C(5,2) = 10,
+    // var18 = 5·4·15 = 300, trend = 10/√(300/18)
+    val up = ev((1L, 1, 1.0), (2L, 2, 2.0), (3L, 3, 3.0), (4L, 4, 4.0), (5L, 5, 5.0))
+    val r = Behavior.mannKendallRecent(up, k = 16).head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 10L && r.getLong(3) == 300L)
+    assert(r.getDouble(4) == 10.0 / math.sqrt(300.0 / 18.0))
+    // recency bound: k=3 sees only the last 3 (3.0, 4.0, 5.0) → S = 3
+    val r3 = Behavior.mannKendallRecent(up, k = 3).head()
+    assert(r3.getLong(1) == 3L && r3.getLong(2) == 3L)
+    // tie correction: values (1,1,2) → S = 2, ties term 2·1·9 = 18,
+    // var18 = 3·2·11 − 18 = 48
+    val tied = ev((1L, 1, 1.0), (2L, 2, 1.0), (3L, 3, 2.0))
+    val rt = Behavior.mannKendallRecent(tied, k = 16).head()
+    assert(rt.getLong(2) == 2L && rt.getLong(3) == 48L)
+    // constant window: Var = 0 → trend NULL (not ±inf)
+    val const = ev((1L, 1, 4.0), (2L, 2, 4.0), (3L, 3, 4.0))
+    val rc = Behavior.mannKendallRecent(const, k = 16).head()
+    assert(rc.getLong(3) == 0L && rc.isNullAt(4))
+  }
+
+  test("cramersV: perfect association ≈ 1, exact independence = 0, constant column NULL") {
+    // x == y on a 2×2 → φ² = 1 → V = 1 (up to the 2^-20 floor)
+    val perfect = (Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b")))
+      .toDF("x", "y")
+    val rp = Features.cramersV(perfect, col("x"), col("y")).head()
+    // every cell contribution is the exact integer 5 (zero cells
+    // included — dropping them would halve this), so χ² and V are exact
+    assert(rp.getDouble(4) == 20.0, s"χ² = n on a perfect 2×2: $rp")
+    assert(rp.getDouble(5) == 1.0, s"V = 1: $rp")
+    // exact product counts: o·n − r·c = 0 in every cell → χ² exactly 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v", "w"); _ <- 1 to 4 }
+      yield (x, y)).toDF("x", "y")
+    val ri = Features.cramersV(indep, col("x"), col("y")).head()
+    assert(ri.getLong(3) == 0L && ri.getDouble(5) == 0.0)
+    // constant y: min(R−1, C−1) = 0 → V undefined → NULL
+    val const = Seq(("a", "u"), ("b", "u")).toDF("x", "y")
+    assert(Features.cramersV(const, col("x"), col("y")).head().isNullAt(5))
+  }
+
   /** third implementation (classic DP) for the brute-force witness */
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

@@ -1271,6 +1271,62 @@ class OperatorsSpec extends SparkSpec {
     assert(tri(star :+ (2L -> 3L) :+ (3L -> 4L)) == 2L)
   }
 
+  test("localClusteringCoefficient: K4, triangle+tail, dirty input") {
+    import graft.operators.Graph
+    def coefs(e: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+      Graph.localClusteringCoefficient(e.toDF("src", "dst"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // K4: every node has deg 3 and sits in 3 of the 4 triangles → 1.0
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(coefs(k4).values.forall(_ == ((3L, 3L, 1.0))))
+    // triangle 1-2-3 with a tail 3-4: node 3 sees 1 of its C(3,2)=3
+    // neighbor pairs connected; the degree-1 tail scores 0 not NULL
+    val tailed = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L))
+    val r = coefs(tailed)
+    assert(r(1L) == ((2L, 1L, 1.0)) && r(2L) == ((2L, 1L, 1.0)))
+    assert(r(3L) == ((3L, 1L, 1.0 / 3.0)) && r(4L) == ((1L, 0L, 0.0)))
+    // duplicates / reversed copies / self-loops do not change anything
+    assert(coefs(tailed ++ tailed.map(_.swap) ++ Seq((2L, 2L))) == r)
+  }
+
+  test("degreeAssortativity: star = -1, regular graph NULL, dirty-input invariance") {
+    import graft.operators.Graph
+    def assort(e: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(e.toDF("src", "dst")).head()
+    // a star is perfectly disassortative: every edge joins deg n-1 to deg 1
+    val star = (2L to 6L).map(i => (1L, i))
+    val rs = assort(star)
+    assert(rs.getLong(0) == 5L && rs.getDouble(1) == -1.0)
+    // a cycle is degree-regular: zero variance → undefined → NULL
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(assort(cycle).isNullAt(1))
+    // canonicalization: duplicates, reversed copies, self-loops
+    val dirty = star ++ star.map(_.swap) ++ Seq((1L, 1L), (1L, 2L))
+    assert(assort(dirty).getDouble(1) == -1.0)
+  }
+
+  test("mutualKnnGraph: mutuality filter, block isolation, rank bookkeeping") {
+    import graft.operators.Similarity
+    def emb(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "blk")
+    // A and B choose each other; C's top-1 is B but B's is A → only
+    // the (A, B) edge is mutual at k = 1
+    val e = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0f, 1f), 0))
+    val r1 = Similarity.mutualKnnGraph(e, k = 1, blockCol = "blk")
+      .select("id_a", "id_b", "rank_ab", "rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(r1 == Seq((1L, 2L, 1, 1)), s"got $r1")
+    // at k = 2 every in-block pair is mutual on 3 nodes
+    val r2 = Similarity.mutualKnnGraph(e, k = 2, blockCol = "blk")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // blocks isolate: identical vectors in different blocks never pair
+    val blocked = emb((1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 1))
+    assert(Similarity.mutualKnnGraph(blocked, k = 1, blockCol = "blk").count() == 0)
+  }
+
   test("kmvDistinct: exact below k, ~1/sqrt(k) accurate above, partition-invariant") {
     import spark.implicits._
     import graft.operators.Sketch

@@ -331,6 +331,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM == batch CUSUM bit-for-bit, any chunking") {
+    // drift up after event 6 so the detector genuinely alarms
+    val ev = (1L to 12L).map { i =>
+      val v = if (i > 6) 180.0 else 30.0
+      (1L, i, Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val batch = graft.operators.Behavior.cusum(ev, kCenti = 5000L, hCenti = 20000L)
+      .select("user_id", "event_id", "cusum_c", "alarm")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(batch.exists(_._3) && !batch.forall(_._3),
+      "fixture must cross the threshold mid-stream")
+    for (chunks <- Seq(1, 4)) {
+      val s = StreamReplay.replayCusum(spark, ev, kCenti = 5000L,
+          hCenti = 20000L, nChunks = chunks, name = s"cusum_sink_$chunks")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(s == batch, s"chunking=$chunks must not change the fold")
+    }
+  }
+
   test("streaming EWMA == batch EWMA bit-for-bit, any chunking") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:01", 10.0), (1L, "2024-01-01 00:00:02", 20.0),
