@@ -751,6 +751,22 @@ object PipelineEntry {
       graft.operators.Eval.daviesBouldin(t(s, dir, "embeddings"), "label")
         .orderBy("cluster")
     },
+    "eval_conformal" -> { (s, dir) =>
+      // split-conformal interval at α = 1/10: prediction = value,
+      // actual = prediction + deterministic md5-bucket noise in
+      // [-50, 50] centi — the q̂ rank is pure integer arithmetic, the
+      // calibration/test split the md5-parity bucket, so the whole
+      // audit replays engine-exactly
+      val ev = t(s, dir, "events")
+      val idStr = col("event_id").cast(StringType)
+      val predC = floor(col("value").cast(DoubleType) * 100d + 0.5d)
+      val actual = (predC +
+        graft.plans.HashBucket(concat(idStr, lit("_a")), 101) - 50L) / lit(100.0d)
+      graft.operators.Eval.splitConformal(ev,
+        col("value"), actual,
+        graft.plans.HashBucket(idStr, 2) === 0L,
+        alphaNum = 1L, alphaDen = 10L)
+    },
     "ev_holt" -> { (s, dir) =>
       // Holt level+trend smoothing per user (α=2/10, β=3/10): the
       // trending-metric sibling of ev_ewma, same rational-coefficient
@@ -859,6 +875,16 @@ object PipelineEntry {
           "l_extendedprice", 9, 10, outCol = "w_p90"), "l_returnflag")
         .orderBy("l_returnflag")
     },
+    "red_trimmed_mean" -> { (s, dir) =>
+      // 10%-trimmed mean QUANTITY per return flag — the robust location
+      // between mean and median; rank-window kept-mass per distinct
+      // value, pure integer clamps, one division per group. The value
+      // column is the bounded one (l_quantity, ~50 distinct) per the
+      // value-counting contract, as red_weighted_quantile
+      Quantile.trimmedMean(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", trimNum = 1L, trimDen = 10L)
+        .orderBy("l_returnflag")
+    },
     "feat_rank_normalize" -> { (s, dir) =>
       // quantile-transform feature: per-segment percent rank of the
       // account balance as a [0,1] feature, via the VALUE-COUNTING
@@ -911,6 +937,18 @@ object PipelineEntry {
         t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
         maxDist = 1)
         .orderBy("id_a", "id_b")
+    },
+    "join_fuzzy" -> { (s, dir) =>
+      // record linkage: canonical customer registry vs a dirty copy
+      // (6th character deleted, ids offset) — best levenshtein-≤1
+      // match per left record via complete deletion-neighborhood
+      // blocking; the oracle is an independent brute-force cross join
+      val cust = t(s, dir, "customer")
+      val left = cust.select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val right = cust.select((col("c_custkey") + 1000000L).as("id"),
+        concat(substring(col("c_name"), 1, 5), substring(col("c_name"), 7, 1000))
+          .as("name"))
+      Dedup.fuzzyJoin(left, right, maxDist = 1).orderBy("id_l")
     },
     "text_filter_quantile" -> { (s, dir) =>
       import TextFunctions._
@@ -3496,6 +3534,20 @@ object PipelineEntry {
           |p90 AS (SELECT g, MIN(v) AS w_p90 FROM r WHERE tot > 0 AND cum * 10 >= tot * 9 GROUP BY g)
           |SELECT med.g AS l_returnflag, w_median, w_p90
           |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
+      // trimmed-mean replay: same centi grid, same integer rank clamps
+      // per distinct value, one division per group
+      "red_trimmed_mean" ->
+        """WITH c AS (SELECT l_returnflag, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+          |    COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+          |w AS (SELECT l_returnflag, v, c,
+          |    COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+          |    SUM(c) OVER (PARTITION BY l_returnflag) AS n FROM c),
+          |k AS (SELECT l_returnflag, v, n,
+          |    GREATEST(LEAST(s + c, n - (n * 1 // 10)) - GREATEST(s, n * 1 // 10), 0) AS kept FROM w)
+          |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(kept) AS BIGINT) AS kept,
+          |  CAST(SUM(CAST(v AS HUGEINT) * kept) AS DOUBLE) / (CAST(SUM(kept) AS DOUBLE) * 100.0) AS trimmed_mean
+          |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       // interval union (gaps-and-islands): running max end over strictly
       // preceding intervals opens islands; exact int64 µs arithmetic
       "ev_cusum" ->
@@ -3761,6 +3813,27 @@ object PipelineEntry {
            |  FROM f a JOIN f b ON a.cluster <> b.cluster)
            |SELECT cluster, n, scatter_q, MAX(CASE WHEN m2 > 0 THEN ratio END) AS r_worst
            |FROM pr GROUP BY cluster, n, scatter_q ORDER BY cluster""".stripMargin,
+      // conformal replay: identical centi residuals, md5-parity split,
+      // integer ceil-divided rank, value-counting q̂, one coverage
+      // division
+      "eval_conformal" ->
+        s"""WITH b AS (SELECT CAST(event_id AS VARCHAR) AS id,
+           |    CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS pc FROM events),
+           |d AS (SELECT id, pc, (pc + (${sqlHash("id || '_a'")} % 101) - 50) / 100.0 AS actual FROM b),
+           |r AS (SELECT ABS(pc - CAST(FLOOR(CAST(actual AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS r,
+           |    (${sqlHash("id")} % 2 = 0) AS cal FROM d),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM r WHERE cal),
+           |rk AS (SELECT CAST(FLOOR(CAST((n_cal + 1) * 9 + 9 AS DOUBLE) / 10.0) AS BIGINT) AS rank FROM n),
+           |cc AS (SELECT r, COUNT(*) AS c FROM r WHERE cal GROUP BY r),
+           |cum AS (SELECT r, SUM(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cc),
+           |q AS (SELECT MIN(r) AS qhat_c FROM cum CROSS JOIN rk WHERE cum >= rank),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           |    CAST(SUM(CASE WHEN q.qhat_c IS NOT NULL
+           |      THEN (CASE WHEN r.r <= q.qhat_c THEN 1 ELSE 0 END) END) AS BIGINT) AS cov
+           |  FROM r CROSS JOIN q WHERE NOT cal)
+           |SELECT n.n_cal, t.n_test, q.qhat_c,
+           |  CAST(cov AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+           |FROM n CROSS JOIN t CROSS JOIN q""".stripMargin,
       "ev_holt" ->
         """WITH RECURSIVE l AS (
           |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
@@ -3870,6 +3943,18 @@ object PipelineEntry {
           |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
           |WHERE levenshtein(a.name, b.name) <= 1
           |ORDER BY id_a, id_b""".stripMargin,
+      // linkage oracle: independent brute-force cross join + best-match
+      // window — no shared blocking machinery with the engine's
+      // deletion-neighborhood candidates
+      "join_fuzzy" ->
+        """WITH l AS (SELECT c_custkey AS id_l, c_name AS key_l FROM customer),
+          |r AS (SELECT c_custkey + 1000000 AS id_r,
+          |    substr(c_name, 1, 5) || substr(c_name, 7) AS key_r FROM customer),
+          |s AS (SELECT id_l, key_l, id_r, key_r, levenshtein(key_l, key_r) AS dist
+          |  FROM l JOIN r ON abs(length(key_l) - length(key_r)) <= 1),
+          |f AS (SELECT *, row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) AS rn
+          |  FROM s WHERE dist <= 1)
+          |SELECT id_l, key_l, id_r, key_r, dist FROM f WHERE rn = 1 ORDER BY id_l""".stripMargin,
       "text_filter_quantile" ->
         s"""WITH t AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
            |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr FROM t)

@@ -747,6 +747,22 @@ object Dedup {
   def fuzzyPairs(records: DataFrame, maxDist: Int,
                  keyCol: String = "name", idCol: String = "id"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyPairs: maxDist must be 1 or 2, got $maxDist")
+    val variants = deletionVariantFrame(records, maxDist, keyCol, idCol)
+    variants.as("a").join(variants.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(col("a.h") === array_min(array_intersect(col("a.vh"), col("b.vh"))))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        levenshtein(col(s"a.$keyCol"), col(s"b.$keyCol")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Shared deletion-neighborhood blocking frame for [[fuzzyPairs]] and
+    * [[fuzzyJoin]]: each record exploded to the xxhash64 of itself and
+    * every ≤ maxDist single-character deletion — two strings within
+    * edit distance maxDist (≤ 2) ALWAYS share a variant, so the hash
+    * buckets are a complete candidate generator at that radius. */
+  private def deletionVariantFrame(records: DataFrame, maxDist: Int,
+                                   keyCol: String, idCol: String): DataFrame = {
     // one deletion round: every string in `arr` minus each single char
     def deleteOne(arr: Column): Column =
       flatten(transform(arr, s =>
@@ -755,7 +771,7 @@ object Dedup {
     val self = array(col(keyCol))
     val vars0 = if (maxDist == 1) concat(self, deleteOne(self))
       else { val d1 = deleteOne(self); concat(self, d1, deleteOne(d1)) }
-    val variants = records
+    records
       .filter(col(keyCol).isNotNull)
       .select(col(idCol), col(keyCol),
         array_distinct(transform(vars0, v => xxhash64(v))).as("vh"))
@@ -763,11 +779,45 @@ object Dedup {
       // shuffled-hash as in minhashCandidates: bucket fan-in is bounded
       // by variant collisions; never broadcast the exploded corpus
       .hint("shuffle_hash")
-    variants.as("a").join(variants.as("b"),
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+  }
+
+  /** Cross-table fuzzy join (record linkage): best edit-distance-≤
+    * `maxDist` match in `right` for each `left` record — the entity-
+    * resolution face of [[fuzzyPairs]] (link a dirty registry against
+    * a canonical one, reconcile two vendors' catalogs). Candidates
+    * come from the same COMPLETE deletion-neighborhood blocking (two
+    * strings within the radius always share a deletion variant), each
+    * candidate is verified with exact `levenshtein`, duplicate
+    * (left, right) candidates collapse by the arithmetic
+    * min-shared-hash rule (no DISTINCT shuffle), and the winner per
+    * left record is the (dist, right-id)-least match via one bounded
+    * `min_by` aggregate — deterministic at any partitioning. INNER
+    * semantics: lefts with no match within the radius are absent
+    * (left-join the output back for the audit face).
+    *
+    * Output: `(id_l, key_l, id_r, key_r, dist)` — one row per matched
+    * left record.
+    *
+    * Scale shape: both sides explode to length+1 (maxDist=1) variant
+    * hashes and meet in a shuffled-hash bucket join — candidate volume
+    * is bounded by real variant collisions, never the cross product;
+    * the per-left argmax is a map-side-combined `min_by`, no window.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, maxDist: Int,
+                keyCol: String = "name", idCol: String = "id"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"fuzzyJoin: maxDist must be 1 or 2, got $maxDist")
+    val a = deletionVariantFrame(left, maxDist, keyCol, idCol)
+    val b = deletionVariantFrame(right, maxDist, keyCol, idCol)
+    a.as("a").join(b.as("b"), col("a.h") === col("b.h"))
       .filter(col("a.h") === array_min(array_intersect(col("a.vh"), col("b.vh"))))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+      .select(col(s"a.$idCol").as("id_l"), col(s"a.$keyCol").as("key_l"),
+        col(s"b.$idCol").as("id_r"), col(s"b.$keyCol").as("key_r"),
         levenshtein(col(s"a.$keyCol"), col(s"b.$keyCol")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .groupBy(col("id_l"), col("key_l"))
+      .agg(min_by(struct(col("id_r"), col("key_r"), col("dist")),
+        struct(col("dist"), col("id_r"))).as("_m"))
+      .select(col("id_l"), col("key_l"), col("_m.id_r").as("id_r"),
+        col("_m.key_r").as("key_r"), col("_m.dist").as("dist"))
   }
 }

@@ -478,6 +478,66 @@ object Eval {
     * centroids are per-row HOF folds over the k-entry literal, and the
     * per-cluster mean is one map-side-combined aggregate. Fails fast
     * when fewer than 2 clusters exist (b is undefined). */
+  /** Split-conformal prediction interval + coverage audit (Vovk et
+    * al.; Lei et al. 2018 "Distribution-Free Predictive Inference for
+    * Regression"): on the CALIBRATION slice take
+    * `q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest |prediction − actual|`,
+    * then `prediction ± q̂` covers a fresh exchangeable point with
+    * probability ≥ 1−α — distribution-free. The TEST slice reports the
+    * realized coverage, the number a model-monitoring pipeline alarms
+    * on. Caller supplies the calibration indicator column (the gate
+    * uses the md5-bucket split; any leakage-safe split works —
+    * [[graft.operators.Sampling#splitByCluster]] for near-dup data).
+    *
+    * Determinism: residuals quantize through the tie-free
+    * `floor(x·100 + 0.5)` centi grid, the rank is pure integer
+    * arithmetic, q̂ selection is a min over the value-counting frame,
+    * and coverage is ONE division of exact counts — engine-exact. When
+    * `⌈(n_cal+1)(1−α)⌉ > n_cal` (too few calibration rows for the
+    * level) q̂ is the +∞ case and is reported as NULL with NULL
+    * coverage — undefined-not-zero, the [[auc]] contract.
+    *
+    * Output: one row `(n_cal, n_test, qhat_c, coverage)` — qhat_c in
+    * centi units.
+    *
+    * Scale shape: one scan partial-aggregates calibration residuals to
+    * the DISTINCT centi-residual frame (value-domain-bounded, the
+    * [[auc]] contract); one bounded prefix window picks q̂; the test
+    * pass is one conditional aggregate against the broadcast q̂. */
+  def splitConformal(df: DataFrame, predCol: Column, actualCol: Column,
+                     calibCol: Column, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(0 < alphaNum && alphaNum < alphaDen,
+      s"splitConformal: need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val r = abs(floor(predCol.cast(DoubleType) * 100d + 0.5d).cast(LongType) -
+      floor(actualCol.cast(DoubleType) * 100d + 0.5d).cast(LongType))
+    val base = df.select(r.as("_r"), calibCol.cast("boolean").as("_cal"))
+    val cal = base.filter(col("_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // rank = ⌈(n_cal+1)·(aDen−aNum)/aDen⌉, pure integer ceil division
+    // (exact double round-trip below 2^53)
+    val rank = floor(((col("n_cal") + 1) * lit(alphaDen - alphaNum) +
+      lit(alphaDen - 1)).cast(DoubleType) / lit(alphaDen.toDouble)).cast(LongType)
+    val wv = Window.orderBy(col("_r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = cal.groupBy(col("_r")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wv))
+      .crossJoin(broadcast(nCal.select(rank.as("_rank"))))
+      .filter(col("_cum") >= col("_rank"))
+      .agg(min(col("_r")).as("qhat_c"))
+    val test = base.filter(!col("_cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        // NULL-through on undefined q̂; otherwise a zero-coverage test
+        // slice must read 0.0, not NULL
+        sum(when(col("qhat_c").isNotNull,
+          when(col("_r") <= col("qhat_c"), 1L).otherwise(0L))).as("_cov"),
+        first(col("qhat_c")).as("qhat_c"))
+    nCal.crossJoin(test)
+      .select(col("n_cal"), col("n_test"), col("qhat_c"),
+        (col("_cov").cast(DoubleType) / col("n_test").cast(DoubleType))
+          .as("coverage"))
+  }
+
   /** Per-cluster Davies–Bouldin worst-ratio (Davies & Bouldin 1979):
     * with scatter `S_i` = mean member distance to the own centroid and
     * `M_ij` = centroid separation, each cluster's

@@ -161,4 +161,53 @@ object Quantile {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as(outCol))
   }
+
+  /** Exact per-group symmetric trimmed mean: drop the lowest and
+    * highest `⌊n·trimNum/trimDen⌋` observations BY RANK and average
+    * the rest — the robust location estimate between the mean
+    * ([[graft.operators.Features#standardize]]'s moments, dragged by
+    * tails) and the median ([[graft.operators.Features#robustOutliers]],
+    * discards too much). Rational trim fraction, the house no-libm
+    * rule: with per-value counts `c`, exclusive prefix `s`, and the
+    * rank window `[lo, n−lo)`, each distinct value contributes exactly
+    * `min(s+c, n−lo) − max(s, lo)` (clamped ≥ 0) kept observations —
+    * pure integer arithmetic, values in exact centi units, ONE final
+    * IEEE division per group. NULL values are excluded. The
+    * `trim < 1/2` require guarantees `kept = n − 2·⌊n·trim⌋ ≥ 1` for
+    * every non-empty group, so the division can never be 0/0.
+    *
+    * Output: `(group, n, kept, trimmed_mean)`.
+    *
+    * Scale shape: the value-counting contract — the only corpus
+    * shuffle is the per-(group, value) count; the rank walk windows
+    * over DISTINCT values per group (value-domain-bounded), and the
+    * kept-mass sum is one aggregate over that bounded frame. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimNum: Long, trimDen: Long): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      s"trimmedMean: need 0 <= trimNum/trimDen < 1/2, got $trimNum/$trimDen")
+    val cent = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), cent.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val whole = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("_s", coalesce(
+        sum(col("_c")).over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      // lo = ⌊n·trim⌋ via pure integer floor division (exact, then an
+      // exact double→long round-trip below 2^53)
+      .withColumn("_lo", ((col("_n") * trimNum - pmod(col("_n") * trimNum, lit(trimDen)))
+        / trimDen).cast(LongType))
+      .withColumn("_kept",
+        greatest(least(col("_s") + col("_c"), col("_n") - col("_lo")) -
+          greatest(col("_s"), col("_lo")), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"),
+        sum(col("_kept")).cast(LongType).as("kept"),
+        (sum((col("_v") * col("_kept")).cast(DecimalType(38, 0))).cast(DoubleType) /
+          (sum(col("_kept")).cast(DoubleType) * lit(100.0d))).as("trimmed_mean"))
+  }
 }

@@ -951,6 +951,68 @@ class BehaviorSpec extends SparkSpec {
     assert(rc.getLong(3) == 0L && rc.isNullAt(4))
   }
 
+  test("fuzzyJoin: best match per left, inner semantics, brute-force witness") {
+    val left = Seq((1L, "martha"), (2L, "jonas"), (3L, "qqqqq"))
+      .toDF("id", "name")
+    val right = Seq((10L, "marta"), (11L, "marthas"), (12L, "jonsa"),
+      (13L, "jonas"), (14L, "zzzzz")).toDF("id", "name")
+    val got = graft.operators.Dedup.fuzzyJoin(left, right, maxDist = 1)
+      .select("id_l", "id_r", "dist").as[(Long, Long, Int)]
+      .collect().toSeq.sortBy(_._1)
+    // 1: marta(del) and marthas(ins) both dist 1 → lower id_r 10 wins;
+    // 2: exact match 13 at dist 0 beats nothing else; 3: no match → absent
+    assert(got == Seq((1L, 10L, 1), (2L, 13L, 0)), s"got $got")
+    // brute-force witness: every emitted winner is a true argmin
+    val names = right.as[(Long, String)].collect()
+    got.foreach { case (l, r, d) =>
+      val lname = left.as[(Long, String)].collect().toMap.apply(l)
+      val best = names.map { case (rid, rn) => (levDist(lname, rn), rid) }
+        .filter(_._1 <= 1).min
+      assert((best._2, best._1) == ((r, d)), s"left $l: want $best, got ($r, $d)")
+    }
+  }
+
+  test("trimmedMean: hand ranks, tie-spanning trim, trim=0 degenerates to mean") {
+    import graft.operators.Quantile
+    // group g: values 1..10 → 10% trim drops rank-1 and rank-10 →
+    // mean of 2..9 = 5.5 over kept = 8
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val r = Quantile.trimmedMean(df, "grp", "v", 1L, 10L).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L && r.getDouble(3) == 5.5)
+    // ties spanning the cut: values (1,1,1,9) trim 25% → drop one 1 and
+    // the 9 → kept (1,1) → mean 1.0; the clamp splits the tied group
+    val tied = Seq(("t", 1.0), ("t", 1.0), ("t", 1.0), ("t", 9.0)).toDF("grp", "v")
+    val rt = Quantile.trimmedMean(tied, "grp", "v", 1L, 4L).head()
+    assert(rt.getLong(2) == 2L && rt.getDouble(3) == 1.0, s"got $rt")
+    // trim 0 → plain mean
+    val rm = Quantile.trimmedMean(df, "grp", "v", 0L, 10L).head()
+    assert(rm.getLong(2) == 10L && rm.getDouble(3) == 5.5)
+    intercept[IllegalArgumentException] {
+      Quantile.trimmedMean(df, "grp", "v", 1L, 2L)
+    }
+  }
+
+  test("splitConformal: hand rank, degenerate calibration NULL, zero coverage reads 0") {
+    import graft.operators.Eval
+    // calibration residuals 1..9 at α=1/10: rank = ⌈10·0.9⌉ = 9 → q̂ = 9;
+    // test residuals {5, 10} → coverage 1/2
+    val rows = (1 to 9).map(i => (0.0, i.toDouble / 100.0, true)) ++
+      Seq((0.0, 0.05, false), (0.0, 0.10, false))
+    val df = rows.toDF("pred", "actual", "cal")
+    val r = Eval.splitConformal(df, col("pred"), col("actual"), col("cal"), 1L, 10L).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 9L && r.getDouble(3) == 0.5, s"got $r")
+    // too few calibration rows: rank ⌈3·0.9⌉ = 3 > 2 → q̂ and coverage NULL
+    val tiny = Seq((0.0, 0.01, true), (0.0, 0.02, true), (0.0, 0.05, false))
+      .toDF("pred", "actual", "cal")
+    val rt = Eval.splitConformal(tiny, col("pred"), col("actual"), col("cal"), 1L, 10L).head()
+    assert(rt.isNullAt(2) && rt.isNullAt(3))
+    // q̂ defined but nothing covered → 0.0, not NULL
+    val zc = Seq((0.0, 0.01, true), (0.0, 5.0, false)).toDF("pred", "actual", "cal")
+    val rz = Eval.splitConformal(zc, col("pred"), col("actual"), col("cal"), 1L, 2L).head()
+    assert(rz.getLong(2) == 1L && rz.getDouble(3) == 0.0, s"got $rz")
+  }
+
   test("cramersV: perfect association ≈ 1, exact independence = 0, constant column NULL") {
     // x == y on a 2×2 → φ² = 1 → V = 1 (up to the 2^-20 floor)
     val perfect = (Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b")))
