@@ -875,6 +875,16 @@ object PipelineEntry {
           "l_extendedprice", 9, 10, outCol = "w_p90"), "l_returnflag")
         .orderBy("l_returnflag")
     },
+    "profile_ks2" -> { (s, dir) =>
+      // numeric drift: two-sample KS distance between purchase and
+      // view value distributions — sup ECDF gap cross-multiplied to
+      // exact integers over the distinct-centi-value union, one final
+      // division; the numeric sibling of profile_psi
+      val ev = t(s, dir, "events")
+      Validate.ksTwoSample(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"), "value")
+    },
     "red_trimmed_mean" -> { (s, dir) =>
       // 10%-trimmed mean QUANTITY per return flag — the robust location
       // between mean and median; rank-window kept-mass per distinct
@@ -1700,7 +1710,12 @@ object PipelineEntry {
       // (label — the sim_ivf pinned-assignment pattern): edge kept iff
       // BOTH endpoints rank each other top-5 — the denoised graph
       // clustering pipelines actually build; ranking is the bounded
-      // TopKByScore aggregate, never a corpus-side window
+      // TopKByScore aggregate, never a corpus-side window. The default
+      // shardTarget md5-subdivides oversized blocks (ceil(n/2048)
+      // shards — 1 at this sf, so the gate result is the exact
+      // block-local graph while the formula replays in the oracle);
+      // without it the 10 pinned labels cost 180× time for 10× rows
+      // at the sf10 rehearsal
       Similarity.mutualKnnGraph(t(s, dir, "embeddings"), k = 5,
           blockCol = "label")
         .orderBy("id_a", "id_b")
@@ -3534,6 +3549,25 @@ object PipelineEntry {
           |p90 AS (SELECT g, MIN(v) AS w_p90 FROM r WHERE tot > 0 AND cum * 10 >= tot * 9 GROUP BY g)
           |SELECT med.g AS l_returnflag, w_median, w_p90
           |FROM med JOIN p90 ON med.g = p90.g ORDER BY 1""".stripMargin,
+      // KS replay: same centi grid, running ECDFs over the distinct-
+      // value union, HUGEINT cross products, one division
+      "profile_ks2" ->
+        """WITH av AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |bv AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+          |pts AS (SELECT v, SUM(ka) AS ka, SUM(kb) AS kb FROM (
+          |    SELECT v, COUNT(*) AS ka, 0 AS kb FROM av GROUP BY v
+          |    UNION ALL SELECT v, 0, COUNT(*) FROM bv GROUP BY v) GROUP BY v),
+          |c AS (SELECT v, ka, kb,
+          |    SUM(ka) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          |    SUM(kb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          |    SUM(ka) OVER () AS na, SUM(kb) OVER () AS nb FROM pts)
+          |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+          |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+          |    THEN CAST(MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+          |       / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) END AS ks_d
+          |FROM c""".stripMargin,
       // trimmed-mean replay: same centi grid, same integer rank clamps
       // per distinct value, one division per group
       "red_trimmed_mean" ->
@@ -5030,13 +5064,18 @@ object PipelineEntry {
            |scored AS (SELECT q_id, c_id, ${sqlCos("qv", "cv")} AS cos FROM q JOIN c ON q_blk = c_blk AND q_id <> c_id),
            |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-      // mutual-kNN replay: block-local exact cosine ranking (the
-      // sim_ivf CTE), top-5 both directions, edge kept iff both ranks
-      // exist — identical ranks, one symmetric cosine per pair
+      // mutual-kNN replay: (block, shard)-local exact cosine ranking —
+      // shards = ceil(n/2048), the autoCells integer formula, md5
+      // bucket per id (1 shard at the gate sf, so the subdivide is an
+      // exact no-op here while the formula still replays) — top-5 both
+      // directions, edge kept iff both ranks exist
       "sim_mutual_knn" ->
-        s"""WITH a AS (SELECT vec_id AS q_id, label AS blk, embedding AS qv FROM embeddings),
+        s"""WITH ns AS (SELECT GREATEST(1, (COUNT(*) + 2047) // 2048) AS shards FROM embeddings),
+           |a AS (SELECT vec_id AS q_id, label AS blk,
+           |    ${sqlHash("CAST(vec_id AS VARCHAR)")} % (SELECT shards FROM ns) AS sh,
+           |    embedding AS qv FROM embeddings),
            |sc AS (SELECT x.q_id, y.q_id AS c_id, ${sqlCos("x.qv", "y.qv")} AS cos
-           |  FROM a x JOIN a y ON x.blk = y.blk AND x.q_id <> y.q_id),
+           |  FROM a x JOIN a y ON x.blk = y.blk AND x.sh = y.sh AND x.q_id <> y.q_id),
            |r AS (SELECT q_id, c_id, cos,
            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
            |  FROM sc WHERE cos IS NOT NULL),

@@ -753,14 +753,34 @@ object Similarity {
     * per-node bounded top-k aggregate (≤ k entries of state per node,
     * map-side combined), then the ≤ n·k directed edge list self-joins
     * on the narrow (id, id) pair key to test mutuality — corpus
-    * vectors never shuffle beyond the block key. */
+    * vectors never shuffle beyond the block key.
+    *
+    * `shardTarget` caps in-block quadratic work IN the operator: a
+    * fixed label set does not scale with the corpus (the sf10
+    * rehearsal measured 180× time for 10× rows on 10 pinned labels),
+    * so each block md5-subdivides into `ceil(n/shardTarget)` shards
+    * ([[autoCells]] — the same integer formula the oracle replays for
+    * `dedup_embedding`'s autoBits), holding expected occupancy
+    * ~constant at ANY corpus size. Neighbors are then shard-local —
+    * the standard blocked-ANN recall tradeoff, the [[lshTopK]] bucket
+    * contract; pass `shardTarget = 0` for exact block-local semantics
+    * when blocks are known bounded. Corpora at or below `shardTarget`
+    * rows keep one shard, so small-fixture results are unchanged. */
   def mutualKnnGraph(emb: DataFrame, k: Int, blockCol: String,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
+                     idCol: String = "vec_id",
+                     shardTarget: Long = 2048L): DataFrame = {
     require(k >= 1 && k <= 1000, s"mutualKnnGraph: need 1 <= k <= 1000, got $k")
-    val a = emb.select(col(idCol).as("q_id"), col(blockCol).as("q_blk"),
+    val blk = if (shardTarget <= 0) col(blockCol).cast(StringType)
+      else {
+        val shards = autoCells(emb.count(), shardTarget)
+        concat(col(blockCol).cast(StringType), lit("_"),
+          graft.plans.HashBucket(col(idCol).cast(StringType), shards)
+            .cast(StringType))
+      }
+    val a = emb.select(col(idCol).as("q_id"), blk.as("q_blk"),
       col(vecCol).as("qv"))
-    val c = emb.select(col(idCol).as("c_id"), col(blockCol).as("c_blk"),
+    val c = emb.select(col(idCol).as("c_id"), blk.as("c_blk"),
       col(vecCol).as("cv"))
     val scored = a.join(c,
         col("q_blk") === col("c_blk") && col("q_id") =!= col("c_id"))

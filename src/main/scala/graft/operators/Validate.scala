@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -214,6 +215,56 @@ object Validate {
     * Scale shape: one scan → 9-row aggregate; the total re-aggregates
     * those 9 rows.
     */
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two slices — the NUMERIC drift monitor beside
+    * [[populationStability]]'s categorical one (has this metric's
+    * whole distribution moved between snapshots / segments?). The
+    * statistic is the sup-norm ECDF gap, computed EXACTLY in the
+    * cross-multiplied form: over the union of distinct centi values,
+    *
+    *   D·n_a·n_b = max_v |cum_a(v)·n_b − cum_b(v)·n_a|
+    *
+    * with all counts exact integers (DECIMAL(38,0) products — n_a·n_b
+    * overflows int64 past ~3·10⁹ rows per side), ONE final IEEE
+    * division. Identical slices give exactly 0; NULL values are
+    * excluded. Output: one row `(n_a, n_b, ks_d)`; NULL when either
+    * side is empty (undefined, the [[Eval.auc]] contract).
+    *
+    * Scale shape: the value-counting contract — one per-(side, value)
+    * count shuffle per slice; the running ECDFs window over the
+    * DISTINCT-value union (value-domain-bounded, never the corpus);
+    * one 1-row reduce. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    def cent(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select((col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType).as("_v"))
+    val ca = cent(a).groupBy(col("_v")).agg(count(lit(1)).as("_ca"))
+      .withColumn("_cb", lit(0L))
+    val cb = cent(b).groupBy(col("_v")).agg(count(lit(1)).as("_cb"))
+      .withColumn("_ca", lit(0L))
+    val pts = ca.select(col("_v"), col("_ca"), col("_cb"))
+      .unionByName(cb.select(col("_v"), col("_ca"), col("_cb")))
+      .groupBy(col("_v"))
+      .agg(sum(col("_ca")).as("_ka"), sum(col("_cb")).as("_kb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy()
+    pts
+      .withColumn("_cuma", sum(col("_ka")).over(w))
+      .withColumn("_cumb", sum(col("_kb")).over(w))
+      .withColumn("_na", sum(col("_ka")).over(whole))
+      .withColumn("_nb", sum(col("_kb")).over(whole))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(col("_cuma").cast(D38) * col("_nb").cast(D38) -
+          col("_cumb").cast(D38) * col("_na").cast(D38))).as("_d"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_d").cast(DoubleType) /
+            (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("ks_d"))
+  }
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     require(df.columns.contains(valueCol), s"benford: no such column: $valueCol")
     val centi = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)

@@ -1013,6 +1013,21 @@ class BehaviorSpec extends SparkSpec {
     assert(rz.getLong(2) == 1L && rz.getDouble(3) == 0.0, s"got $rz")
   }
 
+  test("ksTwoSample: identical = 0, disjoint = 1, hand overlap, empty side NULL") {
+    import graft.operators.Validate
+    def vals(xs: Double*) = xs.map(Tuple1(_)).toDF("value")
+    val a = vals(1.0, 2.0, 3.0, 4.0)
+    assert(Validate.ksTwoSample(a, a, "value").head().getDouble(2) == 0.0)
+    // disjoint supports → sup gap 1
+    assert(Validate.ksTwoSample(vals(1.0, 2.0), vals(10.0, 20.0), "value")
+      .head().getDouble(2) == 1.0)
+    // half-overlapping: max gap at v=2 is |2/4 − 0| = 1/2, exact
+    val r = Validate.ksTwoSample(a, vals(3.0, 4.0, 5.0, 6.0), "value").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getDouble(2) == 0.5)
+    // empty side → undefined, NULL not 0
+    assert(Validate.ksTwoSample(a, vals(), "value").head().isNullAt(2))
+  }
+
   test("cramersV: perfect association ≈ 1, exact independence = 0, constant column NULL") {
     // x == y on a 2×2 → φ² = 1 → V = 1 (up to the 2^-20 floor)
     val perfect = (Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b")))

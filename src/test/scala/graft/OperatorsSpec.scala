@@ -1325,6 +1325,15 @@ class OperatorsSpec extends SparkSpec {
     // blocks isolate: identical vectors in different blocks never pair
     val blocked = emb((1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 1))
     assert(Similarity.mutualKnnGraph(blocked, k = 1, blockCol = "blk").count() == 0)
+    // shard cap: below shardTarget the subdivide is a no-op (identical
+    // to the exact shardTarget=0 graph); forcing 1-row shards can only
+    // REMOVE edges — the shard-local graph is a subgraph
+    val exact = Similarity.mutualKnnGraph(e, k = 2, blockCol = "blk", shardTarget = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == r2, "default shard is a no-op on a small corpus")
+    val sharded = Similarity.mutualKnnGraph(e, k = 2, blockCol = "blk", shardTarget = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sharded.subsetOf(exact), s"shard-local must be a subgraph: $sharded")
   }
 
   test("kmvDistinct: exact below k, ~1/sqrt(k) accurate above, partition-invariant") {
