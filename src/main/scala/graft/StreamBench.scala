@@ -110,7 +110,27 @@ object StreamBench {
           windowSeconds = 600L, name = "sb_interval_replay").count()
     }
 
-    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"sf":"$sfDir"}""")
+    // ---- CUSUM: operator face (file source, one pass) ----
+    val cusumFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        runToCount(
+          graft.streaming.StreamOps
+            .cusumStream(spark, src, kCenti = 5000L, hCenti = 20000L).toDF(),
+          "sb_cusum_file")
+      }
+    }
+    // ---- CUSUM: harness face (the gate's MemoryStream replay) ----
+    val cusumReplay = timed {
+      graft.testkit.StreamReplay
+        .replayCusum(spark,
+          Tables(spark, sfDir, "events")
+            .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          kCenti = 5000L, hCenti = 20000L, name = "sb_cusum_replay").count()
+    }
+
+    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,9 @@ class AdvisorSweepSpec extends SparkSpec {
     ("text_zipf", "single-partition-window"),       // top-256 vocabulary slice
     ("text_heaps", "single-partition-window"),      // 16-bucket growth curve
     ("sel_skyline", "single-partition-window"),     // pass 2 over local-skyline survivors (documented in Skyline)
-    ("text_encode", "single-partition-window")      // vocab id window over the top-k (=100) slice
+    ("text_encode", "single-partition-window"),     // vocab id window over the top-k (=100) slice
+    ("eval_conformal", "single-partition-window"),  // q̂ prefix window over the DISTINCT centi-residual domain (the eval_auc contract)
+    ("profile_ks2", "single-partition-window")      // ECDF windows over the distinct-value union (value-domain-bounded)
   )
 
   test("no unexpected error-severity advisor findings across the gate registry") {
