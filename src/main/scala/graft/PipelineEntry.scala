@@ -725,6 +725,13 @@ object PipelineEntry {
       graft.operators.Eval.confusion(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase", 25000L)
     },
+    "eval_mcc" -> { (s, dir) =>
+      // Matthews correlation at eval_confusion's centi threshold —
+      // the imbalance-robust single number (F1 ignores true
+      // negatives); exact D38 products, one multiply/sqrt/divide tree
+      graft.operators.Eval.mcc(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase", 25000L)
+    },
     "eval_kappa" -> { (s, dir) =>
       // Cohen's kappa between eval_confusion's centi-threshold
       // predictor and the purchase label — chance-corrected agreement
@@ -884,6 +891,13 @@ object PipelineEntry {
       Validate.ksTwoSample(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "view"), "value")
+    },
+    "red_gini" -> { (s, dir) =>
+      // spend-concentration audit: exact Gini of event value per type
+      // — rank-weighted sums from the value-counting frame (centi
+      // domain bounded), one division per group
+      Quantile.giniCoefficient(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")
     },
     "red_trimmed_mean" -> { (s, dir) =>
       // 10%-trimmed mean QUANTITY per return flag — the robust location
@@ -3568,6 +3582,22 @@ object PipelineEntry {
           |    THEN CAST(MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
           |       / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) END AS ks_d
           |FROM c""".stripMargin,
+      // Gini replay: same centi grid, rank-weighted HUGEINT sums over
+      // the per-group distinct-value walk, one division
+      "red_gini" ->
+        """WITH c AS (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+          |    COUNT(*) AS c FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |w AS (SELECT event_type, v, c,
+          |    COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+          |    SUM(c) OVER (PARTITION BY event_type) AS n FROM c),
+          |a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+          |    SUM(CAST(v AS HUGEINT) * (2 * CAST(c AS HUGEINT) * s + CAST(c AS HUGEINT) * c + c)) AS s2,
+          |    SUM(CAST(v AS HUGEINT) * c) AS t FROM w GROUP BY event_type)
+          |SELECT event_type, n,
+          |  CASE WHEN t > 0 THEN CAST(s2 - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
+          |    / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) END AS gini
+          |FROM a ORDER BY event_type""".stripMargin,
       // trimmed-mean replay: same centi grid, same integer rank clamps
       // per distinct value, one division per group
       "red_trimmed_mean" ->
@@ -3785,6 +3815,23 @@ object PipelineEntry {
           |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
           |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
           |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+          |FROM c""".stripMargin,
+      // MCC replay: exact HUGEINT confusion products, the identical
+      // multiply/sqrt/divide tree, NULL on any empty marginal
+      "eval_mcc" ->
+        """WITH q AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) >= 25000 AS pred,
+          |    (event_type = 'purchase') AS y FROM events),
+          |c AS (SELECT
+          |    CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |    CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |    CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |    CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM q)
+          |SELECT tp, fp, fn, tn,
+          |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+          |    THEN CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+          |      / SQRT(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE))
+          |  END AS mcc
           |FROM c""".stripMargin,
       // kappa replay: booleans cast to VARCHAR categories exactly as
       // the engine does; marginal products in HUGEINT, κ = the same

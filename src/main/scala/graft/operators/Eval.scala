@@ -478,6 +478,45 @@ object Eval {
     * centroids are per-row HOF folds over the k-entry literal, and the
     * per-cluster mean is one map-side-combined aggregate. Fails fast
     * when fewer than 2 clusters exist (b is undefined). */
+  /** Matthews correlation coefficient at a centi threshold (Matthews
+    * 1975) — the chance-corrected single number for IMBALANCED binary
+    * classification, where accuracy and even F1 mislead (F1 ignores
+    * true negatives entirely; MCC only saturates when all four
+    * confusion cells are right). Completes [[confusion]]'s rate block
+    * and [[cohensKappa]]'s agreement view:
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * Counts are exact int64, the products DECIMAL(38,0) (each factor
+    * ≤ n, the radicand ≤ n⁴ < 10^38 documented bound at n ≤ 3·10⁹ —
+    * cast each factor to double BEFORE the product past that), and the
+    * result is one fixed multiply/sqrt/divide double tree — engine-
+    * exact. NULL when any marginal is empty (a constant predictor or
+    * constant truth — undefined, the [[auc]] contract). Output: one
+    * row `(tp, fp, fn, tn, mcc)`.
+    *
+    * Scale shape: ONE conditional aggregate over the scan, one row
+    * out. */
+  def mcc(df: DataFrame, scoreCol: Column, labelCol: Column,
+          thresholdCenti: Long): DataFrame = {
+    val pred = floor(scoreCol.cast(DoubleType) * 100d + 0.5d)
+      .cast(LongType) >= thresholdCenti
+    val y = labelCol.cast("boolean")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.agg(cnt(pred && y).as("tp"), cnt(pred && !y).as("fp"),
+        cnt(!pred && y).as("fn"), cnt(!pred && !y).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+          (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+          (col("tp").cast(D38) * col("tn").cast(D38) -
+            col("fp").cast(D38) * col("fn").cast(D38)).cast(DoubleType) /
+            sqrt(((col("tp") + col("fp")).cast(D38) *
+              (col("tp") + col("fn")).cast(D38) *
+              (col("tn") + col("fp")).cast(D38) *
+              (col("tn") + col("fn")).cast(D38)).cast(DoubleType)))
+          .as("mcc"))
+  }
+
   /** Split-conformal prediction interval + coverage audit (Vovk et
     * al.; Lei et al. 2018 "Distribution-Free Predictive Inference for
     * Regression"): on the CALIBRATION slice take

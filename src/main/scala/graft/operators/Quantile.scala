@@ -182,6 +182,62 @@ object Quantile {
     * shuffle is the per-(group, value) count; the rank walk windows
     * over DISTINCT values per group (value-domain-bounded), and the
     * kept-mass sum is one aggregate over that bounded frame. */
+  /** Exact per-group Gini concentration coefficient (Gini 1912) of a
+    * non-negative metric — the inequality/whale audit ("how
+    * concentrated is spend across events / tokens across documents"),
+    * [[graft.operators.Corpus#diversity]]'s ranked sibling for numeric
+    * mass. Computed EXACTLY from the value-counting frame: a tied
+    * group of `c` observations at value `x` after exclusive prefix `s`
+    * occupies ranks `s+1..s+c`, so the doubled rank-weighted sum is
+    * `S2 = Σ x·(2·c·s + c² + c)` — pure integers — and
+    *
+    *   G = (S2 − (n+1)·T) / (n·T)        (T = Σ x, centi units)
+    *
+    * is ONE final IEEE division of DECIMAL(38,0) exacts: bit-identical
+    * on any engine at any partitioning. G = 0 for a constant metric,
+    * → 1 as one observation carries all mass. Negative values fail
+    * loudly in-plan (Gini is undefined below zero — the
+    * [[graft.operators.Sampling#topMassByScore]] guard pattern); a
+    * group with zero total mass reports NULL. Exact to |S2| < 10^38
+    * (n ≤ ~10^12 at centi values ≤ 10^7, documented).
+    *
+    * Output: `(group, n, gini)`.
+    *
+    * Scale shape: the value-counting contract — one per-(group, value)
+    * count shuffle; the rank walk windows over DISTINCT values per
+    * group (value-domain-bounded — point this at quantized/bounded
+    * metrics, not raw high-cardinality doubles); one row per group. */
+  def giniCoefficient(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val raw = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val cent = when(raw < 0,
+        raise_error(concat(lit("giniCoefficient: negative value: "),
+          col(valueCol).cast(StringType))).cast(LongType))
+      .otherwise(raw)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), cent.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val whole = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("_s", coalesce(
+        sum(col("_c")).over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"),
+        sum(col("_v").cast(D38) *
+          (lit(2).cast(D38) * col("_c").cast(D38) * col("_s").cast(D38) +
+            col("_c").cast(D38) * col("_c").cast(D38) + col("_c").cast(D38)))
+          .as("_s2"),
+        sum(col("_v").cast(D38) * col("_c").cast(D38)).as("_t"))
+      .select(col(groupCol), col("n"),
+        when(col("_t") > 0,
+          (col("_s2") - (col("n").cast(D38) + 1) * col("_t")).cast(DoubleType) /
+            (col("n").cast(D38) * col("_t")).cast(DoubleType)).as("gini"))
+  }
+
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
                   trimNum: Long, trimDen: Long): DataFrame = {
     require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,

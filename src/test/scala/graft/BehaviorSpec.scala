@@ -1013,6 +1013,38 @@ class BehaviorSpec extends SparkSpec {
     assert(rz.getLong(2) == 1L && rz.getDouble(3) == 0.0, s"got $rz")
   }
 
+  test("mcc: hand confusion, perfect = 1, constant predictor NULL") {
+    import graft.operators.Eval
+    // tp=4 fp=1 fn=2 tn=3 → (12−2)/√(5·6·4·5) = 10/√600
+    val rows = Seq.fill(4)((1.0, true)) ++ Seq.fill(1)((1.0, false)) ++
+      Seq.fill(2)((0.0, true)) ++ Seq.fill(3)((0.0, false))
+    val r = Eval.mcc(rows.toDF("s", "y"), col("s"), col("y"), 50L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 1L, 2L, 3L)))
+    assert(r.getDouble(4) == 10.0 / math.sqrt(600.0), s"got $r")
+    // perfect separation → exactly 1
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false))
+      .toDF("s", "y")
+    assert(Eval.mcc(perfect, col("s"), col("y"), 50L).head().getDouble(4) == 1.0)
+    // constant predictor: a marginal is empty → undefined → NULL
+    val const = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    assert(Eval.mcc(const, col("s"), col("y"), 50L).head().isNullAt(4))
+  }
+
+  test("giniCoefficient: constant 0, max (n-1)/n, hand pair, zero mass NULL, negative loud") {
+    import graft.operators.Quantile
+    def g(xs: Double*) = Quantile.giniCoefficient(
+      xs.map(("g", _)).toDF("grp", "v"), "grp", "v").head()
+    assert(g(5.0, 5.0, 5.0).getDouble(2) == 0.0, "constant metric → 0")
+    // one observation carries all mass → (n−1)/n
+    assert(g(0.0, 0.0, 0.0, 10.0).getDouble(2) == 0.75)
+    // classic pair (1, 3): Σ|xi−xj|/(2n²μ) = 4/16 = 0.25
+    assert(g(1.0, 3.0).getDouble(2) == 0.25)
+    assert(g(0.0, 0.0).isNullAt(2), "zero total mass → NULL")
+    intercept[Exception] {
+      g(-1.0, 2.0)
+    }
+  }
+
   test("ksTwoSample: identical = 0, disjoint = 1, hand overlap, empty side NULL") {
     import graft.operators.Validate
     def vals(xs: Double*) = xs.map(Tuple1(_)).toDF("value")
