@@ -725,6 +725,18 @@ object PipelineEntry {
       graft.operators.Eval.confusion(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase", 25000L)
     },
+    "eval_lift_ci" -> { (s, dir) =>
+      // A/B readout at the documented assignment unit (users): variant
+      // = md5 parity of user_id, conversion = any purchase; the
+      // deterministic Poisson bootstrap band replays in the oracle
+      // (32 replicas → replica min/max)
+      val users = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      graft.operators.Eval.liftBootstrapCi(users,
+        graft.plans.HashBucket(col("user_id").cast(StringType), 2) === 1L,
+        col("converted") === 1L, col("user_id"), reps = 32)
+    },
     "eval_mcc" -> { (s, dir) =>
       // Matthews correlation at eval_confusion's centi threshold —
       // the imbalance-robust single number (F1 ignores true
@@ -3816,6 +3828,44 @@ object PipelineEntry {
           |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
           |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
           |FROM c""".stripMargin,
+      // lift replay: per-user conversion frame, md5-parity arms, the
+      // eval_brier_ci Poisson threshold weights per (user, replica),
+      // replica lifts as the identical fixed double tree, band =
+      // replica min/max at 32 reps; degenerate replicas drop
+      "eval_lift_ci" ->
+        s"""WITH uu AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           |  FROM events GROUP BY user_id),
+           |b AS (SELECT CAST(user_id AS VARCHAR) AS id,
+           |    (${sqlHash("CAST(user_id AS VARCHAR)")} % 2 = 1) AS t, y FROM uu),
+           |r AS (SELECT id, t, y, unnest(range(32)) AS rb FROM b),
+           |uw AS (SELECT t, y, rb,
+           |    (CASE WHEN u >= 98751885 THEN 1 ELSE 0 END) + (CASE WHEN u >= 197503771 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN u >= 246879713 THEN 1 ELSE 0 END) + (CASE WHEN u >= 263338361 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN u >= 267453023 THEN 1 ELSE 0 END) + (CASE WHEN u >= 268275955 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN u >= 268413111 THEN 1 ELSE 0 END) AS w
+           |  FROM (SELECT t, y, rb, ${sqlHash("id || '_' || CAST(rb AS VARCHAR)")} % 268435456 AS u FROM r)),
+           |rep AS (SELECT rb,
+           |    CAST(SUM(CASE WHEN NOT t THEN w ELSE 0 END) AS BIGINT) AS na,
+           |    CAST(SUM(CASE WHEN NOT t THEN w * y ELSE 0 END) AS BIGINT) AS ca,
+           |    CAST(SUM(CASE WHEN t THEN w ELSE 0 END) AS BIGINT) AS nb,
+           |    CAST(SUM(CASE WHEN t THEN w * y ELSE 0 END) AS BIGINT) AS cb
+           |  FROM uw GROUP BY rb
+           |  HAVING SUM(CASE WHEN NOT t THEN w ELSE 0 END) > 0
+           |    AND SUM(CASE WHEN t THEN w ELSE 0 END) > 0
+           |    AND SUM(CASE WHEN NOT t THEN w * y ELSE 0 END) > 0),
+           |m AS (SELECT (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+           |    / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS lift FROM rep),
+           |tot AS (SELECT CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sa,
+           |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sb FROM b)
+           |SELECT n_a, n_b,
+           |  CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS conv_a,
+           |  CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS conv_b,
+           |  CASE WHEN n_a > 0 AND n_b > 0 AND sa > 0
+           |    THEN (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) END AS lift,
+           |  (SELECT MIN(lift) FROM m) AS ci_lo, (SELECT MAX(lift) FROM m) AS ci_hi
+           |FROM tot""".stripMargin,
       // MCC replay: exact HUGEINT confusion products, the identical
       // multiply/sqrt/divide tree, NULL on any empty marginal
       "eval_mcc" ->

@@ -478,6 +478,74 @@ object Eval {
     * centroids are per-row HOF folds over the k-entry literal, and the
     * per-cluster mean is one map-side-combined aggregate. Fails fast
     * when fewer than 2 clusters exist (b is undefined). */
+  /** A/B conversion lift with a percentile-bootstrap confidence band —
+    * the experimentation readout (treatment conversion over control,
+    * "does the band clear 1?") built on the SAME deterministic Poisson
+    * bootstrap as [[brierBootstrapCi]]: per-(row, replica)
+    * multiplicities from the baked [[PoissonCdf28]] inverse-CDF
+    * thresholds and the md5-28-bit hash of (id, replica) — RNG-free
+    * and libm-free, a pure function of the data, so the whole CI
+    * replays bit-identically in any engine. Within each replica the
+    * lift is the fixed tree `(ΣwB·y/ΣwB) / (ΣwA·y/ΣwA)`; replicas
+    * where either arm is empty or the CONTROL never converts drop from
+    * the band (lift undefined there — undefined-not-zero, the [[auc]]
+    * contract), and the point estimate applies the same rule to the
+    * raw counts. `idCol` must be unique per row, and rows should be
+    * the assignment unit (pre-aggregate to users first when users are
+    * the unit — resampling events of one user independently would
+    * understate the variance).
+    *
+    * Output: one row
+    * `(n_a, n_b, conv_a, conv_b, lift, ci_lo, ci_hi)` — arm A =
+    * control (`variantCol` false), arm B = treatment.
+    *
+    * Scale shape: one scan exploded ×reps into ONE map-side-combined
+    * aggregate (reps output rows, 4 sums each); the band is a
+    * `sort_array` over the reps-length array — no window, no second
+    * data scan. */
+  def liftBootstrapCi(df: DataFrame, variantCol: Column, convCol: Column,
+                      idCol: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 8 && reps <= 1024, s"liftBootstrapCi: reps=$reps (8..1024)")
+    val base = df.select(idCol.cast(StringType).as("_id"),
+      variantCol.cast("boolean").as("_t"),
+      when(convCol.cast("boolean"), 1L).otherwise(0L).as("_y"))
+    val u = graft.plans.HashBucket(
+      concat(col("_id"), lit("_"), col("_b").cast(StringType)), 1 << 28)
+    val w = PoissonCdf28.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = base
+      .select(col("_id"), col("_t"), col("_y"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_b"))
+      .select(col("_t"), col("_y"), col("_b"), w.as("_w"))
+      .groupBy(col("_b"))
+      .agg(sum(when(!col("_t"), col("_w")).otherwise(0L)).as("_na"),
+        sum(when(!col("_t"), col("_w") * col("_y")).otherwise(0L)).as("_ca"),
+        sum(when(col("_t"), col("_w")).otherwise(0L)).as("_nb"),
+        sum(when(col("_t"), col("_w") * col("_y")).otherwise(0L)).as("_cb"))
+      .filter(col("_na") > 0 && col("_nb") > 0 && col("_ca") > 0)
+      .select(((col("_cb").cast(DoubleType) / col("_nb").cast(DoubleType)) /
+        (col("_ca").cast(DoubleType) / col("_na").cast(DoubleType))).as("_m"))
+    val rLo = (reps - 1) * 25 / 1000 + 1
+    val band = rep.agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .select(try_element_at(col("_ms"), lit(rLo)).as("ci_lo"),
+        try_element_at(col("_ms"), lit(-rLo)).as("ci_hi"))
+    base.agg(
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_t"), col("_y")).otherwise(0L)).as("_sa"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_t"), col("_y")).otherwise(0L)).as("_sb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0,
+          col("_sa").cast(DoubleType) / col("n_a").cast(DoubleType)).as("conv_a"),
+        when(col("n_b") > 0,
+          col("_sb").cast(DoubleType) / col("n_b").cast(DoubleType)).as("conv_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("_sa") > 0,
+          (col("_sb").cast(DoubleType) / col("n_b").cast(DoubleType)) /
+            (col("_sa").cast(DoubleType) / col("n_a").cast(DoubleType)))
+          .as("lift"))
+      .crossJoin(band)
+  }
+
   /** Matthews correlation coefficient at a centi threshold (Matthews
     * 1975) — the chance-corrected single number for IMBALANCED binary
     * classification, where accuracy and even F1 mislead (F1 ignores

@@ -1013,6 +1013,28 @@ class BehaviorSpec extends SparkSpec {
     assert(rz.getLong(2) == 1L && rz.getDouble(3) == 0.0, s"got $rz")
   }
 
+  test("liftBootstrapCi: exact point lift, band defined, no-control-conversion NULL, invariance") {
+    import graft.operators.Eval
+    // control (t=false): 2/4 convert; treatment: 3/4 → lift 1.5 exactly
+    val rows = Seq(
+      (1L, false, true), (2L, false, true), (3L, false, false), (4L, false, false),
+      (5L, true, true), (6L, true, true), (7L, true, true), (8L, true, false))
+    val df = rows.toDF("id", "t", "y")
+    val r = Eval.liftBootstrapCi(df, col("t"), col("y"), col("id")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.75)
+    assert(r.getDouble(4) == 1.5, s"got $r")
+    assert(!r.isNullAt(5) && !r.isNullAt(6) && r.getDouble(5) <= r.getDouble(6))
+    // partition invariance: the CI is a pure function of the data
+    val r7 = Eval.liftBootstrapCi(df.repartition(7), col("t"), col("y"), col("id")).head()
+    assert(r7.getDouble(5) == r.getDouble(5) && r7.getDouble(6) == r.getDouble(6))
+    // control never converts → lift undefined → NULL (and the replica
+    // band empties the same way)
+    val noCtl = Seq((1L, false, false), (2L, true, true)).toDF("id", "t", "y")
+    val rn = Eval.liftBootstrapCi(noCtl, col("t"), col("y"), col("id")).head()
+    assert(rn.isNullAt(4))
+  }
+
   test("mcc: hand confusion, perfect = 1, constant predictor NULL") {
     import graft.operators.Eval
     // tp=4 fp=1 fn=2 tn=3 → (12−2)/√(5·6·4·5) = 10/√600
