@@ -1336,6 +1336,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded.subsetOf(exact), s"shard-local must be a subgraph: $sharded")
   }
 
+  test("plan guards: mutual-kNN ranks without windows; ACF folds all lags in one window pass") {
+    import graft.operators.{Behavior, Graph}
+    // mutual-kNN ranking must stay the bounded TopKByScore aggregate —
+    // a Window here would funnel each node's full candidate set
+    val emb = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "blk")
+    val knnPlan = Similarity.mutualKnnGraph(emb, k = 1, blockCol = "blk")
+      .queryExecution.executedPlan.toString
+    assert(!knnPlan.contains("Window"),
+      "ranking must be the bounded aggregate, never a window")
+    // all maxLag leads share ONE window spec → Catalyst plans ONE
+    // Window operator (one per-entity sort, not one per lag)
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val acfPlan = Behavior.autocorrelation(ev, maxLag = 3)
+      .queryExecution.executedPlan.toString
+    assert(acfPlan.sliding(7).count(_ == "Window ") == 1,
+      s"expected exactly one Window pass, plan:\n$acfPlan")
+    // assortativity and clustering coefficient stay window-free
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(!Graph.degreeAssortativity(e)
+      .queryExecution.executedPlan.toString.contains("Window"))
+    assert(!Graph.localClusteringCoefficient(e)
+      .queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("kmvDistinct: exact below k, ~1/sqrt(k) accurate above, partition-invariant") {
     import spark.implicits._
     import graft.operators.Sketch
