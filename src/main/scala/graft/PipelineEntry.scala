@@ -1100,19 +1100,21 @@ object PipelineEntry {
       // certified against the identical oracle as dedup_prefix_pairs
       val staging = java.nio.file.Files
         .createTempDirectory("graft-ppjoin-gate").toString
-      // the returned DataFrame reads the staged wave outputs lazily, so
-      // the dir must outlive the query run — reclaim it at JVM exit
-      // (repeated gate/bench runs must not accumulate /tmp data)
-      sys.addShutdownHook {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-      }
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
       val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
-      Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
+      val pairs = Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
           n = 2, tNum = 1, tDen = 2, passes = passes, stagingDir = staging)
         .orderBy("id_a", "id_b")
+        // the chunked frame reads the staged wave outputs lazily;
+        // materialize the (pair-sized, final) result eagerly so the
+        // staging dir can be reclaimed NOW — a long-lived driver
+        // (Connect server, notebook) must not accumulate /tmp staging
+        // across repeated invocations
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      pairs
     },
     "dedup_pr_audit" -> { (s, dir) =>
       // in-engine recall/precision audit of the LSH dedup route against
@@ -3336,7 +3338,8 @@ object PipelineEntry {
       // division per (user, lag)
       "ev_acf" ->
         """WITH e AS (SELECT user_id, event_id, ts,
-          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events
+          |  WHERE value IS NOT NULL),
           |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s FROM e GROUP BY user_id),
           |d AS (SELECT e.user_id, st.n, e.ts, e.event_id, st.n * e.v - st.s AS d0
           |  FROM e JOIN st USING (user_id)),
@@ -3360,7 +3363,8 @@ object PipelineEntry {
       // tie-corrected 18·Var, identical S/√(Var/18) double tree
       "ev_trend" ->
         """WITH e AS (SELECT user_id, ts, event_id,
-          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events
+          |  WHERE value IS NOT NULL),
           |r AS (SELECT user_id, v,
           |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM e),
           |rec AS (SELECT user_id, 17 - rn AS p, v FROM r WHERE rn <= 16),

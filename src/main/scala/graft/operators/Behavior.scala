@@ -541,7 +541,10 @@ object Behavior {
     * `d_t = n·x_t − S` is int64, products accumulate in DECIMAL(38,0),
     * and each r_ℓ is ONE final IEEE division — bit-identical on any
     * engine at any partitioning. Events order by (ts, event id), the
-    * house total order. Output: `(entity, lag, n, acf)` — acf NULL for
+    * house total order. NULL values are excluded up front (family
+    * convention — cf. giniCoefficient/trimmedMean): a NULL has no
+    * deviation, and letting it occupy a slot would inflate n in every
+    * d = n·x − S term. Output: `(entity, lag, n, acf)` — acf NULL for
     * constant series (zero variance, undefined) and for lags ≥ n.
     *
     * Scale shape: one entity-keyed aggregate for (n, S), joined back
@@ -557,8 +560,9 @@ object Behavior {
       s"autocorrelation: need 1 <= maxLag <= 100, got $maxLag")
     val D38 = DecimalType(38, 0)
     val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
-    val base = events.select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
-      col(idCol).as("_id"), v.as("_v"))
+    val base = events.filter(col(valueCol).isNotNull)
+      .select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), v.as("_v"))
     val stats = base.groupBy(col("_e"))
       .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"))
     val w = Window.partitionBy(col("_e")).orderBy(col("_ts"), col("_id"))
@@ -598,7 +602,10 @@ object Behavior {
     * drift NOW rather than averaging over all history. S, n, and the
     * 18·Var numerator are exact int64; the reported `trend` normalizes
     * S by √Var as a fixed tree of correctly-rounded double ops
-    * (division, sqrt, division) — bit-identical on any engine. Output:
+    * (division, sqrt, division) — bit-identical on any engine. NULL
+    * values are excluded up front (family convention): a NULL would
+    * otherwise consume a recency-window slot and act as a tie against
+    * every other value. Output:
     * `(entity, n, s_stat, var18, trend)`; trend is NULL when Var = 0
     * (fewer than 2 distinct values) and the row is absent for
     * single-event entities.
@@ -616,7 +623,8 @@ object Behavior {
     val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
     val wDesc = Window.partitionBy(col("_e"))
       .orderBy(col("_ts").desc, col("_id").desc)
-    val recent = events.select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
+    val recent = events.filter(col(valueCol).isNotNull)
+      .select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
         col(idCol).as("_id"), v.as("_v"))
       .withColumn("_rn", row_number().over(wDesc))
       .filter(col("_rn") <= k)

@@ -452,32 +452,6 @@ object Eval {
               .cast(DoubleType)).as("kappa"))
   }
 
-  /** Per-cluster SIMPLIFIED silhouette (Rousseeuw 1987 via the
-    * centroid approximation of Hruschka et al. 2004): for each vector,
-    * `a` = distance to its OWN cluster centroid, `b` = distance to the
-    * NEAREST OTHER centroid, `s = (b − a) / max(a, b)` (0 when both
-    * are 0) — the O(n·k) cluster-quality score that replaces the exact
-    * silhouette's O(n²) pairwise pass, the only form that survives a
-    * 100 TB corpus. Centroids are the integer-quantized per-cluster
-    * means (floor(Σ floor(x·2^20)/n) per dimension — the
-    * [[graft.operators.Similarity#kmeansTrain]] update rule), squared
-    * distances are exact int64 over those grids, and each `s` is a
-    * fixed tree of correctly-rounded double ops (two sqrt — IEEE
-    * correctly-rounded — one subtraction, one division), quantized to
-    * `floor(s·2^20)` before the per-cluster mean so the aggregate is
-    * order-free: every engine replays the result bit-identically.
-    *
-    * Output: `(cluster, n, mean_silhouette)` per cluster —
-    * mean_silhouette ≈ +1 compact/separated, ≈ 0 on cluster borders,
-    * < 0 misassigned.
-    *
-    * Scale shape: one cluster-sized centroid aggregate COLLECTED as
-    * the fitted model (k·dim longs — the config-sized-model rule,
-    * same as [[Sampling.temperatureSample]]'s group stats), then ONE
-    * shuffle-free scan: own-centroid lookup and the min over other
-    * centroids are per-row HOF folds over the k-entry literal, and the
-    * per-cluster mean is one map-side-combined aggregate. Fails fast
-    * when fewer than 2 clusters exist (b is undefined). */
   /** A/B conversion lift with a percentile-bootstrap confidence band —
     * the experimentation readout (treatment conversion over control,
     * "does the band clear 1?") built on the SAME deterministic Poisson
@@ -637,9 +611,12 @@ object Eval {
         // NULL-through on undefined q̂; otherwise a zero-coverage test
         // slice must read 0.0, not NULL
         sum(when(col("qhat_c").isNotNull,
-          when(col("_r") <= col("qhat_c"), 1L).otherwise(0L))).as("_cov"),
-        first(col("qhat_c")).as("qhat_c"))
-    nCal.crossJoin(test)
+          when(col("_r") <= col("qhat_c"), 1L).otherwise(0L))).as("_cov"))
+    // qhat_c is carried from the calibration-side frame, NOT through
+    // the test aggregate: q̂ is well-defined whenever calibration has
+    // enough rows, even when the test slice is empty (n_test = 0 →
+    // coverage NULL, qhat_c still reported)
+    nCal.crossJoin(broadcast(qhat)).crossJoin(test)
       .select(col("n_cal"), col("n_test"), col("qhat_c"),
         (col("_cov").cast(DoubleType) / col("n_test").cast(DoubleType))
           .as("coverage"))
@@ -706,6 +683,32 @@ object Eval {
       .agg(max(col("_ratio")).as("r_worst"))
   }
 
+  /** Per-cluster SIMPLIFIED silhouette (Rousseeuw 1987 via the
+    * centroid approximation of Hruschka et al. 2004): for each vector,
+    * `a` = distance to its OWN cluster centroid, `b` = distance to the
+    * NEAREST OTHER centroid, `s = (b − a) / max(a, b)` (0 when both
+    * are 0) — the O(n·k) cluster-quality score that replaces the exact
+    * silhouette's O(n²) pairwise pass, the only form that survives a
+    * 100 TB corpus. Centroids are the integer-quantized per-cluster
+    * means (floor(Σ floor(x·2^20)/n) per dimension — the
+    * [[graft.operators.Similarity#kmeansTrain]] update rule), squared
+    * distances are exact int64 over those grids, and each `s` is a
+    * fixed tree of correctly-rounded double ops (two sqrt — IEEE
+    * correctly-rounded — one subtraction, one division), quantized to
+    * `floor(s·2^20)` before the per-cluster mean so the aggregate is
+    * order-free: every engine replays the result bit-identically.
+    *
+    * Output: `(cluster, n, mean_silhouette)` per cluster —
+    * mean_silhouette ≈ +1 compact/separated, ≈ 0 on cluster borders,
+    * < 0 misassigned.
+    *
+    * Scale shape: one cluster-sized centroid aggregate COLLECTED as
+    * the fitted model (k·dim longs — the config-sized-model rule,
+    * same as [[Sampling.temperatureSample]]'s group stats), then ONE
+    * shuffle-free scan: own-centroid lookup and the min over other
+    * centroids are per-row HOF folds over the k-entry literal, and the
+    * per-cluster mean is one map-side-combined aggregate. Fails fast
+    * when fewer than 2 clusters exist (b is undefined). */
   def clusterSilhouette(emb: DataFrame, clusterCol: String, dim: Int = 64,
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame = {

@@ -162,26 +162,6 @@ object Quantile {
       .agg(min(col(valueCol)).as(outCol))
   }
 
-  /** Exact per-group symmetric trimmed mean: drop the lowest and
-    * highest `⌊n·trimNum/trimDen⌋` observations BY RANK and average
-    * the rest — the robust location estimate between the mean
-    * ([[graft.operators.Features#standardize]]'s moments, dragged by
-    * tails) and the median ([[graft.operators.Features#robustOutliers]],
-    * discards too much). Rational trim fraction, the house no-libm
-    * rule: with per-value counts `c`, exclusive prefix `s`, and the
-    * rank window `[lo, n−lo)`, each distinct value contributes exactly
-    * `min(s+c, n−lo) − max(s, lo)` (clamped ≥ 0) kept observations —
-    * pure integer arithmetic, values in exact centi units, ONE final
-    * IEEE division per group. NULL values are excluded. The
-    * `trim < 1/2` require guarantees `kept = n − 2·⌊n·trim⌋ ≥ 1` for
-    * every non-empty group, so the division can never be 0/0.
-    *
-    * Output: `(group, n, kept, trimmed_mean)`.
-    *
-    * Scale shape: the value-counting contract — the only corpus
-    * shuffle is the per-(group, value) count; the rank walk windows
-    * over DISTINCT values per group (value-domain-bounded), and the
-    * kept-mass sum is one aggregate over that bounded frame. */
   /** Exact per-group Gini concentration coefficient (Gini 1912) of a
     * non-negative metric — the inequality/whale audit ("how
     * concentrated is spend across events / tokens across documents"),
@@ -211,7 +191,14 @@ object Quantile {
                       valueCol: String): DataFrame = {
     val D38 = DecimalType(38, 0)
     val raw = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
-    val cent = when(raw < 0,
+    // non-ANSI casts NULL silently past DECIMAL(18,2)'s 10^16 bound —
+    // a non-NULL input that NULLed under the cast is an out-of-domain
+    // value and must fail loudly (house loud-failure convention)
+    val cent = when(col(valueCol).isNotNull && raw.isNull,
+        raise_error(concat(lit("giniCoefficient: |value| exceeds the "
+          + "DECIMAL(18,2)-safe 10^16 domain: "),
+          col(valueCol).cast(StringType))).cast(LongType))
+      .when(raw < 0,
         raise_error(concat(lit("giniCoefficient: negative value: "),
           col(valueCol).cast(StringType))).cast(LongType))
       .otherwise(raw)
@@ -238,11 +225,37 @@ object Quantile {
             (col("n").cast(D38) * col("_t")).cast(DoubleType)).as("gini"))
   }
 
+  /** Exact per-group symmetric trimmed mean: drop the lowest and
+    * highest `⌊n·trimNum/trimDen⌋` observations BY RANK and average
+    * the rest — the robust location estimate between the mean
+    * ([[graft.operators.Features#standardize]]'s moments, dragged by
+    * tails) and the median ([[graft.operators.Features#robustOutliers]],
+    * discards too much). Rational trim fraction, the house no-libm
+    * rule: with per-value counts `c`, exclusive prefix `s`, and the
+    * rank window `[lo, n−lo)`, each distinct value contributes exactly
+    * `min(s+c, n−lo) − max(s, lo)` (clamped ≥ 0) kept observations —
+    * pure integer arithmetic, values in exact centi units, ONE final
+    * IEEE division per group. NULL values are excluded. The
+    * `trim < 1/2` require guarantees `kept = n − 2·⌊n·trim⌋ ≥ 1` for
+    * every non-empty group, so the division can never be 0/0.
+    *
+    * Output: `(group, n, kept, trimmed_mean)`.
+    *
+    * Scale shape: the value-counting contract — the only corpus
+    * shuffle is the per-(group, value) count; the rank walk windows
+    * over DISTINCT values per group (value-domain-bounded), and the
+    * kept-mass sum is one aggregate over that bounded frame. */
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
                   trimNum: Long, trimDen: Long): DataFrame = {
     require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
       s"trimmedMean: need 0 <= trimNum/trimDen < 1/2, got $trimNum/$trimDen")
-    val cent = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val rawCent = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    // loud-failure guard: non-ANSI casts NULL silently past 10^16
+    val cent = when(col(valueCol).isNotNull && rawCent.isNull,
+        raise_error(concat(lit("trimmedMean: |value| exceeds the "
+          + "DECIMAL(18,2)-safe 10^16 domain: "),
+          col(valueCol).cast(StringType))).cast(LongType))
+      .otherwise(rawCent)
     val counts = df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), cent.as("_v"))

@@ -69,12 +69,17 @@ object GraftBridge {
     * are gone. Only call on shuffles whose consuming job has
     * COMPLETED and landed its output (a later recomputation would
     * re-run the producing stages from scratch). Idempotent per id; a
-    * later GC-driven cleanup of the same id is a no-op. No-op when
+    * later GC-driven cleanup of the same id is a no-op. When
     * reference tracking is disabled (`spark.cleaner.referenceTracking
-    * =false`) — callers fall back to the advisory GC path. */
+    * =false`) there is no ContextCleaner to route through, so this
+    * falls back to the advisory `System.gc()` nudge itself — weaker
+    * (disk release becomes best-effort) but callers keep SOME release
+    * path between waves instead of silently none. */
   def removeShuffles(spark: SparkSession, ids: Iterable[Int]): Unit =
-    spark.sparkContext.cleaner.foreach { c =>
-      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    spark.sparkContext.cleaner match {
+      case Some(c) => ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+      case None if ids.nonEmpty => System.gc()
+      case None => ()
     }
 
   def freshStats(df: Dataset[_]): DataFrame = df match {
