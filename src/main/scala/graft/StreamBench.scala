@@ -54,9 +54,10 @@ object StreamBench {
       spark.conf.set(key, n.toString)
       try f finally spark.conf.set(key, prev)
     }
-    def runToCount(streaming: DataFrame, name: String): Unit = {
+    def runToCount(streaming: DataFrame, name: String,
+                   mode: String = "append"): Unit = {
       val q = streaming.writeStream
-        .format("memory").queryName(name).outputMode("append").start()
+        .format("memory").queryName(name).outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
       spark.table(name).count()
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -130,7 +131,78 @@ object StreamBench {
           kCenti = 5000L, hCenti = 20000L, name = "sb_cusum_replay").count()
     }
 
-    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"sf":"$sfDir"}""")
+    // ---- anomaly / attribution / ewma / holt: both faces ----
+    // (the remaining sf10-heavy gate rows — VERDICT r12 next-round #2:
+    // the suite record needs operator-cost numbers with the harness
+    // cost beside them, not MemoryStream-feed time masquerading as
+    // operator cost)
+    val anomalyFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        runToCount(
+          graft.streaming.StreamOps.anomalyStream(spark, src, k = 5, z = 3L).toDF(),
+          "sb_anomaly_file")
+      }
+    }
+    val anomalyReplay = timed {
+      graft.testkit.StreamReplay.replayAnomalies(spark,
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        k = 5, z = 3L, name = "sb_anomaly_replay").count()
+    }
+    val attributionFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        runToCount(
+          graft.streaming.StreamOps.attributionStream(spark, src,
+            conversionType = "purchase",
+            touchTypes = Seq("view", "click", "signup"),
+            watermark = "1 second").toDF(),
+          "sb_attribution_file")
+      }
+    }
+    val attributionReplay = timed {
+      graft.testkit.StreamReplay.replayAttribution(spark,
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+        conversionType = "purchase",
+        touchTypes = Seq("view", "click", "signup"),
+        name = "sb_attribution_replay").count()
+    }
+    val ewmaFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("value"))
+        runToCount(
+          graft.streaming.StreamOps.ewmaStream(spark, src, 1L, 5L).toDF(),
+          "sb_ewma_file", mode = "update")
+      }
+    }
+    val ewmaReplay = timed {
+      graft.testkit.StreamReplay.replayEwma(spark,
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("value")),
+        aNum = 1L, aDen = 5L, name = "sb_ewma_replay").count()
+    }
+    val holtFile = timed {
+      withStatePartitions(8) {
+        val src = PipelineEntry.eventsStream(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("value"))
+        runToCount(
+          graft.streaming.StreamOps.holtStream(spark, src, 2L, 10L, 3L, 10L).toDF(),
+          "sb_holt_file", mode = "update")
+      }
+    }
+    val holtReplay = timed {
+      graft.testkit.StreamReplay.replayHolt(spark,
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("value")),
+        2L, 10L, 3L, 10L, name = "sb_holt_replay").count()
+    }
+
+    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"anomaly_file":$anomalyFile%.2f,"anomaly_replay":$anomalyReplay%.2f,"attribution_file":$attributionFile%.2f,"attribution_replay":$attributionReplay%.2f,"ewma_file":$ewmaFile%.2f,"ewma_replay":$ewmaReplay%.2f,"holt_file":$holtFile%.2f,"holt_replay":$holtReplay%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

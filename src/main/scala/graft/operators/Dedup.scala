@@ -488,7 +488,7 @@ object Dedup {
     * chunked operators are the SAME expressions — equivalence between
     * them is structural, not a re-derivation.
     */
-  private def ppjoinShingleAndPrefix(docs: DataFrame, n: Int, tNum: Long, tDen: Long,
+  private[graft] def ppjoinShingleAndPrefix(docs: DataFrame, n: Int, tNum: Long, tDen: Long,
                                      textCol: String, idCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol),
@@ -512,7 +512,7 @@ object Dedup {
   /** PPJoin candidate generation over a (possibly chunk-filtered)
     * prefix table, returning the deduped narrow (id_a, id_b) stream.
     */
-  private def ppjoinCandidates(prefix: DataFrame, tNum: Long, tDen: Long,
+  private[graft] def ppjoinCandidates(prefix: DataFrame, tNum: Long, tDen: Long,
                                idCol: String): DataFrame = {
     // PPJoin's two candidate prunes, both SOUND implications of
     // jaccard ≥ t so completeness is untouched (the unit witness test
@@ -525,14 +525,35 @@ object Dedup {
     //    overlap by 1 + min(szA−pa, szB−pb), which must reach the
     //    minimum overlap α = ⌈tNum·(szA+szB)/(tNum+tDen)⌉ implied by
     //    |A∩B|(1+t) ≥ t(szA+szB)
+    // Asymmetric INDEX prefix (PPJoin self-join form, Xiao et al. 2008
+    // §3.2): for a qualifying pair, the FIRST shared token in the
+    // global (df, h) order must lie within the SMALLER record's index
+    // prefix of length |x| − ⌈2t/(1+t)·|x|⌉ + 1 (because |y| ≥ |x|
+    // forces o ≥ 2t/(1+t)·|x|, and a pair whose shared tokens all sit
+    // after that point cannot reach it) AND within the larger record's
+    // probe prefix (o ≥ t·|y| via the length filter) — the same token
+    // satisfies both, so restricting the BUILD side to index-prefix
+    // entries keeps completeness (unit witness test) while shrinking
+    // the per-h-bucket pair enumeration by ~⅓ at t=½ and dropping
+    // every false candidate whose shared prefix tokens are all LATE in
+    // the smaller record, before the distinct and the wide verify.
+    // "Smaller" is the (sz, id) lexicographic total order so size ties
+    // pick a deterministic index side.
+    val idxLen = col("_sz") -
+      floor((lit(2 * tNum) * col("_sz") + lit(tNum + tDen - 1)) /
+        lit(tNum + tDen)).cast(LongType) + 1
+    val idx = prefix.filter(col("_rn") <= idxLen)
     val (szA, szB) = (col("a._sz"), col("b._sz"))
     val alphaNum = lit(tNum) * (szA + szB) // α = ceil(alphaNum / (tNum+tDen))
     val ubound = lit(1) + least(szA - col("a._rn"), szB - col("b._rn"))
-    prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
-          greatest(szA, szB) * tNum <= least(szA, szB) * tDen &&
+    idx.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+          (szA < szB ||
+            (szA === szB && col(s"a.$idCol") < col(s"b.$idCol"))) &&
+          szB * tNum <= szA * tDen && // length filter, a is the min side
           ubound * lit(tNum + tDen) >= alphaNum)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       // dedupe the NARROW (16-byte) pair stream BEFORE the verify joins
       // attach the shingle arrays: a pair colliding on k prefix tokens
       // would otherwise be verified k times, and each duplicate carries
@@ -547,7 +568,7 @@ object Dedup {
   /** PPJoin exact-jaccard verification of a narrow candidate stream
     * against the shingle-array table.
     */
-  private def ppjoinVerify(cand: DataFrame, sh: DataFrame, tNum: Long, tDen: Long,
+  private[graft] def ppjoinVerify(cand: DataFrame, sh: DataFrame, tNum: Long, tDen: Long,
                            idCol: String): DataFrame = {
     // The verify joins use SHUFFLED HASH (hint) rather than sort-merge:
     // the array side is the per-key build map, and the wide candidate
