@@ -50,26 +50,15 @@ object PpjoinProbe {
     timed("NEW distinct")(println("[probe] new distinct: " + newCand.count()))
     timed("NEW verify")(println("[probe] new verify pairs: " +
       graft.operators.Dedup.ppjoinVerify(newCand, sh, tNum, tDen, "doc_id").count()))
-    // Pigeonhole-count-sketch kill-rate estimate: per-doc 64-bucket
-    // counts of shingle hashes; sum(min) bounds |A∩B| from above, so
-    // pairs with bound*(tDen+tNum) < tNum*(szA+szB) are provably below
-    // threshold. HOF (interpreted) version on the full candidate set —
-    // slow, but quantifies what a native kernel would prune.
-    val sk = sh.select(col("doc_id"),
-      transform(sequence(lit(0), lit(63)), b =>
-        size(filter(col("sh"), h => pmod(h, lit(64L)) === b.cast("long")))
-          .cast("long")).as("sk"),
-      size(col("sh")).cast("long").as("sz"))
-    val bound = aggregate(zip_with(col("a.sk"), col("b.sk"), (x, y) => least(x, y)),
-      lit(0L), (acc, v) => acc + v)
-    val killed = newCand
-      .join(sk.select(col("doc_id").as("id_a"), col("sk"), col("sz")).as("a"), "id_a")
-      .join(sk.select(col("doc_id").as("id_b"), col("sk"), col("sz")).as("b"), "id_b")
-      .select((bound * lit(tDen + tNum) < lit(tNum) * (col("a.sz") + col("b.sz")))
-        .as("_kill"))
-      .agg(count(lit(1)).as("n"), sum(col("_kill").cast("long")).as("k"))
-    timed("SKETCH killrate")(killed.collect().foreach(r =>
-      println(s"[probe] sketch: candidates=${r.getLong(0)} killed=${r.getLong(1)}")))
+    // Native pigeonhole-sketch prune (the wired production path):
+    // 64-bucket count sketches bound |A∩B| from above; candidates the
+    // bound proves below threshold die before the wide array verify.
+    val skT = graft.operators.Dedup.ppjoinSketch(sh, "doc_id")
+    val pruned = graft.operators.Dedup.ppjoinSketchPrune(newCand, skT, tNum, tDen)
+    timed("SKETCH pruned count")(
+      println("[probe] sketch-surviving candidates: " + pruned.count()))
+    timed("PRUNED verify")(println("[probe] pruned verify pairs: " +
+      graft.operators.Dedup.ppjoinVerify(pruned, sh, tNum, tDen, "doc_id").count()))
     spark.stop()
   }
 }

@@ -559,7 +559,16 @@ object Behavior {
     require(maxLag >= 1 && maxLag <= 100,
       s"autocorrelation: need 1 <= maxLag <= 100, got $maxLag")
     val D38 = DecimalType(38, 0)
-    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    // loud-failure guard (cf. giniCoefficient/trimmedMean): non-ANSI
+    // casts NULL silently past DECIMAL(18,2)'s 10^16 bound, and a
+    // NULLed _v here would stay counted in _n while dropping out of
+    // _s, corrupting every d = n·x − S term
+    val raw = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val v = when(col(valueCol).isNotNull && raw.isNull,
+        raise_error(concat(lit("autocorrelation: |value| exceeds the "
+          + "DECIMAL(18,2)-safe 10^16 domain: "),
+          col(valueCol).cast("string"))).cast("long"))
+      .otherwise(raw)
     val base = events.filter(col(valueCol).isNotNull)
       .select(col(entityCol).as("_e"), col(tsCol).as("_ts"),
         col(idCol).as("_id"), v.as("_v"))
@@ -620,7 +629,15 @@ object Behavior {
                         valueCol: String = "value"): DataFrame = {
     require(k >= 2 && k <= 1000,
       s"mannKendallRecent: need 2 <= k <= 1000, got $k")
-    val v = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    // loud-failure guard (cf. autocorrelation above): an out-of-domain
+    // value would otherwise consume a recency-window slot as NULL and
+    // tie against every other value
+    val raw = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val v = when(col(valueCol).isNotNull && raw.isNull,
+        raise_error(concat(lit("mannKendallRecent: |value| exceeds the "
+          + "DECIMAL(18,2)-safe 10^16 domain: "),
+          col(valueCol).cast("string"))).cast("long"))
+      .otherwise(raw)
     val wDesc = Window.partitionBy(col("_e"))
       .orderBy(col("_ts").desc, col("_id").desc)
     val recent = events.filter(col(valueCol).isNotNull)

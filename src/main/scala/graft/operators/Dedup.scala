@@ -480,7 +480,49 @@ object Dedup {
     require(0 < tNum && tNum <= tDen,
       s"prefixJaccardPairs: threshold must be in (0, 1]: $tNum/$tDen")
     val (sh, prefix) = ppjoinShingleAndPrefix(docs, n, tNum, tDen, textCol, idCol)
-    ppjoinVerify(ppjoinCandidates(prefix, tNum, tDen, idCol), sh, tNum, tDen, idCol)
+    val cand = ppjoinSketchPrune(
+      ppjoinCandidates(prefix, tNum, tDen, idCol), ppjoinSketch(sh, idCol), tNum, tDen)
+    ppjoinVerify(cand, sh, tNum, tDen, idCol)
+  }
+
+  /** Per-doc pigeonhole count sketch table — (id, _sk, _sz), 72 bytes a
+    * row. NULL `_sk` means the sketch saturated (≥256 same-bucket
+    * distinct shingles) and the pair must NOT be pruned.
+    */
+  private[graft] def ppjoinSketch(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), graft.plans.PigeonCountSketch(col("sh")).as("_sk"),
+      size(col("sh")).cast(LongType).as("_sz"))
+
+  /** Pigeonhole-sketch candidate killer: drop every candidate pair the
+    * 64-bucket count sketches PROVE is below the jaccard threshold —
+    * `Σ_b min(cA_b,cB_b)` bounds |A∩B| from above (pigeonhole), and
+    * jaccard ≥ tNum/tDen ⟺ |A∩B|·(tDen+tNum) ≥ tNum·(szA+szB), so a
+    * pair whose BOUND misses that line cannot qualify. Soundness: a
+    * NULL bound (either sketch saturated) keeps the pair; the unit
+    * suite pins bound ≥ |A∩B| and never-prunes-a-qualifier on random
+    * sets, and the brute-force recall witness covers the wired path.
+    *
+    * Why it pays (measured, BASELINE.md "PPJoin probe"): at sf1 the
+    * prefix filter admits ~35M candidate pairs of which 99.8% are
+    * false — each would otherwise drag two ~0.7 KB shingle arrays
+    * through the verify joins' exchanges. This prune reads 72 bytes a
+    * side off the narrow deduped pair stream and kills those before
+    * any wide bytes move; the verify stage shrinks ~100×. Same two
+    * shuffled-hash joins as the verify, just narrow.
+    */
+  private[graft] def ppjoinSketchPrune(cand: DataFrame, sk: DataFrame,
+                                       tNum: Long, tDen: Long): DataFrame = {
+    val bound = graft.plans.PigeonMinSum(col("_ska"), col("_skb"))
+    cand
+      .join(sk.select(col(sk.columns.head).as("id_a"), col("_sk").as("_ska"),
+        col("_sz").as("_sza")).hint("shuffle_hash"), "id_a")
+      .join(sk.select(col(sk.columns.head).as("id_b"), col("_sk").as("_skb"),
+        col("_sz").as("_szb")).hint("shuffle_hash"), "id_b")
+      // keep = NOT provably below threshold; NULL bound keeps
+      .filter(coalesce(
+        bound * lit(tDen + tNum) >= lit(tNum) * (col("_sza") + col("_szb")),
+        lit(true)))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Shared PPJoin sub-plans: the shingle-array table and the
@@ -638,12 +680,18 @@ object Dedup {
     prefix0.write.mode("overwrite").parquet(s"$stagingDir/prefix")
     val sh = spark.read.parquet(s"$stagingDir/sh")
     val prefix = spark.read.parquet(s"$stagingDir/prefix")
+    // the 72-byte/doc sketch table stages once too — every wave prunes
+    // against it without re-scanning the wide shingle arrays
+    ppjoinSketch(sh, idCol).write.mode("overwrite").parquet(s"$stagingDir/sk")
+    val sk = spark.read.parquet(s"$stagingDir/sk")
     (0 until passes).foreach { p =>
       val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
       // pmod on the already-uniform shingle hash: no re-hash needed —
       // one codegen'd filter directly over the staged columnar scan
       val wave = prefix.filter(pmod(col("h"), lit(passes.toLong)) === p)
-      ppjoinVerify(ppjoinCandidates(wave, tNum, tDen, idCol), sh, tNum, tDen, idCol)
+      val cand = ppjoinSketchPrune(
+        ppjoinCandidates(wave, tNum, tDen, idCol), sk, tNum, tDen)
+      ppjoinVerify(cand, sh, tNum, tDen, idCol)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
       // wave p's shuffle files must release before wave p+1 spills its
       // own, or peak disk is NOT bounded by one wave. GC+ContextCleaner

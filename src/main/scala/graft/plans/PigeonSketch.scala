@@ -45,21 +45,14 @@ case class PigeonCountSketch(child: Expression) extends UnaryExpression {
     if (v == null) null else PigeonCountSketch.build(v.asInstanceOf[ArrayData])
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val out = ctx.freshName("pigeonSk")
-    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
-      .BlockHelper(
-        s"""
-           |${c.code}
-           |boolean ${ev.isNull} = true;
-           |ArrayData ${ev.value} = null;
-           |if (!${c.isNull}) {
-           |  ArrayData $out = graft.plans.PigeonCountSketch.build(${c.value});
-           |  if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
-           |}
-         """.stripMargin).code)
-  }
+  // Saturation returns null from build(), so the result can be NULL even
+  // for a non-NULL child: assign ev.isNull inside the null-safe body.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.plans.PigeonCountSketch.build($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): PigeonCountSketch =
     copy(child = newChild)
@@ -132,8 +125,14 @@ object PigeonMinSum {
     GraftBridge.column(PigeonMinSum(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Called from generated code — keep the signature stable. */
+  /** Called from generated code — keep the signature stable.
+    * Loud on malformed input: an under-read sketch would UNDER-report
+    * the intersection bound and silently drop true pairs. */
   def minSum(a: ArrayData, b: ArrayData): Long = {
+    if (a.numElements() != 8 || b.numElements() != 8)
+      throw new IllegalArgumentException(
+        s"pigeon_min_sum needs 8-word sketches, got " +
+          s"(${a.numElements()}, ${b.numElements()})")
     var s = 0L
     var w = 0
     while (w < 8) {

@@ -71,16 +71,25 @@ object GraftBridge {
     * re-run the producing stages from scratch). Idempotent per id; a
     * later GC-driven cleanup of the same id is a no-op. When
     * reference tracking is disabled (`spark.cleaner.referenceTracking
-    * =false`) there is no ContextCleaner to route through, so this
-    * falls back to the advisory `System.gc()` nudge itself — weaker
-    * (disk release becomes best-effort) but callers keep SOME release
-    * path between waves instead of silently none. */
+    * =false`) there is no ContextCleaner to route through and NO
+    * per-wave release path exists at all (a `System.gc()` would be a
+    * placebo — nothing listens for collected references without the
+    * cleaner); shuffle files then live until application exit, so
+    * this logs a warning once and returns. */
   def removeShuffles(spark: SparkSession, ids: Iterable[Int]): Unit =
     spark.sparkContext.cleaner match {
       case Some(c) => ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
-      case None if ids.nonEmpty => System.gc()
+      case None if ids.nonEmpty =>
+        if (noCleanerWarned.compareAndSet(false, true)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "removeShuffles: spark.cleaner.referenceTracking=false — no " +
+              "ContextCleaner, per-wave shuffle release unavailable; " +
+              "shuffle files persist until application exit")
+        }
       case None => ()
     }
+
+  private val noCleanerWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def freshStats(df: Dataset[_]): DataFrame = df match {
     case d: classic.Dataset[_] => d.queryExecution.analyzed match {

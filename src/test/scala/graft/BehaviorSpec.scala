@@ -1067,6 +1067,57 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("gini/trimmedMean overflow guard: out-of-domain raises, boundary passes") {
+    import graft.operators.Quantile
+    // past the DECIMAL(18,2) 10^16 bound the non-ANSI cast NULLs —
+    // must raise loudly, not silently drop mass
+    val over = Seq(("g", 1.0), ("g", 1e17)).toDF("grp", "v")
+    intercept[Exception] { Quantile.giniCoefficient(over, "grp", "v").head() }
+    intercept[Exception] { Quantile.trimmedMean(over, "grp", "v", 0L, 10L).head() }
+    // a large in-domain value must NOT raise
+    val big = Seq(("g", 1.0), ("g", 1e12)).toDF("grp", "v")
+    assert(Quantile.giniCoefficient(big, "grp", "v").head().getLong(1) == 2L)
+    assert(Quantile.trimmedMean(big, "grp", "v", 0L, 10L).head().getLong(1) == 2L)
+  }
+
+  test("autocorrelation/mannKendall: NULL exclusion and overflow raise") {
+    import graft.operators.Behavior
+    def ev(rows: (Long, Int, Option[Double])*) = rows.map { case (id, sec, v) =>
+      (id, ts(f"2024-01-01 00:00:$sec%02d"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    // a NULL row must neither occupy a lag slot nor inflate n: the
+    // alternating fixture with a NULL spliced mid-series must replay
+    // the clean series' exact lags (r1=-3/4, r2=+1/2, r3=-1/4)
+    val withNull = ev((1L, 1, Some(1.0)), (2L, 2, Some(-1.0)), (9L, 3, None),
+      (3L, 4, Some(1.0)), (4L, 5, Some(-1.0)))
+    val r = Behavior.autocorrelation(withNull, maxLag = 3)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> -0.75, 2L -> 0.5, 3L -> -0.25), s"got $r")
+    // mannKendall: the NULL must not consume a recency-window slot —
+    // k=3 over (1,2,NULL,3,4) sees values (2,3,4) → S = 3, n = 3
+    val mk = ev((1L, 1, Some(1.0)), (2L, 2, Some(2.0)), (9L, 3, None),
+      (3L, 4, Some(3.0)), (4L, 5, Some(4.0)))
+    val rm = Behavior.mannKendallRecent(mk, k = 3).head()
+    assert(rm.getLong(1) == 3L && rm.getLong(2) == 3L, s"got $rm")
+    // out-of-domain non-NULL value raises loudly in both (DuckDB's
+    // DECIMAL cast errors on overflow — engines must agree)
+    val over = ev((1L, 1, Some(1.0)), (2L, 2, Some(1e17)), (3L, 3, Some(2.0)))
+    intercept[Exception] { Behavior.autocorrelation(over, maxLag = 2).head() }
+    intercept[Exception] { Behavior.mannKendallRecent(over, k = 3).head() }
+  }
+
+  test("splitConformal: empty test slice keeps q̂, coverage NULL") {
+    import graft.operators.Eval
+    // q̂ is a calibration-side quantity: with NO test rows it must
+    // still be reported (n_test = 0, coverage NULL — undefined, not 0)
+    val calOnly = (1 to 9).map(i => (0.0, i.toDouble / 100.0, true))
+      .toDF("pred", "actual", "cal")
+    val r = Eval.splitConformal(calOnly, col("pred"), col("actual"), col("cal"), 1L, 10L).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 9L, s"q̂ must survive an empty test slice: $r")
+    assert(r.isNullAt(3))
+  }
+
   test("ksTwoSample: identical = 0, disjoint = 1, hand overlap, empty side NULL") {
     import graft.operators.Validate
     def vals(xs: Double*) = xs.map(Tuple1(_)).toDF("value")
