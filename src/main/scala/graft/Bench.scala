@@ -55,6 +55,15 @@ object Bench {
     if (skip.nonEmpty)
       System.err.println(s"[bench] SKIPPING ${skip.size} queries by request: " +
         skip.toSeq.sorted.mkString(", "))
+    // per-family GC fence state (VERDICT r12 #5 / r13 #8): the alpha-
+    // sorted suite runs whole families back to back, so fencing at the
+    // family boundary gives each family a clean old-gen start — the
+    // late-suite artifact read dedup_survivors at 4.5x and text_bpe at
+    // 2.5x their isolated times purely from accumulated garbage. The
+    // fence is time-gated (>=60 s since the last one) so small families
+    // don't trigger a GC storm; worst-case overhead is ~1 full GC/min.
+    var prevFamily = ""
+    var lastFence = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .zipWithIndex.map { case ((name, fn), qi) =>
@@ -64,10 +73,15 @@ object Bench {
       // garbage from hundreds of prior queries inflates later rows (the
       // r11 sf10 full-suite read 2-4x over isolated re-times for
       // late-suite queries purely from this pressure). Cleanup runs
-      // OUTSIDE the timed region; gc is periodic, not per-query, so the
-      // pause cost stays negligible against the suite.
+      // OUTSIDE the timed region.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (qi % 20 == 19) System.gc()
+      val family = name.takeWhile(_ != '_')
+      if ((family != prevFamily && (System.nanoTime() - lastFence) > 60L * 1000000000L)
+          || qi % 20 == 19) {
+        System.gc()
+        lastFence = System.nanoTime()
+      }
+      prevFamily = family
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch {
