@@ -2002,12 +2002,15 @@ object PipelineEntry {
           expr("doc_id DIV 1000000000") * 97).as("base"),
         ((col("doc_id") % 60) % 24 + 9).as("w"),
         ((col("doc_id") % 60) % 16 + 9).as("h"))
-      val pairs = Multimodal.dhashPairs(
-        Multimodal.imageDHash(s,
-          Multimodal.synthesizePngSeeded(s, dims, "doc_id", "base", "w", "h")),
-        maxDist = 3)
-      Cluster.dedupClusters(dims.select(col("doc_id")), pairs, idCol = "doc_id")
-        .withColumnRenamed("doc_id", "media_id")
+      // exact-hash contraction (round 14): clustering runs over the
+      // DISTINCT dhash values, not the corpus — output bit-identical
+      // to dedupClusters∘dhashPairs (equivalence unit test + this gate
+      // row's oracle hash), but the quadratic in-group edge set never
+      // materializes (sf10: 343.6M pairs → a ~240-node rep graph)
+      val sigs = Multimodal.imageDHash(s,
+        Multimodal.synthesizePngSeeded(s, dims, "doc_id", "base", "w", "h"))
+      Multimodal.dhashClusters(
+          dims.select(col("doc_id").as("media_id")), sigs, maxDist = 3)
         .orderBy("media_id")
     },
     "mm_tiles" -> { (s, dir) =>

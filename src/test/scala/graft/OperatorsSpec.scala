@@ -150,6 +150,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dhashClusters: exact-hash contraction equals dedupClusters∘dhashPairs") {
+    import graft.operators.Cluster
+    // planted structure: two identical-hash groups one bit apart (one
+    // component), a far-away group, a NULL-hash singleton, and an id
+    // with no signature row at all
+    val sigs = Seq(
+      (10L, Some(0x00FFL)), (11L, Some(0x00FFL)), (12L, Some(0x00FFL)),
+      (20L, Some(0x00FEL)), (21L, Some(0x00FEL)),        // 1 bit from 0xFF
+      (30L, Some(0xF0F0F0F0F0L)), (31L, Some(0xF0F0F0F0F0L)),
+      (40L, None: Option[Long]))
+      .toDF("media_id", "dhash")
+    val universe = (Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L, 40L, 99L))
+      .toDF("media_id")
+    val exp = Cluster.dedupClusters(universe,
+        graft.operators.Multimodal.dhashPairs(sigs, maxDist = 3),
+        idCol = "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val got = graft.operators.Multimodal
+      .dhashClusters(universe, sigs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == exp, s"contracted ${got -- exp} vs full ${exp -- got}")
+    // sanity: the two near groups merged under min id 10, far group at
+    // 30, NULL-hash and absent ids are singletons
+    assert(got.contains((21L, 10L, false)) && got.contains((31L, 30L, false)))
+    assert(got.contains((40L, 40L, true)) && got.contains((99L, 99L, true)))
+  }
+
   test("imageStats nulls corrupt payloads and sums real rasters exactly") {
     val dims = Seq((7L, 3, 2)).toDF("doc_id", "w", "h")
     val good = Multimodal.synthesizePng(spark, dims, "doc_id", "w", "h")
