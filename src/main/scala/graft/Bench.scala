@@ -82,8 +82,12 @@ object Bench {
         lastFence = System.nanoTime()
       }
       prevFamily = family
+      // operator-face substitution (stream_* rows): time the real
+      // file-source face instead of the MemoryStream correctness
+      // harness — reported in the JSON's "faces" list, never silent
+      val timedFn = SparkEntry.benchFaces.getOrElse(name, fn)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      try { timedFn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -103,7 +107,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipJson = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"sf":"$sfDir"}""")
+    val facesJson = results.map(_._1).filter(SparkEntry.benchFaces.contains)
+      .sorted.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

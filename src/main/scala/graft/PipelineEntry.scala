@@ -5853,4 +5853,98 @@ object PipelineEntry {
            |WHERE rn - 1 = (1 * (n - 1)) // 2 ORDER BY lang""".stripMargin
     )
   }
+
+  // =====================================================================
+  // Bench-only operator faces (VERDICT r12 #2 / r13 #4)
+  //
+  // The stream_* GATE queries run the lock-step MemoryStream replay —
+  // the right CORRECTNESS harness (watermark genuinely advances so
+  // Append output is complete and oracle-checkable) but a misleading
+  // THROUGHPUT probe: the driver-side feed + per-micro-batch state
+  // commits dominate (86-91 s rows at sf10 for operators whose real
+  // cost is 1-9 s). These faces run the SAME operator with the SAME
+  // parameters through a real executor-parallel file-source stream —
+  // the number a capacity plan needs. Bench substitutes them for the
+  // timed row (and reports which rows used a face in its JSON);
+  // Verify NEVER does — tail rows whose emit needs a later watermark
+  // legitimately stay in state at end-of-input here, so the face's
+  // OUTPUT is not the oracle contract, only its COST is comparable.
+  // Harness-vs-operator numbers side by side: BASELINE.md
+  // "streaming faces" tables (graft.StreamBench).
+  // =====================================================================
+  private def runStreamToTable(s: SparkSession, name: String,
+                               streaming: DataFrame, mode: String): DataFrame = {
+    // same 8 state partitions as the gate rows so the face/replay
+    // delta isolates the feed, not the partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val q = streaming.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set(key, prev)
+    s.table(name)
+  }
+
+  def benchFaces: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessions" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_sessions",
+        StreamOps.statefulSessions(s,
+          eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+          gapSeconds = 1800L, watermark = "1 second").toDF(), "append")
+    },
+    "stream_interval_left" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      def src() = eventsStream(s, dir)
+      runStreamToTable(s, "bf_interval_left",
+        StreamOps.intervalJoinLeftOuter(
+          src().filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", windowSeconds = 600L, watermark = "1 second"), "append")
+    },
+    "stream_cusum" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_cusum",
+        StreamOps.cusumStream(s,
+          eventsStream(s, dir).select(col("user_id"), col("event_id"),
+            col("ts"), col("value")),
+          kCenti = 5000L, hCenti = 20000L).toDF(), "append")
+    },
+    "stream_anomaly" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_anomaly",
+        StreamOps.anomalyStream(s,
+          eventsStream(s, dir).select(col("user_id"), col("event_id"),
+            col("ts"), col("value")),
+          k = 5, z = 3L).toDF(), "append")
+    },
+    "stream_attribution" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_attribution",
+        StreamOps.attributionStream(s,
+          eventsStream(s, dir).select(col("user_id"), col("ts"),
+            col("event_type"), col("event_id")),
+          conversionType = "purchase",
+          touchTypes = Seq("view", "click", "signup"),
+          watermark = "1 second").toDF(), "append")
+    },
+    "stream_ewma" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_ewma",
+        StreamOps.ewmaStream(s,
+          eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+          1L, 5L).toDF(), "update")
+    },
+    "stream_holt" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_holt",
+        StreamOps.holtStream(s,
+          eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+          2L, 10L, 3L, 10L).toDF(), "update")
+    })
 }

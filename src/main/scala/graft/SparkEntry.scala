@@ -56,6 +56,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ TpchEntry.queries ++ PipelineEntry.queries
 
+  /** Bench-only operator faces for queries whose gate form is a
+    * correctness harness with dominant feed cost (the MemoryStream
+    * stream_* rows). Bench times these INSTEAD of the gate form and
+    * reports the substitution; Verify never uses them. */
+  def benchFaces: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineEntry.benchFaces
+
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: TPC-H Q1 pricing summary (SURVEY §2.7/§2.8) ----
     "q1_agg" -> { (s, dir) =>
