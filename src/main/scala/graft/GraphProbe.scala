@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-off profiling probe for the iterative graph family (VERDICT r13
+  * watch item: graph_labelprop read ~2x its r12 rows) — separates the
+  * shared edge-derivation cost from the per-round cost, and compares
+  * the shipped labelPropagation against the previous round's plan shape
+  * (unpartitioned checkpoint, per-round partial-agg exchanges) with an
+  * output-equality witness, so the plan change is measured, not argued.
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "64g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+
+    timed("edge derivation (count)")(println("[probe] edges: " + e.count()))
+
+    // OLD shape: unpartitioned checkpoint; per-round: edge exchange for
+    // the join + partial-agg exchange on (id,lab) + exchange on id
+    def labelPropOld(edges: DataFrame, iters: Int): DataFrame = {
+      val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      var st = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+      val P = DecimalType(38, 0)
+      val packBase = lit(BigDecimal("10000000000000000000")).cast(P)
+      for (_ <- 1 to iters) {
+        val votes = e.join(st.hint("shuffle_hash"), e("src") === st("id"))
+          .select(col("dst").as("id"), col("lab"))
+          .unionByName(st.select(col("id"), col("lab")))
+          .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
+        st = votes
+          .select(col("id"),
+            (col("c").cast(P) * packBase +
+              (packBase - 1 - col("lab").cast(P))).as("_p"))
+          .groupBy(col("id")).agg(max(col("_p")).as("_w"))
+          .select(col("id"),
+            (packBase - 1 - (col("_w") % packBase)).cast(LongType).as("lab"))
+          .localCheckpoint(true)
+      }
+      st.select(col("id"), col("lab").as("label"))
+    }
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(crc32(concat_ws(":", col("id"), col("label"))))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val oldRes = timed("labelprop OLD (3 rounds)")(
+      checksum(labelPropOld(e, 3)))
+    println(s"[probe] old (n, crcsum): $oldRes")
+    val newRes = timed("labelprop NEW (3 rounds)")(
+      checksum(graft.operators.Graph.labelPropagation(e, 3)))
+    println(s"[probe] new (n, crcsum): $newRes")
+    println(s"[probe] outputs identical: ${oldRes == newRes}")
+
+    timed("pagerank (3 rounds)")(
+      println("[probe] pagerank rows: " +
+        graft.operators.Graph.pagerank(e, 3).count()))
+    spark.stop()
+  }
+}

@@ -100,9 +100,11 @@ object Graph {
     * Output: `(id, label)`; nodes sharing a label form a community.
     *
     * Scale shape: edges materialize ONCE pre-partitioned on the join
-    * key (as [[pagerank]]); each round is one edge join + one
-    * (node, label) count aggregate + one per-node argmax via struct
-    * ordering — never a per-node sort or window. State is node-sized.
+    * key (as [[pagerank]]); each round is one edge join (edge side
+    * exchange-free, node-sized label side moves) + ONE edge-sized vote
+    * exchange on the node id feeding both the (node, label) count and
+    * the per-node argmax as in-partition hash aggregates — never a
+    * per-node sort or window. State is node-sized.
     *
     * Requires non-negative node ids (enforced with a loud failure):
     * the hash-aggregable decimal argmax packing is only order-correct
@@ -111,13 +113,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, s"labelPropagation: iters must be positive, got $iters")
     // checkpoint retires the (possibly expensive) edge derivation so no
-    // round recomputes it. NOT pre-repartitioned: a checkpoint comes
-    // back as a LogicalRDD with no partitioning metadata, so a
-    // repartition here would be paid and then thrown away — the
-    // per-round join plans its own exchange (and AQE broadcasts the
-    // node-sized label side while it fits, which skips the edge
-    // exchange entirely).
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // round recomputes it — PRE-PARTITIONED on the join key exactly like
+    // [[pagerank]]'s edge table: LogicalRDD carries the physical
+    // partitioning through the checkpoint, so every round's edge-side
+    // exchange disappears (only the node-sized label table moves to meet
+    // it). Measured at sf10 (GraphProbe): the unpartitioned form paid a
+    // full ~100M-row edge exchange per round.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     // PRECONDITION (enforced, not just documented): node ids must be
     // non-negative. The decimal argmax packing below is order-correct
     // only for 0 <= lab < 10^19; a negative id would overflow the
@@ -149,6 +152,16 @@ object Graph {
       val votes = e.join(st.hint("shuffle_hash"), e("src") === st("id"))
         .select(col("dst").as("id"), col("lab"))
         .unionByName(st.select(col("id"), col("lab")))
+        // ONE exchange per round: hash-partition the raw vote stream on
+        // id — HashPartitioning(id) satisfies ClusteredDistribution for
+        // BOTH downstream aggregates (grouping keys (id, lab) ⊇ {id}),
+        // so the count and the argmax run as complete in-partition hash
+        // aggregates with no further exchange. The alternative (partial
+        // agg + exchange on (id, lab), then a second exchange on id)
+        // moves the near-edge-sized vote stream twice in early rounds,
+        // when labels are still ~all distinct and map-side combine
+        // can't reduce anything.
+        .repartition(col("id"))
         .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
       val prev = st
       st = votes

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types._
   * property every other sketch in this repo buys with quantization.
   *
   * Scale shape: the DATA-proportional work is the Gram pass — a per-row
-  * DOUBLE EXPLOSION of the quantized vector (d² products generated
-  * map-side, partial-aggregated to ≤ d² rows per partition), so the
-  * ONLY exchange anywhere is the d×d-group final aggregate. No join, no
+  * DOUBLE EXPLOSION of the quantized vector's upper triangle (d(d+1)/2
+  * long products per row generated map-side, partial-aggregated to
+  * ≤ d(d+1)/2 rows per partition; the symmetric mirror fills in on the
+  * driver), so the ONLY exchange anywhere is the d×d-group final
+  * aggregate. No join, no
   * shuffle of row-proportional data. The d×d scatter matrix (4096
   * entries at d=64, 1M at d=1024) is DIMENSION-bounded, not
   * data-bounded, so the driver-side power loop is the
@@ -47,14 +49,24 @@ object Pca {
     * `(i, j) → S(i,j)`, plus the dimension. */
   private def scatterFn(qdf: DataFrame, n: Long): ((Int, Int) => BigInt, Int) = {
     val B = DecimalType(38, 0)
-    // Gram via per-row double explosion — no join, no _id shuffle
-    val gram = qdf
+    // Gram via per-row explosion of the UPPER TRIANGLE only (slice from
+    // _ai keeps j >= i): S is symmetric, so generating d(d+1)/2 rows per
+    // vector instead of d² halves the dominant data-proportional pass;
+    // the mirror entries fill in driver-side below. The per-row product
+    // runs in LONG (exact: the quantize pass enforces |q| < 2^31.5, see
+    // quantizeArr's guard path via countedUnique) and only the
+    // ACCUMULATION is decimal — one decimal op per row instead of three.
+    val upper = qdf
       .select(col("_qv"), posexplode(col("_qv")).as(Seq("_ai", "_aq")))
-      .select(col("_ai"), col("_aq"), posexplode(col("_qv")).as(Seq("_bi", "_bq")))
-      .groupBy(col("_ai"), col("_bi"))
-      .agg(sum(col("_aq").cast(B) * col("_bq").cast(B)).as("_g"))
+      .select(col("_ai"),
+        posexplode(slice(col("_qv"), col("_ai") + 1,
+          size(col("_qv")) - col("_ai"))).as(Seq("_boff", "_bq")),
+        col("_aq"))
+      .groupBy(col("_ai"), (col("_ai") + col("_boff")).cast(IntegerType).as("_bi"))
+      .agg(sum((col("_aq") * col("_bq")).cast(B)).as("_g"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val gram = upper ++ upper.map { case ((i, j), v) => (j, i) -> v }
     val sums = qdf.select(posexplode(col("_qv")).as(Seq("_i", "_q")))
       .groupBy(col("_i")).agg(sum(col("_q").cast(B)).as("_s"))
       .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
@@ -85,11 +97,26 @@ object Pca {
     * term on one side only — fail loudly instead (one aggregate job,
     * same cost as the plain count). */
   private def countedUnique(qdf: DataFrame, what: String): Long = {
-    val r = qdf.agg(count(lit(1)), count_distinct(col("_id"))).head()
+    // one aggregate job enforces BOTH preconditions: unique ids, and
+    // quantized magnitudes small enough that the Gram pass's per-row
+    // LONG product q_i·q_j cannot overflow (|q| ≤ ⌊√(2^63−1)⌋). min and
+    // max are tracked separately so Long.MinValue (a saturated cast)
+    // fails the min check instead of hiding behind abs() wraparound.
+    val r = qdf.agg(count(lit(1)), count_distinct(col("_id")),
+      max(aggregate(col("_qv"), lit(Long.MinValue), (a, x) => greatest(a, x))),
+      min(aggregate(col("_qv"), lit(Long.MaxValue), (a, x) => least(a, x)))).head()
     val (n, ids) = (r.getLong(0), r.getLong(1))
     require(n == ids,
       s"Pca.$what: ${n - ids} duplicate id rows — ids must be unique " +
         "(the scatter matrix and the distinct-id count would diverge)")
+    val qBound = 3037000499L // floor(sqrt(2^63 - 1))
+    if (n > 0 && !r.isNullAt(2)) {
+      val (maxQ, minQ) = (r.getLong(2), r.getLong(3))
+      require(maxQ <= qBound && minQ >= -qBound,
+        s"Pca.$what: quantized component outside ±$qBound (got [$minQ, " +
+          s"$maxQ]) — the exact long product in the Gram pass would " +
+          "overflow; lower qscale for inputs of this magnitude")
+    }
     n
   }
 
