@@ -53,7 +53,13 @@ object ScaleUp {
       .setLevel(org.apache.log4j.Level.ERROR)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def raw(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+    // source fixtures are single small parquet files = ONE input split;
+    // without a spread the factor-N crossJoin generates N x |table| rows
+    // in a single task (measured: the factor-300 build ran one core).
+    // Round-robin the source across the worker count first so replica
+    // generation parallelizes; replica writes re-partition anyway.
+    def raw(name: String): DataFrame =
+      spark.read.parquet(s"$inDir/$name.parquet").repartition(cpus.toInt)
     // replica index column k = 0..factor-1; k=0 is the untouched original
     def rep(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(spark.range(factor.toLong).toDF("k")))
