@@ -39,6 +39,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val probeSec = Seq.fill(3)(probeOnce()).sorted.apply(1)
+    // IO-axis probe (also constant-work, sf-independent): a wide
+    // repartition whose ~600 MB of shuffle blocks go through the full
+    // serialize→local-disk→fetch stack. The CPU probe above has twice
+    // failed to explain cross-box record divergence (r14: two boxes
+    // with EQUAL cpu probes produced 1965 s vs 3178 s suite totals —
+    // every diverging row was shuffle/state-store-bound, and isolated
+    // re-times matched the record). Reading BOTH probes disambiguates:
+    // cpu-probe moves → box CPU drift; io-probe moves alone → disk /
+    // page-cache drift; neither moves → a real plan regression.
+    def ioProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, cpus.toInt)
+        .selectExpr("id", "cast(id as string) AS pad")
+        .repartition(64, org.apache.spark.sql.functions.col("id"))
+        .selectExpr("count(distinct pad)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioProbeSec = Seq.fill(3)(ioProbeOnce()).sorted.apply(1)
     // A failed query is reported as time -1 plus an entry in "errors" —
     // never silently folded into the totals as a fast success.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -109,7 +127,7 @@ object Bench {
     val skipJson = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val facesJson = results.map(_._1).filter(SparkEntry.benchFaces.contains)
       .sorted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"io_probe_sec":$ioProbeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
