@@ -8,6 +8,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Iterative graph/CC operators localCheckpoint ~edge-sized RDDs;
+      // partitions demoted from the storage pool are written to disk
+      // UNCOMPRESSED by default (spark.rdd.compress=false). At the sf100
+      // one-box rehearsal the uncompressed demotion stream exhausted
+      // local disk before round 1 finished; long-pair edge blocks LZ4
+      // ~3x, so compressing the demotion path trades a little CPU for
+      // the disk/IO that actually binds at scale.
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")

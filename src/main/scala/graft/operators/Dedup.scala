@@ -797,31 +797,44 @@ object Dedup {
     * a full in-block cross product on common-prefix corpora
     * (sequential IDs, `Customer#...`): quadratic in n, not in matches.
     *
-    * Two exchange-side economies (a pair can share up to ~2·|s| variant
-    * buckets, so the candidate stream carries a large duplication
-    * factor — on the fixture it is the most expensive query in the
+    * Exchange-side economies (a pair can share up to ~2·|s| variant
+    * buckets, so the candidate stream carries a duplication factor —
+    * on the fixture this is among the most expensive queries in the
     * suite without them):
     *  - variants travel as `xxhash64` longs, never as strings: the
     *    bucket exchange moves 8-byte keys, and a hash collision can
     *    only ADD candidate rows, which the exact levenshtein verify
     *    already discards (no false negatives: equal variants always
     *    equal-hash, so every true pair still collides somewhere);
-    *  - pair dedup is arithmetic, not a DISTINCT shuffle over the
-    *    multi-million-row candidate stream: each side carries its
-    *    (distinct-hashed) variant array through the join and a pair
-    *    survives only in the bucket equal to the MINIMUM shared hash —
-    *    exactly one row per pair, same trick as [[minhashCandidates]]'s
-    *    first-matching-band filter.
+    *  - the bucket join's exchange carries ONLY `(id, h)` — 16 B/row.
+    *    An earlier form carried each side's full variant-hash array
+    *    plus the key string through the join so pair dedup could be
+    *    arithmetic (keep the bucket equal to the min shared hash, no
+    *    DISTINCT); measured at the 20 M-record scale rehearsal that is
+    *    backwards: the wide rows put ~250 B × every exploded variant
+    *    through the exchange (~190 GB, disk-exhausting on one box)
+    *    to save a 16 B-row DISTINCT whose input is only ~2-3× the true
+    *    pair count on digit-structured keys. Narrow rows + DISTINCT on
+    *    `(id_a, id_b)` + joining the key strings back for the single
+    *    levenshtein verify per surviving pair is ~15× less exchange
+    *    volume at any corpus size.
     */
   def fuzzyPairs(records: DataFrame, maxDist: Int,
                  keyCol: String = "name", idCol: String = "id"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyPairs: maxDist must be 1 or 2, got $maxDist")
-    val variants = deletionVariantFrame(records, maxDist, keyCol, idCol)
-    variants.as("a").join(variants.as("b"),
+    val v = deletionVariantHashes(records, maxDist, keyCol, idCol,
+      variantParts(records, maxDist, keyCol))
+    val cand = v.as("a").hint("merge").join(v.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(col("a.h") === array_min(array_intersect(col("a.vh"), col("b.vh"))))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        levenshtein(col(s"a.$keyCol"), col(s"b.$keyCol")).as("dist"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val k = records.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("_kid"), col(keyCol).as("_kkey"))
+    cand
+      .join(k.as("ka"), col("id_a") === col("ka._kid"))
+      .join(k.as("kb"), col("id_b") === col("kb._kid"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ka._kkey"), col("kb._kkey")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
@@ -829,9 +842,13 @@ object Dedup {
     * [[fuzzyJoin]]: each record exploded to the xxhash64 of itself and
     * every ≤ maxDist single-character deletion — two strings within
     * edit distance maxDist (≤ 2) ALWAYS share a variant, so the hash
-    * buckets are a complete candidate generator at that radius. */
-  private def deletionVariantFrame(records: DataFrame, maxDist: Int,
-                                   keyCol: String, idCol: String): DataFrame = {
+    * buckets are a complete candidate generator at that radius.
+    * Emits ONLY `(id, h)` — the narrow rows are the whole point (see
+    * [[fuzzyPairs]]'s exchange-economy note); keys are joined back
+    * after candidate dedup. */
+  private def deletionVariantHashes(records: DataFrame, maxDist: Int,
+                                    keyCol: String, idCol: String,
+                                    parts: Int): DataFrame = {
     // one deletion round: every string in `arr` minus each single char
     def deleteOne(arr: Column): Column =
       flatten(transform(arr, s =>
@@ -842,12 +859,46 @@ object Dedup {
       else { val d1 = deleteOne(self); concat(self, d1, deleteOne(d1)) }
     records
       .filter(col(keyCol).isNotNull)
-      .select(col(idCol), col(keyCol),
-        array_distinct(transform(vars0, v => xxhash64(v))).as("vh"))
-      .select(col(idCol), col(keyCol), col("vh"), explode(col("vh")).as("h"))
-      // shuffled-hash as in minhashCandidates: bucket fan-in is bounded
-      // by variant collisions; never broadcast the exploded corpus
-      .hint("shuffle_hash")
+      .select(col(idCol),
+        explode(array_distinct(transform(vars0, v => xxhash64(v)))).as("h"))
+      // Explicit data-sized exchange (see variantParts): both sides of
+      // the bucket join arrive HashPartitioning(h, parts), so the join
+      // adds no further exchange, and AQE never coalesces a
+      // user-specified repartition back below the sort-safe width.
+      .repartition(parts, col("h"))
+      // Callers pin the bucket join to sort-merge: a shuffled-hash
+      // bucket join OOMed at the sf100 one-box rehearsal — the build
+      // side is the whole exploded corpus (~380 M rows across only
+      // #cores partitions), an SHJ build relation cannot spill, and it
+      // shares task memory with the fused partial-DISTINCT aggregate.
+      // Leaving the choice to AQE re-converted to SHJ and OOMed again;
+      // sort-merge spills gracefully at any size (measured equal at
+      // sf10, where the sorts fit in memory anyway).
+  }
+
+  /** Partition count for the fuzzy bucket join: the session's
+    * `shuffle.partitions` is sized for ~fixture-scale aggregates, not
+    * for sorting the exploded variant corpus (|s|+1 rows per record at
+    * maxDist 1). At the sf100 rehearsal the 20 M-customer corpus
+    * explodes to 380 M rows; across 32 partitions each SMJ input sort
+    * held ~12-50 M pointers and the pointer-array grow OOMed before
+    * spill could free it. One cheap count+avg-length aggregate sizes
+    * the exchange to ~4 M narrow rows (~64 MB sort input) per
+    * partition instead — the same measure-then-shard discipline as
+    * Similarity's shardTarget. Never below the session default (small
+    * inputs keep their plan), capped at 4096 like every shard fan-out
+    * here. */
+  private def variantParts(records: DataFrame, maxDist: Int,
+                           keyCol: String): Int = {
+    val spark = records.sparkSession
+    val row = records.filter(col(keyCol).isNotNull)
+      .agg(count(lit(1)), avg(length(col(keyCol)))).head()
+    val cnt = row.getLong(0)
+    val len = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val vpk = 1.0 + len + (if (maxDist == 2) len * len else 0.0)
+    val target = math.ceil(cnt * vpk / 4e6)
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096.0, target).toInt)
   }
 
   /** Cross-table fuzzy join (record linkage): best edit-distance-≤
@@ -857,11 +908,12 @@ object Dedup {
     * come from the same COMPLETE deletion-neighborhood blocking (two
     * strings within the radius always share a deletion variant), each
     * candidate is verified with exact `levenshtein`, duplicate
-    * (left, right) candidates collapse by the arithmetic
-    * min-shared-hash rule (no DISTINCT shuffle), and the winner per
-    * left record is the (dist, right-id)-least match via one bounded
-    * `min_by` aggregate — deterministic at any partitioning. INNER
-    * semantics: lefts with no match within the radius are absent
+    * (left, right) candidates collapse by a DISTINCT over the narrow
+    * 16 B id-pair stream (see [[fuzzyPairs]] for why that beats
+    * carrying variant arrays through the bucket join), and the winner
+    * per left record is the (dist, right-id)-least match via one
+    * bounded `min_by` aggregate — deterministic at any partitioning.
+    * INNER semantics: lefts with no match within the radius are absent
     * (left-join the output back for the audit face).
     *
     * Output: `(id_l, key_l, id_r, key_r, dist)` — one row per matched
@@ -875,13 +927,25 @@ object Dedup {
   def fuzzyJoin(left: DataFrame, right: DataFrame, maxDist: Int,
                 keyCol: String = "name", idCol: String = "id"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyJoin: maxDist must be 1 or 2, got $maxDist")
-    val a = deletionVariantFrame(left, maxDist, keyCol, idCol)
-    val b = deletionVariantFrame(right, maxDist, keyCol, idCol)
-    a.as("a").join(b.as("b"), col("a.h") === col("b.h"))
-      .filter(col("a.h") === array_min(array_intersect(col("a.vh"), col("b.vh"))))
-      .select(col(s"a.$idCol").as("id_l"), col(s"a.$keyCol").as("key_l"),
-        col(s"b.$idCol").as("id_r"), col(s"b.$keyCol").as("key_r"),
-        levenshtein(col(s"a.$keyCol"), col(s"b.$keyCol")).as("dist"))
+    // one shared width: mismatched HashPartitioning counts would make
+    // the planner re-exchange a side at the session default again
+    val parts = math.max(variantParts(left, maxDist, keyCol),
+      variantParts(right, maxDist, keyCol))
+    val a = deletionVariantHashes(left, maxDist, keyCol, idCol, parts)
+    val b = deletionVariantHashes(right, maxDist, keyCol, idCol, parts)
+    val cand = a.as("a").hint("merge").join(b.as("b"), col("a.h") === col("b.h"))
+      .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+      .distinct()
+    val kl = left.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("_lid"), col(keyCol).as("_lkey"))
+    val kr = right.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("_rid"), col(keyCol).as("_rkey"))
+    cand
+      .join(kl, col("id_l") === col("_lid"))
+      .join(kr, col("id_r") === col("_rid"))
+      .select(col("id_l"), col("_lkey").as("key_l"),
+        col("id_r"), col("_rkey").as("key_r"),
+        levenshtein(col("_lkey"), col("_rkey")).as("dist"))
       .filter(col("dist") <= maxDist)
       .groupBy(col("id_l"), col("key_l"))
       .agg(min_by(struct(col("id_r"), col("key_r"), col("dist")),
