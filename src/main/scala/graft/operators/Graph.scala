@@ -121,6 +121,18 @@ object Graph {
     // full ~100M-row edge exchange per round.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    // Width for the per-round vote exchange, sized from the (now
+    // materialized, cheap-to-count) edge table rather than inherited
+    // from the session's fixture-scale shuffle width: the repartition
+    // below feeds COMPLETE-mode aggregates, and at the sf100 one-box
+    // rehearsal 1.17 B vote rows across 32 partitions put a ~36 M-entry
+    // hash map in every task and OOMed. ~4 M vote rows per partition
+    // (the variantParts/shardTarget discipline), never below the
+    // session default, capped at 4096.
+    val voteParts = {
+      val default = edges.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(default, math.min(4096L, e.count() / 4000000L).toInt)
+    }
     // PRECONDITION (enforced, not just documented): node ids must be
     // non-negative. The decimal argmax packing below is order-correct
     // only for 0 <= lab < 10^19; a negative id would overflow the
@@ -161,7 +173,7 @@ object Graph {
         // moves the near-edge-sized vote stream twice in early rounds,
         // when labels are still ~all distinct and map-side combine
         // can't reduce anything.
-        .repartition(col("id"))
+        .repartition(voteParts, col("id"))
         .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
       val prev = st
       st = votes
