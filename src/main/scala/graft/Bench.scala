@@ -55,13 +55,21 @@ object Bench {
     // every diverging row was shuffle/state-store-bound, and isolated
     // re-times matched the record). Reading BOTH probes disambiguates:
     // cpu-probe moves → box CPU drift; io-probe moves alone → disk /
-    // page-cache drift; neither moves → a real plan regression.
+    // page-cache drift; neither moves → a real plan regression. What
+    // it reads is RELATIVE IO-stack drift (serialize + shuffle-file
+    // write + fetch on this box vs a record box), not raw disk
+    // bandwidth — ~600 MB of blocks can sit in page cache on a
+    // large-RAM box. The post-shuffle reduction is count(pad) — a
+    // per-row null check, NOT count(distinct pad): a 40 M-string hash
+    // aggregate is itself CPU-heavy and bled the CPU axis into this
+    // probe; and not count(1), which would let column pruning drop
+    // `pad` from the exchange and gut the probe's volume.
     def ioProbeOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 40000000L, 1L, cpus.toInt)
         .selectExpr("id", "cast(id as string) AS pad")
         .repartition(64, org.apache.spark.sql.functions.col("id"))
-        .selectExpr("count(distinct pad)").collect()
+        .selectExpr("count(pad)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val ioProbeSec = Seq.fill(3)(ioProbeOnce()).sorted.apply(1)

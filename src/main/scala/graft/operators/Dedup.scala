@@ -920,9 +920,12 @@ object Dedup {
     * left record.
     *
     * Scale shape: both sides explode to length+1 (maxDist=1) variant
-    * hashes and meet in a shuffled-hash bucket join — candidate volume
-    * is bounded by real variant collisions, never the cross product;
-    * the per-left argmax is a map-side-combined `min_by`, no window.
+    * hashes and meet in a sort-merge bucket join (pinned — an SHJ
+    * build over the exploded corpus cannot spill and OOMed at the
+    * sf100 rehearsal; see [[deletionVariantHashes]]) — candidate
+    * volume is bounded by real variant collisions, never the cross
+    * product; the per-left argmax is a map-side-combined `min_by`, no
+    * window.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame, maxDist: Int,
                 keyCol: String = "name", idCol: String = "id"): DataFrame = {

@@ -119,7 +119,7 @@ object Graph {
     // exchange disappears (only the node-sized label table moves to meet
     // it). Measured at sf10 (GraphProbe): the unpartitioned form paid a
     // full ~100M-row edge exchange per round.
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
     // Width for the per-round vote exchange, sized from the (now
     // materialized, cheap-to-count) edge table rather than inherited
@@ -129,9 +129,20 @@ object Graph {
     // hash map in every task and OOMed. ~4 M vote rows per partition
     // (the variantParts/shardTarget discipline), never below the
     // session default, capped at 4096.
-    val voteParts = {
-      val default = edges.sparkSession.sessionState.conf.numShufflePartitions
-      math.max(default, math.min(4096L, e.count() / 4000000L).toInt)
+    val default = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val voteParts =
+      math.max(default, math.min(4096L, e0.count() / 4000000L).toInt)
+    // BOTH shuffle_hash join sides must share ONE partitioning width:
+    // with edges checkpointed at the session default but the label
+    // table at a wider voteParts, the planner re-exchanges the EDGE
+    // side to voteParts every round — exactly the per-round edge
+    // exchange the pre-partitioned checkpoint exists to avoid. When
+    // the count-derived width differs, pay one edge-sized re-exchange
+    // up front (re-checkpoint at voteParts) instead of one per round.
+    val e = if (voteParts == default) e0 else {
+      val widened = e0.repartition(voteParts, col("src")).localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
+      widened
     }
     // PRECONDITION (enforced, not just documented): node ids must be
     // non-negative. The decimal argmax packing below is order-correct
