@@ -838,6 +838,86 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** [[fuzzyPairs]] executed in `passes` bounded-footprint WAVES — the
+    * out-of-core shape of the edit-distance self-join, the same recipe
+    * [[prefixJaccardPairsChunked]] proved out for the jaccard family.
+    *
+    * The candidate space is partitioned EXACTLY by the shared deletion
+    * variant: a candidate pair exists only through an equality match
+    * on some variant hash `h`, so restricting one wave to
+    * `pmod(h, passes) = p` and unioning all waves enumerates every
+    * candidate the single-pass plan enumerates (a pair sharing
+    * variants in several waves re-verifies to the identical row and
+    * collapses in the final pair-key dedup). The narrow `(id, h)`
+    * variant stream and the `(id, key)` verify table are computed ONCE
+    * and staged as parquet; each wave filters its slice off the staged
+    * columnar scan, pays a 1/passes-sized bucket exchange (sized by
+    * the same [[variantPartsFor]] formula with the `waves` divisor),
+    * sort-merge self-joins it, DISTINCTs the 16 B id pairs, verifies
+    * with one exact `levenshtein` per surviving pair, lands the wave
+    * to `stagingDir`, and releases its shuffle files SYNCHRONOUSLY
+    * before the next wave starts — peak sort-spill footprint is
+    * divided by ~passes as a guarantee. That is what retires the
+    * sf100 one-box ceiling: the single-pass form's 380 M-row variant
+    * sort exhausted local disk, while each wave here spills only its
+    * slice.
+    *
+    * This is also the 100 TB cluster recipe, not a local workaround:
+    * stage the variant stream once on distributed storage, size
+    * `passes` so one wave's exchange fits the cluster's shuffle
+    * capacity, and run waves as restartable jobs. `stagingDir` is
+    * caller-owned and must outlive consumption of the returned
+    * DataFrame (it reads the staged wave outputs lazily).
+    *
+    * Equivalence to [[fuzzyPairs]] is structural (shared explode and
+    * verify builders) and asserted by a unit test comparing result
+    * sets on the shared fixture at several wave counts. */
+  def fuzzyPairsChunked(records: DataFrame, maxDist: Int, passes: Int,
+                        stagingDir: String, keyCol: String = "name",
+                        idCol: String = "id"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzyPairsChunked: maxDist must be 1 or 2, got $maxDist")
+    require(passes >= 1, s"fuzzyPairsChunked: passes must be >= 1, got $passes")
+    require(stagingDir.nonEmpty, "fuzzyPairsChunked: stagingDir required")
+    val spark = records.sparkSession
+    val waveParts = variantParts(records, maxDist, keyCol, waves = passes)
+    deletionVariantHashesRaw(records, maxDist, keyCol, idCol)
+      .write.mode("overwrite").parquet(s"$stagingDir/v")
+    records.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("_kid"), col(keyCol).as("_kkey"))
+      .write.mode("overwrite").parquet(s"$stagingDir/k")
+    val v = spark.read.parquet(s"$stagingDir/v")
+    val k = spark.read.parquet(s"$stagingDir/k")
+    (0 until passes).foreach { p =>
+      val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
+      // pmod on the already-uniform xxhash64 variant key: one
+      // codegen'd filter directly over the staged columnar scan
+      val wv = v.filter(pmod(col("h"), lit(passes.toLong)) === p)
+        .repartition(waveParts, col("h"))
+      val cand = wv.as("a").hint("merge").join(wv.as("b"),
+          col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .distinct()
+      cand
+        .join(k.as("ka"), col("id_a") === col("ka._kid"))
+        .join(k.as("kb"), col("id_b") === col("kb._kid"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ka._kkey"), col("kb._kkey")).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
+      // wave p's shuffle files must release before wave p+1 spills its
+      // own, or peak disk is NOT bounded by one wave (see
+      // [[prefixJaccardPairsChunked]] — waves run sequentially, the
+      // wave's output is landed, nothing can re-read the blocks)
+      val created =
+        org.apache.spark.sql.GraftBridge.activeShuffleIds(spark) -- before
+      org.apache.spark.sql.GraftBridge.removeShuffles(spark, created)
+    }
+    spark.read.parquet(s"$stagingDir/out")
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Shared deletion-neighborhood blocking frame for [[fuzzyPairs]] and
     * [[fuzzyJoin]]: each record exploded to the xxhash64 of itself and
     * every ≤ maxDist single-character deletion — two strings within
@@ -848,19 +928,8 @@ object Dedup {
     * after candidate dedup. */
   private def deletionVariantHashes(records: DataFrame, maxDist: Int,
                                     keyCol: String, idCol: String,
-                                    parts: Int): DataFrame = {
-    // one deletion round: every string in `arr` minus each single char
-    def deleteOne(arr: Column): Column =
-      flatten(transform(arr, s =>
-        transform(sequence(lit(1), length(s)), i =>
-          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
-    val self = array(col(keyCol))
-    val vars0 = if (maxDist == 1) concat(self, deleteOne(self))
-      else { val d1 = deleteOne(self); concat(self, d1, deleteOne(d1)) }
-    records
-      .filter(col(keyCol).isNotNull)
-      .select(col(idCol),
-        explode(array_distinct(transform(vars0, v => xxhash64(v)))).as("h"))
+                                    parts: Int): DataFrame =
+    deletionVariantHashesRaw(records, maxDist, keyCol, idCol)
       // Explicit data-sized exchange (see variantParts): both sides of
       // the bucket join arrive HashPartitioning(h, parts), so the join
       // adds no further exchange, and AQE never coalesces a
@@ -874,6 +943,25 @@ object Dedup {
       // Leaving the choice to AQE re-converted to SHJ and OOMed again;
       // sort-merge spills gracefully at any size (measured equal at
       // sf10, where the sorts fit in memory anyway).
+
+  /** The exchange-free explode underlying [[deletionVariantHashes]] —
+    * split out so [[fuzzyPairsChunked]] can stage the narrow `(id, h)`
+    * stream to parquet ONCE without paying the full-corpus bucket
+    * exchange (each wave repartitions only its own 1/passes slice). */
+  private def deletionVariantHashesRaw(records: DataFrame, maxDist: Int,
+                                       keyCol: String, idCol: String): DataFrame = {
+    // one deletion round: every string in `arr` minus each single char
+    def deleteOne(arr: Column): Column =
+      flatten(transform(arr, s =>
+        transform(sequence(lit(1), length(s)), i =>
+          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+    val self = array(col(keyCol))
+    val vars0 = if (maxDist == 1) concat(self, deleteOne(self))
+      else { val d1 = deleteOne(self); concat(self, d1, deleteOne(d1)) }
+    records
+      .filter(col(keyCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(transform(vars0, v => xxhash64(v)))).as("h"))
   }
 
   /** Partition count for the fuzzy bucket join: the session's
@@ -889,16 +977,28 @@ object Dedup {
     * inputs keep their plan), capped at 4096 like every shard fan-out
     * here. */
   private def variantParts(records: DataFrame, maxDist: Int,
-                           keyCol: String): Int = {
+                           keyCol: String, waves: Int = 1): Int = {
     val spark = records.sparkSession
     val row = records.filter(col(keyCol).isNotNull)
       .agg(count(lit(1)), avg(length(col(keyCol)))).head()
     val cnt = row.getLong(0)
     val len = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-    val vpk = 1.0 + len + (if (maxDist == 2) len * len else 0.0)
-    val target = math.ceil(cnt * vpk / 4e6)
-    math.max(spark.sessionState.conf.numShufflePartitions,
-      math.min(4096.0, target).toInt)
+    variantPartsFor(cnt, len, maxDist,
+      spark.sessionState.conf.numShufflePartitions, waves)
+  }
+
+  /** The pure sizing formula behind [[variantParts]], factored out so a
+    * unit test can pin it with synthetic stats (it steers an
+    * OOM-critical exchange): variants-per-record ≈ 1 + len (maxDist 1)
+    * or 1 + len + len² (maxDist 2), targeting ~4 M narrow rows (~64 MB
+    * of SMJ sort input) per partition, divided by `waves` for the
+    * chunked form (each wave exchanges only its 1/waves candidate
+    * slice). Clamped to [session default, 4096]. */
+  private[graft] def variantPartsFor(cnt: Long, avgLen: Double, maxDist: Int,
+                                     default: Int, waves: Int = 1): Int = {
+    val vpk = 1.0 + avgLen + (if (maxDist == 2) avgLen * avgLen else 0.0)
+    val target = math.ceil(cnt * vpk / 4e6 / waves)
+    math.max(default, math.min(4096.0, target).toInt)
   }
 
   /** Cross-table fuzzy join (record linkage): best edit-distance-≤

@@ -217,6 +217,49 @@ class BehaviorSpec extends SparkSpec {
       Set((1L, 2L), (2L, 3L), (1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L)))
   }
 
+  test("fuzzyPairsChunked: wave execution equals the single-pass pair set") {
+    val recs = Seq((1L, "alpha-record-007"), (2L, "alpha-record-008"),
+      (3L, "alpha-record-0088"), (4L, "Xlpha-record-007"),
+      (5L, "zzz-unrelated"), (6L, "alpha-record-007")).toDF("id", "name")
+    for (d <- Seq(1, 2)) {
+      val single = Dedup.fuzzyPairs(recs, maxDist = d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      // several wave counts, incl. passes=1 (degenerate) and a count
+      // larger than the distinct-variant bucket population would need
+      for (passes <- Seq(1, 3, 7)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-fuzzy-chunk-test").toString
+        val chunked = Dedup.fuzzyPairsChunked(recs, maxDist = d,
+            passes = passes, stagingDir = staging)
+          .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+        assert(chunked == single, s"maxDist=$d passes=$passes")
+      }
+    }
+  }
+
+  test("variantPartsFor: OOM-critical exchange sizing formula and both clamps") {
+    // small corpus: target < default -> clamps UP to the session width
+    assert(Dedup.variantPartsFor(cnt = 10000L, avgLen = 18.0,
+      maxDist = 1, default = 32) == 32)
+    // huge corpus: target > 4096 -> clamps DOWN to the shard cap
+    assert(Dedup.variantPartsFor(cnt = 2000000000L, avgLen = 18.0,
+      maxDist = 1, default = 32) == 4096)
+    // mid-range, maxDist=1: ceil(cnt·(1+len)/4e6) exactly — the sf100
+    // rehearsal's shape (20 M records, len 18 -> 380 M variants -> 95)
+    assert(Dedup.variantPartsFor(cnt = 20000000L, avgLen = 18.0,
+      maxDist = 1, default = 32) == 95)
+    // maxDist=2 adds the len² term: 20 M · (1+18+324) / 4e6 = 1715
+    assert(Dedup.variantPartsFor(cnt = 20000000L, avgLen = 18.0,
+      maxDist = 2, default = 32) == 1715)
+    // the waves divisor scales the per-wave exchange, same clamps
+    // (95/4 -> 24, then the default clamp lifts it back to 32)
+    assert(Dedup.variantPartsFor(cnt = 20000000L, avgLen = 18.0,
+      maxDist = 1, default = 32, waves = 4) == 32)
+    assert(Dedup.variantPartsFor(cnt = 20000000L, avgLen = 18.0,
+      maxDist = 2, default = 32, waves = 4) == 429)
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, coverage counts once") {
     val iv = Seq(
       // user 1: [00:00,00:10) ∪ [00:05,00:15) ∪ [00:15,00:20) — one
