@@ -5911,12 +5911,16 @@ object PipelineEntry {
   // "streaming faces" tables (graft.StreamBench).
   // =====================================================================
   private def runStreamToTable(s: SparkSession, name: String,
-                               streaming: DataFrame, mode: String): DataFrame = {
-    // same 8 state partitions as the gate rows so the face/replay
-    // delta isolates the feed, not the partitioning
+                               streaming: DataFrame, mode: String,
+                               stateParts: Option[Int] = Some(8)): DataFrame = {
+    // default: same 8 state partitions as the gate rows so the
+    // face/replay delta isolates the feed, not the partitioning;
+    // stateParts = None keeps the session width (the six faces below
+    // whose GATE form already streams from files use it — there the
+    // face isolates the state-partitioning axis instead)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    stateParts.foreach(n => s.conf.set(key, n.toString))
     try {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val q = streaming.writeStream.format("memory").queryName(name)
@@ -5984,5 +5988,82 @@ object PipelineEntry {
         StreamOps.holtStream(s,
           eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
           2L, 10L, 3L, 10L).toDF(), "update")
+    },
+
+    // ------------------------------------------------------------------
+    // The six rows below are DIFFERENT in kind from the seven above:
+    // their GATE forms already stream from the parquet file source
+    // (executor-parallel; no lock-step MemoryStream feed), so the gate
+    // number is already an operator cost — except that the gate pins 8
+    // state partitions for replay comparability at every scale. These
+    // faces run the IDENTICAL operator with DATA-SIZED state
+    // partitions (streamStateParts below — the measure-then-shard
+    // discipline applied to the state store) and drop the oracle-only
+    // final sort/limit. State partitioning is the knob a capacity plan
+    // sizes to sustained input: a constant 8 caps state-store
+    // parallelism at 8 of 32 cores at sf10+, while a constant 32 pays
+    // 4× the per-partition commit overhead at fixture scale (measured:
+    // stream_interval_join 3.7 s @8 vs 10.2 s @32 at sf0.1). Bench
+    // substitutes and reports these like the other faces.
+    // ------------------------------------------------------------------
+    "stream_tumbling" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_tumbling",
+        StreamOps.tumblingAgg(eventsStream(s, dir), widthSeconds = 300L),
+        "complete", stateParts = Some(streamStateParts(s, dir, "events")))
+    },
+    "stream_ohlc" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_ohlc",
+        StreamOps.ohlcStream(eventsStream(s, dir), widthSeconds = 3600L),
+        "complete", stateParts = Some(streamStateParts(s, dir, "events")))
+    },
+    "stream_window_users" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      runStreamToTable(s, "bf_window_users",
+        StreamOps.windowedUsers(eventsStream(s, dir), widthSeconds = 300L),
+        "update", stateParts = Some(streamStateParts(s, dir, "events")))
+    },
+    "stream_topk" -> { (s, dir) =>
+      runStreamToTable(s, "bf_topk",
+        eventsStream(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+        "complete", stateParts = Some(streamStateParts(s, dir, "events")))
+    },
+    "stream_dedup" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+      runStreamToTable(s, "bf_dedup",
+        StreamOps.streamingExactDedup(src, "ts").select(col("doc_id")),
+        "append", stateParts = Some(streamStateParts(s, dir, "documents")))
+    },
+    "stream_interval_join" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      def src() = eventsStream(s, dir)
+      runStreamToTable(s, "bf_interval_join",
+        StreamOps.intervalJoin(
+          src().filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", windowSeconds = 600L)
+          .select(col("event_id_l"), col("event_id_r")),
+        "append", stateParts = Some(streamStateParts(s, dir, "events")))
     })
+
+  /** Data-sized state-partition width for the file-source stream faces:
+    * ~32 MB of source parquet per state partition, floor 8 (the gate
+    * width — fixture scales keep their plan), capped at the session
+    * shuffle width (state tasks can't use more cores than exist). The
+    * per-partition HDFS-backed state-store commit is a fixed per-batch
+    * cost, so width must follow data volume, not a constant: 8 caps
+    * parallelism at scale, 32 quadruples commit overhead at sf0.1. */
+  private def streamStateParts(s: SparkSession, dir: String, table: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    math.max(8, math.min(s.sessionState.conf.numShufflePartitions.toLong,
+      bytes / (32L << 20)).toInt)
+  }
 }
