@@ -388,6 +388,13 @@ final case class Table(df: DataFrame) {
     * instance = one set of boundaries = the counts provably describe
     * the partitions the slices read (the exchange's map stage is
     * computed once and reused as a skipped stage).
+    *
+    * CLASSIC-SESSION ONLY: this driver-coordinating design requires
+    * `Dataset.rdd`, which a Spark Connect client does not have — over
+    * `sc://` it refuses loudly (pinned by `ConnectParitySpec`) rather
+    * than risk re-materializing with different boundaries. Connect
+    * users run the pagination job server-side; the plain LIMIT/OFFSET
+    * [[Table.slice]] works unchanged over Connect.
     */
   def paginateSorted(sortCols: Seq[Column]): SortedPages = {
     require(sortCols.nonEmpty, "paginateSorted: at least one sort column")

@@ -177,4 +177,38 @@ class ConnectParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       }
     } finally remote.stop()
   }
+
+  test("pagination/index surface over Connect: unified-API slice has parity; RDD-backed SortedPages refuses loudly") {
+    assume(serverUp, s"no Spark Connect server on $port and none startable")
+    val remote = remoteSession()
+    try {
+      // LIMIT/OFFSET pagination (Table.slice / page — pure unified
+      // API) runs unchanged over sc://
+      val fn = SparkEntry.queries("sel_slice")
+      val got = canon(fn(remote, sf).collect())
+      val exp = canon(fn(spark, sf).collect())
+      assert(got == exp && exp.nonEmpty,
+        s"sel_slice parity: ${got.size} remote vs ${exp.size} local")
+      // The exact two-job pagination (paginateSorted) is DRIVER-
+      // COORDINATING by design: RangePartitioner boundaries + the
+      // prefix-sum count pass must run over ONE materialized RDD
+      // instance, and `Dataset.rdd` does not exist on a Connect
+      // client. The riskiest wrong behavior would be a client-side
+      // re-materialization with DIFFERENT partition boundaries
+      // (silently inconsistent pages); this pins the actual behavior:
+      // a loud refusal. Cluster recipe for Connect users: run the
+      // pagination job server-side (a classic session / submitted
+      // job), the same placement rule as the streaming gate rows.
+      for (name <- Seq("sel_slice_sorted", "sel_slice_strided", "sel_with_index")) {
+        val e = intercept[Throwable] {
+          SparkEntry.queries(name)(remote, sf).collect()
+        }
+        val msg = Option(e.getMessage).getOrElse("").toLowerCase
+        assert(e.isInstanceOf[UnsupportedOperationException] ||
+          msg.contains("rdd") || msg.contains("columnnode") ||
+          msg.contains("not supported"),
+          s"$name: expected a loud unsupported failure, got: $e")
+      }
+    } finally remote.stop()
+  }
 }
