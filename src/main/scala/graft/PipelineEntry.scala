@@ -1069,15 +1069,19 @@ object PipelineEntry {
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
       val passes = sys.env.get("GRAFT_FUZZY_PASSES").map(_.toInt).getOrElse(3)
-      val pairs = Dedup.fuzzyPairsChunked(
+      // land the final pair set to its OWN parquet so the wave staging
+      // can be reclaimed NOW — landed as FILES, not localCheckpoint:
+      // an eager checkpoint materializes the result as deserialized
+      // JVM rows, and at the sf100 rehearsal the ~10⁸-pair result
+      // OOMed the heap on block re-read; a parquet write streams.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-fuzzy-gate-out").toString
+      Dedup.fuzzyPairsChunked(
           t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
           maxDist = 1, passes = passes, stagingDir = staging)
-        .orderBy("id_a", "id_b")
-        // materialize eagerly so the staging dir can be reclaimed NOW
-        // (the chunked frame reads staged wave outputs lazily)
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(out)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-      pairs
+      s.read.parquet(out).orderBy("id_a", "id_b")
     },
     "join_fuzzy" -> { (s, dir) =>
       // record linkage: canonical customer registry vs a dirty copy
@@ -1209,17 +1213,21 @@ object PipelineEntry {
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
       val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
-      val pairs = Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
+      // the chunked frame reads the staged wave outputs lazily; land
+      // the final result to its OWN parquet so the wave staging can be
+      // reclaimed NOW — a long-lived driver (Connect server, notebook)
+      // must not accumulate /tmp staging across repeated invocations.
+      // Landed as FILES, not localCheckpoint: an eager checkpoint
+      // materializes the result as deserialized JVM rows, and the
+      // fuzzy sibling's ~10⁸-pair sf100 result OOMed the heap on
+      // block re-read; a parquet write streams.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ppjoin-gate-out").toString
+      Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
           n = 2, tNum = 1, tDen = 2, passes = passes, stagingDir = staging)
-        .orderBy("id_a", "id_b")
-        // the chunked frame reads the staged wave outputs lazily;
-        // materialize the (pair-sized, final) result eagerly so the
-        // staging dir can be reclaimed NOW — a long-lived driver
-        // (Connect server, notebook) must not accumulate /tmp staging
-        // across repeated invocations
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(out)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-      pairs
+      s.read.parquet(out).orderBy("id_a", "id_b")
     },
     "dedup_pr_audit" -> { (s, dir) =>
       // in-engine recall/precision audit of the LSH dedup route against
