@@ -6156,7 +6156,12 @@ object PipelineEntry {
             .select(col("event_id"), col("user_id"), col("ts")),
           "user_id", windowSeconds = 600L)
           .select(col("event_id_l"), col("event_id_r")),
-        "append", stateParts = Some(streamStateParts(s, dir, "events")))
+        // a stream-stream join commits FOUR state stores per partition
+        // (left/right × keyToNumValues/keyWithIndexToValue), so its
+        // per-partition overhead is ~4× an aggregation's — 4× coarser
+        // width (measured at sf10: 17.5 s at the aggregate sizing's 25
+        // partitions vs 9.0 s at 8)
+        "append", stateParts = Some(streamStateParts(s, dir, "events", mb = 128)))
     })
 
   /** Data-sized state-partition width for the file-source stream faces:
@@ -6166,11 +6171,12 @@ object PipelineEntry {
     * per-partition HDFS-backed state-store commit is a fixed per-batch
     * cost, so width must follow data volume, not a constant: 8 caps
     * parallelism at scale, 32 quadruples commit overhead at sf0.1. */
-  private def streamStateParts(s: SparkSession, dir: String, table: String): Int = {
+  private def streamStateParts(s: SparkSession, dir: String, table: String,
+                               mb: Long = 32L): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
     math.max(8, math.min(s.sessionState.conf.numShufflePartitions.toLong,
-      bytes / (32L << 20)).toInt)
+      bytes / (mb << 20)).toInt)
   }
 }
