@@ -50,9 +50,28 @@ object Graph {
     // partitioning, so no iteration re-shuffles the edges; only the
     // node-sized contribution aggregate moves per round — the shape
     // that holds when edges outweigh nodes 100:1 on a real crawl)
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
+    // Edge-partition width sized from the data, same discipline as
+    // [[labelPropagation]]'s voteParts: the session default is sized
+    // for fixture-scale aggregates, and at the sf100 clean-box
+    // rehearsal ~1.2 B edge rows across 32 partitions exhausted task
+    // execution memory in the per-round join stage ("Unable to acquire
+    // 262144 bytes"). ~4 M edge rows per partition, never below the
+    // session default, capped at 4096; when the count-derived width
+    // differs, pay one up-front re-exchange (the per-round joins then
+    // all run at the wider, spill-safe width — deg and the rank state
+    // inherit it through the src-partitioned aggregates).
+    val default = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val edgeParts =
+      math.max(default, math.min(4096L, e0.count() / 4000000L).toInt)
+    val e = if (edgeParts == default) e0 else {
+      val widened = e0.repartition(edgeParts, col("src"))
+        .sortWithinPartitions("src").localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
+      widened
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val base = scale - dampNum * scale / dampDen
