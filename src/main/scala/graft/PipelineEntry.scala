@@ -48,10 +48,48 @@ object PipelineEntry {
       s"${s.sparkContext.applicationId}|$dir|$recipe", _ => {
         val p = java.nio.file.Files
           .createTempDirectory(s"graft-edges-$recipe").toString
+        registerTempDir(p)
         derive.write.mode("overwrite").parquet(p)
         p
       })
     s.read.parquet(path)
+  }
+
+  /** Temp parquet dirs this JVM has landed (edge cache, chunked-dedup
+    * results): all removed at JVM exit, so a long-lived driver's /tmp
+    * footprint is bounded by the LIVE handles, never by invocation
+    * count. */
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tempDirHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    }))
+  private def registerTempDir(p: String): Unit = { tempDirHook; tempDirs.add(p) }
+
+  /** One landed-result dir per (query, fixture dir) key for the chunked
+    * dedup faces: the result parquet is ~10^8 pairs at scale, and the
+    * returned DataFrame reads it lazily, so it can't be deleted at
+    * return time — but re-entry for the SAME key deletes the previous
+    * invocation's dir (a repeated gate query in a long-lived Connect
+    * server / notebook driver must not accumulate result parquet the
+    * way the staging dirs used to), and the shutdown hook reclaims
+    * whatever is still registered at exit. Contract: re-invoking a
+    * chunked query on the same fixture dir invalidates the previous
+    * invocation's still-unread DataFrame handle, exactly like an
+    * overwrite of a shared output path. */
+  private val chunkedOut =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chunkedOutDir(key: String): String = {
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-chunk-out").toString
+    registerTempDir(fresh)
+    val prev = chunkedOut.put(key, fresh)
+    if (prev != null) {
+      tempDirs.remove(prev)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+    }
+    fresh
   }
 
   /** Customer↔supplier affinity edges (customers even ids, suppliers
@@ -1074,8 +1112,10 @@ object PipelineEntry {
       // an eager checkpoint materializes the result as deserialized
       // JVM rows, and at the sf100 rehearsal the ~10⁸-pair result
       // OOMed the heap on block re-read; a parquet write streams.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-fuzzy-gate-out").toString
+      // Keyed per (query, dir) so re-entry reclaims the previous
+      // result dir (ADVICE r15: the landing itself must not become
+      // the unbounded /tmp accumulation it exists to prevent).
+      val out = chunkedOutDir(s"dedup_fuzzy_chunked|$dir")
       Dedup.fuzzyPairsChunked(
           t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
           maxDist = 1, passes = passes, stagingDir = staging)
@@ -1220,9 +1260,9 @@ object PipelineEntry {
       // Landed as FILES, not localCheckpoint: an eager checkpoint
       // materializes the result as deserialized JVM rows, and the
       // fuzzy sibling's ~10⁸-pair sf100 result OOMed the heap on
-      // block re-read; a parquet write streams.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-ppjoin-gate-out").toString
+      // block re-read; a parquet write streams. Keyed per (query, dir)
+      // so re-entry reclaims the previous result dir (ADVICE r15).
+      val out = chunkedOutDir(s"dedup_prefix_chunked|$dir")
       Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
           n = 2, tNum = 1, tDen = 2, passes = passes, stagingDir = staging)
         .write.mode("overwrite").parquet(out)
@@ -1364,8 +1404,12 @@ object PipelineEntry {
           shiftright(col("label") - C, 20).as("label"))
       base.as("b").join(mapped.as("m"), col("b.id") === col("m.id"), "full_outer")
         .agg(count(lit(1)).as("n_nodes"),
-          sum(when(col("b.id").isNull || col("m.id").isNull ||
-            col("b.label") =!= col("m.label"), 1L).otherwise(0L)).as("n_mismatch"))
+          // coalesce: sum over ZERO rows is NULL, but the closed-form
+          // oracle states literal 0 — an empty 1-in-64 sample at a
+          // tiny fixture must match it, not NULL-mismatch (ADVICE r15)
+          coalesce(sum(when(col("b.id").isNull || col("m.id").isNull ||
+            col("b.label") =!= col("m.label"), 1L).otherwise(0L)),
+            lit(0L)).as("n_mismatch"))
     },
     "graph_powerlaw" -> { (s, dir) =>
       // degree-distribution audit over the co-purchase graph — the
@@ -6176,7 +6220,11 @@ object PipelineEntry {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
-    math.max(8, math.min(s.sessionState.conf.numShufflePartitions.toLong,
-      bytes / (mb << 20)).toInt)
+    // session width is the OUTER bound (state tasks can't use more
+    // cores than exist — ADVICE r15: the floor of 8 must not override
+    // a session configured narrower than 8), the floor of 8 applies
+    // only inside it
+    math.min(s.sessionState.conf.numShufflePartitions,
+      math.max(8L, bytes / (mb << 20)).toInt)
   }
 }

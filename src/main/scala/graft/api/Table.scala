@@ -398,6 +398,19 @@ final case class Table(df: DataFrame) {
     */
   def paginateSorted(sortCols: Seq[Column]): SortedPages = {
     require(sortCols.nonEmpty, "paginateSorted: at least one sort column")
+    // Engine-side guard, not just incidental client behavior: over a
+    // Connect session the refusal below fires BEFORE any API whose
+    // failure mode could change across Spark versions (`Dataset.rdd`),
+    // so the worst case — a client-side re-materialization with
+    // different partition boundaries, i.e. silently inconsistent
+    // pages — can never be reached (pinned by ConnectParitySpec).
+    if (df.sparkSession.getClass.getName.startsWith("org.apache.spark.sql.connect."))
+      throw new UnsupportedOperationException(
+        "paginateSorted: the exact two-job pagination is driver-" +
+          "coordinating (one materialized RDD instance) and is not " +
+          "available over Spark Connect; run the pagination job " +
+          "server-side, or use Table.slice (plain LIMIT/OFFSET), " +
+          "which works unchanged over sc://")
     val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     new SortedPages(df.sparkSession, sorted.schema, sorted.rdd)
   }

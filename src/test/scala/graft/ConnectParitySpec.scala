@@ -199,15 +199,17 @@ class ConnectParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // a loud refusal. Cluster recipe for Connect users: run the
       // pagination job server-side (a classic session / submitted
       // job), the same placement rule as the streaming gate rows.
+      // the refusal is now an EXPLICIT engine-side guard in
+      // Table.paginateSorted (ADVICE r15: the previous broad match —
+      // any Throwable mentioning "rdd"/"not supported" — could be
+      // satisfied by an unrelated transport error), so pin the exact
+      // exception type and its message
       for (name <- Seq("sel_slice_sorted", "sel_slice_strided", "sel_with_index")) {
-        val e = intercept[Throwable] {
+        val e = intercept[UnsupportedOperationException] {
           SparkEntry.queries(name)(remote, sf).collect()
         }
-        val msg = Option(e.getMessage).getOrElse("").toLowerCase
-        assert(e.isInstanceOf[UnsupportedOperationException] ||
-          msg.contains("rdd") || msg.contains("columnnode") ||
-          msg.contains("not supported"),
-          s"$name: expected a loud unsupported failure, got: $e")
+        assert(Option(e.getMessage).getOrElse("").contains("paginateSorted"),
+          s"$name: expected the paginateSorted Connect guard, got: $e")
       }
     } finally remote.stop()
   }
