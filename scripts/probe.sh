@@ -32,15 +32,10 @@ esac
 MEM="${3:-$DEFMEM}"
 
 case "$NAME" in
-  graph)   MAIN=graft.GraphProbe ;;   # per-round exchange count + edge-derivation split (labelprop/pagerank)
-  pca)     MAIN=graft.PcaProbe ;;     # Gram-pass strategies for arr_pca
-  ppjoin)  MAIN=graft.PpjoinProbe ;;  # pigeonhole-sketch candidate kill rate + pair-set equality
-  mmdhash) MAIN=graft.MmDhashProbe ;; # dHash clustering: contraction vs window forms
-  stream)  MAIN=graft.StreamBench ;;  # MemoryStream replay harness vs file-source operator faces
-  mini)    MAIN=graft.MiniBench ;;    # isolated re-time of a named Bench row
+  graph|pca|ppjoin|mmdhash|stream|mini) ;; # dispatched by graft.Probe (one main, shared session/fixture plumbing)
   *) echo "usage: sh scripts/probe.sh {graph|pca|ppjoin|mmdhash|stream|mini} [sf_dir] [mem]" >&2; exit 2 ;;
 esac
 
-echo "probe: $MAIN at $SF_DIR (driver $MEM)"
+echo "probe: graft.Probe $NAME at $SF_DIR (driver $MEM)"
 exec env SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  SPARK_DRIVER_MEM="$MEM" sbt -batch "runMain $MAIN"
+  SPARK_DRIVER_MEM="$MEM" sbt -batch "runMain graft.Probe $NAME"

@@ -89,6 +89,23 @@ object Bench {
     if (skip.nonEmpty)
       System.err.println(s"[bench] SKIPPING ${skip.size} queries by request: " +
         skip.toSeq.sorted.mkString(", "))
+    // scale-face auto-selection: past a disclosed input size a row runs
+    // its bounded-footprint chunked sibling (result-identical by the
+    // equivalence suite) instead of needing a SPARK_GRAFT_SKIP — the
+    // full-scale record covers every row, skipped: []. Disclosed in the
+    // JSON as "scale_faces", never silent.
+    def tableBytes(table: String): Long =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
+    val scaleFaces = SparkEntry.scaleFaces.collect {
+      case (name, (table, threshold, sub)) if tableBytes(table) > threshold =>
+        System.err.println(s"[bench] $name: $table.parquet > $threshold B — " +
+          "timing the bounded-footprint chunked face")
+        name -> sub
+    }
     // per-family GC fence state (VERDICT r12 #5 / r13 #8): the alpha-
     // sorted suite runs whole families back to back, so fencing at the
     // family boundary gives each family a clean old-gen start — the
@@ -98,6 +115,14 @@ object Bench {
     // don't trigger a GC storm; worst-case overhead is ~1 full GC/min.
     var prevFamily = ""
     var lastFence = System.nanoTime()
+    // Per-family drift probes (VERDICT r15 #3): one constant-work CPU
+    // probe at each family boundary, so a steal/drift window DURING the
+    // suite is attributable post-hoc to the rows it actually hit — the
+    // r15 sf10 record carried rows 3-6x their isolated re-times from a
+    // host steal window, and the single start-of-run probe couldn't say
+    // which. One sample per family (~0.5-1.5 s each, ~35 families) is
+    // noise-tolerant by design: it flags multi-x steal, not 10% drift.
+    val familyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .zipWithIndex.map { case ((name, fn), qi) =>
@@ -115,11 +140,13 @@ object Bench {
         System.gc()
         lastFence = System.nanoTime()
       }
+      if (family != prevFamily) familyProbes(family) = probeOnce()
       prevFamily = family
       // operator-face substitution (stream_* rows): time the real
       // file-source face instead of the MemoryStream correctness
       // harness — reported in the JSON's "faces" list, never silent
-      val timedFn = SparkEntry.benchFaces.getOrElse(name, fn)
+      val timedFn = scaleFaces.getOrElse(name,
+        SparkEntry.benchFaces.getOrElse(name, fn))
       val t0 = System.nanoTime()
       try { timedFn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -143,7 +170,11 @@ object Bench {
     val skipJson = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val facesJson = results.map(_._1).filter(SparkEntry.benchFaces.contains)
       .sorted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"io_probe_sec":$ioProbeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"sf":"$sfDir"}""")
+    val scaleFacesJson = results.map(_._1).filter(scaleFaces.contains)
+      .sorted.map(jstr).mkString("[", ",", "]")
+    val fpJson = familyProbes.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"io_probe_sec":$ioProbeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"scale_faces":$scaleFacesJson,"family_probes":$fpJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,17 +12,7 @@ import org.apache.spark.sql.types._
   * output-equality witness, so the plan change is measured, not argued.
   */
 object GraphProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "64g")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private[graft] def run(spark: SparkSession, sfDir: String): Unit = {
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -79,6 +69,6 @@ object GraphProbe {
     timed("pagerank (3 rounds)")(
       println("[probe] pagerank rows: " +
         graft.operators.Graph.pagerank(e, 3).count()))
-    spark.stop()
+
   }
 }

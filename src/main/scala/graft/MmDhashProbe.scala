@@ -11,16 +11,7 @@ import org.apache.spark.sql.functions._
   * phase's own cost, not its lineage's.
   */
 object MmDhashProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private[graft] def run(spark: SparkSession, sfDir: String): Unit = {
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -48,6 +39,6 @@ object MmDhashProbe {
         Cluster.dedupClusters(dims.select(col("doc_id")), pairs,
           idCol = "doc_id").count())
     }
-    spark.stop()
+
   }
 }

@@ -13,16 +13,7 @@ import org.apache.spark.sql.types._
   * place — which effect wins is exactly what this measures).
   */
 object PcaProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private[graft] def run(spark: SparkSession, sfDir: String): Unit = {
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -77,6 +68,6 @@ object PcaProbe {
     timed("full d^2, long multiply (warm)")(fullGramLong())
     println("[probe] g1 == g2: " + (g1 == g2))
     println("[probe] g1 == g3: " + (g1 == g3))
-    spark.stop()
+
   }
 }

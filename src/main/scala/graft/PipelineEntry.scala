@@ -768,6 +768,25 @@ object PipelineEntry {
         col("value"), col("event_type") === "purchase",
         col("event_id"), reps = 32)
     },
+    "eval_auc_ci_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for eval_auc_ci (VERDICT r15 #7): replica-
+      // weight INVARIANCE under a planted constant score. With one
+      // distinct score bucket the midrank rank-sum collapses to a
+      // closed form — auc = P·N/(2·P·N) = 1/2 — and the SAME collapse
+      // holds inside every Poisson replica (P_b·N_b/(2·P_b·N_b)), so
+      // auc and BOTH band ends are exactly 0.5 for ANY weight
+      // realization, replica count, or label mix. Every step is an
+      // exact IEEE quotient (the products stay < 2^53), so the oracle
+      // states three literals plus independent label counts and shares
+      // ZERO arithmetic with the operator: no midranks, no Poisson
+      // thresholds, no prefix window, no bootstrap. A normalization
+      // bug in the rank-sum (e.g. 2r+cnt for 2r+cnt+1) or weight/label
+      // cross-contamination moves the result off 0.5 and fails here
+      // while the replaying eval_auc_ci oracle would follow it.
+      graft.operators.Eval.aucBootstrapCi(t(s, dir, "events"),
+        lit(3.0), col("event_type") === "purchase",
+        col("event_id"), reps = 32)
+    },
     "eval_pr" -> { (s, dir) =>
       // precision-recall curve: one point per distinct centi score
       // (descending threshold), exact cumulative tp/fp — the curve
@@ -906,6 +925,24 @@ object PipelineEntry {
         col("value"), actual,
         graft.plans.HashBucket(idStr, 2) === 0L,
         alphaNum = 1L, alphaDen = 10L)
+    },
+    "eval_conformal_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for eval_conformal (VERDICT r15 #7):
+      // constant-residual closed form. actual = (⌊value·100+0.5⌋+37)/100
+      // makes BOTH quantizations exact integers 37 centi apart, so
+      // every |residual| is EXACTLY 37 — then q̂ = 37 for ANY
+      // calibration size (the single residual class's cumulative count
+      // is n_cal ≥ rank, which holds for α=1/10 whenever n_cal ≥ 9)
+      // and coverage = 1.0 exactly (every test residual ≤ q̂). The
+      // split is plain event_id parity, so the oracle's only data work
+      // is two counts: zero rank arithmetic, no cumulative window, no
+      // ceil-division — an off-by-one in the q̂ rank or a </>≤ slip in
+      // the coverage comparison fails here while the replaying
+      // eval_conformal oracle would follow it.
+      val predC = floor(col("value").cast(DoubleType) * 100d + 0.5d)
+      graft.operators.Eval.splitConformal(t(s, dir, "events"),
+        col("value"), (predC + lit(37d)) / lit(100d),
+        col("event_id") % 2 === 0, alphaNum = 1L, alphaDen = 10L)
     },
     "ev_holt" -> { (s, dir) =>
       // Holt level+trend smoothing per user (α=2/10, β=3/10): the
@@ -2685,6 +2722,34 @@ object PipelineEntry {
           iters = 8)
         .orderBy("d")
     },
+    "arr_pca_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for arr_pca (VERDICT r15 #7, the
+      // ev_holt_ramp planted-geometry pattern): every vector is
+      // planted on ONE exact integer direction u = (3, 4) —
+      // v_i = t_i·(3/1024, 4/1024), t_i = vec_id%7+1, all dyadic so
+      // quantization is exact — making the scatter matrix EXACTLY
+      // rank-1 (c·uuᵀ, c > 0 since t varies). The quantized power
+      // iteration is then stationary from round 1 at the closed-form
+      // axis ⌊u·2²⁰/max(u)⌋ = (786432, 1048576): loadings 0.75 and
+      // 1.0 EXACTLY, for ANY iteration count, corpus size, or t
+      // distribution. Exactness of every IEEE step holds because the
+      // renorm's BigInt→double conversions carry ≤53 significant bits
+      // (odd part ≤ 21·(nΣt²−(Σt)²) ≤ 21·49n², safe to n ≈ 2.4M; the
+      // 1-in-16 vec_id sample keeps n far below that at any sf and the
+      // double execution cheap) and the final quotient 0.75·2²⁰ is
+      // representable. The oracle states the two literals plus an
+      // independent sample count — no scatter matrix, no power rounds,
+      // no quantization anywhere — so a mean-centering, sign-fix, or
+      // renorm bug fails here while arr_pca's replaying oracle would
+      // follow it.
+      val smp = t(s, dir, "embeddings").filter(col("vec_id") % 16 === 0)
+      val tt = (col("vec_id") % 7 + 1).cast(DoubleType)
+      val planted = smp.select(col("vec_id"),
+        array(tt * lit(3.0 / 1024), tt * lit(4.0 / 1024)).as("embedding"))
+      Pca.topComponent(planted, "embedding", "vec_id", iters = 8)
+        .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_vecs"))))
+        .orderBy("d")
+    },
     "arr_pca_project" -> { (s, dir) =>
       // the usable face of arr_pca: every embedding's coordinate along
       // the leading axis (the 1-D ordering a curriculum sampler or
@@ -3839,6 +3904,18 @@ object PipelineEntry {
           |      / CAST(2 * CAST(SUM(np) AS HUGEINT) * SUM(cnt - np) AS DOUBLE)
           |  END AS auc
           |FROM r""".stripMargin,
+      // replica-weight-invariance witness: constant planted score →
+      // auc and both band ends are the LITERAL 1/2 (closed form, see
+      // the query site); the only data work is two label counts — no
+      // midranks, no Poisson table, no window, no bootstrap replay
+      "eval_auc_ci_witness" ->
+        """SELECT
+          |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |  CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+          |  CAST(0.5 AS DOUBLE) AS auc,
+          |  CAST(0.5 AS DOUBLE) AS ci_lo,
+          |  CAST(0.5 AS DOUBLE) AS ci_hi
+          |FROM events""".stripMargin,
       // weighted-midrank bootstrap replay: the eval_auc chain per
       // replica with Poisson threshold-table multiplicities (the
       // eval_brier_ci recipe); 32 replicas → band = replica MIN/MAX
@@ -4119,6 +4196,17 @@ object PipelineEntry {
            |  FROM f a JOIN f b ON a.cluster <> b.cluster)
            |SELECT cluster, n, scatter_q, MAX(CASE WHEN m2 > 0 THEN ratio END) AS r_worst
            |FROM pr GROUP BY cluster, n, scatter_q ORDER BY cluster""".stripMargin,
+      // constant-residual witness: every |residual| is exactly 37
+      // centi, so q̂ and coverage are LITERALS (closed form, see the
+      // query site) and the split is plain parity — zero rank/window/
+      // ceil-division arithmetic shared with the operator
+      "eval_conformal_witness" ->
+        """SELECT
+          |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cal,
+          |  CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+          |  CAST(37 AS BIGINT) AS qhat_c,
+          |  CAST(1.0 AS DOUBLE) AS coverage
+          |FROM events""".stripMargin,
       // conformal replay: identical centi residuals, md5-parity split,
       // integer ceil-divided rank, value-counting q̂, one coverage
       // division
@@ -5872,6 +5960,18 @@ object PipelineEntry {
            |SELECT CAST(i AS BIGINT) AS d, CAST(sg * v AS DOUBLE) / 1048576.0 AS loading
            |FROM vf CROSS JOIN sgn ORDER BY d""".stripMargin,
 
+      // planted-geometry witness: rank-1 scatter along u = (3,4) makes
+      // the axis the LITERALS (0.75, 1.0) — no scatter matrix, no
+      // power rounds, no quantization; the only data work is counting
+      // the 1-in-16 sample
+      "arr_pca_witness" ->
+        """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+          |  FROM embeddings WHERE vec_id % 16 = 0)
+          |SELECT v.d, v.loading, n.n_vecs
+          |FROM (VALUES (CAST(0 AS BIGINT), CAST(0.75 AS DOUBLE)),
+          |             (CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE))) AS v(d, loading)
+          |CROSS JOIN n ORDER BY v.d""".stripMargin,
+
       "arr_pca_project" ->
         s"""WITH $sqlPcaChain,
            |pr AS (SELECT vec_id, SUM(CAST(x.q AS HUGEINT) * vf.v) AS sq
@@ -6080,6 +6180,26 @@ object PipelineEntry {
     } finally s.conf.set(key, prev)
     s.table(name)
   }
+
+  /** Scale-face auto-selection (VERDICT r15 #5): rows whose single-pass
+    * form is exact but whose one-box execution footprint has a
+    * documented ceiling run their bounded-footprint CHUNKED sibling
+    * past a disclosed input size — selected from the DATA (the named
+    * input table's on-disk bytes), not from a skip env var, so a
+    * full-scale record covers all rows with `skipped: []` and the
+    * substitution is reported in the JSON's "scale_faces" list exactly
+    * like the stream faces. The sibling is certified result-identical
+    * by the equivalence unit suite (identical pair set at ANY wave
+    * count) and shares the single-pass row's oracle. Value:
+    * (input table the threshold reads, byte threshold, substitute). */
+  def scaleFaces
+      : Map[String, (String, Long, (SparkSession, String) => DataFrame)] = Map(
+    // the r14/r15 sf10 records skipped this row via SPARK_GRAFT_SKIP
+    // (adversarial 931-bigram fixture: single-pass candidate spill
+    // exceeds one-box disk); the chunked form IS its scale face —
+    // 137.5 s at sf10 in the r15 record
+    "dedup_prefix_pairs" ->
+      (("documents", 16L << 20, queries("dedup_prefix_chunked"))))
 
   def benchFaces: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessions" -> { (s, dir) =>

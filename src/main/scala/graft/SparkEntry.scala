@@ -63,6 +63,14 @@ object SparkEntry {
   def benchFaces: Map[String, (SparkSession, String) => DataFrame] =
     PipelineEntry.benchFaces
 
+  /** Size-triggered bounded-footprint substitutions for Bench (see
+    * [[PipelineEntry.scaleFaces]]): (table sized on, byte threshold,
+    * substitute). Verify never uses these — the gate always runs the
+    * single-pass form. */
+  def scaleFaces
+      : Map[String, (String, Long, (SparkSession, String) => DataFrame)] =
+    PipelineEntry.scaleFaces
+
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: TPC-H Q1 pricing summary (SURVEY §2.7/§2.8) ----
     "q1_agg" -> { (s, dir) =>

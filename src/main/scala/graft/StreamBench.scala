@@ -25,22 +25,7 @@ import org.apache.spark.sql.functions._
   *    "interval_left_file":s,"interval_left_replay":s,"sf":"…"}
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    org.apache.log4j.Logger
-      .getLogger("org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
-      .setLevel(org.apache.log4j.Level.ERROR)
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+  private[graft] def run(spark: SparkSession, sfDir: String): Unit = {
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -203,6 +188,6 @@ object StreamBench {
     }
 
     println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"anomaly_file":$anomalyFile%.2f,"anomaly_replay":$anomalyReplay%.2f,"attribution_file":$attributionFile%.2f,"attribution_replay":$attributionReplay%.2f,"ewma_file":$ewmaFile%.2f,"ewma_replay":$ewmaReplay%.2f,"holt_file":$holtFile%.2f,"holt_replay":$holtReplay%.2f,"sf":"$sfDir"}""")
-    spark.stop()
+
   }
 }

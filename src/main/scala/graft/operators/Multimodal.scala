@@ -631,18 +631,53 @@ object Multimodal {
     * out at the band explode.
     *
     * Scale shape: one band-key shuffle, candidates ∝ bucket occupancy —
-    * never all-pairs.
+    * never all-pairs over the corpus. The OUTPUT, however, has no such
+    * bound: a perceptual hash is 56 bits over small rasters, so a
+    * skewed corpus carries identical-hash groups that grow with corpus
+    * size, and every in-group pair is a true answer — k identical
+    * hashes are C(k,2) output rows no matter how the join is planned
+    * (measured at the sf100 rehearsal: ~240 distinct rasters → 34 B
+    * true pairs, output-quadratic by construction). `maxGroupSize`
+    * bounds that failure mode IN the operator (the
+    * [[graft.operators.Dedup.blockedJaccardPairs]] fail-fast
+    * precedent): any identical-hash group above it trips a loud
+    * `raise_error` naming the group and pointing at [[dhashClusters]],
+    * whose exact-hash contraction answers the same dedup question at
+    * ~|distinct hashes| cost. Raise it (up to `Int.MaxValue` to
+    * disable) only when the quadratic pair listing is genuinely the
+    * desired output. The guard is one extra narrow (id, hash) window
+    * pass — the price of refusing a 34 B-row surprise loudly.
     */
   def dhashPairs(sig: DataFrame, maxDist: Int = 3,
-                 idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
+                 idCol: String = "media_id", hashCol: String = "dhash",
+                 maxGroupSize: Int = 8192): DataFrame = {
     require(maxDist >= 0 && maxDist < 8,
       s"dhashPairs: 0 <= maxDist < 8 (56-bit hash), got $maxDist")
+    require(maxGroupSize > 0,
+      s"dhashPairs: maxGroupSize must be positive, got $maxGroupSize")
     val nBands = maxDist + 1
     val bandBits = 56 / nBands
     def bandKey(sh: Column, b: Int): Column =
       shiftright(sh, b * bandBits)
         .bitwiseAND(lit((1L << (if (b == nBands - 1) 56 - b * bandBits else bandBits)) - 1))
-    val cleaned = sig.filter(col(hashCol).isNotNull)
+    // guard in a FILTER so Catalyst can't prune it (blockedJaccardPairs
+    // pattern): any row in an oversized identical-hash group trips
+    // raise_error during evaluation, before the pair join runs
+    val cleaned0 = sig.filter(col(hashCol).isNotNull)
+    val cleaned = if (maxGroupSize == Int.MaxValue) cleaned0 else cleaned0
+      .withColumn("_gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(hashCol))))
+      .filter(when(col("_gsz") > maxGroupSize,
+        raise_error(concat(
+          lit(s"dhashPairs: identical-hash group over $maxGroupSize rows at " +
+            s"$hashCol="),
+          col(hashCol).cast(StringType),
+          lit(" — the pair listing is quadratic in group size; use " +
+            "Multimodal.dhashClusters (exact-hash contraction, same " +
+            "clusters at ~|distinct hashes| cost) or raise maxGroupSize " +
+            "if the full pair set is genuinely wanted"))))
+        .otherwise(lit(true)))
+      .drop("_gsz")
     val bandArr = array((0 until nBands).map(b => bandKey(col(hashCol), b)): _*)
     val bands = cleaned.select(col(idCol), col(hashCol),
       posexplode(bandArr).as(Seq("band", "bkey")))
@@ -694,9 +729,12 @@ object Multimodal {
     val nn = sig.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_mid"), col(hashCol).as("_h"))
     val reps = nn.groupBy(col("_h")).agg(min(col("_mid")).as("_rep"))
+    // guard disabled: reps carries ONE row per distinct hash by
+    // construction, so identical-hash groups cannot exist here and the
+    // occupancy window would be a pure waste
     val repPairs = dhashPairs(
       reps.select(col("_rep").as(idCol), col("_h").as(hashCol)),
-      maxDist, idCol, hashCol)
+      maxDist, idCol, hashCol, maxGroupSize = Int.MaxValue)
     val cc = graft.operators.Cluster.connectedComponents(
       reps.select(col("_rep").as("id")),
       repPairs.select(col("id_a").as("src"), col("id_b").as("dst")))

@@ -1507,6 +1507,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("dhashPairs: identical-hash group over maxGroupSize refuses loudly, under it is unchanged") {
+    // 5 ids sharing one hash + 2 ids on another, the two hashes
+    // hamming-56 apart so no cross-group pair: group sizes 5 and 2
+    val far = (1L << 56) - 1
+    val sig = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (10L, far), (11L, far)).toDF("media_id", "dhash")
+    val e = intercept[Exception] {
+      Multimodal.dhashPairs(sig, maxDist = 3, maxGroupSize = 4).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause)
+      .flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("dhashClusters"),
+      s"guard must point at the contraction face, got: $msg")
+    // at-threshold group passes and the pair set is the unguarded one
+    val got = Multimodal.dhashPairs(sig, maxDist = 3, maxGroupSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = Multimodal
+      .dhashPairs(sig, maxDist = 3, maxGroupSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == unguarded && got.size == 10 + 1,
+      s"guarded-under-threshold output changed: $got")
+  }
+
   test("audioStats sums real PCM exactly and nulls corrupt payloads") {
     val dims = Seq((5L, 4, 2)).toDF("doc_id", "nf", "ch")
     val wav = Multimodal.synthesizeWav(spark, dims, "doc_id", "nf", "ch")
