@@ -16,6 +16,11 @@ object Bench {
       // ~3x, so compressing the demotion path trades a little CPU for
       // the disk/IO that actually binds at scale.
       .config("spark.rdd.compress", "true")
+      // single-JVM local mode: a long full-GC pause on a large heap
+      // must not trip the heartbeat executor-removal verdict (see
+      // Probe — an sf100 rehearsal died to a 137 s GC stall)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")

@@ -27,6 +27,28 @@ object GraphProbe {
 
     timed("edge derivation (count)")(println("[probe] edges: " + e.count()))
 
+    // chunked-only mode (GRAFT_GRAPH_PROBE=chunked): the sf100 one-box
+    // rehearsal face — the single-pass forms exceed local disk there
+    // (measured: plain labelprop died disk-full at 57 GB free), so this
+    // times ONLY labelPropagationChunked at GRAFT_LP_PASSES waves
+    if (sys.env.get("GRAFT_GRAPH_PROBE").contains("chunked")) {
+      val passes = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-lpc-probe").toString
+      try {
+        val res = timed(s"labelprop CHUNKED ($passes waves, 3 rounds)") {
+          val d = graft.operators.Graph
+            .labelPropagationChunked(e, 3, passes, staging)
+          val r = d.agg(count(lit(1)),
+            sum(crc32(concat_ws(":", col("id"), col("label"))))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        println(s"[probe] chunked (n, crcsum): $res")
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(staging))
+      return
+    }
+
     // OLD shape: unpartitioned checkpoint; per-round: edge exchange for
     // the join + partial-agg exchange on (id,lab) + exchange on id
     def labelPropOld(edges: DataFrame, iters: Int): DataFrame = {

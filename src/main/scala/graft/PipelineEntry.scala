@@ -1312,17 +1312,14 @@ object PipelineEntry {
       // operating point — the dedup sibling of sim_recall_audit. The
       // verify step makes LSH pairs a subset of exact pairs, so the
       // hash-checked precision=1.0 row is itself an assertion.
+      // Exchange audit (MiniBench, sf0.1): 89 MB shuffle, ~98% of it the
+      // exact route (the LSH side is 1.5 MB) — so the row's disk-class
+      // sensitivity at sf10 is the exact route's candidate/spill volume,
+      // and its scale face below swaps in the chunked exact route.
       val docs = t(s, dir, "documents")
-      val exact = Dedup.prefixJaccardPairs(docs, n = 3, tNum = 3, tDen = 10)
-        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
-      val lsh = Dedup.minhashPairs(docs, threshold = 0.3, n = 3)
-        .select(col("id_a"), col("id_b"), lit(1).as("_l"))
-      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
-        .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_approx"),
-          count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_both"))
-        .select(col("n_exact"), col("n_approx"), col("n_both"),
-          (col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType)).as("recall"),
-          (col("n_both").cast(DoubleType) / col("n_approx").cast(DoubleType)).as("prec"))
+      prAuditAgg(
+        Dedup.prefixJaccardPairs(docs, n = 3, tNum = 3, tDen = 10),
+        Dedup.minhashPairs(docs, threshold = 0.3, n = 3))
     },
     "dedup_semantic" -> { (s, dir) =>
       // SemDeDup: within-cluster centroid-priority domination. The gate
@@ -6181,6 +6178,21 @@ object PipelineEntry {
     s.table(name)
   }
 
+  /** The dedup_pr_audit aggregate, shared verbatim by the gate row and
+    * its chunked scale face (identical pair sets in → identical single
+    * row out): full-outer the two pair sets, count exact/approx/both,
+    * one recall and one precision division. */
+  private def prAuditAgg(exact0: DataFrame, lsh0: DataFrame): DataFrame = {
+    val exact = exact0.select(col("id_a"), col("id_b"), lit(1).as("_e"))
+    val lsh = lsh0.select(col("id_a"), col("id_b"), lit(1).as("_l"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_approx"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_both"))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        (col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType)).as("recall"),
+        (col("n_both").cast(DoubleType) / col("n_approx").cast(DoubleType)).as("prec"))
+  }
+
   /** Scale-face auto-selection (VERDICT r15 #5): rows whose single-pass
     * form is exact but whose one-box execution footprint has a
     * documented ceiling run their bounded-footprint CHUNKED sibling
@@ -6199,7 +6211,26 @@ object PipelineEntry {
     // exceeds one-box disk); the chunked form IS its scale face —
     // 137.5 s at sf10 in the r15 record
     "dedup_prefix_pairs" ->
-      (("documents", 16L << 20, queries("dedup_prefix_chunked"))))
+      (("documents", 16L << 20, queries("dedup_prefix_chunked"))),
+    // the audit's exchange is ~98% the exact route (measured, see the
+    // gate row), so past the same threshold it runs the identical
+    // aggregate over the CHUNKED exact route — same pair set, same
+    // single row, peak spill divided by the wave count (this row read
+    // 13x its NVMe record on a 556 MB/s disk in r15, pure spill class)
+    "dedup_pr_audit" -> (("documents", 16L << 20, { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-praudit").toString
+      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
+      val exact = Dedup.prefixJaccardPairsChunked(docs, n = 3, tNum = 3,
+        tDen = 10, passes = passes, stagingDir = staging)
+      val out = chunkedOutDir(s"dedup_pr_audit|$dir")
+      // the audit output is ONE row — land it, reclaim the wave staging
+      prAuditAgg(exact, Dedup.minhashPairs(docs, threshold = 0.3, n = 3))
+        .write.mode("overwrite").parquet(out)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      s.read.parquet(out)
+    })))
 
   def benchFaces: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessions" -> { (s, dir) =>

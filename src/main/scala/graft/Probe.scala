@@ -47,6 +47,13 @@ object Probe {
       // scale rehearsals demote edge-sized localCheckpoint blocks to
       // disk; compress that stream exactly like Bench does
       .config("spark.rdd.compress", "true")
+      // one-box scale rehearsals see multi-minute full-GC pauses on a
+      // 96 GB heap; the default 120 s heartbeat verdict ("Removing
+      // executor driver") killed an otherwise-healthy sf100 labelprop
+      // run — in single-JVM local mode the heartbeat can only report
+      // the ONE process's own stall, so a long timeout loses nothing
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

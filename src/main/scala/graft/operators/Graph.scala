@@ -49,29 +49,35 @@ object Graph {
     // pre-partitioned on the join key (localCheckpoint preserves the
     // partitioning, so no iteration re-shuffles the edges; only the
     // node-sized contribution aggregate moves per round — the shape
-    // that holds when edges outweigh nodes 100:1 on a real crawl)
-    val e0 = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions("src")
-      .localCheckpoint(true)
-    // Edge-partition width sized from the data, same discipline as
-    // [[labelPropagation]]'s voteParts: the session default is sized
-    // for fixture-scale aggregates, and at the sf100 clean-box
-    // rehearsal ~1.2 B edge rows across 32 partitions exhausted task
-    // execution memory in the per-round join stage ("Unable to acquire
-    // 262144 bytes"). ~4 M edge rows per partition, never below the
-    // session default, capped at 4096; when the count-derived width
-    // differs, pay one up-front re-exchange (the per-round joins then
-    // all run at the wider, spill-safe width — deg and the rank state
-    // inherit it through the src-partitioned aggregates).
+    // that holds when edges outweigh nodes 100:1 on a real crawl).
+    // Width sized from the data BEFORE the first materialization: the
+    // r15 form counted e0 AFTER checkpointing it at the session width,
+    // and at the sf100 rehearsal the initial checkpoint itself was the
+    // failure — 1.17 B rows across 32 partitions = ~2.8 GiB
+    // DESERIALIZED cache blocks per partition, 32 concurrent unrolls,
+    // heap OOM before the "widening" second checkpoint could ever run.
+    // One extra count scan of the edge derivation buys a single
+    // checkpoint at the right width (~4 M edge rows per partition,
+    // never below the session default, capped at 4096); the library
+    // contract for iterative graph ops is a staged/parquet edge input,
+    // where that scan is a cheap columnar count.
     val default = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val nEdges = edges.select(col("src"), col("dst")).count()
     val edgeParts =
-      math.max(default, math.min(4096L, e0.count() / 4000000L).toInt)
-    val e = if (edgeParts == default) e0 else {
-      val widened = e0.repartition(edgeParts, col("src"))
-        .sortWithinPartitions("src").localCheckpoint(true)
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
-      widened
-    }
+      math.max(default, math.min(4096L, nEdges / 4000000L).toInt)
+    // COLUMNAR persist, not localCheckpoint, for the edge table: a
+    // local checkpoint stores DESERIALIZED row objects, and at sf100
+    // (1.17 B rows) the unroll of ~GiB object blocks OOMed a 96 GB
+    // heap even at the data-sized width. The SQL cache stores
+    // compressed columnar batches (~5× smaller, incremental unroll,
+    // compressed disk spill) and still carries the child plan's
+    // HashPartitioning, so every round's edge-side exchange is elided
+    // exactly as with the checkpoint. Unpersisted before returning —
+    // the rank state is checkpointed eagerly, so nothing references it.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(edgeParts, col("src")).sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize the cache once, outside the round loop
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val base = scale - dampNum * scale / dampDen
@@ -102,6 +108,7 @@ object Graph {
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
       retirable = prev
     }
+    e.unpersist(false) // final state is eagerly checkpointed — e is done
     st.select(col("id"), col("pr"))
   }
 
@@ -138,31 +145,30 @@ object Graph {
     // exchange disappears (only the node-sized label table moves to meet
     // it). Measured at sf10 (GraphProbe): the unpartitioned form paid a
     // full ~100M-row edge exchange per round.
-    val e0 = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
-    // Width for the per-round vote exchange, sized from the (now
-    // materialized, cheap-to-count) edge table rather than inherited
-    // from the session's fixture-scale shuffle width: the repartition
-    // below feeds COMPLETE-mode aggregates, and at the sf100 one-box
-    // rehearsal 1.17 B vote rows across 32 partitions put a ~36 M-entry
-    // hash map in every task and OOMed. ~4 M vote rows per partition
-    // (the variantParts/shardTarget discipline), never below the
-    // session default, capped at 4096.
+    // Width for the edge checkpoint AND the per-round vote exchange,
+    // sized from the data BEFORE the first materialization (the same
+    // r16 fix as [[pagerank]]: counting AFTER an initial session-width
+    // checkpoint means the initial checkpoint itself unrolls ~GiB
+    // deserialized blocks per partition at sf100 and OOMs the heap
+    // before any widening runs). ~4 M vote rows per partition (the
+    // variantParts/shardTarget discipline — 32-partition COMPLETE-mode
+    // vote aggregates put a ~36 M-entry hash map in every task at the
+    // sf100 rehearsal), never below the session default, capped at
+    // 4096. BOTH shuffle_hash join sides share this ONE width: edges
+    // checkpointed at the session default with a wider label table
+    // would re-exchange the EDGE side every round — exactly the
+    // per-round edge exchange the pre-partitioned checkpoint avoids.
     val default = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val nEdges = edges.select(col("src"), col("dst")).count()
     val voteParts =
-      math.max(default, math.min(4096L, e0.count() / 4000000L).toInt)
-    // BOTH shuffle_hash join sides must share ONE partitioning width:
-    // with edges checkpointed at the session default but the label
-    // table at a wider voteParts, the planner re-exchanges the EDGE
-    // side to voteParts every round — exactly the per-round edge
-    // exchange the pre-partitioned checkpoint exists to avoid. When
-    // the count-derived width differs, pay one edge-sized re-exchange
-    // up front (re-checkpoint at voteParts) instead of one per round.
-    val e = if (voteParts == default) e0 else {
-      val widened = e0.repartition(voteParts, col("src")).localCheckpoint(true)
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
-      widened
-    }
+      math.max(default, math.min(4096L, nEdges / 4000000L).toInt)
+    // columnar persist, not localCheckpoint — same r16 fix as
+    // [[pagerank]]: deserialized checkpoint blocks OOM the heap at
+    // sf100; compressed columnar batches carry the same partitioning
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(voteParts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once, outside the round loop
     // PRECONDITION (enforced, not just documented): node ids must be
     // non-negative. The decimal argmax packing below is order-correct
     // only for 0 <= lab < 10^19; a negative id would overflow the
@@ -218,7 +224,97 @@ object Graph {
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
       retirable = prev
     }
+    e.unpersist(false) // final state is eagerly checkpointed — e is done
     st.select(col("id"), col("lab").as("label"))
+  }
+
+  /** [[labelPropagation]] executed as `passes` bounded-footprint WAVES
+    * per round — the out-of-core / one-box-rehearsal shape (the
+    * [[Dedup.fuzzyPairsChunked]] recipe applied to the vote exchange),
+    * result IDENTICAL at ANY wave count (pinned by the equivalence
+    * unit test): the node set is partitioned by `pmod(id, passes)`,
+    * and wave p of a round computes the COMPLETE vote multiset for
+    * exactly its nodes (edges filtered on the destination's wave +
+    * that wave's self-votes), so per-node argmax inputs are identical
+    * to the single-pass form and the union over waves is the full
+    * next-round state.
+    *
+    * Footprint contract, per wave: one exchange of ~|E|/passes vote
+    * rows plus one node-sized label broadcast side, with the wave's
+    * shuffle files released SYNCHRONOUSLY (GraftBridge.removeShuffles)
+    * once its output parquet lands — peak transient disk is one
+    * wave's, not one round's. Edges and per-round state live as
+    * snappy parquet in `stagingDir` (never JVM-pinned checkpoint
+    * blocks — the Bench-unpersists-everything lesson, and parquet
+    * compresses the long-pair edge stream ~3× vs demoted RDD blocks);
+    * round r's staging is deleted as soon as round r+1 lands. The
+    * price is `passes` full edge scans per round (columnar, cheap
+    * relative to the exchange they shrink). The returned frame reads
+    * the final round's staging LAZILY — the caller owns `stagingDir`
+    * and reclaims it when done (the fuzzyPairsChunked contract).
+    *
+    * Cluster translation: waves = executor-count-sized slices of the
+    * node space; a real cluster runs them as one partitioned job, this
+    * form runs them sequentially so ONE box's disk sees 1/passes of
+    * the volume at a time.
+    */
+  def labelPropagationChunked(edges: DataFrame, iters: Int, passes: Int,
+                              stagingDir: String): DataFrame = {
+    require(iters > 0, s"labelPropagationChunked: iters must be positive, got $iters")
+    require(passes >= 1, s"labelPropagationChunked: passes must be >= 1, got $passes")
+    require(stagingDir.nonEmpty, "labelPropagationChunked: stagingDir required")
+    val spark = edges.sparkSession
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$stagingDir/e")
+    val e = spark.read.parquet(s"$stagingDir/e")
+    // same precondition as the single-pass form (decimal argmax packing)
+    require(e.filter(col("src") < 0 || col("dst") < 0).limit(1).isEmpty,
+      "labelPropagationChunked: negative node ids are not supported " +
+        "(the count·10^19 + (10^19-1-label) argmax packing requires ids " +
+        "in [0, 10^19)); relabel ids to non-negative first")
+    // per-WAVE vote width: the single-pass voteParts discipline divided
+    // by the wave count (each wave carries ~|E|/passes vote rows)
+    val default = spark.sessionState.conf.numShufflePartitions
+    val waveParts = math.max(default,
+      math.min(4096L, e.count() / passes / 4000000L).toInt)
+    val P = DecimalType(38, 0)
+    val packBase = lit(BigDecimal("10000000000000000000")).cast(P) // 10^19
+    e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .write.mode("overwrite").parquet(s"$stagingDir/r0")
+    for (r <- 1 to iters) {
+      val st = spark.read.parquet(s"$stagingDir/r${r - 1}")
+      (0 until passes).foreach { p =>
+        val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
+        // identical vote stream and argmax arithmetic as the wave's
+        // slice of labelPropagation (kept verbatim — the equivalence
+        // test pins the twin forms together)
+        spark.read.parquet(s"$stagingDir/e")
+          .filter(pmod(col("dst"), lit(passes.toLong)) === p)
+          .join(st.hint("shuffle_hash"), col("src") === st("id"))
+          .select(col("dst").as("id"), col("lab"))
+          .unionByName(st.select(col("id"), col("lab"))
+            .filter(pmod(col("id"), lit(passes.toLong)) === p))
+          .repartition(waveParts, col("id"))
+          .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
+          .select(col("id"),
+            (col("c").cast(P) * packBase +
+              (packBase - 1 - col("lab").cast(P))).as("_p"))
+          .groupBy(col("id")).agg(max(col("_p")).as("_w"))
+          .select(col("id"),
+            (packBase - 1 - (col("_w") % packBase)).cast(LongType).as("lab"))
+          .write.mode("overwrite").parquet(s"$stagingDir/r$r/w=$p")
+        val created =
+          org.apache.spark.sql.GraftBridge.activeShuffleIds(spark) -- before
+        org.apache.spark.sql.GraftBridge.removeShuffles(spark, created)
+      }
+      // round r is fully landed — its input state can go NOW (peak
+      // staged state is 2 node-sized tables, not iters of them)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$stagingDir/r${r - 1}"))
+    }
+    spark.read.parquet(s"$stagingDir/r$iters")
+      .select(col("id"), col("lab").as("label"))
   }
 
   /** Exact triangle count over an UNDIRECTED edge list `(src, dst)`

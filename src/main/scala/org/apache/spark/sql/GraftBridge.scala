@@ -91,6 +91,13 @@ object GraftBridge {
 
   private val noCleanerWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Block until every queued listener-bus event has been delivered —
+    * the fence MiniBench's per-query metric snapshots need (task-end
+    * events are posted asynchronously, so without a drain a query's
+    * tail metrics land in the NEXT query's window). */
+  def drainListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def freshStats(df: Dataset[_]): DataFrame = df match {
     case d: classic.Dataset[_] => d.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>

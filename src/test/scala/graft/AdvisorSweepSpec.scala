@@ -35,6 +35,8 @@ class AdvisorSweepSpec extends SparkSpec {
     ("sel_skyline", "single-partition-window"),     // pass 2 over local-skyline survivors (documented in Skyline)
     ("text_encode", "single-partition-window"),     // vocab id window over the top-k (=100) slice
     ("eval_conformal", "single-partition-window"),  // q̂ prefix window over the DISTINCT centi-residual domain (the eval_auc contract)
+    ("eval_auc_ci_witness", "single-partition-window"),   // same operator as eval_auc_ci on a planted constant score: the domain window runs over ONE distinct bucket
+    ("eval_conformal_witness", "single-partition-window"), // same operator as eval_conformal on a planted constant residual: the q̂ window runs over ONE distinct class
     ("profile_ks2", "single-partition-window")      // ECDF windows over the distinct-value union (value-domain-bounded)
   )
 

@@ -150,6 +150,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_pr_audit scale face (chunked exact route) equals the gate row") {
+    // the face shares prAuditAgg verbatim and the chunked route's pair
+    // set is equivalence-pinned above; this pins the WIRING — the one
+    // audit row must be bit-identical through the landed-parquet path
+    val gate = PipelineEntry.queries("dedup_pr_audit")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val (_, _, faceFn) = PipelineEntry.scaleFaces("dedup_pr_audit")
+    val face = faceFn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(gate == face, s"gate $gate vs face $face")
+    assert(gate.head.head.asInstanceOf[Long] > 0, "empty audit proves nothing")
+  }
+
   test("dhashClusters: exact-hash contraction equals dedupClusters∘dhashPairs") {
     import graft.operators.Cluster
     // planted structure: two identical-hash groups one bit apart (one
