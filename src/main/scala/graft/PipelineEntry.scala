@@ -6212,6 +6212,24 @@ object PipelineEntry {
     // 137.5 s at sf10 in the r15 record
     "dedup_prefix_pairs" ->
       (("documents", 16L << 20, queries("dedup_prefix_chunked"))),
+    // single-pass labelprop exceeds one-box local disk past ~sf30-100
+    // (measured at sf100: disk-full at 57 GB free — 3 rounds of
+    // edge-sized vote exchange); the wave form divides peak transient
+    // disk by the wave count and is result-identical at any wave count
+    // (equivalence unit test). 848.9 s green at sf100 where the
+    // single-pass form cannot finish.
+    "graph_labelprop" -> (("lineitem", 4L << 30, { (s, dir) =>
+      val e0 = affinityEdges(s, dir)
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-lpc-face").toString
+      val passes = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
+      val out = chunkedOutDir(s"graph_labelprop|$dir")
+      Graph.labelPropagationChunked(e, iters = 3, passes = passes, staging)
+        .write.mode("overwrite").parquet(out)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      s.read.parquet(out).orderBy("id")
+    })),
     // the audit's exchange is ~98% the exact route (measured, see the
     // gate row), so past the same threshold it runs the identical
     // aggregate over the CHUNKED exact route — same pair set, same

@@ -162,6 +162,16 @@ class OperatorsSpec extends SparkSpec {
     assert(gate.head.head.asInstanceOf[Long] > 0, "empty audit proves nothing")
   }
 
+  test("graph_labelprop scale face (chunked waves) equals the gate row") {
+    val gate = PipelineEntry.queries("graph_labelprop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (_, _, faceFn) = PipelineEntry.scaleFaces("graph_labelprop")
+    val face = faceFn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gate == face, s"face diverged: ${gate.toSet -- face.toSet} / ${face.toSet -- gate.toSet}")
+    assert(gate.nonEmpty, "empty labelprop output proves nothing")
+  }
+
   test("dhashClusters: exact-hash contraction equals dedupClusters∘dhashPairs") {
     import graft.operators.Cluster
     // planted structure: two identical-hash groups one bit apart (one
