@@ -44,6 +44,16 @@ object GraphProbe {
           (r.getLong(0), r.getLong(1))
         }
         println(s"[probe] chunked (n, crcsum): $res")
+        val prStaging = java.nio.file.Files
+          .createTempDirectory("graft-prc-probe").toString
+        try {
+          val pr = timed(s"pagerank CHUNKED ($passes waves, 3 rounds)") {
+            graft.operators.Graph
+              .pagerankChunked(e, 3, passes, prStaging).count()
+          }
+          println(s"[probe] pagerank chunked rows: $pr")
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(prStaging))
       } finally org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(staging))
       return

@@ -228,6 +228,78 @@ object Graph {
     st.select(col("id"), col("lab").as("label"))
   }
 
+  /** [[pagerank]] executed as `passes` bounded-footprint WAVES per
+    * round — the same out-of-core recipe as [[labelPropagationChunked]]
+    * applied to the contribution exchange, for the volume class where
+    * even the columnar-cached single-pass form exceeds one box (the
+    * plain form is green at sf100 / 1.17 B edges; this is the sf1000
+    * insurance and the cluster-sharding expression). Result IDENTICAL
+    * at ANY wave count: wave p of a round aggregates the COMPLETE
+    * in-contribution multiset of exactly the nodes with
+    * `pmod(id, passes) = p` (edges filtered on the destination's
+    * wave), and the rank update is per-node arithmetic over that
+    * complete sum — pinned by the equivalence unit test.
+    *
+    * Footprint: per wave one ~|E|/passes contribution exchange with
+    * synchronous shuffle release; edges, the degree table, and the
+    * per-round rank state live as snappy parquet in `stagingDir`
+    * (round r−1 deleted once round r lands). The returned frame reads
+    * the final round lazily — the caller owns `stagingDir`
+    * (the fuzzyPairsChunked contract).
+    */
+  def pagerankChunked(edges: DataFrame, iters: Int, passes: Int,
+                      stagingDir: String, scale: Long = 1000000L,
+                      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters > 0, s"pagerankChunked: iters must be positive, got $iters")
+    require(passes >= 1, s"pagerankChunked: passes must be >= 1, got $passes")
+    require(stagingDir.nonEmpty, "pagerankChunked: stagingDir required")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"pagerankChunked: damping $dampNum/$dampDen outside [0, 1]")
+    require(scale > 0, s"pagerankChunked: scale must be positive, got $scale")
+    val spark = edges.sparkSession
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$stagingDir/e")
+    val e = spark.read.parquet(s"$stagingDir/e")
+    val default = spark.sessionState.conf.numShufflePartitions
+    val waveParts = math.max(default,
+      math.min(4096L, e.count() / passes / 4000000L).toInt)
+    // identical arithmetic to [[pagerank]]: state carries outdeg so a
+    // round is one edge join + one aggregate per wave
+    e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .write.mode("overwrite").parquet(s"$stagingDir/deg")
+    val deg = spark.read.parquet(s"$stagingDir/deg")
+    val base = scale - dampNum * scale / dampDen
+    deg.select(col("src").as("id"), col("outdeg"), lit(scale).as("pr"))
+      .write.mode("overwrite").parquet(s"$stagingDir/r0")
+    for (r <- 1 to iters) {
+      val st = spark.read.parquet(s"$stagingDir/r${r - 1}")
+      (0 until passes).foreach { p =>
+        val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
+        val contrib = spark.read.parquet(s"$stagingDir/e")
+          .filter(pmod(col("dst"), lit(passes.toLong)) === p)
+          .join(st.hint("shuffle_hash"), col("src") === st("id"))
+          .select(col("dst"),
+            floor(col("pr").cast(DoubleType) / col("outdeg").cast(DoubleType))
+              .cast(LongType).as("c"))
+          .repartition(waveParts, col("dst"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        deg.filter(pmod(col("src"), lit(passes.toLong)) === p)
+          .join(contrib, deg("src") === contrib("dst"), "left")
+          .select(col("src").as("id"), col("outdeg"),
+            (lit(base) + floor((lit(dampNum) * coalesce(col("s"), lit(0L)))
+              .cast(DoubleType) / lit(dampDen).cast(DoubleType)).cast(LongType))
+              .as("pr"))
+          .write.mode("overwrite").parquet(s"$stagingDir/r$r/w=$p")
+        val created =
+          org.apache.spark.sql.GraftBridge.activeShuffleIds(spark) -- before
+        org.apache.spark.sql.GraftBridge.removeShuffles(spark, created)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$stagingDir/r${r - 1}"))
+    }
+    spark.read.parquet(s"$stagingDir/r$iters").select(col("id"), col("pr"))
+  }
+
   /** [[labelPropagation]] executed as `passes` bounded-footprint WAVES
     * per round — the out-of-core / one-box-rehearsal shape (the
     * [[Dedup.fuzzyPairsChunked]] recipe applied to the vote exchange),

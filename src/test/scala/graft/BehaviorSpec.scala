@@ -462,6 +462,30 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("pagerankChunked: identical to single-pass at any wave count") {
+    // same asymmetric graph as the labelprop twin (dst-only node,
+    // uneven communities, a bridge) — per-wave contribution loss or
+    // double-count shifts a rank and diverges from the single-pass form
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 30L))
+    val e = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+      .union(Seq((7L, 30L)).toDF("src", "dst"))
+    val base = graft.operators.Graph.pagerank(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    for (passes <- Seq(1, 3, 5)) {
+      val staging = java.nio.file.Files
+        .createTempDirectory(s"prc-test-$passes").toString
+      try {
+        val got = graft.operators.Graph
+          .pagerankChunked(e, iters = 3, passes = passes, staging)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+        assert(got == base,
+          s"passes=$passes diverged: missing ${base -- got}, extra ${got -- base}")
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(staging))
+    }
+  }
+
   test("kmvOverlap: underfull sketches give exact union/intersection/Jaccard") {
     // |A∪B| = 45 < k, so the sketches hold every hash and all three
     // outputs are exact counts through the same estimator formulas
