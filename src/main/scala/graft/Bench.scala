@@ -99,12 +99,15 @@ object Bench {
     // equivalence suite) instead of needing a SPARK_GRAFT_SKIP — the
     // full-scale record covers every row, skipped: []. Disclosed in the
     // JSON as "scale_faces", never silent.
+    // NonFatal only: a fatal error (OOM, interrupt) during the FS probe
+    // must propagate — swallowing it into "no scale face" would
+    // silently run a single-pass form at a scale where it's known to die
     def tableBytes(table: String): Long =
       try {
         val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getContentSummary(p).getLength
-      } catch { case _: Throwable => 0L }
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     val scaleFaces = SparkEntry.scaleFaces.collect {
       case (name, (table, threshold, sub)) if tableBytes(table) > threshold =>
         System.err.println(s"[bench] $name: $table.parquet > $threshold B — " +
@@ -180,6 +183,19 @@ object Bench {
     val fpJson = familyProbes.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"io_probe_sec":$ioProbeSec,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"faces":$facesJson,"scale_faces":$scaleFacesJson,"family_probes":$fpJson,"sf":"$sfDir"}""")
+    // The driver's stdout tail capture is smaller than the full line
+    // above (r15/r16 records arrived with the JSON head cut mid-dict),
+    // so RE-EMIT the record in tail-survivable form: the per-query map
+    // as small self-describing chunk lines, then a compact summary as
+    // the LAST line — whatever window the capture keeps, the trailing
+    // lines are intact standalone JSON and the record is recoverable.
+    val chunks = results.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (part, i) =>
+      val pq = part.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":$pq}""")
+    }
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"probe_sec":$probeSec,"io_probe_sec":$ioProbeSec,"errors":$errJson,"n_failed":${errors.size},"skipped":$skipJson,"scale_faces":$scaleFacesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,24 @@ object PipelineEntry {
     }))
   private def registerTempDir(p: String): Unit = { tempDirHook; tempDirs.add(p) }
 
+  /** Create-and-REGISTER a wave staging dir: registered with the
+    * shutdown hook at creation, so an exception inside a chunked
+    * operator can no longer leak the (potentially large) staging
+    * parquet in /tmp for the life of the process. Pair with
+    * [[reclaimTempDir]] in a finally for prompt reclamation. */
+  private def stagingTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    registerTempDir(p)
+    p
+  }
+
+  /** Prompt reclamation of a staging dir (and its hook registration —
+    * the live set stays bounded by live handles, not invocations). */
+  private def reclaimTempDir(p: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    tempDirs.remove(p)
+  }
+
   /** One landed-result dir per (query, fixture dir) key for the chunked
     * dedup faces: the result parquet is ~10^8 pairs at scale, and the
     * returned DataFrame reads it lazily, so it can't be deleted at
@@ -1138,8 +1156,7 @@ object PipelineEntry {
       // partitioned by pmod(variant hash, passes), staged wave
       // outputs, identical pair set — certified against the identical
       // oracle as dedup_fuzzy (same pattern as dedup_prefix_chunked)
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft-fuzzy-gate").toString
+      val staging = stagingTempDir("graft-fuzzy-gate")
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
@@ -1153,11 +1170,11 @@ object PipelineEntry {
       // result dir (ADVICE r15: the landing itself must not become
       // the unbounded /tmp accumulation it exists to prevent).
       val out = chunkedOutDir(s"dedup_fuzzy_chunked|$dir")
-      Dedup.fuzzyPairsChunked(
+      try Dedup.fuzzyPairsChunked(
           t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
           maxDist = 1, passes = passes, stagingDir = staging)
         .write.mode("overwrite").parquet(out)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      finally reclaimTempDir(staging)
       s.read.parquet(out).orderBy("id_a", "id_b")
     },
     "join_fuzzy" -> { (s, dir) =>
@@ -1284,8 +1301,7 @@ object PipelineEntry {
       // out-of-core / 100 TB shape): candidate space partitioned by
       // pmod(prefix hash, 4), staged wave outputs, identical pair set —
       // certified against the identical oracle as dedup_prefix_pairs
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft-ppjoin-gate").toString
+      val staging = stagingTempDir("graft-ppjoin-gate")
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
       // scale rehearsals raise it so one wave's spill fits local disk
@@ -1300,10 +1316,10 @@ object PipelineEntry {
       // block re-read; a parquet write streams. Keyed per (query, dir)
       // so re-entry reclaims the previous result dir (ADVICE r15).
       val out = chunkedOutDir(s"dedup_prefix_chunked|$dir")
-      Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
+      try Dedup.prefixJaccardPairsChunked(t(s, dir, "documents"),
           n = 2, tNum = 1, tDen = 2, passes = passes, stagingDir = staging)
         .write.mode("overwrite").parquet(out)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      finally reclaimTempDir(staging)
       s.read.parquet(out).orderBy("id_a", "id_b")
     },
     "dedup_pr_audit" -> { (s, dir) =>
@@ -6221,13 +6237,12 @@ object PipelineEntry {
     "graph_labelprop" -> (("lineitem", 4L << 30, { (s, dir) =>
       val e0 = affinityEdges(s, dir)
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft-lpc-face").toString
+      val staging = stagingTempDir("graft-lpc-face")
       val passes = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
       val out = chunkedOutDir(s"graph_labelprop|$dir")
-      Graph.labelPropagationChunked(e, iters = 3, passes = passes, staging)
+      try Graph.labelPropagationChunked(e, iters = 3, passes = passes, staging)
         .write.mode("overwrite").parquet(out)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      finally reclaimTempDir(staging)
       s.read.parquet(out).orderBy("id")
     })),
     // the audit's exchange is ~98% the exact route (measured, see the
@@ -6237,16 +6252,16 @@ object PipelineEntry {
     // 13x its NVMe record on a 556 MB/s disk in r15, pure spill class)
     "dedup_pr_audit" -> (("documents", 16L << 20, { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft-praudit").toString
+      val staging = stagingTempDir("graft-praudit")
       val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
-      val exact = Dedup.prefixJaccardPairsChunked(docs, n = 3, tNum = 3,
-        tDen = 10, passes = passes, stagingDir = staging)
       val out = chunkedOutDir(s"dedup_pr_audit|$dir")
       // the audit output is ONE row — land it, reclaim the wave staging
-      prAuditAgg(exact, Dedup.minhashPairs(docs, threshold = 0.3, n = 3))
-        .write.mode("overwrite").parquet(out)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      try {
+        val exact = Dedup.prefixJaccardPairsChunked(docs, n = 3, tNum = 3,
+          tDen = 10, passes = passes, stagingDir = staging)
+        prAuditAgg(exact, Dedup.minhashPairs(docs, threshold = 0.3, n = 3))
+          .write.mode("overwrite").parquet(out)
+      } finally reclaimTempDir(staging)
       s.read.parquet(out)
     })))
 

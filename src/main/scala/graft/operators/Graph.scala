@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** Delete a retired staging round via the path's OWN Hadoop
+    * FileSystem: the chunked forms write staging through Spark's
+    * Hadoop FS (any scheme works), so deleting with java.io.File
+    * would silently no-op on a non-local stagingDir (HDFS/S3) and
+    * break the documented "peak staged state is 2 node-sized tables"
+    * bound without any error. */
+  private def deleteStaged(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Simplified damped PageRank over a DIRECTED edge list `(src, dst)`
     * for `iters` power iterations (make the graph undirected upstream
     * by unioning reversed edges if affinity is symmetric — that also
@@ -88,27 +100,31 @@ object Graph {
     // checkpoint retirement lags one round, as in Similarity.kmeansTrain
     // (the lazy next-round plan still references the previous blocks)
     var retirable: DataFrame = null
-    for (_ <- 1 to iters) {
-      // ⌊pr/outdeg⌋ then ⌊d·Σ⌋: all intermediates < 2^53 for corpora up
-      // to ~10^9 nodes at the default scale, so the floor-of-double is
-      // exact integer division in any engine
-      val contrib = e.join(st, e("src") === st("id"))
-        .select(col("dst"),
-          floor(col("pr").cast(DoubleType) / col("outdeg").cast(DoubleType))
-            .cast(LongType).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val prev = st
-      st = deg.join(contrib, deg("src") === contrib("dst"), "left")
-        .select(col("src").as("id"), col("outdeg"),
-          (lit(base) + floor((lit(dampNum) * coalesce(col("s"), lit(0L)))
-            .cast(DoubleType) / lit(dampDen).cast(DoubleType)).cast(LongType))
-            .as("pr"))
-        .localCheckpoint(true)
-      if (retirable ne null)
-        org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
-      retirable = prev
-    }
-    e.unpersist(false) // final state is eagerly checkpointed — e is done
+    // unpersist in a finally: an iteration that dies (OOM/disk-full —
+    // the exact failure modes at the volume ceiling) must not leak an
+    // edge-sized cache for the life of a long-lived driver
+    try {
+      for (_ <- 1 to iters) {
+        // ⌊pr/outdeg⌋ then ⌊d·Σ⌋: all intermediates < 2^53 for corpora up
+        // to ~10^9 nodes at the default scale, so the floor-of-double is
+        // exact integer division in any engine
+        val contrib = e.join(st, e("src") === st("id"))
+          .select(col("dst"),
+            floor(col("pr").cast(DoubleType) / col("outdeg").cast(DoubleType))
+              .cast(LongType).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val prev = st
+        st = deg.join(contrib, deg("src") === contrib("dst"), "left")
+          .select(col("src").as("id"), col("outdeg"),
+            (lit(base) + floor((lit(dampNum) * coalesce(col("s"), lit(0L)))
+              .cast(DoubleType) / lit(dampDen).cast(DoubleType)).cast(LongType))
+              .as("pr"))
+          .localCheckpoint(true)
+        if (retirable ne null)
+          org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
+        retirable = prev
+      }
+    } finally e.unpersist(false) // final state is eagerly checkpointed
     st.select(col("id"), col("pr"))
   }
 
@@ -192,6 +208,9 @@ object Graph {
     val P = DecimalType(38, 0)
     val packBase = lit(BigDecimal("10000000000000000000")).cast(P) // 10^19
     var retirable: DataFrame = null
+    // unpersist in a finally, as [[pagerank]]: a mid-iteration failure
+    // must not leak the edge-sized cache in a long-lived driver
+    try {
     for (_ <- 1 to iters) {
       // shuffle_hash on the node-sized label side: the edge stream is
       // hash-probed, never sorted (SMJ would sort the edge relation
@@ -224,7 +243,7 @@ object Graph {
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(retirable)
       retirable = prev
     }
-    e.unpersist(false) // final state is eagerly checkpointed — e is done
+    } finally e.unpersist(false) // final state is eagerly checkpointed
     st.select(col("id"), col("lab").as("label"))
   }
 
@@ -272,7 +291,13 @@ object Graph {
     deg.select(col("src").as("id"), col("outdeg"), lit(scale).as("pr"))
       .write.mode("overwrite").parquet(s"$stagingDir/r0")
     for (r <- 1 to iters) {
+      // select the state schema EXPLICITLY right at the read: round
+      // dirs are laid out as w=<p> subdirs, so partition discovery
+      // infers a stray `w` column that must not ride along into the
+      // inter-round state (a future select-star/unionByName would
+      // carry or break on it)
       val st = spark.read.parquet(s"$stagingDir/r${r - 1}")
+        .select(col("id"), col("outdeg"), col("pr"))
       (0 until passes).foreach { p =>
         val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
         val contrib = spark.read.parquet(s"$stagingDir/e")
@@ -294,8 +319,7 @@ object Graph {
           org.apache.spark.sql.GraftBridge.activeShuffleIds(spark) -- before
         org.apache.spark.sql.GraftBridge.removeShuffles(spark, created)
       }
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$stagingDir/r${r - 1}"))
+      deleteStaged(spark, s"$stagingDir/r${r - 1}")
     }
     spark.read.parquet(s"$stagingDir/r$iters").select(col("id"), col("pr"))
   }
@@ -355,7 +379,10 @@ object Graph {
       .select(col("id"), col("id").as("lab"))
       .write.mode("overwrite").parquet(s"$stagingDir/r0")
     for (r <- 1 to iters) {
+      // explicit state schema at the read — drops the `w` partition
+      // column that discovery infers from the w=<p> wave subdirs
       val st = spark.read.parquet(s"$stagingDir/r${r - 1}")
+        .select(col("id"), col("lab"))
       (0 until passes).foreach { p =>
         val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
         // identical vote stream and argmax arithmetic as the wave's
@@ -382,8 +409,7 @@ object Graph {
       }
       // round r is fully landed — its input state can go NOW (peak
       // staged state is 2 node-sized tables, not iters of them)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$stagingDir/r${r - 1}"))
+      deleteStaged(spark, s"$stagingDir/r${r - 1}")
     }
     spark.read.parquet(s"$stagingDir/r$iters")
       .select(col("id"), col("lab").as("label"))
