@@ -27,6 +27,65 @@ object GraphProbe {
 
     timed("edge derivation (count)")(println("[probe] edges: " + e.count()))
 
+    // AT-SCALE EQUIVALENCE cross-check (GRAFT_GRAPH_PROBE=prxcheck,
+    // VERDICT r16 #1): run pagerank PLAIN and pagerankChunked on the
+    // SAME edges in one session and compare (count, Σcrc32(id:pr)) —
+    // the ranks are exact int64, so equal checksums certify the wave
+    // recipe rank-identical AT SCALE, evidence the unit fixtures can't
+    // give. Plain is green at sf100 (r16, 750.5 s), which is what
+    // makes this the one chunked operator with an at-scale referee.
+    if (sys.env.get("GRAFT_GRAPH_PROBE").contains("prxcheck")) {
+      val passes = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
+      def prCrc(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(crc32(concat_ws(":", col("id"), col("pr"))))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val plain = timed("pagerank PLAIN (3 rounds)")(
+        prCrc(graft.operators.Graph.pagerank(e, 3)))
+      println(s"[probe] plain (n, crcsum): $plain")
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-prx-probe").toString
+      try {
+        val chunked = timed(s"pagerank CHUNKED ($passes waves, 3 rounds)")(
+          prCrc(graft.operators.Graph.pagerankChunked(e, 3, passes, staging)))
+        println(s"[probe] chunked (n, crcsum): $chunked")
+        println(s"[probe] outputs identical: ${plain == chunked}")
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(staging))
+      return
+    }
+
+    // AT-SCALE WAVE-INVARIANCE check (GRAFT_GRAPH_PROBE=lpwaves,
+    // VERDICT r16 #2): labelPropagationChunked at TWO wave counts
+    // (GRAFT_LP_PASSES / GRAFT_LP_PASSES2, default 6 and 9) on the
+    // same edges, checksums compared. Single-pass labelprop dies
+    // disk-full at sf100, so wave-count invariance — the result must
+    // be a pure function of the edge list, independent of the
+    // execution knob — is the strongest at-scale equivalence evidence
+    // available for this operator.
+    if (sys.env.get("GRAFT_GRAPH_PROBE").contains("lpwaves")) {
+      val p1 = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
+      val p2 = sys.env.get("GRAFT_LP_PASSES2").map(_.toInt).getOrElse(9)
+      def lpCrc(passes: Int): (Long, Long) = {
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft-lpw$passes-probe").toString
+        try {
+          val d = graft.operators.Graph.labelPropagationChunked(e, 3, passes, staging)
+          val r = d.agg(count(lit(1)),
+            sum(crc32(concat_ws(":", col("id"), col("label"))))).head()
+          (r.getLong(0), r.getLong(1))
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(staging))
+      }
+      val a = timed(s"labelprop CHUNKED ($p1 waves, 3 rounds)")(lpCrc(p1))
+      println(s"[probe] $p1-wave (n, crcsum): $a")
+      val b = timed(s"labelprop CHUNKED ($p2 waves, 3 rounds)")(lpCrc(p2))
+      println(s"[probe] $p2-wave (n, crcsum): $b")
+      println(s"[probe] outputs identical: ${a == b}")
+      return
+    }
+
     // chunked-only mode (GRAFT_GRAPH_PROBE=chunked): the sf100 one-box
     // rehearsal face — the single-pass forms exceed local disk there
     // (measured: plain labelprop died disk-full at 57 GB free), so this
