@@ -1502,6 +1502,41 @@ object PipelineEntry {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(e, iters = 3).orderBy("id")
     },
+    "graph_pagerank_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for graph_pagerank (VERDICT r16 #6, the
+      // arr_pca_witness planted-geometry pattern): a planted graph
+      // whose exact quantized ranks after 3 damped rounds are
+      // computable BY HAND, stated as literals in the oracle — zero
+      // shared arithmetic (the graph_pagerank oracle, while an
+      // independent SQL unroll, still replays the power iteration; a
+      // damping/floor/degree-direction bug would be replayed with it).
+      // Graph: a 4-leaf undirected star (center 0, leaves = customers
+      // 1..4 — present at every sf) plus a DISCONNECTED 3-cycle (ids
+      // 10-12). Closed forms at scale=10^6, d=85/100, base=150000:
+      //   star, k=4: pr1(c)=150000+850000·4=3550000,
+      //     pr1(l)=150000+⌊85·⌊10^6/4⌋/100⌋=362500;
+      //     pr2(c)=150000+⌊85·4·362500/100⌋=1382500,
+      //     pr2(l)=150000+⌊85·⌊3550000/4⌋/100⌋=904375;
+      //     pr3(c)=150000+⌊85·4·904375/100⌋=3224875,
+      //     pr3(l)=150000+⌊85·⌊1382500/4⌋/100⌋=443781.
+      //   cycle (2-regular): in-sum = 2·⌊pr/2⌋ = pr, so pr stays
+      //     EXACTLY 10^6 every round — catches any cross-component
+      //     mass leakage or normalization drift.
+      // The only data work is the 4-row leaf scan (counted as n_leaves
+      // so the oracle independently pins the fixture shape).
+      val leaves = t(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 4))
+        .select(col("c_custkey").cast(LongType).as("leaf"))
+      val star = leaves.select(lit(0L).as("src"), col("leaf").as("dst"))
+      val tri = leaves.filter(col("leaf") <= 3)
+        .select((col("leaf") + 9L).as("src"), (col("leaf") % 3 + 10L).as("dst"))
+      val e0 = star.unionByName(tri)
+      val e = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerank(e, iters = 3)
+        .crossJoin(broadcast(leaves.agg(count(lit(1)).as("n_leaves"))))
+        .orderBy("id")
+    },
     "graph_kcore" -> { (s, dir) =>
       // dense-cluster detection: the 9-core of the same sampled part
       // co-purchase graph triangleCount uses (nontrivial at the gate
@@ -1595,6 +1630,32 @@ object PipelineEntry {
       // per-doc distinctive terms: tf/df score (exact IEEE division, no
       // ln — see tfidfTopK), bounded top-3 per doc via TopKByScore
       TextFunctions.tfidfTopK(t(s, dir, "documents"), col("text"), k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    "text_tfidf_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for text_tfidf (VERDICT r16 #6): a planted
+      // 4-document corpus whose tf/df scores are closed-form dyadic
+      // literals — the oracle states them with NO tokenization, no
+      // tf, no df, no ranking anywhere (text_tfidf's own oracle
+      // replays the formulation). Corpus (docs = documents 1..4,
+      // present at every sf; text overridden in-plan):
+      //   1: "aa aa aa bb"  2: "aa bb bb cc"
+      //   3: "cc dd"        4: "dd dd ee ff"
+      // df: aa=2 bb=2 cc=2 dd=2 ee=1 ff=1. Scores tf/df (all exact
+      // dyadic): doc1 aa=1.5 bb=0.5; doc2 bb=1.0, aa=cc=0.5 (tie →
+      // token asc: aa ranks 2, cc ranks 3); doc3 cc=dd=0.5 (tie →
+      // cc, dd); doc4 dd=ee=ff=1.0 (tie → dd, ee, ff). Kills a tf/df
+      // inversion, a ranking or tie-order bug, or a tokenizer
+      // regression that the replaying oracle would follow.
+      val planted = t(s, dir, "documents")
+        .filter(col("doc_id").between(1, 4))
+        .select(col("doc_id"),
+          when(col("doc_id") === 1, "aa aa aa bb")
+            .when(col("doc_id") === 2, "aa bb bb cc")
+            .when(col("doc_id") === 3, "cc dd")
+            .otherwise("dd dd ee ff").as("text"))
+      TextFunctions.tfidfTopK(planted, col("text"), k = 3)
+        .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_docs"))))
         .orderBy("doc_id", "rank")
     },
     "text_bpe_encode" -> { (s, dir) =>
@@ -4735,6 +4796,19 @@ object PipelineEntry {
            |$steps
            |SELECT id, pr FROM p$iters ORDER BY id""".stripMargin
       },
+      // planted-graph witness: the ranks are HAND-COMPUTED literals
+      // (star center/leaves + invariant 3-cycle) — no edges, no
+      // degrees, no power iteration in the oracle; the only data work
+      // is counting the 4 leaf customers
+      "graph_pagerank_witness" ->
+        """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaves
+          |  FROM customer WHERE c_custkey BETWEEN 1 AND 4)
+          |SELECT v.id, v.pr, n.n_leaves
+          |FROM (VALUES (CAST(0 AS BIGINT), CAST(3224875 AS BIGINT)),
+          |             (1, 443781), (2, 443781), (3, 443781), (4, 443781),
+          |             (10, 1000000), (11, 1000000), (12, 1000000))
+          |  AS v(id, pr)
+          |CROSS JOIN n ORDER BY v.id""".stripMargin,
       // independent formulation: id-ordered edges + 3-way self-join
       // (the engine orients by (degree, id) instead — same count)
       "graph_kcore" -> {
@@ -4840,6 +4914,22 @@ object PipelineEntry {
            |  FROM tf JOIN df USING (token)),
            |r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
            |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // planted-corpus witness: scores are dyadic LITERALS — no
+      // tokenization, tf, df, or ranking anywhere in the oracle; the
+      // only data work is counting the 4 planted documents
+      "text_tfidf_witness" ->
+        """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          |  FROM documents WHERE doc_id BETWEEN 1 AND 4)
+          |SELECT v.doc_id, v.rank, v.token, v.score, n.n_docs
+          |FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'aa', CAST(1.5 AS DOUBLE)),
+          |  (1, 2, 'bb', 0.5),
+          |  (2, 1, 'bb', 1.0), (2, 2, 'aa', 0.5), (2, 3, 'cc', 0.5),
+          |  (3, 1, 'cc', 0.5), (3, 2, 'dd', 0.5),
+          |  (4, 1, 'dd', 1.0), (4, 2, 'ee', 1.0), (4, 3, 'ff', 1.0))
+          |  AS v(doc_id, rank, token, score)
+          |CROSS JOIN n ORDER BY v.doc_id, v.rank""".stripMargin,
 
       // BPE training replay, 5 rounds unrolled. The greedy merge fold
       // is an INDEPENDENT formulation: list_reduce with the pending

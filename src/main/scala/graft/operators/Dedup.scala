@@ -480,9 +480,9 @@ object Dedup {
     require(0 < tNum && tNum <= tDen,
       s"prefixJaccardPairs: threshold must be in (0, 1]: $tNum/$tDen")
     val (sh, prefix) = ppjoinShingleAndPrefix(docs, n, tNum, tDen, textCol, idCol)
-    val cand = ppjoinSketchPrune(
-      ppjoinCandidates(prefix, tNum, tDen, idCol), ppjoinSketch(sh, idCol), tNum, tDen)
-    ppjoinVerify(cand, sh, tNum, tDen, idCol)
+    // the sketch prune fires inside ppjoinCandidates' join condition
+    // (sketches ride the prefix rows) — no separate prune stage
+    ppjoinVerify(ppjoinCandidates(prefix, tNum, tDen, idCol), sh, tNum, tDen, idCol)
   }
 
   /** Per-doc pigeonhole count sketch table — (id, _sk, _sz), 72 bytes a
@@ -546,8 +546,23 @@ object Dedup {
       .withColumn("_sz", count(lit(1)).over(byDoc))
     val prefixLen = col("_sz") -
       floor((lit(tNum) * col("_sz") + lit(tDen - 1)) / lit(tDen)).cast(LongType) + 1
+    // each prefix row CARRIES its doc's 64-byte pigeonhole count
+    // sketch (r17, VERDICT r16 #3): the sketch prune then fires
+    // INSIDE the candidate join condition, killing provably-false
+    // pairs BEFORE they enter the distinct exchange — measured at
+    // sf10, the candidate pair stream (not the verify) is the
+    // dominant exchange, and most of it is sketch-killable. The
+    // prefix table widens by ~72 B/row (linear in corpus), traded
+    // against a pair stream that grows with bucket occupancy²; the
+    // separate post-distinct prune stage and its two joins disappear.
+    // One id-keyed join attaches the sketch — the window above
+    // already leaves `ranked` hash-partitioned on the doc id, so
+    // only the doc-sized sketch side moves.
+    val skT = sh.select(col(idCol),
+      graft.plans.PigeonCountSketch(col("sh")).as("_sk"))
     val prefix = ranked.filter(col("_rn") <= prefixLen)
       .select(col(idCol), col("h"), col("_rn"), col("_sz"))
+      .join(skT, Seq(idCol))
     (sh, prefix)
   }
 
@@ -588,12 +603,21 @@ object Dedup {
     val (szA, szB) = (col("a._sz"), col("b._sz"))
     val alphaNum = lit(tNum) * (szA + szB) // α = ceil(alphaNum / (tNum+tDen))
     val ubound = lit(1) + least(szA - col("a._rn"), szB - col("b._rn"))
+    // pigeonhole-sketch prune IN the join condition (sound: the
+    // 64-bucket min-sum upper-bounds |A∩B|, NULL = saturated sketch
+    // keeps the pair) — fires per enumerated pair, BEFORE the
+    // distinct exchange the false candidates used to ride through
+    val skBound = coalesce(
+      graft.plans.PigeonMinSum(col("a._sk"), col("b._sk")) *
+        lit(tDen + tNum) >= alphaNum,
+      lit(true))
     idx.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") &&
           (szA < szB ||
             (szA === szB && col(s"a.$idCol") < col(s"b.$idCol"))) &&
           szB * tNum <= szA * tDen && // length filter, a is the min side
-          ubound * lit(tNum + tDen) >= alphaNum)
+          ubound * lit(tNum + tDen) >= alphaNum &&
+          skBound)
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       // dedupe the NARROW (16-byte) pair stream BEFORE the verify joins
@@ -677,21 +701,19 @@ object Dedup {
     val spark = docs.sparkSession
     val (sh0, prefix0) = ppjoinShingleAndPrefix(docs, n, tNum, tDen, textCol, idCol)
     sh0.write.mode("overwrite").parquet(s"$stagingDir/sh")
+    // prefix rows stage WITH their 64-byte pigeonhole sketches (the
+    // ppjoinShingleAndPrefix contract since r17): every wave's
+    // candidate join prunes in-condition off its own columnar scan —
+    // no separate sketch table, no post-distinct prune joins
     prefix0.write.mode("overwrite").parquet(s"$stagingDir/prefix")
     val sh = spark.read.parquet(s"$stagingDir/sh")
     val prefix = spark.read.parquet(s"$stagingDir/prefix")
-    // the 72-byte/doc sketch table stages once too — every wave prunes
-    // against it without re-scanning the wide shingle arrays
-    ppjoinSketch(sh, idCol).write.mode("overwrite").parquet(s"$stagingDir/sk")
-    val sk = spark.read.parquet(s"$stagingDir/sk")
     (0 until passes).foreach { p =>
       val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
       // pmod on the already-uniform shingle hash: no re-hash needed —
       // one codegen'd filter directly over the staged columnar scan
       val wave = prefix.filter(pmod(col("h"), lit(passes.toLong)) === p)
-      val cand = ppjoinSketchPrune(
-        ppjoinCandidates(wave, tNum, tDen, idCol), sk, tNum, tDen)
-      ppjoinVerify(cand, sh, tNum, tDen, idCol)
+      ppjoinVerify(ppjoinCandidates(wave, tNum, tDen, idCol), sh, tNum, tDen, idCol)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
       // wave p's shuffle files must release before wave p+1 spills its
       // own, or peak disk is NOT bounded by one wave. GC+ContextCleaner
