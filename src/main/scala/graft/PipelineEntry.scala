@@ -6271,17 +6271,56 @@ object PipelineEntry {
     // face/replay delta isolates the feed, not the partitioning;
     // stateParts = None keeps the session width (the six faces below
     // whose GATE form already streams from files use it — there the
-    // face isolates the state-partitioning axis instead)
+    // face isolates the state-partitioning axis instead). The five
+    // event-sized Append faces pass streamStateParts(events) — the
+    // data-sized width, which EQUALS the gate's 8 up through sf10
+    // (events < 256 MB) and widens only past it, so the face/gate
+    // delta is untouched at record scales while sf100 state tasks
+    // get real parallelism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     stateParts.foreach(n => s.conf.set(key, n.toString))
+    // PARQUET sink, never the memory sink (r17, found at the sf100
+    // rehearsal): the memory sink materializes every output row ON THE
+    // DRIVER, so an event-sized Append output (anomaly/cusum emit one
+    // verdict per event) dies on maxResultSize at ~600 M events — a
+    // driver-bounded harness masquerading as a scale face. Streaming
+    // to parquet is also simply THE deployment shape (readStream →
+    // transform → writeStream.format("parquet")). Append uses the
+    // native file sink (exactly-once via the sink's _spark_metadata
+    // log); update/complete — which the file sink does not support —
+    // go through foreachBatch landing each micro-batch with the
+    // memory sink's own accumulation semantics (update appends the
+    // batch's emitted rows; complete truncates and rewrites).
+    val out = chunkedOutDir(s"stream_face|$name")
+    val ckpt = stagingTempDir(s"graft-ckpt-$name")
     try {
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      val q = streaming.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
+      val w = streaming.writeStream.queryName(name)
+        .option("checkpointLocation", ckpt)
+      val q = mode match {
+        case "append" =>
+          w.format("parquet").option("path", out).outputMode(mode).start()
+        case "complete" =>
+          w.outputMode(mode).foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+          }.start()
+        case _ =>
+          w.outputMode(mode).foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }.start()
+      }
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set(key, prev)
-    s.table(name)
+    } finally {
+      reclaimTempDir(ckpt)
+      s.conf.set(key, prev)
+    }
+    val landed = s.read.parquet(out)
+    // loud landing count (footer-metadata cheap): a sink mis-wiring
+    // that lands ZERO rows must never read as a fast green face
+    System.err.println(s"[face] $name landed rows: ${landed.count()}")
+    landed
   }
 
   /** The dedup_pr_audit aggregate, shared verbatim by the gate row and
@@ -6361,7 +6400,8 @@ object PipelineEntry {
       runStreamToTable(s, "bf_sessions",
         StreamOps.statefulSessions(s,
           eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
-          gapSeconds = 1800L, watermark = "1 second").toDF(), "append")
+          gapSeconds = 1800L, watermark = "1 second").toDF(), "append",
+        stateParts = Some(streamStateParts(s, dir, "events")))
     },
     "stream_interval_left" -> { (s, dir) =>
       import graft.streaming.StreamOps
@@ -6372,7 +6412,8 @@ object PipelineEntry {
             .select(col("event_id"), col("user_id"), col("ts")),
           src().filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts")),
-          "user_id", windowSeconds = 600L, watermark = "1 second"), "append")
+          "user_id", windowSeconds = 600L, watermark = "1 second"), "append",
+        stateParts = Some(streamStateParts(s, dir, "events")))
     },
     "stream_cusum" -> { (s, dir) =>
       import graft.streaming.StreamOps
@@ -6380,7 +6421,8 @@ object PipelineEntry {
         StreamOps.cusumStream(s,
           eventsStream(s, dir).select(col("user_id"), col("event_id"),
             col("ts"), col("value")),
-          kCenti = 5000L, hCenti = 20000L).toDF(), "append")
+          kCenti = 5000L, hCenti = 20000L).toDF(), "append",
+        stateParts = Some(streamStateParts(s, dir, "events")))
     },
     "stream_anomaly" -> { (s, dir) =>
       import graft.streaming.StreamOps
@@ -6388,7 +6430,8 @@ object PipelineEntry {
         StreamOps.anomalyStream(s,
           eventsStream(s, dir).select(col("user_id"), col("event_id"),
             col("ts"), col("value")),
-          k = 5, z = 3L).toDF(), "append")
+          k = 5, z = 3L).toDF(), "append",
+        stateParts = Some(streamStateParts(s, dir, "events")))
     },
     "stream_attribution" -> { (s, dir) =>
       import graft.streaming.StreamOps
@@ -6398,7 +6441,8 @@ object PipelineEntry {
             col("event_type"), col("event_id")),
           conversionType = "purchase",
           touchTypes = Seq("view", "click", "signup"),
-          watermark = "1 second").toDF(), "append")
+          watermark = "1 second").toDF(), "append",
+        stateParts = Some(streamStateParts(s, dir, "events")))
     },
     "stream_ewma" -> { (s, dir) =>
       import graft.streaming.StreamOps
