@@ -6374,6 +6374,22 @@ object PipelineEntry {
       finally reclaimTempDir(staging)
       s.read.parquet(out).orderBy("id")
     })),
+    // past the cache ceiling the wave form is not just SAFER but
+    // MEASURED-faster (r17 sf100 cross-check: chunked 580.7 s vs
+    // plain 737.1 s, crc-IDENTICAL ranks at 1.17 B edges — the plain
+    // form pays columnar-cache eviction churn once edges exceed the
+    // storage pool); same disclosed threshold as the labelprop face
+    "graph_pagerank" -> (("lineitem", 4L << 30, { (s, dir) =>
+      val e0 = affinityEdges(s, dir)
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val staging = stagingTempDir("graft-prc-face")
+      val passes = sys.env.get("GRAFT_LP_PASSES").map(_.toInt).getOrElse(6)
+      val out = chunkedOutDir(s"graph_pagerank|$dir")
+      try Graph.pagerankChunked(e, iters = 3, passes = passes, staging)
+        .write.mode("overwrite").parquet(out)
+      finally reclaimTempDir(staging)
+      s.read.parquet(out).orderBy("id")
+    })),
     // the audit's exchange is ~98% the exact route (measured, see the
     // gate row), so past the same threshold it runs the identical
     // aggregate over the CHUNKED exact route — same pair set, same
