@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   * Usage (via scripts/probe.sh, or directly):
   *   SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.Probe graph"
   *
-  * Names: graph | pca | ppjoin | mmdhash | stream | mini.
+  * Names: graph | pca | ppjoin | mmdhash | fuzzy | stream | mini.
   */
 object Probe {
   private val probes: Map[String, (SparkSession, String) => Unit] = Map(
@@ -25,6 +25,7 @@ object Probe {
     "pca" -> (PcaProbe.run _),       // Gram-pass strategies for arr_pca
     "ppjoin" -> (PpjoinProbe.run _), // sketch-prune kill rate + pair equality
     "mmdhash" -> (MmDhashProbe.run _), // dHash contraction vs window forms
+    "fuzzy" -> (FuzzyProbe.run _),   // d=1 split route vs generic variant join
     "stream" -> (StreamBench.run _), // MemoryStream harness vs file faces
     "mini" -> (MiniBench.run _))     // isolated re-time of named Bench rows
 

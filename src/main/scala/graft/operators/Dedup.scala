@@ -840,24 +840,70 @@ object Dedup {
     *    `(id_a, id_b)` + joining the key strings back for the single
     *    levenshtein verify per surviving pair is ~15× less exchange
     *    volume at any corpus size.
+    *
+    * At maxDist 1 the candidate generator is POSITION-ANNOTATED
+    * (FastSS's deletion-position compatibility rule, exact at d=1):
+    * the plain share-any-variant join admits every pair reachable by
+    * ONE deletion from EACH side — a lev-2 superset (transpositions,
+    * shifted digits) that on sequential-key corpora outnumbers the
+    * true pairs several times over, all discarded by the verify.
+    * Splitting the stream into anchor (the key itself), substitution
+    * (variant hashed WITH its deletion position) and deletion-probe
+    * (variant hashed in the anchor domain) rows makes the three joins
+    * admit exactly dist-0, same-position-substitution and
+    * deletion/insertion candidates — the candidate set collapses to
+    * ~the true pair set, shrinking the DISTINCT and both verify joins
+    * (measured by [[graft.FuzzyProbe]] at sf10: 128.8 M → 41.4 M
+    * candidates — exactly the true pair count, zero spurious — and
+    * 1.8× end-to-end with spill halved). Hash collisions
+    * still only ADD candidates: the substitution join drops anchor-
+    * hash-EQUAL pairs, and any such pair — truly equal or colliding —
+    * is re-admitted by the anchor join and settled by the exact
+    * verify.
     */
   def fuzzyPairs(records: DataFrame, maxDist: Int,
                  keyCol: String = "name", idCol: String = "id"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyPairs: maxDist must be 1 or 2, got $maxDist")
+    if (maxDist == 1)
+      verifyLev(fuzzyCandidatesD1(records, keyCol, idCol),
+        verifyKeys(records, keyCol, idCol), maxDist)
+    else fuzzyPairsGeneric(records, maxDist, keyCol, idCol)
+  }
+
+  /** The assembled d=1 split-route candidate set (pre-verify) —
+    * exposed for [[graft.FuzzyProbe]]'s admit-count split. */
+  private[graft] def fuzzyCandidatesD1(records: DataFrame, keyCol: String,
+                                       idCol: String): DataFrame = {
+    val parts = fuzzyD1Parts(records, keyCol)
+    val (an, su, pr) = fuzzyStreamsD1(records, keyCol, idCol)
+    fuzzyCandidateJoinsD1(
+      an.repartition(parts, col("h")), su.repartition(parts, col("h")),
+      pr.repartition(parts, col("h")), idCol)
+  }
+
+  /** The generic shared-any-variant candidate route behind
+    * [[fuzzyPairs]] — the only complete generator at maxDist 2 (the
+    * position-compatibility rule for two deletions needs FastSS
+    * position LISTS, which would widen the 16 B exchange rows the
+    * whole design is built around), and the A/B control arm
+    * [[graft.FuzzyProbe]] measures the d=1 split route against. */
+  private[graft] def fuzzyPairsGeneric(records: DataFrame, maxDist: Int,
+                                       keyCol: String = "name",
+                                       idCol: String = "id"): DataFrame =
+    verifyLev(fuzzyCandidatesGeneric(records, maxDist, keyCol, idCol),
+      verifyKeys(records, keyCol, idCol), maxDist)
+
+  /** The generic share-any-variant candidate set (pre-verify) — the
+    * probe's control arm. */
+  private[graft] def fuzzyCandidatesGeneric(records: DataFrame, maxDist: Int,
+                                            keyCol: String,
+                                            idCol: String): DataFrame = {
     val v = deletionVariantHashes(records, maxDist, keyCol, idCol,
       variantParts(records, maxDist, keyCol))
-    val cand = v.as("a").hint("merge").join(v.as("b"),
+    v.as("a").hint("merge").join(v.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val k = records.filter(col(keyCol).isNotNull)
-      .select(col(idCol).as("_kid"), col(keyCol).as("_kkey"))
-    cand
-      .join(k.as("ka"), col("id_a") === col("ka._kid"))
-      .join(k.as("kb"), col("id_b") === col("kb._kid"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("ka._kkey"), col("kb._kkey")).as("dist"))
-      .filter(col("dist") <= maxDist)
   }
 
   /** [[fuzzyPairs]] executed in `passes` bounded-footprint WAVES — the
@@ -870,8 +916,9 @@ object Dedup {
     * `pmod(h, passes) = p` and unioning all waves enumerates every
     * candidate the single-pass plan enumerates (a pair sharing
     * variants in several waves re-verifies to the identical row and
-    * collapses in the final pair-key dedup). The narrow `(id, h)`
-    * variant stream and the `(id, key)` verify table are computed ONCE
+    * collapses in the final pair-key dedup). The narrow variant
+    * stream(s) — the three d=1 split-route streams or the one generic
+    * d=2 stream — and the `(id, key)` verify table are computed ONCE
     * and staged as parquet; each wave filters its slice off the staged
     * columnar scan, pays a 1/passes-sized bucket exchange (sized by
     * the same [[variantPartsFor]] formula with the `waves` divisor),
@@ -902,30 +949,42 @@ object Dedup {
     require(passes >= 1, s"fuzzyPairsChunked: passes must be >= 1, got $passes")
     require(stagingDir.nonEmpty, "fuzzyPairsChunked: stagingDir required")
     val spark = records.sparkSession
-    val waveParts = variantParts(records, maxDist, keyCol, waves = passes)
-    deletionVariantHashesRaw(records, maxDist, keyCol, idCol)
+    // d=1 stages the three split-route streams (see [[fuzzyPairs]]);
+    // d=2 stages the one generic variant stream. A candidate exists
+    // only through an h equality within ONE stream, so pmod-slicing
+    // every stream by the same h partitions the candidate space
+    // exactly in either route.
+    val waveParts =
+      if (maxDist == 1) fuzzyD1Parts(records, keyCol, waves = passes)
+      else variantParts(records, maxDist, keyCol, waves = passes)
+    if (maxDist == 1) {
+      val (an, su, pr) = fuzzyStreamsD1(records, keyCol, idCol)
+      an.write.mode("overwrite").parquet(s"$stagingDir/an")
+      su.write.mode("overwrite").parquet(s"$stagingDir/su")
+      pr.write.mode("overwrite").parquet(s"$stagingDir/pr")
+    } else deletionVariantHashesRaw(records, maxDist, keyCol, idCol)
       .write.mode("overwrite").parquet(s"$stagingDir/v")
-    records.filter(col(keyCol).isNotNull)
-      .select(col(idCol).as("_kid"), col(keyCol).as("_kkey"))
+    verifyKeys(records, keyCol, idCol)
       .write.mode("overwrite").parquet(s"$stagingDir/k")
-    val v = spark.read.parquet(s"$stagingDir/v")
     val k = spark.read.parquet(s"$stagingDir/k")
     (0 until passes).foreach { p =>
       val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
       // pmod on the already-uniform xxhash64 variant key: one
       // codegen'd filter directly over the staged columnar scan
-      val wv = v.filter(pmod(col("h"), lit(passes.toLong)) === p)
+      def slice(path: String) = spark.read.parquet(path)
+        .filter(pmod(col("h"), lit(passes.toLong)) === p)
         .repartition(waveParts, col("h"))
-      val cand = wv.as("a").hint("merge").join(wv.as("b"),
-          col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-        .distinct()
-      cand
-        .join(k.as("ka"), col("id_a") === col("ka._kid"))
-        .join(k.as("kb"), col("id_b") === col("kb._kid"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("ka._kkey"), col("kb._kkey")).as("dist"))
-        .filter(col("dist") <= maxDist)
+      val cand = if (maxDist == 1)
+        fuzzyCandidateJoinsD1(slice(s"$stagingDir/an"),
+          slice(s"$stagingDir/su"), slice(s"$stagingDir/pr"), idCol)
+      else {
+        val wv = slice(s"$stagingDir/v")
+        wv.as("a").hint("merge").join(wv.as("b"),
+            col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+      }
+      verifyLev(cand, k, maxDist)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
       // wave p's shuffle files must release before wave p+1 spills its
       // own, or peak disk is NOT bounded by one wave (see
@@ -985,6 +1044,98 @@ object Dedup {
       .select(col(idCol),
         explode(array_distinct(transform(vars0, v => xxhash64(v)))).as("h"))
   }
+
+  /** The three exchange-free candidate streams of the position-
+    * annotated d=1 route (see [[fuzzyPairs]]): anchor `(id, h)` with
+    * `h = xxhash64(key)`; substitution `(id, h, ha)` with
+    * `h = xxhash64(del_i(key), i)` (one row per position — positions
+    * are distinct by construction, no array_distinct pass) plus the
+    * anchor hash `ha` so the join can drop the |key|-bucket flood an
+    * exact-duplicate pair would otherwise emit; deletion-probe
+    * `(id, h)` with `h = xxhash64(del_i(key))` — deliberately the
+    * ANCHOR hash domain, so probe×anchor equality means "one side's
+    * single deletion IS the other's key". Cross-domain xxhash64
+    * collisions (anchor vs substitution) only add candidates the
+    * verify discards. Zero-length keys emit no variant rows: their
+    * only ≤1-edit partners are exact dupes (anchor join) and
+    * single-char keys, whose probe rows hash the empty string into
+    * the anchor domain and meet them there. */
+  private def fuzzyStreamsD1(records: DataFrame, keyCol: String,
+                             idCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = records.filter(col(keyCol).isNotNull)
+    val k = col(keyCol)
+    def delAt(s: Column, i: Column): Column =
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))
+    // sequence(1, 0) would DESCEND for an empty key — guard to an
+    // empty index array instead
+    val idxs = when(length(k) < 1, array().cast(ArrayType(IntegerType)))
+      .otherwise(sequence(lit(1), length(k)))
+    val anchors = base.select(col(idCol), xxhash64(k).as("h"))
+    val subs = base.select(col(idCol), xxhash64(k).as("ha"),
+      explode(transform(idxs, i => xxhash64(delAt(k, i), i))).as("h"))
+      .select(col(idCol), col("h"), col("ha"))
+    val probes = base.select(col(idCol),
+      explode(array_distinct(transform(idxs, i => xxhash64(delAt(k, i))))).as("h"))
+    (anchors, subs, probes)
+  }
+
+  /** The three candidate joins over [[fuzzyStreamsD1]] rows (already
+    * partitioned on `h` by the caller — single-pass repartitions the
+    * full streams, the chunked form its per-wave slices): anchor×anchor
+    * (dist-0), substitution×substitution at unequal anchor hashes
+    * (same-position single substitution), probe×anchor (single
+    * deletion/insertion, pair order normalized — only the longer
+    * side's probe can meet the shorter side's anchor, so both
+    * directions arrive through the one join). Sort-merge pinned for
+    * the same cannot-spill SHJ reason as [[deletionVariantHashes]]. */
+  private def fuzzyCandidateJoinsD1(anchors: DataFrame, subs: DataFrame,
+                                    probes: DataFrame, idCol: String): DataFrame = {
+    val aa = anchors.as("a").hint("merge").join(anchors.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val ss = subs.as("a").hint("merge").join(subs.as("b"),
+        col("a.h") === col("b.h") && col("a.ha") =!= col("b.ha") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val pa = probes.as("a").hint("merge").join(anchors.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+    aa.unionByName(ss).unionByName(pa).distinct()
+  }
+
+  /** Exchange sizing for the d=1 split route: ~2·len+2 narrow rows per
+    * record across the three streams (vs 1+len for the generic route),
+    * fed through [[variantPartsFor]] by doubling the average length —
+    * same 4 M-rows-per-partition target, same clamps. */
+  private def fuzzyD1Parts(records: DataFrame, keyCol: String,
+                           waves: Int = 1): Int = {
+    val spark = records.sparkSession
+    val row = records.filter(col(keyCol).isNotNull)
+      .agg(count(lit(1)), avg(length(col(keyCol)))).head()
+    val cnt = row.getLong(0)
+    val len = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    variantPartsFor(cnt, 2.0 * len + 1.0, maxDist = 1,
+      spark.sessionState.conf.numShufflePartitions, waves)
+  }
+
+  /** The `(._kid, ._kkey)` verify-side frame shared by every fuzzy
+    * route (the chunked form stages it to parquet once instead). */
+  private def verifyKeys(records: DataFrame, keyCol: String,
+                         idCol: String): DataFrame =
+    records.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("_kid"), col(keyCol).as("_kkey"))
+
+  /** One exact `levenshtein` per DISTINCT candidate pair — the shared
+    * tail of every fuzzy candidate route. */
+  private def verifyLev(cand: DataFrame, k: DataFrame,
+                        maxDist: Int): DataFrame =
+    cand
+      .join(k.as("ka"), col("id_a") === col("ka._kid"))
+      .join(k.as("kb"), col("id_b") === col("kb._kid"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ka._kkey"), col("kb._kkey")).as("dist"))
+      .filter(col("dist") <= maxDist)
 
   /** Partition count for the fuzzy bucket join: the session's
     * `shuffle.partitions` is sized for ~fixture-scale aggregates, not
@@ -1054,13 +1205,37 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyJoin: maxDist must be 1 or 2, got $maxDist")
     // one shared width: mismatched HashPartitioning counts would make
     // the planner re-exchange a side at the session default again
-    val parts = math.max(variantParts(left, maxDist, keyCol),
-      variantParts(right, maxDist, keyCol))
-    val a = deletionVariantHashes(left, maxDist, keyCol, idCol, parts)
-    val b = deletionVariantHashes(right, maxDist, keyCol, idCol, parts)
-    val cand = a.as("a").hint("merge").join(b.as("b"), col("a.h") === col("b.h"))
-      .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
-      .distinct()
+    val cand = if (maxDist == 1) {
+      // cross-table face of the d=1 split route (see [[fuzzyPairs]]):
+      // anchor×anchor (dist 0), substitution×substitution at unequal
+      // anchor hashes (anchor-equal pairs re-enter via anchor×anchor),
+      // and probe×anchor in EACH direction — cross-table, either side
+      // may be the longer one
+      val parts = math.max(fuzzyD1Parts(left, keyCol),
+        fuzzyD1Parts(right, keyCol))
+      def rep(d: DataFrame) = d.repartition(parts, col("h"))
+      val (la0, ls0, lp0) = fuzzyStreamsD1(left, keyCol, idCol)
+      val (ra0, rs0, rp0) = fuzzyStreamsD1(right, keyCol, idCol)
+      val (la, ls, lp) = (rep(la0), rep(ls0), rep(lp0))
+      val (ra, rs, rp) = (rep(ra0), rep(rs0), rep(rp0))
+      def j(x: DataFrame, y: DataFrame, extra: Column = lit(true)) =
+        x.as("a").hint("merge").join(y.as("b"),
+            col("a.h") === col("b.h") && extra)
+          .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+      j(la, ra)
+        .unionByName(j(ls, rs, col("a.ha") =!= col("b.ha")))
+        .unionByName(j(lp, ra))
+        .unionByName(j(la, rp))
+        .distinct()
+    } else {
+      val parts = math.max(variantParts(left, maxDist, keyCol),
+        variantParts(right, maxDist, keyCol))
+      val a = deletionVariantHashes(left, maxDist, keyCol, idCol, parts)
+      val b = deletionVariantHashes(right, maxDist, keyCol, idCol, parts)
+      a.as("a").hint("merge").join(b.as("b"), col("a.h") === col("b.h"))
+        .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+        .distinct()
+    }
     val kl = left.filter(col(keyCol).isNotNull)
       .select(col(idCol).as("_lid"), col(keyCol).as("_lkey"))
     val kr = right.filter(col(keyCol).isNotNull)

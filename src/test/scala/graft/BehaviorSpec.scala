@@ -197,9 +197,17 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("fuzzyPairs: exact levenshtein-ball recall via deletion neighborhoods") {
+    // id 7 is a TRANSPOSITION of id 1 (lev 2): it shares a deletion
+    // variant with 1 at DIFFERENT positions, so it pins the d=1
+    // split route's spurious-candidate kill (admitted-then-discarded
+    // by the generic route, never admitted by the position-annotated
+    // one — either way it must be absent at maxDist=1 and present at
+    // 2). ids 8/9 pin the zero-length-key guard: lev("", "x") = 1
+    // through the probe-hashes-empty-string-into-anchor-domain path.
     val recs = Seq((1L, "alpha-record-007"), (2L, "alpha-record-008"), // subst
       (3L, "alpha-record-0088"), (4L, "Xlpha-record-007"), // insert / first-char subst
-      (5L, "zzz-unrelated"), (6L, "alpha-record-007")).toDF("id", "name") // exact dup
+      (5L, "zzz-unrelated"), (6L, "alpha-record-007"), // exact dup
+      (7L, "alpha-record-070"), (8L, ""), (9L, "x")).toDF("id", "name")
     def brute(d: Int) = {
       val names = recs.as[(Long, String)].collect()
       (for { (ia, na) <- names; (ib, nb) <- names
@@ -210,17 +218,24 @@ class BehaviorSpec extends SparkSpec {
       val pairs = Dedup.fuzzyPairs(recs, maxDist = d)
         .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
       assert(pairs == brute(d), s"maxDist=$d")
+      // the generic route must agree on the same fixture (it is the
+      // only arm at d=2 and the probe's control arm at d=1)
+      val generic = Dedup.fuzzyPairsGeneric(recs, maxDist = d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(generic == brute(d), s"generic maxDist=$d")
     }
-    // and the planted set for d=1, explicitly: first-char edits are found
+    // and the planted set for d=1, explicitly: first-char edits are
+    // found, the transposition is not, the empty/1-char pair is
     assert(Dedup.fuzzyPairs(recs, maxDist = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
-      Set((1L, 2L), (2L, 3L), (1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L)))
+      Set((1L, 2L), (2L, 3L), (1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L), (8L, 9L)))
   }
 
   test("fuzzyPairsChunked: wave execution equals the single-pass pair set") {
     val recs = Seq((1L, "alpha-record-007"), (2L, "alpha-record-008"),
       (3L, "alpha-record-0088"), (4L, "Xlpha-record-007"),
-      (5L, "zzz-unrelated"), (6L, "alpha-record-007")).toDF("id", "name")
+      (5L, "zzz-unrelated"), (6L, "alpha-record-007"),
+      (7L, "alpha-record-070"), (8L, ""), (9L, "x")).toDF("id", "name")
     for (d <- Seq(1, 2)) {
       val single = Dedup.fuzzyPairs(recs, maxDist = d)
         .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet

@@ -172,6 +172,21 @@ class OperatorsSpec extends SparkSpec {
     assert(gate.nonEmpty, "empty labelprop output proves nothing")
   }
 
+  test("graph_pagerank scale face (chunked waves) equals the gate row") {
+    // the face substitutes pagerankChunked past the disclosed input
+    // threshold; wave-count invariance of the operator is pinned in
+    // BehaviorSpec — this pins the WIRING (same edge frame, same
+    // iters, landed-parquet path) so the bench face can never drift
+    // from the gate row
+    val gate = PipelineEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (_, _, faceFn) = PipelineEntry.scaleFaces("graph_pagerank")
+    val face = faceFn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gate == face, s"face diverged: ${gate.toSet -- face.toSet} / ${face.toSet -- gate.toSet}")
+    assert(gate.nonEmpty, "empty pagerank output proves nothing")
+  }
+
   test("dhashClusters: exact-hash contraction equals dedupClusters∘dhashPairs") {
     import graft.operators.Cluster
     // planted structure: two identical-hash groups one bit apart (one
