@@ -76,5 +76,24 @@ object FuzzyProbe {
       s"equal=${sGen == sSplit}")
     require(sGen == sSplit,
       "fuzzy split route DIVERGED from the generic route — do not ship")
+
+    // cross-table (fuzzyJoin) arm: the join_fuzzy gate corpus — a
+    // dirty registry (6th char deleted, ids offset) linked against
+    // the canonical one. Its generic candidate set is already ≈ the
+    // match set (only the one deleted position collides), so this arm
+    // measures whether the split route's extra streams cost more than
+    // the (near-zero) spurious kill buys — the honest neutral case.
+    val left = recs
+    val right = Tables(spark, sfDir, "customer")
+      .select((col("c_custkey") + 1000000L).as("id"),
+        concat(substring(col("c_name"), 1, 5), substring(col("c_name"), 7, 1000))
+          .as("name"))
+    val jGen = timed("generic join candidates (count)") {
+      Dedup.fuzzyJoinCandidatesGeneric(left, right, 1, "name", "id").count()
+    }
+    val jSplit = timed("split-route join candidates (count)") {
+      Dedup.fuzzyJoinCandidatesD1(left, right, "name", "id").count()
+    }
+    println(s"[probe] join candidates: generic=$jGen split=$jSplit")
   }
 }

@@ -1045,6 +1045,47 @@ object Dedup {
         explode(array_distinct(transform(vars0, v => xxhash64(v)))).as("h"))
   }
 
+  /** Cross-table face of the d=1 split route (see [[fuzzyPairs]]):
+    * anchor×anchor (dist 0), substitution×substitution at unequal
+    * anchor hashes (anchor-equal pairs re-enter via anchor×anchor),
+    * and probe×anchor in EACH direction — cross-table, either side
+    * may be the longer one. */
+  private[graft] def fuzzyJoinCandidatesD1(left: DataFrame, right: DataFrame,
+                                           keyCol: String,
+                                           idCol: String): DataFrame = {
+    val parts = math.max(fuzzyD1Parts(left, keyCol),
+      fuzzyD1Parts(right, keyCol))
+    def rep(d: DataFrame) = d.repartition(parts, col("h"))
+    val (la0, ls0, lp0) = fuzzyStreamsD1(left, keyCol, idCol)
+    val (ra0, rs0, rp0) = fuzzyStreamsD1(right, keyCol, idCol)
+    val (la, ls, lp) = (rep(la0), rep(ls0), rep(lp0))
+    val (ra, rs, rp) = (rep(ra0), rep(rs0), rep(rp0))
+    def j(x: DataFrame, y: DataFrame, extra: Column = lit(true)) =
+      x.as("a").hint("merge").join(y.as("b"),
+          col("a.h") === col("b.h") && extra)
+        .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+    j(la, ra)
+      .unionByName(j(ls, rs, col("a.ha") =!= col("b.ha")))
+      .unionByName(j(lp, ra))
+      .unionByName(j(la, rp))
+      .distinct()
+  }
+
+  /** The generic cross-table share-any-variant candidate set — the
+    * only complete generator at d=2, and the probe's control arm. */
+  private[graft] def fuzzyJoinCandidatesGeneric(left: DataFrame,
+                                                right: DataFrame, maxDist: Int,
+                                                keyCol: String,
+                                                idCol: String): DataFrame = {
+    val parts = math.max(variantParts(left, maxDist, keyCol),
+      variantParts(right, maxDist, keyCol))
+    val a = deletionVariantHashes(left, maxDist, keyCol, idCol, parts)
+    val b = deletionVariantHashes(right, maxDist, keyCol, idCol, parts)
+    a.as("a").hint("merge").join(b.as("b"), col("a.h") === col("b.h"))
+      .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+      .distinct()
+  }
+
   /** The three exchange-free candidate streams of the position-
     * annotated d=1 route (see [[fuzzyPairs]]): anchor `(id, h)` with
     * `h = xxhash64(key)`; substitution `(id, h, ha)` with
@@ -1205,37 +1246,9 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 2, s"fuzzyJoin: maxDist must be 1 or 2, got $maxDist")
     // one shared width: mismatched HashPartitioning counts would make
     // the planner re-exchange a side at the session default again
-    val cand = if (maxDist == 1) {
-      // cross-table face of the d=1 split route (see [[fuzzyPairs]]):
-      // anchor×anchor (dist 0), substitution×substitution at unequal
-      // anchor hashes (anchor-equal pairs re-enter via anchor×anchor),
-      // and probe×anchor in EACH direction — cross-table, either side
-      // may be the longer one
-      val parts = math.max(fuzzyD1Parts(left, keyCol),
-        fuzzyD1Parts(right, keyCol))
-      def rep(d: DataFrame) = d.repartition(parts, col("h"))
-      val (la0, ls0, lp0) = fuzzyStreamsD1(left, keyCol, idCol)
-      val (ra0, rs0, rp0) = fuzzyStreamsD1(right, keyCol, idCol)
-      val (la, ls, lp) = (rep(la0), rep(ls0), rep(lp0))
-      val (ra, rs, rp) = (rep(ra0), rep(rs0), rep(rp0))
-      def j(x: DataFrame, y: DataFrame, extra: Column = lit(true)) =
-        x.as("a").hint("merge").join(y.as("b"),
-            col("a.h") === col("b.h") && extra)
-          .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
-      j(la, ra)
-        .unionByName(j(ls, rs, col("a.ha") =!= col("b.ha")))
-        .unionByName(j(lp, ra))
-        .unionByName(j(la, rp))
-        .distinct()
-    } else {
-      val parts = math.max(variantParts(left, maxDist, keyCol),
-        variantParts(right, maxDist, keyCol))
-      val a = deletionVariantHashes(left, maxDist, keyCol, idCol, parts)
-      val b = deletionVariantHashes(right, maxDist, keyCol, idCol, parts)
-      a.as("a").hint("merge").join(b.as("b"), col("a.h") === col("b.h"))
-        .select(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
-        .distinct()
-    }
+    val cand =
+      if (maxDist == 1) fuzzyJoinCandidatesD1(left, right, keyCol, idCol)
+      else fuzzyJoinCandidatesGeneric(left, right, maxDist, keyCol, idCol)
     val kl = left.filter(col(keyCol).isNotNull)
       .select(col(idCol).as("_lid"), col(keyCol).as("_lkey"))
     val kr = right.filter(col(keyCol).isNotNull)
