@@ -1177,6 +1177,30 @@ object PipelineEntry {
       finally reclaimTempDir(staging)
       s.read.parquet(out).orderBy("id_a", "id_b")
     },
+    "dedup_fuzzy_witness" -> { (s, dir) =>
+      // NON-REPLAY witness for the fuzzy family (the planted-literal
+      // pattern of arr_pca_witness / graph_pagerank_witness): six
+      // planted keys over customers 1..6 — an exact dup, two
+      // substitutions, a deletion chain, and a TRANSPOSITION
+      // ("graft-x041" vs "graft-0x41", lev 2) that SHARES a deletion
+      // variant at different positions — the spurious class the d=1
+      // position-annotated route never admits and the generic route
+      // admits-then-discards; either way it must be ABSENT. The
+      // complete ≤1-edit pair set is stated as literals in the
+      // oracle: no levenshtein, no variant arithmetic on the oracle
+      // side (the dedup_fuzzy oracle, while independent SQL, still
+      // replays levenshtein — a shared misunderstanding of edit
+      // distance would be replayed with it). n_src pins the fixture
+      // shape independently.
+      val keys = t(s, dir, "customer").filter(col("c_custkey").between(1, 6))
+        .select(col("c_custkey").cast(LongType).as("id"),
+          element_at(array(lit("graft-0x41"), lit("graft-0x42"),
+            lit("graft-0x4"), lit("graft-x041"), lit("graft-0x41"),
+            lit("zzz")), col("c_custkey").cast(IntegerType)).as("name"))
+      Dedup.fuzzyPairs(keys, maxDist = 1)
+        .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_src"))))
+        .orderBy("id_a", "id_b")
+    },
     "join_fuzzy" -> { (s, dir) =>
       // record linkage: canonical customer registry vs a dirty copy
       // (6th character deleted, ids offset) — best levenshtein-≤1
@@ -4421,6 +4445,20 @@ object PipelineEntry {
           |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
           |WHERE levenshtein(a.name, b.name) <= 1
           |ORDER BY id_a, id_b""".stripMargin,
+      // planted-literal witness: the pair set is hand-derived and
+      // stated as VALUES — zero shared arithmetic with the operator
+      // (hand derivation: 1="graft-0x41" 2="graft-0x42" 3="graft-0x4"
+      // 4="graft-x041" 5="graft-0x41" 6="zzz"; 1-2 substitution, 3 is
+      // 1/2 minus the last char, 5 duplicates 1, 4 is lev-2 from 1
+      // despite sharing the deletion variant "graft-x41")
+      "dedup_fuzzy_witness" ->
+        """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src
+          |  FROM customer WHERE c_custkey BETWEEN 1 AND 6)
+          |SELECT v.id_a, v.id_b, v.dist, n.n_src
+          |FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INTEGER)),
+          |             (1, 3, 1), (1, 5, 0), (2, 3, 1), (2, 5, 1), (3, 5, 1))
+          |  AS v(id_a, id_b, dist)
+          |CROSS JOIN n ORDER BY v.id_a, v.id_b""".stripMargin,
       // linkage oracle: independent brute-force cross join + best-match
       // window — no shared blocking machinery with the engine's
       // deletion-neighborhood candidates

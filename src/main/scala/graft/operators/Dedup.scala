@@ -704,15 +704,24 @@ object Dedup {
     // prefix rows stage WITH their 64-byte pigeonhole sketches (the
     // ppjoinShingleAndPrefix contract since r17): every wave's
     // candidate join prunes in-condition off its own columnar scan —
-    // no separate sketch table, no post-distinct prune joins
-    prefix0.write.mode("overwrite").parquet(s"$stagingDir/prefix")
+    // no separate sketch table, no post-distinct prune joins. Staged
+    // PARTITIONED BY WAVE (w = pmod(h, passes), per-task partitioned
+    // write, no shuffle) so each wave partition-prunes to its own
+    // slice instead of re-filtering the full prefix scan — staged
+    // prefix read I/O is one pass total at any wave count (the same
+    // fix measured on the fuzzy streams; the `sh` verify table stays
+    // unpartitioned — any wave's candidates may reference any doc).
+    val prefixCols = prefix0.columns.toSeq
+    prefix0.withColumn("w", pmod(col("h"), lit(passes.toLong)))
+      .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/prefix")
     val sh = spark.read.parquet(s"$stagingDir/sh")
     val prefix = spark.read.parquet(s"$stagingDir/prefix")
     (0 until passes).foreach { p =>
       val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
-      // pmod on the already-uniform shingle hash: no re-hash needed —
-      // one codegen'd filter directly over the staged columnar scan
-      val wave = prefix.filter(pmod(col("h"), lit(passes.toLong)) === p)
+      // partition-pruned slice; select the prefix schema explicitly so
+      // the inferred `w` column never rides into the candidate join
+      val wave = prefix.filter(col("w") === p)
+        .select(prefixCols.map(col): _*)
       ppjoinVerify(ppjoinCandidates(wave, tNum, tDen, idCol), sh, tNum, tDen, idCol)
         .write.mode("overwrite").parquet(s"$stagingDir/out/pass=$p")
       // wave p's shuffle files must release before wave p+1 spills its
@@ -957,28 +966,38 @@ object Dedup {
     val waveParts =
       if (maxDist == 1) fuzzyD1Parts(records, keyCol, waves = passes)
       else variantParts(records, maxDist, keyCol, waves = passes)
+    // Stage each stream PARTITIONED BY ITS WAVE (w = pmod(h, passes),
+    // a plain per-task partitioned write — no shuffle): a wave then
+    // reads ONLY its own w=p subtree via partition pruning instead of
+    // filtering a full columnar scan per wave, which at sf100 was 8
+    // re-reads of ~15 GB of staged streams (measured — the dominant
+    // non-join cost of the wave loop). Total staged-stream read I/O
+    // becomes one pass over the data regardless of the wave count —
+    // the property that lets a cluster raise `passes` freely.
+    def stage(df: DataFrame, name: String): Unit = df
+      .withColumn("w", pmod(col("h"), lit(passes.toLong)))
+      .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/$name")
     if (maxDist == 1) {
       val (an, su, pr) = fuzzyStreamsD1(records, keyCol, idCol)
-      an.write.mode("overwrite").parquet(s"$stagingDir/an")
-      su.write.mode("overwrite").parquet(s"$stagingDir/su")
-      pr.write.mode("overwrite").parquet(s"$stagingDir/pr")
-    } else deletionVariantHashesRaw(records, maxDist, keyCol, idCol)
-      .write.mode("overwrite").parquet(s"$stagingDir/v")
+      stage(an, "an"); stage(su, "su"); stage(pr, "pr")
+    } else stage(deletionVariantHashesRaw(records, maxDist, keyCol, idCol), "v")
     verifyKeys(records, keyCol, idCol)
       .write.mode("overwrite").parquet(s"$stagingDir/k")
     val k = spark.read.parquet(s"$stagingDir/k")
     (0 until passes).foreach { p =>
       val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
-      // pmod on the already-uniform xxhash64 variant key: one
-      // codegen'd filter directly over the staged columnar scan
-      def slice(path: String) = spark.read.parquet(path)
-        .filter(pmod(col("h"), lit(passes.toLong)) === p)
+      // partition-pruned slice read; the inferred `w` partition column
+      // must not ride along into the join frames (select explicitly)
+      def slice(path: String, cols: String*) = spark.read.parquet(path)
+        .filter(col("w") === p)
+        .select(cols.map(col): _*)
         .repartition(waveParts, col("h"))
       val cand = if (maxDist == 1)
-        fuzzyCandidateJoinsD1(slice(s"$stagingDir/an"),
-          slice(s"$stagingDir/su"), slice(s"$stagingDir/pr"), idCol)
+        fuzzyCandidateJoinsD1(slice(s"$stagingDir/an", idCol, "h"),
+          slice(s"$stagingDir/su", idCol, "h", "ha"),
+          slice(s"$stagingDir/pr", idCol, "h"), idCol)
       else {
-        val wv = slice(s"$stagingDir/v")
+        val wv = slice(s"$stagingDir/v", idCol, "h")
         wv.as("a").hint("merge").join(wv.as("b"),
             col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

@@ -276,16 +276,27 @@ object Graph {
       s"pagerankChunked: damping $dampNum/$dampDen outside [0, 1]")
     require(scale > 0, s"pagerankChunked: scale must be positive, got $scale")
     val spark = edges.sparkSession
+    // edges staged PARTITIONED BY WAVE (w = pmod(dst, passes) — a
+    // per-task partitioned write, no shuffle): each wave partition-
+    // prunes to its own w=p subtree, so staged-edge read I/O per round
+    // is ONE pass over |E| at any wave count, where the unpartitioned
+    // form re-scanned the full edge table `passes` times per round
+    // (at sf100 that was 6 × 1.17 B rows × rounds of pure re-read)
     edges.select(col("src"), col("dst"))
-      .write.mode("overwrite").parquet(s"$stagingDir/e")
-    val e = spark.read.parquet(s"$stagingDir/e")
+      .withColumn("w", pmod(col("dst"), lit(passes.toLong)))
+      .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/e")
+    val e = spark.read.parquet(s"$stagingDir/e").select(col("src"), col("dst"))
     val default = spark.sessionState.conf.numShufflePartitions
     val waveParts = math.max(default,
       math.min(4096L, e.count() / passes / 4000000L).toInt)
     // identical arithmetic to [[pagerank]]: state carries outdeg so a
-    // round is one edge join + one aggregate per wave
+    // round is one edge join + one aggregate per wave; the degree
+    // table is likewise wave-partitioned (on the SOURCE id — it is
+    // sliced by the update side's pmod(src) filter, not the edge
+    // side's pmod(dst))
     e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .write.mode("overwrite").parquet(s"$stagingDir/deg")
+      .withColumn("w", pmod(col("src"), lit(passes.toLong)))
+      .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/deg")
     val deg = spark.read.parquet(s"$stagingDir/deg")
     val base = scale - dampNum * scale / dampDen
     deg.select(col("src").as("id"), col("outdeg"), lit(scale).as("pr"))
@@ -301,14 +312,14 @@ object Graph {
       (0 until passes).foreach { p =>
         val before = org.apache.spark.sql.GraftBridge.activeShuffleIds(spark)
         val contrib = spark.read.parquet(s"$stagingDir/e")
-          .filter(pmod(col("dst"), lit(passes.toLong)) === p)
+          .filter(col("w") === p).select(col("src"), col("dst"))
           .join(st.hint("shuffle_hash"), col("src") === st("id"))
           .select(col("dst"),
             floor(col("pr").cast(DoubleType) / col("outdeg").cast(DoubleType))
               .cast(LongType).as("c"))
           .repartition(waveParts, col("dst"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        deg.filter(pmod(col("src"), lit(passes.toLong)) === p)
+        deg.filter(col("w") === p)
           .join(contrib, deg("src") === contrib("dst"), "left")
           .select(col("src").as("id"), col("outdeg"),
             (lit(base) + floor((lit(dampNum) * coalesce(col("s"), lit(0L)))
@@ -343,9 +354,10 @@ object Graph {
     * snappy parquet in `stagingDir` (never JVM-pinned checkpoint
     * blocks — the Bench-unpersists-everything lesson, and parquet
     * compresses the long-pair edge stream ~3× vs demoted RDD blocks);
-    * round r's staging is deleted as soon as round r+1 lands. The
-    * price is `passes` full edge scans per round (columnar, cheap
-    * relative to the exchange they shrink). The returned frame reads
+    * round r's staging is deleted as soon as round r+1 lands. Edges
+    * stage partitioned by wave, so the per-round staged-edge read is
+    * ONE pass over |E| regardless of the wave count. The returned
+    * frame reads
     * the final round's staging LAZILY — the caller owns `stagingDir`
     * and reclaims it when done (the fuzzyPairsChunked contract).
     *
@@ -360,9 +372,13 @@ object Graph {
     require(passes >= 1, s"labelPropagationChunked: passes must be >= 1, got $passes")
     require(stagingDir.nonEmpty, "labelPropagationChunked: stagingDir required")
     val spark = edges.sparkSession
+    // wave-partitioned edge staging (w = pmod(dst, passes)): each wave
+    // partition-prunes to its own subtree — one staged-edge pass per
+    // round at any wave count (see [[pagerankChunked]])
     edges.select(col("src"), col("dst"))
-      .write.mode("overwrite").parquet(s"$stagingDir/e")
-    val e = spark.read.parquet(s"$stagingDir/e")
+      .withColumn("w", pmod(col("dst"), lit(passes.toLong)))
+      .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/e")
+    val e = spark.read.parquet(s"$stagingDir/e").select(col("src"), col("dst"))
     // same precondition as the single-pass form (decimal argmax packing)
     require(e.filter(col("src") < 0 || col("dst") < 0).limit(1).isEmpty,
       "labelPropagationChunked: negative node ids are not supported " +
@@ -389,7 +405,7 @@ object Graph {
         // slice of labelPropagation (kept verbatim — the equivalence
         // test pins the twin forms together)
         spark.read.parquet(s"$stagingDir/e")
-          .filter(pmod(col("dst"), lit(passes.toLong)) === p)
+          .filter(col("w") === p).select(col("src"), col("dst"))
           .join(st.hint("shuffle_hash"), col("src") === st("id"))
           .select(col("dst").as("id"), col("lab"))
           .unionByName(st.select(col("id"), col("lab"))
