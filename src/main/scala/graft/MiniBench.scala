@@ -12,6 +12,9 @@ object MiniBench {
     val shw = new java.util.concurrent.atomic.AtomicLong
     val shr = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -22,7 +25,14 @@ object MiniBench {
             shr.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
             spill.addAndGet(tm.diskBytesSpilled)
           }
+          tasks.incrementAndGet()
         }
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
       })
     val names = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -33,13 +43,15 @@ object MiniBench {
       // don't bleed into this query's counters
       org.apache.spark.sql.GraftBridge.drainListeners(spark)
       val (w0, r0, s0) = (shw.get, shr.get, spill.get)
+      val (j0, g0, k0) = (jobs.get, stages.get, tasks.get)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       org.apache.spark.sql.GraftBridge.drainListeners(spark)
       val mb = 1024.0 * 1024
       println(f"MINI $n ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
         f"shw=${(shw.get - w0) / mb}%.1fMB shr=${(shr.get - r0) / mb}%.1fMB " +
-        f"spill=${(spill.get - s0) / mb}%.1fMB")
+        f"spill=${(spill.get - s0) / mb}%.1fMB " +
+        s"jobs=${jobs.get - j0} stages=${stages.get - g0} tasks=${tasks.get - k0}")
     }
   }
 }

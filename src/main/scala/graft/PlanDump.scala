@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named (or all) declared queries to
+  * one file each under an output dir — the plans/rNN/<query>_{before,
+  * after}.txt evidence the optimization rounds commit. Read-only over
+  * the query map; never executes a query (plans only), so it is safe
+  * to run while a bench owns the box.
+  *
+  * args: <sfDir> <outDir> [comma-separated query names | "all"]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names: Seq[String] =
+      if (args.length < 3 || args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (n <- names) {
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/$n.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"[plandump] $n ok")
+      } catch {
+        case e: Throwable =>
+          // a query whose plan needs side effects (e.g. chunked staging
+          // already written) can fail to build here; report, don't die
+          println(s"[plandump] $n FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}
