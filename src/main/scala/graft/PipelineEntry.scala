@@ -110,6 +110,30 @@ object PipelineEntry {
     fresh
   }
 
+  /** Scale-adaptive wave count for the chunked gate rows (r17,
+    * optimization guide §2: partitioning must derive from input size,
+    * not a constant tuned for one scale). One wave should hold a
+    * bounded slice of the staged candidate volume, so the count grows
+    * linearly with the named input table's on-disk bytes: at the gate
+    * SFs it floors at 2 (the wave loop and its staging/pruning path
+    * stay exercised on every bench and every oracle run — never a
+    * degenerate single-wave execution), and it reaches the 8-10 waves
+    * the sf100 rehearsals needed at their measured input sizes
+    * (customer ≈ 2.4 GB at sf100 / 256 MB per wave ≈ 10; the r16-r17
+    * records ran 8). Env overrides stay for explicit rehearsal
+    * control. Result is wave-count-invariant by construction (pinned
+    * by the equivalence unit suite), so this changes execution shape
+    * only, never the pair set. */
+  private def autoPasses(s: SparkSession, dir: String, table: String,
+                         bytesPerWave: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val bytes =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(2L, math.min(64L, (bytes + bytesPerWave - 1) / bytesPerWave)).toInt
+  }
+
   /** Customer↔supplier affinity edges (customers even ids, suppliers
     * odd), DIRECTED canonical form — consumers symmetrize as needed.
     * Shared by graph_pagerank / graph_labelprop / graph_powerlaw. */
@@ -1159,8 +1183,10 @@ object PipelineEntry {
       val staging = stagingTempDir("graft-fuzzy-gate")
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
-      // scale rehearsals raise it so one wave's spill fits local disk
-      val passes = sys.env.get("GRAFT_FUZZY_PASSES").map(_.toInt).getOrElse(3)
+      // derived from the input size (r17 — see autoPasses), env
+      // override kept for explicit rehearsal control
+      val passes = sys.env.get("GRAFT_FUZZY_PASSES").map(_.toInt)
+        .getOrElse(autoPasses(s, dir, "customer", 256L << 20))
       // land the final pair set to its OWN parquet so the wave staging
       // can be reclaimed NOW — landed as FILES, not localCheckpoint:
       // an eager checkpoint materializes the result as deserialized
@@ -1328,8 +1354,11 @@ object PipelineEntry {
       val staging = stagingTempDir("graft-ppjoin-gate")
       // wave count is a pure execution knob (result identical by
       // construction at ANY value — pinned by the equivalence test);
-      // scale rehearsals raise it so one wave's spill fits local disk
-      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
+      // derived from the input size (r17 — see autoPasses): the
+      // documents table's shingle/candidate explosion is steeper than
+      // the fuzzy route's, so its per-wave byte budget is smaller
+      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt)
+        .getOrElse(autoPasses(s, dir, "documents", 64L << 20))
       // the chunked frame reads the staged wave outputs lazily; land
       // the final result to its OWN parquet so the wave staging can be
       // reclaimed NOW — a long-lived driver (Connect server, notebook)
@@ -6436,7 +6465,8 @@ object PipelineEntry {
     "dedup_pr_audit" -> (("documents", 16L << 20, { (s, dir) =>
       val docs = t(s, dir, "documents")
       val staging = stagingTempDir("graft-praudit")
-      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt).getOrElse(4)
+      val passes = sys.env.get("GRAFT_PPJOIN_PASSES").map(_.toInt)
+        .getOrElse(autoPasses(s, dir, "documents", 64L << 20))
       val out = chunkedOutDir(s"dedup_pr_audit|$dir")
       // the audit output is ONE row — land it, reclaim the wave staging
       try {

@@ -51,7 +51,7 @@ object Cluster {
     * measured pathology. AQE re-derives real sizes at runtime.
     */
   private def ckpt(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftBridge.freshStats(df.localCheckpoint(true))
+    org.apache.spark.sql.GraftBridge.measuredStats(df.localCheckpoint(true))
 
   /** Connected components of an undirected graph.
     *
@@ -106,6 +106,19 @@ object Cluster {
     var e = ckpt(contract(e0, labels))
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
 
+    // Composed merge map (r17 optimization): seed-label → current-root,
+    // non-identity rows only, built up across rounds INSTEAD of
+    // rewriting the node-sized label table every round. Soundness of
+    // the plain union: a label f can appear as a hooking source only
+    // while it is still a live supervertex label, and the round that
+    // retires it rewrites every map value equal to f in the same
+    // update — so dom(m_r) and dom(root) are always disjoint and the
+    // union never produces two rows for one seed label. The node-sized
+    // label table is touched exactly twice (seed + final join) instead
+    // of once per round: at 100 TB that turns O(V·rounds) label
+    // rewrite I/O into O(merges) map maintenance, and at bench scale
+    // it removes a node-sized checkpoint job per round.
+    var root: DataFrame = null
     // opt-in round diagnostics (set GRAFT_CC_LOG=1): per-round wall time
     // and inner-compression depth, for triaging convergence on hostile
     // component shapes without touching the production plan
@@ -116,46 +129,56 @@ object Cluster {
       // hooking: each supervertex adopts its minimum neighboring
       // supervertex when that neighbor is smaller — one aggregate over
       // the (symmetrized) contracted edges. parent < f always, so the
-      // hooking forest is acyclic and strictly decreasing.
+      // hooking forest is acyclic and strictly decreasing. NOT
+      // materialized on its own: it flows lazily into the first
+      // doubling pair, whose identically-keyed exchange subtrees are
+      // deduplicated by ReuseExchange (one aggregate computed, not
+      // three) — the separate hooking checkpoint job was pure overhead.
       val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      // mCk is always the LIVE checkpoint handle (releaseCheckpoint
-      // resolves the backing RDD only on a direct LogicalRDD plan);
-      // m is the (f, t) view used in joins
-      var mCk = ckpt(both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
-        .filter(col("t") < col("f")))
-      var m = mCk
-      // path-compress the hooking forest by pointer doubling: depth
-      // halves per step, so the loop is O(log depth) label-sized
-      // self-joins; 64 is unreachable for any real forest and fails
-      // loudly rather than spinning.
-      var depth = 0
-      var compressed = false
+      val hook = both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
+        .filter(col("t") < col("f"))
+      // path-compress the hooking forest by pointer doubling, TWO
+      // steps per materialization (r17): depth quarters per
+      // checkpoint, and the convergence probe reads only the LAST
+      // step's change flag (one doubling with no change is a fixpoint,
+      // so "step 2k changed nothing" certifies compression regardless
+      // of step 2k−1). Halves the checkpoint+probe jobs of the inner
+      // loop — the measured CC cost at bench scale is per-job
+      // overhead, ~4 doubling steps per round (GRAFT_CC_LOG).
+      // 64 steps is unreachable for any real forest; fail loudly
+      // rather than spin.
+      def step(x: DataFrame): DataFrame = x.as("x")
+        .join(x.select(col("f").as("_f2"), col("t").as("_t2")).as("y"),
+          col("x.t") === col("_f2"), "left")
+        .select(col("x.f").as("f"), coalesce(col("_t2"), col("x.t")).as("t"),
+          (col("_t2") < col("x.t")).as("_chg"))
+      var mCk = ckpt(step(step(hook).select(col("f"), col("t"))))
+      var m = mCk.select(col("f"), col("t"))
+      var depth = 2
+      var compressed = mCk.filter(col("_chg")).isEmpty
       while (!compressed && depth < 64) {
-        val m2 = m.as("x")
-          .join(m.select(col("f").as("_f2"), col("t").as("_t2")).as("y"),
-            col("x.t") === col("_f2"), "left")
-          .select(col("x.f").as("f"), coalesce(col("_t2"), col("x.t")).as("t"),
-            (col("_t2") < col("x.t")).as("_chg"))
-          .pipe(ckpt)
+        val m2 = ckpt(step(step(m).select(col("f"), col("t"))))
         compressed = m2.filter(col("_chg")).isEmpty
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
         mCk = m2
         m = m2.select(col("f"), col("t"))
-        depth += 1
+        depth += 2
       }
       if (!compressed)
         throw new IllegalStateException(
           "connectedComponents: hooking forest failed to compress in 64 " +
             "doubling steps — impossible for any graph that fits in " +
             "storage; a bug, not a workload property")
-      // rewrite node labels through the compressed map (node-sized) and
-      // contract the edge list again (shrinks every round)
-      val labels2 = labels.as("l")
-        .join(m.select(col("f").as("_lf"), col("t").as("_lt")).as("r"),
-          col("l.label") === col("_lf"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("_lt"), col("l.label")).as("label"))
-        .pipe(ckpt)
+      // fold this round's merges into the composed map (map-sized):
+      // existing roots re-route through m, and m's own rows join the
+      // map verbatim (domain disjointness argued above)
+      val root2 =
+        if (root == null) ckpt(m)
+        else ckpt(root.as("c")
+          .join(m.select(col("f").as("_mf"), col("t").as("_mt")).as("d"),
+            col("c.t") === col("_mf"), "left")
+          .select(col("c.f").as("f"), coalesce(col("_mt"), col("c.t")).as("t"))
+          .unionByName(m))
       // edge endpoints are ALREADY label values, so they re-contract
       // through the partial map m directly (left join + coalesce —
       // unhooked labels keep themselves)
@@ -172,9 +195,10 @@ object Cluster {
         .distinct()
         .pipe(ckpt)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
+      if (root ne null)
+        org.apache.spark.sql.GraftBridge.releaseCheckpoint(root)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
-      labels = labels2
+      root = root2
       e = e2
       it += 1
       if (ccLog)
@@ -188,9 +212,21 @@ object Cluster {
           "this means a pair-generation bug upstream (e.g. an edge stream " +
           "that keeps growing), not a legitimately large graph; raise " +
           "maxIter only if such a graph is truly intended")
-    // isolated vertices: their own label, via one left join (no iteration)
+    // the (empty) final edge checkpoint has no consumer past the loop
+    // probe — release it so the operator's live footprint at return is
+    // exactly the seeded labels + the composed map
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
+    // apply the composed map to the seeded labels ONCE, then isolated
+    // vertices get their own label via one left join (no iteration)
+    val resolved =
+      if (root == null) labels
+      else labels.as("l")
+        .join(root.select(col("f").as("_rf"), col("t").as("_rt")).as("r"),
+          col("l.label") === col("_rf"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("_rt"), col("l.label")).as("label"))
     nodes.select(col("id"))
-      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .join(resolved.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 

@@ -978,8 +978,23 @@ object Dedup {
       .withColumn("w", pmod(col("h"), lit(passes.toLong)))
       .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/$name")
     if (maxDist == 1) {
+      // the three split-route streams stage as ONE tagged table (r17):
+      // a per-stream write re-scanned and re-exploded the corpus three
+      // times and paid three write jobs; the union stages everything
+      // in one corpus pass, partitioned by (wave, stream) so each
+      // wave's per-stream slice read below stays directory-pruned.
+      // `ha` is only meaningful for the substitution stream — the
+      // others carry it as null and never read it.
       val (an, su, pr) = fuzzyStreamsD1(records, keyCol, idCol)
-      stage(an, "an"); stage(su, "su"); stage(pr, "pr")
+      val tagged = an.select(col(idCol), col("h"),
+          lit(null).cast(LongType).as("ha"), lit("an").as("s"))
+        .unionByName(su.select(col(idCol), col("h"), col("ha"),
+          lit("su").as("s")))
+        .unionByName(pr.select(col(idCol), col("h"),
+          lit(null).cast(LongType).as("ha"), lit("pr").as("s")))
+      tagged.withColumn("w", pmod(col("h"), lit(passes.toLong)))
+        .write.mode("overwrite").partitionBy("w", "s")
+        .parquet(s"$stagingDir/d1")
     } else stage(deletionVariantHashesRaw(records, maxDist, keyCol, idCol), "v")
     verifyKeys(records, keyCol, idCol)
       .write.mode("overwrite").parquet(s"$stagingDir/k")
@@ -992,10 +1007,17 @@ object Dedup {
         .filter(col("w") === p)
         .select(cols.map(col): _*)
         .repartition(waveParts, col("h"))
+      // d=1 slices read the ONE tagged staging table, pruned by
+      // (wave, stream) directory partitioning
+      def d1slice(tag: String, cols: String*) = spark.read
+        .parquet(s"$stagingDir/d1")
+        .filter(col("w") === p && col("s") === tag)
+        .select(cols.map(col): _*)
+        .repartition(waveParts, col("h"))
       val cand = if (maxDist == 1)
-        fuzzyCandidateJoinsD1(slice(s"$stagingDir/an", idCol, "h"),
-          slice(s"$stagingDir/su", idCol, "h", "ha"),
-          slice(s"$stagingDir/pr", idCol, "h"), idCol)
+        fuzzyCandidateJoinsD1(d1slice("an", idCol, "h"),
+          d1slice("su", idCol, "h", "ha"),
+          d1slice("pr", idCol, "h"), idCol)
       else {
         val wv = slice(s"$stagingDir/v", idCol, "h")
         wv.as("a").hint("merge").join(wv.as("b"),

@@ -27,6 +27,29 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** Width for an iterative operator's recurring exchange, derived
+    * from the ROW COUNT it will carry (r17, optimization guide §2.2:
+    * partition sizing must follow the data at both ends of the scale,
+    * not a constant).
+    *  - large scale: ~4 M narrow rows (~64 MB) per partition, capped
+    *    at 4096 — unchanged from r16 (this is what kept the sf100
+    *    vote aggregates out of OOM);
+    *  - small scale: the old floor was the session default, which at
+    *    fixture SFs forced 32-way exchanges of a few MB every round
+    *    (hundreds of ~empty tasks per query, measured: graph_labelprop
+    *    516 tasks / graph_pagerank_witness 403 tasks at sf0.1). The
+    *    floor is now ALSO data-sized: one partition per ~250 k rows,
+    *    never above the session default, at least 1 — so a 14-row
+    *    witness graph runs 1-wide, the sf0.1 affinity graph ~4-wide,
+    *    and anything that can fill the session default still gets it.
+    * Result-invariant: every consumer is a hash aggregate / equi-join
+    * whose output is independent of partition count. */
+  private[operators] def iterWidth(rows: Long, default: Int): Int = {
+    val wide = math.min(4096L, rows / 4000000L)
+    val small = math.max(1L, math.min(default.toLong, rows / 250000L))
+    math.max(small, wide).toInt
+  }
+
   /** Delete a retired staging round via the path's OWN Hadoop
     * FileSystem: the chunked forms write staging through Spark's
     * Hadoop FS (any scheme works), so deleting with java.io.File
@@ -75,8 +98,7 @@ object Graph {
     // where that scan is a cheap columnar count.
     val default = edges.sparkSession.sessionState.conf.numShufflePartitions
     val nEdges = edges.select(col("src"), col("dst")).count()
-    val edgeParts =
-      math.max(default, math.min(4096L, nEdges / 4000000L).toInt)
+    val edgeParts = iterWidth(nEdges, default)
     // COLUMNAR persist, not localCheckpoint, for the edge table: a
     // local checkpoint stores DESERIALIZED row objects, and at sf100
     // (1.17 B rows) the unroll of ~GiB object blocks OOMed a 96 GB
@@ -175,9 +197,24 @@ object Graph {
     // would re-exchange the EDGE side every round — exactly the
     // per-round edge exchange the pre-partitioned checkpoint avoids.
     val default = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val nEdges = edges.select(col("src"), col("dst")).count()
-    val voteParts =
-      math.max(default, math.min(4096L, nEdges / 4000000L).toInt)
+    // ONE aggregate sizes the exchange AND enforces the non-negative-id
+    // precondition (r17): the separate `filter(src < 0 …).limit(1)`
+    // probe was a second full pass over the edge table at every scale.
+    // PRECONDITION (enforced, not just documented): node ids must be
+    // non-negative — the decimal argmax packing below is order-correct
+    // only for 0 <= lab < 10^19; a negative id would overflow the
+    // label offset into the count digits and silently corrupt the
+    // winner.
+    val st0 = edges.select(col("src"), col("dst"))
+      .agg(count(lit(1)), min(col("src")), min(col("dst"))).head()
+    val nEdges = st0.getLong(0)
+    require(nEdges == 0L ||
+      (st0.getAs[Number](1).longValue >= 0L &&
+        st0.getAs[Number](2).longValue >= 0L),
+      "labelPropagation: negative node ids are not supported (the " +
+        "count·10^19 + (10^19-1-label) argmax packing requires ids in " +
+        "[0, 10^19)); relabel ids to non-negative first")
+    val voteParts = iterWidth(nEdges, default)
     // columnar persist, not localCheckpoint — same r16 fix as
     // [[pagerank]]: deserialized checkpoint blocks OOM the heap at
     // sf100; compressed columnar batches carry the same partitioning
@@ -185,16 +222,6 @@ object Graph {
       .repartition(voteParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once, outside the round loop
-    // PRECONDITION (enforced, not just documented): node ids must be
-    // non-negative. The decimal argmax packing below is order-correct
-    // only for 0 <= lab < 10^19; a negative id would overflow the
-    // label offset into the count digits and silently corrupt the
-    // winner. One early-out scan of the checkpointed edges — cheap
-    // relative to the per-round joins — makes misuse fail loudly.
-    require(e.filter(col("src") < 0 || col("dst") < 0).limit(1).isEmpty,
-      "labelPropagation: negative node ids are not supported (the " +
-        "count·10^19 + (10^19-1-label) argmax packing requires ids in " +
-        "[0, 10^19)); relabel ids to non-negative first")
     var st = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
     // argmax by (count desc, label asc) WITHOUT a struct-max aggregate:
@@ -287,8 +314,7 @@ object Graph {
       .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/e")
     val e = spark.read.parquet(s"$stagingDir/e").select(col("src"), col("dst"))
     val default = spark.sessionState.conf.numShufflePartitions
-    val waveParts = math.max(default,
-      math.min(4096L, e.count() / passes / 4000000L).toInt)
+    val waveParts = iterWidth(e.count() / passes, default)
     // identical arithmetic to [[pagerank]]: state carries outdeg so a
     // round is one edge join + one aggregate per wave; the degree
     // table is likewise wave-partitioned (on the SOURCE id — it is
@@ -379,16 +405,20 @@ object Graph {
       .withColumn("w", pmod(col("dst"), lit(passes.toLong)))
       .write.mode("overwrite").partitionBy("w").parquet(s"$stagingDir/e")
     val e = spark.read.parquet(s"$stagingDir/e").select(col("src"), col("dst"))
-    // same precondition as the single-pass form (decimal argmax packing)
-    require(e.filter(col("src") < 0 || col("dst") < 0).limit(1).isEmpty,
+    // ONE aggregate sizes the per-wave exchange and enforces the
+    // non-negative-id precondition (the decimal argmax packing is only
+    // order-correct for ids in [0, 10^19)) — same r17 fold as the
+    // single-pass form; per-WAVE vote width: the voteParts discipline
+    // divided by the wave count (each wave carries ~|E|/passes rows)
+    val st0 = e.agg(count(lit(1)), min(col("src")), min(col("dst"))).head()
+    require(st0.getLong(0) == 0L ||
+      (st0.getAs[Number](1).longValue >= 0L &&
+        st0.getAs[Number](2).longValue >= 0L),
       "labelPropagationChunked: negative node ids are not supported " +
         "(the count·10^19 + (10^19-1-label) argmax packing requires ids " +
         "in [0, 10^19)); relabel ids to non-negative first")
-    // per-WAVE vote width: the single-pass voteParts discipline divided
-    // by the wave count (each wave carries ~|E|/passes vote rows)
     val default = spark.sessionState.conf.numShufflePartitions
-    val waveParts = math.max(default,
-      math.min(4096L, e.count() / passes / 4000000L).toInt)
+    val waveParts = iterWidth(st0.getLong(0) / passes, default)
     val P = DecimalType(38, 0)
     val packBase = lit(BigDecimal("10000000000000000000")).cast(P) // 10^19
     e.select(col("src").as("id")).distinct()

@@ -106,4 +106,35 @@ object GraftBridge {
       case _ => d.toDF()
     }
   }
+
+  /** Rebuild a MATERIALIZED `localCheckpoint`ed Dataset's `LogicalRDD`
+    * with `Statistics(sizeInBytes = the checkpoint's true cached block
+    * bytes)` instead of the origin plan's carried estimate (r17).
+    *
+    * [[freshStats]] exists because carried stats EXPONENTIATE across an
+    * iterative operator's join-of-checkpoint rounds; but its reset to
+    * `defaultSizeInBytes` also tells Catalyst every checkpoint is huge,
+    * so every map-sized intermediate of a loop pays a full two-exchange
+    * sort-merge join even when it holds twelve rows. The measured size
+    * has neither problem: it is read from the block manager AFTER the
+    * eager checkpoint lands (a ground truth, not a product of child
+    * estimates — nothing compounds), so genuinely small intermediates
+    * static-broadcast and genuinely large ones keep exchange plans.
+    * The deserialized block size OVERSTATES what an exchange would
+    * move (~2-4× for narrow longs), which only makes broadcasting more
+    * conservative — the safe direction at scale. Falls back to the
+    * stats-free copy when the storage info is not yet visible. */
+  def measuredStats(df: Dataset[_]): DataFrame = df match {
+    case d: classic.Dataset[_] => d.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val sc = d.sparkSession.sparkContext
+        val bytes = sc.getRDDStorageInfo.find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).filter(_ > 0L)
+        val stats = bytes.map(b =>
+          catalyst.plans.logical.Statistics(sizeInBytes = BigInt(b)))
+        classic.Dataset.ofRows(d.sparkSession,
+          l.copy()(d.sparkSession, stats, None))
+      case _ => d.toDF()
+    }
+  }
 }
