@@ -1252,8 +1252,17 @@ object Dedup {
   private[graft] def variantPartsFor(cnt: Long, avgLen: Double, maxDist: Int,
                                      default: Int, waves: Int = 1): Int = {
     val vpk = 1.0 + avgLen + (if (maxDist == 2) avgLen * avgLen else 0.0)
-    val target = math.ceil(cnt * vpk / 4e6 / waves)
-    math.max(default, math.min(4096.0, target).toInt)
+    val rows = cnt * vpk / waves
+    // dual-end data sizing (r17, same discipline as Graph.iterWidth):
+    // ~4 M variant rows per partition at scale (cap 4096 — unchanged,
+    // this is what kept the sf100 SMJ sorts inside task memory), and
+    // below the session default the floor is ALSO data-sized (~250 k
+    // rows per partition, at least 1) — the old unconditional
+    // session-default floor forced 32-way exchanges of a few hundred
+    // thousand rows at fixture SFs, three near-empty sorts per wave.
+    val wide = math.min(4096.0, math.ceil(rows / 4e6))
+    val small = math.max(1.0, math.min(default.toDouble, rows / 250e3))
+    math.max(small, wide).toInt
   }
 
   /** Cross-table fuzzy join (record linkage): best edit-distance-≤

@@ -293,11 +293,27 @@ object Features {
         val (q, r) = a /% b
         if (r.signum != 0 && r.signum != b.signum) q - 1 else q
       }
+      // The per-iteration weights ride as a one-row LocalRelation cross
+      // join (r17), NOT as literals baked into the aggregate: literal
+      // weights made every iteration a structurally distinct plan, so
+      // 16 iterations paid 16 whole-stage-codegen compiles of the same
+      // gradient aggregate. With weight ATTRIBUTES the generated source
+      // is identical across iterations and the codegen cache hits from
+      // iteration 2 on. Arithmetic is bit-identical: the driver still
+      // computes wq(j).toDouble / 16777216.0 exactly as before and
+      // ships the resulting doubles — the expression tree sees the same
+      // IEEE values through a column instead of a literal.
+      val spark = df.sparkSession
+      val wCols = (0 to featureCols.length).map(j => s"_w$j")
+      val wSchema = StructType(wCols.map(c =>
+        StructField(c, DoubleType, nullable = false)))
       for (_ <- 1 to iters) {
+        val wRow = Row.fromSeq(wq.map(_.toDouble / 16777216.0))
+        val wDf = spark.createDataFrame(
+          java.util.Collections.singletonList(wRow), wSchema)
         // z in the FIXED left-assoc order the oracle replays
-        val z = featureCols.zipWithIndex.foldLeft(
-          lit(wq(0).toDouble / 16777216.0)) { case (acc, (f, j)) =>
-          acc + lit(wq(j + 1).toDouble / 16777216.0) * col(f)
+        val z = featureCols.zipWithIndex.foldLeft(col("_w0"): Column) {
+          case (acc, (f, j)) => acc + col(s"_w${j + 1}") * col(f)
         }
         val e = (lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))) - col(labelCol)
         val d = lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))
@@ -305,7 +321,8 @@ object Features {
           case (x, j) =>
             sum(floor(e * d * x * lit(1073741824.0)).cast(dec)).as(s"g$j")
         }
-        val row = feats.agg(count(lit(1)).as("n"), gs: _*).head()
+        val row = feats.crossJoin(broadcast(wDf))
+          .agg(count(lit(1)).as("n"), gs: _*).head()
         val n = row.getLong(0)
         if (n > 0) wq = wq.zipWithIndex.map { case (w, j) =>
           val gq = BigInt(row.getDecimal(j + 1).toBigInteger)
