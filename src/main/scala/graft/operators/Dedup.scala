@@ -1252,17 +1252,16 @@ object Dedup {
   private[graft] def variantPartsFor(cnt: Long, avgLen: Double, maxDist: Int,
                                      default: Int, waves: Int = 1): Int = {
     val vpk = 1.0 + avgLen + (if (maxDist == 2) avgLen * avgLen else 0.0)
-    val rows = cnt * vpk / waves
-    // dual-end data sizing (r17, same discipline as Graph.iterWidth):
-    // ~4 M variant rows per partition at scale (cap 4096 — unchanged,
-    // this is what kept the sf100 SMJ sorts inside task memory), and
-    // below the session default the floor is ALSO data-sized (~250 k
-    // rows per partition, at least 1) — the old unconditional
-    // session-default floor forced 32-way exchanges of a few hundred
-    // thousand rows at fixture SFs, three near-empty sorts per wave.
-    val wide = math.min(4096.0, math.ceil(rows / 4e6))
-    val small = math.max(1.0, math.min(default.toDouble, rows / 250e3))
-    math.max(small, wide).toInt
+    val target = math.ceil(cnt * vpk / 4e6 / waves)
+    // The session-default FLOOR is deliberate and was re-validated this
+    // round (r17): an experiment replacing it with a ~250 k-rows/
+    // partition data-sized floor (the Graph.iterWidth discipline)
+    // regressed every fuzzy row 20-50% at sf0.1 — the variant bucket
+    // join is CPU-bound (string-length sorts + join explosion), so
+    // narrowing below the core count serializes real work, unlike the
+    // graph loops' cheap long-pair exchanges. Width here follows CORES
+    // at the small end and data at the large end.
+    math.max(default, math.min(4096.0, target).toInt)
   }
 
   /** Cross-table fuzzy join (record linkage): best edit-distance-≤

@@ -254,12 +254,11 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("variantPartsFor: OOM-critical exchange sizing formula and both clamps") {
-    // small corpus (r17): the floor is data-sized too — 190 k variant
-    // rows don't justify a 32-way exchange, one ~3 MB partition does
-    // (the session default only applies when ~250 k rows/partition can
-    // fill it; see the mid-range waves case below where it still does)
+    // small corpus: target < default -> clamps UP to the session width
+    // (re-validated r17: a data-sized floor serialized the CPU-bound
+    // variant sorts and regressed every fuzzy row 20-50% at sf0.1)
     assert(Dedup.variantPartsFor(cnt = 10000L, avgLen = 18.0,
-      maxDist = 1, default = 32) == 1)
+      maxDist = 1, default = 32) == 32)
     // huge corpus: target > 4096 -> clamps DOWN to the shard cap
     assert(Dedup.variantPartsFor(cnt = 2000000000L, avgLen = 18.0,
       maxDist = 1, default = 32) == 4096)
