@@ -155,6 +155,10 @@ object Bench {
       // harness — reported in the JSON's "faces" list, never silent
       val timedFn = scaleFaces.getOrElse(name,
         SparkEntry.benchFaces.getOrElse(name, fn))
+      // label the query's jobs (guide §1.5) so a UI/event-log reading of
+      // a bench run attributes every stage to its row; set OUTSIDE the
+      // timed region and cleared after
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       try { timedFn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -163,7 +167,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $msg")
           errors(name) = msg
           name -> -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -44,8 +44,10 @@ object MiniBench {
       org.apache.spark.sql.GraftBridge.drainListeners(spark)
       val (w0, r0, s0) = (shw.get, shr.get, spill.get)
       val (j0, g0, k0) = (jobs.get, stages.get, tasks.get)
+      spark.sparkContext.setJobDescription(s"mini: $n") // guide §1.5
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
+      spark.sparkContext.setJobDescription(null)
       org.apache.spark.sql.GraftBridge.drainListeners(spark)
       val mb = 1024.0 * 1024
       println(f"MINI $n ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
