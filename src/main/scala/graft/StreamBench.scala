@@ -187,7 +187,25 @@ object StreamBench {
         2L, 10L, 3L, 10L, name = "sb_holt_replay").count()
     }
 
-    println(f"""{"metric":"stream_faces","sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"anomaly_file":$anomalyFile%.2f,"anomaly_replay":$anomalyReplay%.2f,"attribution_file":$attributionFile%.2f,"attribution_replay":$attributionReplay%.2f,"ewma_file":$ewmaFile%.2f,"ewma_replay":$ewmaReplay%.2f,"holt_file":$holtFile%.2f,"holt_replay":$holtReplay%.2f,"sf":"$sfDir"}""")
+    // ---- engine floor (r17): a STATELESS pass-through through the
+    // identical harness shape (file source → select → memory sink, one
+    // processAllAvailable) — no state store, no watermark, no join.
+    // Whatever this reads is pure streaming-engine machinery (query
+    // start/stop, micro-batch planning, sink commit); the delta between
+    // a stateful face and this floor is the operator's true cost. Run
+    // twice so the second reading is JIT/footer-warm like the suite.
+    def floorOnce(name: String): Double = timed {
+      withStatePartitions(8) {
+        runToCount(
+          PipelineEntry.eventsStream(spark, sfDir)
+            .select(col("user_id"), col("ts"), col("value")),
+          name)
+      }
+    }
+    val floorCold = floorOnce("sb_floor_1")
+    val floorWarm = floorOnce("sb_floor_2")
+
+    println(f"""{"metric":"stream_faces","floor_file_cold":$floorCold%.2f,"floor_file_warm":$floorWarm%.2f,"sessions_file":$sessionsFile%.2f,"sessions_replay":$sessionsReplay%.2f,"interval_left_file":$intervalFile%.2f,"interval_left_replay":$intervalReplay%.2f,"cusum_file":$cusumFile%.2f,"cusum_replay":$cusumReplay%.2f,"anomaly_file":$anomalyFile%.2f,"anomaly_replay":$anomalyReplay%.2f,"attribution_file":$attributionFile%.2f,"attribution_replay":$attributionReplay%.2f,"ewma_file":$ewmaFile%.2f,"ewma_replay":$ewmaReplay%.2f,"holt_file":$holtFile%.2f,"holt_replay":$holtReplay%.2f,"sf":"$sfDir"}""")
 
   }
 }
