@@ -103,7 +103,11 @@ object Cluster {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var e = ckpt(contract(e0, labels))
+    // checkpoint-with-count (r17): the materializing action doubles as
+    // the loop's emptiness probe, so no round pays a separate isEmpty
+    // job over data the checkpoint job just touched
+    var (e, eRows) = org.apache.spark.sql.GraftBridge
+      .checkpointCounted(contract(e0, labels))
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(e0)
 
     // Composed merge map (r17 optimization): seed-label → current-root,
@@ -124,7 +128,7 @@ object Cluster {
     // component shapes without touching the production plan
     val ccLog = sys.env.contains("GRAFT_CC_LOG")
     var it = 0
-    while (!e.isEmpty && it < maxIter) {
+    while (eRows > 0 && it < maxIter) {
       val roundT0 = System.nanoTime()
       // hooking: each supervertex adopts its minimum neighboring
       // supervertex when that neighbor is smaller — one aggregate over
@@ -182,7 +186,8 @@ object Cluster {
       // edge endpoints are ALREADY label values, so they re-contract
       // through the partial map m directly (left join + coalesce —
       // unhooked labels keep themselves)
-      val e2 = e.as("e")
+      val (e2, e2Rows) = org.apache.spark.sql.GraftBridge.checkpointCounted(
+        e.as("e")
         .join(m.select(col("f").as("_sf"), col("t").as("_st")).as("ms"),
           col("e.src") === col("_sf"), "left")
         .join(m.select(col("f").as("_df"), col("t").as("_dt")).as("md"),
@@ -192,20 +197,20 @@ object Cluster {
         .select(least(col("_ns"), col("_nd")).as("src"),
           greatest(col("_ns"), col("_nd")).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-        .pipe(ckpt)
+        .distinct())
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
       if (root ne null)
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(root)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
       root = root2
       e = e2
+      eRows = e2Rows
       it += 1
       if (ccLog)
         System.err.println(f"[cc] round $it%2d depth=$depth " +
           f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
     }
-    if (!e.isEmpty)
+    if (eRows > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter contraction " +
           "rounds — supervertex count shrinks geometrically per round, so " +

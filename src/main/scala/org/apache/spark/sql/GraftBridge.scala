@@ -107,6 +107,18 @@ object GraftBridge {
     }
   }
 
+  /** Lazy-localCheckpoint `df`, materialize it with ONE `count()`
+    * action (which is also what triggers the checkpoint), and return
+    * the frame (stats-measured, see [[measuredStats]]) WITH that count
+    * (r17): an iterative operator that checkpoints per round AND
+    * probes emptiness for its loop condition was paying two jobs where
+    * the materializing action already knew the answer. */
+  def checkpointCounted(df: Dataset[_]): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(false)
+    val n = ck.count()
+    (measuredStats(ck), n)
+  }
+
   /** Rebuild a MATERIALIZED `localCheckpoint`ed Dataset's `LogicalRDD`
     * with `Statistics(sizeInBytes = the checkpoint's true cached block
     * bytes)` instead of the origin plan's carried estimate (r17).
