@@ -638,21 +638,21 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).union(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    var e = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
-    var prev = e.count()
+    // counted checkpoints (r17, as Cluster): the materializing count()
+    // doubles as the peel loop's convergence reading — one job per
+    // round where checkpoint-then-count paid two
+    var (e, prev) = org.apache.spark.sql.GraftBridge.checkpointCounted(
+      edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     var it = 0
     var done = prev == 0L
     while (!done && it < maxIter) {
       val keep = degrees(e).filter(col("deg") >= k).select("id")
-      val e2 = e
+      val (e2, n2) = org.apache.spark.sql.GraftBridge.checkpointCounted(e
         .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
-      val n2 = e2.count()
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
       // no edge dropped ⇒ every endpoint already had deg >= k ⇒ fixpoint
       done = n2 == prev || n2 == 0L
       e = e2; prev = n2; it += 1
