@@ -92,10 +92,11 @@ object Graph {
     // DESERIALIZED cache blocks per partition, 32 concurrent unrolls,
     // heap OOM before the "widening" second checkpoint could ever run.
     // One extra count scan of the edge derivation buys a single
-    // checkpoint at the right width (~4 M edge rows per partition,
-    // never below the session default, capped at 4096); the library
-    // contract for iterative graph ops is a staged/parquet edge input,
-    // where that scan is a cheap columnar count.
+    // checkpoint at the right width (iterWidth: ~4 M edge rows per
+    // partition capped at 4096 at scale, data-sized floor below the
+    // session default); the library contract for iterative graph ops
+    // is a staged/parquet edge input, where that scan is a cheap
+    // columnar count.
     val default = edges.sparkSession.sessionState.conf.numShufflePartitions
     val nEdges = edges.select(col("src"), col("dst")).count()
     val edgeParts = iterWidth(nEdges, default)
