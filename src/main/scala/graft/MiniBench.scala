@@ -46,8 +46,10 @@ object MiniBench {
       val (j0, g0, k0) = (jobs.get, stages.get, tasks.get)
       spark.sparkContext.setJobDescription(s"mini: $n") // guide §1.5
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      spark.sparkContext.setJobDescription(null)
+      // clear in a finally (ADVICE r17): a throwing count() must not
+      // bleed this query's description onto every later query's jobs
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      finally spark.sparkContext.setJobDescription(null)
       org.apache.spark.sql.GraftBridge.drainListeners(spark)
       val mb = 1024.0 * 1024
       println(f"MINI $n ${(System.nanoTime() - t0) / 1e9}%.2f s  " +

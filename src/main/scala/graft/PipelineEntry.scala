@@ -130,7 +130,16 @@ object PipelineEntry {
     val bytes =
       try p.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-      catch { case scala.util.control.NonFatal(_) => 0L }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // loud fallback (ADVICE r17): a misnamed/unreadable path at
+          // scale would otherwise quietly run near-single-wave — the
+          // local-disk spill regime the wave count exists to bound
+          System.err.println(s"[autoPasses] cannot size $p " +
+            s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")
+              .take(120)}) — flooring to 2 waves")
+          0L
+      }
     math.max(2L, math.min(64L, (bytes + bytesPerWave - 1) / bytesPerWave)).toInt
   }
 
@@ -168,7 +177,11 @@ object PipelineEntry {
     * timezone is UTC so the instants are identical). */
   private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // fixture schemas are immutable per path: resolve once per (session,
+    // path) instead of paying a batch-read footer round per stream row
+    // (r18 — the bench clears the catalog cache between rows, so the
+    // session's own footer cache doesn't survive)
+    val schema = cachedStreamSchema(s, s"$dir/events.parquet")
     val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
     schema("ts").dataType match {
       case LongType => src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -2467,7 +2480,7 @@ object PipelineEntry {
       val (mBits, k) = (1024, 5)
       val words = Bloom.build(docs.filter(col("doc_id") % 2 === 0),
         col("text"), mBits, k)
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = cachedStreamSchema(s, s"$dir/documents.parquet")
       val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
         .filter(col("doc_id") % 2 === 1)
       StreamReplay.runToMemory(s,
@@ -2477,7 +2490,7 @@ object PipelineEntry {
     },
     "stream_dedup" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = cachedStreamSchema(s, s"$dir/documents.parquet")
       val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
         // synthetic event time (fixture has none): doc_id seconds, offset
         // a day past epoch 0 — the initial watermark IS epoch 0, and a
@@ -6384,10 +6397,42 @@ object PipelineEntry {
       s.conf.set(key, prev)
     }
     val landed = s.read.parquet(out)
-    // loud landing count (footer-metadata cheap): a sink mis-wiring
-    // that lands ZERO rows must never read as a fast green face
-    System.err.println(s"[face] $name landed rows: ${landed.count()}")
+    // loud landing count (r18: read from the parquet FOOTERS directly —
+    // the guard only needs "rows landed > 0", and footer metadata costs
+    // milliseconds and zero Spark jobs where the previous
+    // landed.count() paid a scan job inside the bench's timed region):
+    // a sink mis-wiring that lands ZERO rows must never read as a fast
+    // green face
+    System.err.println(s"[face] $name landed rows: ${footerRowCount(s, out)}")
     landed
+  }
+
+  /** Schema cache for the readStream sources, keyed (session, path) so
+    * a config-divergent second session can't read a stale schema. The
+    * VALUE is metadata only — never rows. */
+  private val streamSchemas =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
+  private[graft] def cachedStreamSchema(s: SparkSession, path: String): StructType =
+    streamSchemas.computeIfAbsent((s, path), _ => s.read.parquet(path).schema)
+
+  /** Sum of row counts from the parquet footers under `dir` — no Spark
+    * job, no data pages read. Used for landing guards only (a result
+    * would need the engine's own scan semantics). */
+  private def footerRowCount(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    var n = 0L
+    val it = fs.listFiles(p, false)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   /** The dedup_pr_audit aggregate, shared verbatim by the gate row and
@@ -6584,7 +6629,7 @@ object PipelineEntry {
     },
     "stream_dedup" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = cachedStreamSchema(s, s"$dir/documents.parquet")
       val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
         .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
       runStreamToTable(s, "bf_dedup",

@@ -3,9 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for named (or all) declared queries to
   * one file each under an output dir — the plans/rNN/<query>_{before,
-  * after}.txt evidence the optimization rounds commit. Read-only over
-  * the query map; never executes a query (plans only), so it is safe
-  * to run while a bench owns the box.
+  * after}.txt evidence the optimization rounds commit.
+  *
+  * NOT free of execution (ADVICE r17): rows that stage-then-read
+  * (chunked gates like dedup_fuzzy_chunked / dedup_pr_audit, the
+  * MemoryStream replay rows) run their full staging pipeline while the
+  * DataFrame is being CONSTRUCTED — the dumped plan is the landed
+  * read's, and the work happens here. Don't run "all" while a bench
+  * owns the box; heavy rows are flagged per-row on stderr instead of
+  * silently contending.
   *
   * args: <sfDir> <outDir> [comma-separated query names | "all"]
   */
@@ -29,6 +35,11 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (n <- names) {
+      // flag the rows whose CONSTRUCTION executes a staged pipeline
+      // (see class doc) so a log reader knows this dump did real work
+      if (n.endsWith("_chunked") || n == "dedup_pr_audit" || n.startsWith("stream_"))
+        System.err.println(s"[plandump] $n: construction executes its " +
+          "staging/replay pipeline — this is not a plans-only row")
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val plan = df.queryExecution.explainString(
@@ -38,7 +49,9 @@ object PlanDump {
           plan.getBytes("UTF-8"))
         println(s"[plandump] $n ok")
       } catch {
-        case e: Throwable =>
+        // NonFatal only (ADVICE r17): an OOM/interrupt must propagate,
+        // not be logged as one more row's failure while the JVM burns
+        case scala.util.control.NonFatal(e) =>
           // a query whose plan needs side effects (e.g. chunked staging
           // already written) can fail to build here; report, don't die
           println(s"[plandump] $n FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")

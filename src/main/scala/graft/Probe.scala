@@ -27,6 +27,8 @@ object Probe {
     "mmdhash" -> (MmDhashProbe.run _), // dHash contraction vs window forms
     "fuzzy" -> (FuzzyProbe.run _),   // d=1 split route vs generic variant join
     "stream" -> (StreamBench.run _), // MemoryStream harness vs file faces
+    "streamsink" -> (StreamSinkProbe.run _), // per-batch cost attribution of the parquet-sink faces
+    "cc" -> (CcProbe.run _),         // job-level attribution of one CC call
     "mini" -> (MiniBench.run _))     // isolated re-time of named Bench rows
 
   def main(args: Array[String]): Unit = {
