@@ -122,7 +122,25 @@ object Cluster {
     // of once per round: at 100 TB that turns O(V·rounds) label
     // rewrite I/O into O(merges) map maintenance, and at bench scale
     // it removes a node-sized checkpoint job per round.
+    //
+    // r18 (guide §2 barrier economy): the fold is LAZY — the composed
+    // map materializes only every second round (and once at loop exit,
+    // so the returned plan's root carries measured stats and the final
+    // label join can still broadcast it). The lazy layer is at most one
+    // join + union deep over MEASURED checkpoints, so stats stay
+    // bounded (the k^rounds compounding measuredStats exists to stop
+    // cannot re-enter), and the checkpoints a lazy layer references
+    // are released only after the next materialization lands.
     var root: DataFrame = null
+    var rootLazyDepth = 0
+    var pendingRelease: List[DataFrame] = Nil
+    def materializeRoot(): Unit = if (root != null && rootLazyDepth > 0) {
+      val rootCk = ckpt(root)
+      pendingRelease.foreach(org.apache.spark.sql.GraftBridge.releaseCheckpoint)
+      pendingRelease = List(rootCk)
+      root = rootCk
+      rootLazyDepth = 0
+    }
     // opt-in round diagnostics (set GRAFT_CC_LOG=1): per-round wall time
     // and inner-compression depth, for triaging convergence on hostile
     // component shapes without touching the production plan
@@ -141,14 +159,13 @@ object Cluster {
       val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val hook = both.groupBy(col("src").as("f")).agg(min(col("dst")).as("t"))
         .filter(col("t") < col("f"))
-      // path-compress the hooking forest by pointer doubling, TWO
-      // steps per materialization (r17): depth quarters per
-      // checkpoint, and the convergence probe reads only the LAST
-      // step's change flag (one doubling with no change is a fixpoint,
-      // so "step 2k changed nothing" certifies compression regardless
-      // of step 2k−1). Halves the checkpoint+probe jobs of the inner
-      // loop — the measured CC cost at bench scale is per-job
-      // overhead, ~4 doubling steps per round (GRAFT_CC_LOG).
+      // path-compress the hooking forest by pointer doubling, several
+      // steps per materialization: the convergence probe reads only
+      // the LAST step's change flag (one doubling with no change is a
+      // fixpoint, so "the final step changed nothing" certifies
+      // compression regardless of earlier steps). r18: the probe no
+      // longer pays its own job — the checkpoint's materializing count
+      // tallies the changed rows (GraftBridge.checkpointFlagCounted).
       // 64 steps is unreachable for any real forest; fail loudly
       // rather than spin.
       def step(x: DataFrame): DataFrame = x.as("x")
@@ -156,13 +173,20 @@ object Cluster {
           col("x.t") === col("_f2"), "left")
         .select(col("x.f").as("f"), coalesce(col("_t2"), col("x.t")).as("t"),
           (col("_t2") < col("x.t")).as("_chg"))
-      var mCk = ckpt(step(step(hook).select(col("f"), col("t"))))
+      // TWO steps per materialization (kept from r17 — a 3-step
+      // variant was MEASURED worse this round: each extra in-plan
+      // self-join adds ~2 AQE stage-jobs per pass while deep rounds
+      // still need a second pass, 131 vs 115 jobs on the 20k permuted
+      // chain).
+      var (mCk, nChg) = org.apache.spark.sql.GraftBridge
+        .checkpointFlagCounted(step(step(hook).select(col("f"), col("t"))), "_chg")
       var m = mCk.select(col("f"), col("t"))
       var depth = 2
-      var compressed = mCk.filter(col("_chg")).isEmpty
+      var compressed = nChg == 0L
       while (!compressed && depth < 64) {
-        val m2 = ckpt(step(step(m).select(col("f"), col("t"))))
-        compressed = m2.filter(col("_chg")).isEmpty
+        val (m2, nChg2) = org.apache.spark.sql.GraftBridge
+          .checkpointFlagCounted(step(step(m).select(col("f"), col("t"))), "_chg")
+        compressed = nChg2 == 0L
         org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
         mCk = m2
         m = m2.select(col("f"), col("t"))
@@ -173,19 +197,11 @@ object Cluster {
           "connectedComponents: hooking forest failed to compress in 64 " +
             "doubling steps — impossible for any graph that fits in " +
             "storage; a bug, not a workload property")
-      // fold this round's merges into the composed map (map-sized):
-      // existing roots re-route through m, and m's own rows join the
-      // map verbatim (domain disjointness argued above)
-      val root2 =
-        if (root == null) ckpt(m)
-        else ckpt(root.as("c")
-          .join(m.select(col("f").as("_mf"), col("t").as("_mt")).as("d"),
-            col("c.t") === col("_mf"), "left")
-          .select(col("c.f").as("f"), coalesce(col("_mt"), col("c.t")).as("t"))
-          .unionByName(m))
       // edge endpoints are ALREADY label values, so they re-contract
       // through the partial map m directly (left join + coalesce —
-      // unhooked labels keep themselves)
+      // unhooked labels keep themselves). Materialized BEFORE the root
+      // fold's possible materializeRoot below, so mCk is never
+      // released while this plan still needs it.
       val (e2, e2Rows) = org.apache.spark.sql.GraftBridge.checkpointCounted(
         e.as("e")
         .join(m.select(col("f").as("_sf"), col("t").as("_st")).as("ms"),
@@ -198,11 +214,23 @@ object Cluster {
           greatest(col("_ns"), col("_nd")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(mCk)
-      if (root ne null)
-        org.apache.spark.sql.GraftBridge.releaseCheckpoint(root)
+      // fold this round's merges into the composed map (map-sized):
+      // existing roots re-route through m, and m's own rows join the
+      // map verbatim (domain disjointness argued above). r18: the fold
+      // is LAZY — materializeRoot lands it every second round (and
+      // once at exit), halving the per-round map-fold checkpoint jobs;
+      // mCk rides in pendingRelease until that materialization.
+      root =
+        if (root == null) m
+        else root.as("c")
+          .join(m.select(col("f").as("_mf"), col("t").as("_mt")).as("d"),
+            col("c.t") === col("_mf"), "left")
+          .select(col("c.f").as("f"), coalesce(col("_mt"), col("c.t")).as("t"))
+          .unionByName(m)
+      rootLazyDepth += 1
+      pendingRelease ::= mCk
+      if (rootLazyDepth >= 2) materializeRoot()
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
-      root = root2
       e = e2
       eRows = e2Rows
       it += 1
@@ -221,6 +249,10 @@ object Cluster {
     // probe — release it so the operator's live footprint at return is
     // exactly the seeded labels + the composed map
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(e)
+    // land any pending lazy fold so the final label join sees a
+    // MEASURED (usually broadcastable) root and the superseded
+    // checkpoints are released — the return-footprint contract above
+    materializeRoot()
     // apply the composed map to the seeded labels ONCE, then isolated
     // vertices get their own label via one left join (no iteration)
     val resolved =

@@ -159,18 +159,46 @@ object Features {
     require(cols.distinct.size == cols.size, "correlationMatrix: duplicate columns")
     val D = DecimalType(28, 4)
     val cs = cols.map(c => col(c).cast(D))
+    // r18 (guide "per-task work"): the k(k+1)/2 product moments used to
+    // be decimal(28,4)×decimal(28,4) sums — one BigDecimal multiply +
+    // overflow-checked rescale PER CELL PER ROW (the whole row's cost
+    // at 600k rows/agg). The same exact integers come much cheaper as
+    // LONG products of the values' unscaled 4dp fixed-point forms
+    // (UnscaledValue is a field read off the compact decimal — no
+    // arithmetic), summed as decimal(38,0) (one decimal ADD per cell).
+    // The final p_ij doubles are bit-identical: S·10⁻⁸ re-scales
+    // through an EXACT decimal division (≤8 fraction digits, result
+    // scale 8) and is cast to double once, exactly like the decimal
+    // sum it replaces — pinned by the oracle's value-exact diff.
+    // Soundness bound: |unscaled(x)·unscaled(y)| < 2^63 needs
+    // |x| ≤ 303,700 units at 4dp; enforced loudly in-plan below (the
+    // old decimal form had no such bound, so the operator now REJECTS
+    // inputs past it instead of computing them — values that large
+    // were never in the declared domain).
+    def unscaled(c: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        org.apache.spark.sql.GraftBridge.expression(c.cast(DecimalType(18, 4)))))
+    val us = cols.map(c => unscaled(col(c)))
     val aggs = count(lit(1)).cast(DoubleType).as("_n") +:
       (cols.indices.map(i => sum(cs(i)).cast(DoubleType).as(s"_s$i")) ++
         (for { i <- cols.indices; j <- i until cols.size } yield
-          sum(cs(i) * cs(j)).cast(DoubleType).as(s"_p${i}_$j")))
+          sum((us(i) * us(j)).cast(DecimalType(38, 0))).as(s"_q${i}_$j")) :+
+        max(greatest(cs.map(abs): _*)).as("_ma"))
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
-      val num = col(s"_p${i}_$j") - col(s"_s$i") * col(s"_s$j") / col("_n")
-      val den = sqrt(col(s"_p${i}_$i") - col(s"_s$i") * col(s"_s$i") / col("_n")) *
-        sqrt(col(s"_p${j}_$j") - col(s"_s$j") * col(s"_s$j") / col("_n"))
+      def p(a: Int, b: Int): Column =
+        (col(s"_q${a}_$b").cast(DecimalType(38, 8)) / lit(100000000L))
+          .cast(DoubleType)
+      val num = p(i, j) - col(s"_s$i") * col(s"_s$j") / col("_n")
+      val den = sqrt(p(i, i) - col(s"_s$i") * col(s"_s$i") / col("_n")) *
+        sqrt(p(j, j) - col(s"_s$j") * col(s"_s$j") / col("_n"))
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         (num / den).as("corr"))
     }
     df.agg(aggs.head, aggs.tail: _*)
+      .filter(when(col("_ma") > lit(BigDecimal(303700)),
+        raise_error(lit("correlationMatrix: |value| > 303700 would " +
+          "overflow the exact fixed-point product path")))
+        .otherwise(lit(true)))
       .select(explode(array(pairs: _*)).as("_e"))
       .select(col("_e.col_a").as("col_a"), col("_e.col_b").as("col_b"),
         col("_e.corr").as("corr"))

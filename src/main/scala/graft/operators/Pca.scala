@@ -48,31 +48,130 @@ object Pca {
   /** the exact-integer scatter matrix as a driver-side function
     * `(i, j) → S(i,j)`, plus the dimension. */
   private def scatterFn(qdf: DataFrame, n: Long): ((Int, Int) => BigInt, Int) = {
-    val B = DecimalType(38, 0)
-    // Gram via per-row explosion of the UPPER TRIANGLE only (slice from
-    // _ai keeps j >= i): S is symmetric, so generating d(d+1)/2 rows per
-    // vector instead of d² halves the dominant data-proportional pass;
-    // the mirror entries fill in driver-side below. The per-row product
-    // runs in LONG (exact: the quantize pass enforces |q| < 2^31.5, see
-    // quantizeArr's guard path via countedUnique) and only the
-    // ACCUMULATION is decimal — one decimal op per row instead of three.
-    val upper = qdf
-      .select(col("_qv"), posexplode(col("_qv")).as(Seq("_ai", "_aq")))
-      .select(col("_ai"),
-        posexplode(slice(col("_qv"), col("_ai") + 1,
-          size(col("_qv")) - col("_ai"))).as(Seq("_boff", "_bq")),
-        col("_aq"))
-      .groupBy(col("_ai"), (col("_ai") + col("_boff")).cast(IntegerType).as("_bi"))
-      .agg(sum((col("_aq") * col("_bq")).cast(B)).as("_g"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-        BigInt(r.getDecimal(2).toBigInteger)).toMap
-    val gram = upper ++ upper.map { case ((i, j), v) => (j, i) -> v }
-    val sums = qdf.select(posexplode(col("_qv")).as(Seq("_i", "_q")))
-      .groupBy(col("_i")).agg(sum(col("_q").cast(B)).as("_s"))
-      .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
-    val d = sums.keys.max + 1
+    // ONE scan, no explode, no exchange (r18; guide §1.2 "algorithm
+    // first" + §2.3 "aggregate before you shuffle", taken to its
+    // limit): the upper-triangle Gram and the per-dimension sums
+    // accumulate per partition into primitive long arrays — the
+    // classic Gramian shape (cf. MLlib RowMatrix) — and ONE
+    // dimension-bounded partial per partition is collected and merged
+    // on the driver. The explode formulation generated d(d+1)/2
+    // aggregate-input rows PER VECTOR (3.1M generator rows at sf0.1,
+    // d=64) through two Generate nodes and a hash aggregate, plus a
+    // second full scan for the sums; this computes the identical exact
+    // integer sums at scan speed. Exactness: the per-row product q·q
+    // fits a long (|q| ≤ ⌊√(2^63−1)⌋, enforced by countedUnique before
+    // any scatter pass runs); accumulation uses overflow-CHECKED adds
+    // that spill the running long into a per-cell BigInt on overflow,
+    // so totals are exact at any scale — integer addition commutes, so
+    // partitioning never changes the result. Null rows contribute
+    // nothing (posexplode semantics); null ELEMENTS void exactly the
+    // products and sums they touch (decimal-sum-over-null semantics) —
+    // both pinned by the equivalence unit test.
+    val partials = qdf.select(col("_qv")).rdd.mapPartitions { it =>
+      var d = 0
+      var gramL: Array[Long] = Array.emptyLongArray   // upper triangle, row-major
+      var gramB: Array[BigInt] = Array.empty          // overflow spill tier
+      var sumL: Array[Long] = Array.emptyLongArray
+      var sumB: Array[BigInt] = Array.empty
+      var any = false
+      def grow(nd: Int): Unit = if (nd > d) {
+        val cells = nd * (nd + 1) / 2
+        val g2 = new Array[Long](cells)
+        val b2 = Array.fill(cells)(BigInt(0))
+        val s2 = new Array[Long](nd)
+        val t2 = Array.fill(nd)(BigInt(0))
+        // re-index the old triangle (row-major over d) into the new one
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            val o = i * d - i * (i - 1) / 2 + (j - i)
+            val nw = i * nd - i * (i - 1) / 2 + (j - i)
+            g2(nw) = gramL(o); b2(nw) = gramB(o)
+            j += 1
+          }
+          s2(i) = sumL(i); t2(i) = sumB(i)
+          i += 1
+        }
+        gramL = g2; gramB = b2; sumL = s2; sumB = t2; d = nd
+      }
+      it.foreach { row =>
+        val seq = if (row.isNullAt(0)) null else row.getSeq[Any](0)
+        if (seq != null) {
+          any = true
+          val len = seq.length
+          if (len > d) grow(len)
+          // primitive copy + null mask once per row, so the O(d²)
+          // inner loop runs on longs only
+          val q = new Array[Long](len)
+          var hasNull = false
+          var i = 0
+          while (i < len) {
+            val v = seq(i)
+            if (v == null) hasNull = true else q(i) = v.asInstanceOf[Long]
+            i += 1
+          }
+          val nn: Array[Boolean] =
+            if (hasNull) Array.tabulate(len)(seq(_) == null) else null
+          i = 0
+          while (i < len) {
+            if (nn == null || !nn(i)) {
+              val qi = q(i)
+              val base = i * d - i * (i - 1) / 2 - i
+              var j = i
+              while (j < len) {
+                if (nn == null || !nn(j)) {
+                  val p = qi * q(j) // exact: |q| bound enforced upstream
+                  val k = base + j
+                  val a = gramL(k)
+                  val s = a + p
+                  // overflow-checked add (Math.addExact without the
+                  // throw): spill to the BigInt tier and restart
+                  if (((a ^ s) & (p ^ s)) < 0L) {
+                    gramB(k) = gramB(k) + BigInt(a); gramL(k) = p
+                  } else gramL(k) = s
+                }
+                j += 1
+              }
+              val a = sumL(i)
+              val s = a + qi
+              if (((a ^ s) & (qi ^ s)) < 0L) {
+                sumB(i) = sumB(i) + BigInt(a); sumL(i) = qi
+              } else sumL(i) = s
+            }
+            i += 1
+          }
+        }
+      }
+      if (!any) Iterator.empty
+      else Iterator.single((d,
+        Array.tabulate(d * (d + 1) / 2)(k => (gramB(k) + BigInt(gramL(k)))
+          .bigInteger.toByteArray),
+        Array.tabulate(d)(i => (sumB(i) + BigInt(sumL(i)))
+          .bigInteger.toByteArray)))
+    }.collect()
+    val d = if (partials.isEmpty) 0 else partials.map(_._1).max
+    require(d > 0, "Pca: no non-empty vectors (cannot size the scatter matrix)")
+    val gram = Array.fill(d * (d + 1) / 2)(BigInt(0))
+    val sums = Array.fill(d)(BigInt(0))
+    partials.foreach { case (pd, g, s) =>
+      var i = 0
+      while (i < pd) {
+        var j = i
+        while (j < pd) {
+          gram(i * d - i * (i - 1) / 2 + (j - i)) +=
+            BigInt(new java.math.BigInteger(g(i * pd - i * (i - 1) / 2 + (j - i))))
+          j += 1
+        }
+        sums(i) += BigInt(new java.math.BigInteger(s(i)))
+        i += 1
+      }
+    }
     val bigN = BigInt(n)
-    ((i, j) => bigN * gram.getOrElse((i, j), BigInt(0)) - sums(i) * sums(j), d)
+    ((i, j) => {
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      bigN * gram(lo * d - lo * (lo - 1) / 2 + (hi - lo)) - sums(i) * sums(j)
+    }, d)
   }
 
   private def powerVector(S: (Int, Int) => BigInt, d: Int, iters: Int,

@@ -113,10 +113,43 @@ object GraftBridge {
     * (r17): an iterative operator that checkpoints per round AND
     * probes emptiness for its loop condition was paying two jobs where
     * the materializing action already knew the answer. */
-  def checkpointCounted(df: Dataset[_]): (DataFrame, Long) = {
-    val ck = df.localCheckpoint(false)
-    val n = ck.count()
-    (measuredStats(ck), n)
+  def checkpointCounted(df: Dataset[_]): (DataFrame, Long) =
+    checkpointCountedBy(df, _ => true)
+
+  /** Lazy-localCheckpoint `df` and materialize it with ONE single-stage
+    * job that also counts the rows where boolean column `flag` is true
+    * (r18): an iterative operator whose loop condition is "did any row
+    * change" was paying a separate filter+isEmpty job over blocks the
+    * checkpoint action had just written. Returns the stats-measured
+    * frame plus the flagged-row count (null flags count as false). */
+  def checkpointFlagCounted(df: Dataset[_], flag: String): (DataFrame, Long) = {
+    val idx = df.schema.fieldIndex(flag)
+    checkpointCountedBy(df, r => !r.isNullAt(idx) && r.getBoolean(idx))
+  }
+
+  /** Shared body of [[checkpointCounted]] / [[checkpointFlagCounted]]:
+    * materialize the lazy local checkpoint by running ONE job directly
+    * over the backing RDD, summing a per-partition predicate count.
+    * r18: `Dataset.count()` (the r17 materializer) compiles to a
+    * two-phase aggregate whose exchange costs a second AQE stage-job
+    * per call; the RDD-level fold is one single-stage job — the same
+    * shape `localCheckpoint(true)`'s internal count uses — so every
+    * counted checkpoint in an iterative loop saves a barrier. */
+  private def checkpointCountedBy(df: Dataset[_],
+      pred: catalyst.InternalRow => Boolean): (DataFrame, Long) = df match {
+    case d: classic.Dataset[_] =>
+      val ck = d.localCheckpoint(false)
+      val n = ck.queryExecution.analyzed match {
+        case l: execution.LogicalRDD =>
+          l.rdd.mapPartitions { it =>
+            var c = 0L
+            it.foreach(r => if (pred(r)) c += 1)
+            Iterator.single(c)
+          }.collect().sum
+        case _ => // not a LogicalRDD plan (never the case today): fall back
+          ck.count()
+      }
+      (measuredStats(ck), n)
   }
 
   /** Rebuild a MATERIALIZED `localCheckpoint`ed Dataset's `LogicalRDD`

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.operators.{Behavior, Dedup, Features, Skyline}
 
@@ -525,6 +526,97 @@ class BehaviorSpec extends SparkSpec {
     val one = graft.operators.Sketch.kmvOverlap(a, e, col("k")).collect()(0)
     assert(one.getLong(0) == 5L && one.getLong(1) == 0L && one.getDouble(2) == 0.0,
       s"one-empty: $one")
+  }
+
+  test("correlationMatrix fixed-point moments: exact vs a driver-side decimal " +
+    "reference, nulls skipped, overflow guarded loudly") {
+    // the r18 rewrite sums LONG products of unscaled 4dp fixed-point
+    // values instead of decimal×decimal; this pins the result to an
+    // exact BigInt/BigDecimal reference evaluated with the same final
+    // IEEE op order, over data with negatives, >2dp fractions and nulls
+    val data = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.2345, 2.5, -3.75), (-0.0001, 4.125, 2.0), (7.5, null, 0.5),
+      (2.25, -1.0625, 1.0), (0.0, 3.5, -2.5), (100.98765, 250.1234, 9.87))
+    val df = data.toDF("x", "y", "z")
+    val got = Features.correlationMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def q(v: java.lang.Double): Option[BigInt] = Option(v).map(d =>
+      BigInt(new java.math.BigDecimal(d).setScale(4,
+        java.math.RoundingMode.HALF_UP).unscaledValue()))
+    val colsQ = Seq(data.map(t => q(t._1)), data.map(t => q(t._2)),
+      data.map(t => q(t._3)))
+    val names = Seq("x", "y", "z")
+    val n = data.size.toDouble
+    def s(i: Int): Double = // decimal sum at scale 4, cast to double once
+      (BigDecimal(colsQ(i).flatten.sum) / BigDecimal(10000)).toDouble
+    def p(i: Int, j: Int): Double = { // Σ unscaled products, ×10⁻⁸ exactly
+      val tot = colsQ(i).zip(colsQ(j)).collect {
+        case (Some(a), Some(b)) => a * b }.sum
+      (BigDecimal(tot) / BigDecimal(100000000L)).toDouble
+    }
+    val expected = for { i <- 0 until 3; j <- (i + 1) until 3 } yield {
+      val num = p(i, j) - s(i) * s(j) / n
+      val den = math.sqrt(p(i, i) - s(i) * s(i) / n) *
+        math.sqrt(p(j, j) - s(j) * s(j) / n)
+      (names(i), names(j), num / den)
+    }
+    assert(got.toSeq == expected,
+      s"fixed-point moments diverged:\n got=${got.toSeq}\n exp=$expected")
+    // the exact-product bound must fail LOUDLY, not wrap: under ANSI
+    // (the Spark 4 default) the long multiply itself throws; under
+    // non-ANSI the in-plan raise_error guard fires on the max-|value|
+    // moment before any wrapped sum can be returned
+    val big = Seq((400000.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Features.correlationMatrix(big, Seq("x", "y")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("")
+    assert(msg.contains("303700") || msg.toLowerCase.contains("overflow"),
+      s"expected a loud overflow failure, got: $msg")
+  }
+
+  test("Pca one-pass Gram equivalence: nulls, null elements and ragged arrays " +
+    "reproduce the explode formulation bit-for-bit") {
+    // Expected literals were CAPTURED from the r17 explode-based Gram
+    // implementation on this exact scenario (null row, null element,
+    // ragged short vector, 3 partitions) before the r18 one-pass
+    // rewrite landed — so this test pins the rewrite to the old
+    // semantics at every edge the SQL formulation defined implicitly:
+    // a null vector contributes nothing but still counts in n
+    // (posexplode semantics), a null ELEMENT voids exactly the
+    // products and sums it touches (decimal-sum-over-null), ragged
+    // vectors contribute to the dimensions they have.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true),
+        nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(1.0, 2.0, 3.0)),
+      Row(2L, Seq(2.0, 1.0, 0.5)),
+      Row(3L, null),
+      Row(4L, Seq(0.25, null, 1.5)),
+      Row(5L, Seq(4.0, 0.125)),
+      Row(6L, Seq(1.5, 2.5, 3.5)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val r1 = graft.operators.Pca.topComponent(emb, "embedding", "vec_id", iters = 3)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(r1.toSeq == Seq(-0.07236766815185547, 0.702484130859375, 1.0),
+      s"topComponent diverged from the explode formulation: ${r1.toSeq}")
+    val r2 = graft.operators.Pca.topComponents2(emb, "embedding", "vec_id", iters = 3)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(r2.toSeq == Seq((-0.07236766815185547, 1.0),
+      (0.702484130859375, 0.17268753051757812),
+      (1.0, -0.048943519592285156)),
+      s"topComponents2 diverged from the explode formulation: ${r2.toSeq}")
+    val r3 = graft.operators.Pca.projectTop(emb, "embedding", "vec_id", iters = 3)
+      .collect().sortBy(_.getLong(0))
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(r3.toSeq == Seq(Some(4.3326005935668945), Some(1.057748794555664),
+      None, None, None, Some(5.147658824920654)),
+      s"projectTop diverged from the explode formulation: ${r3.toSeq}")
   }
 
   test("Pca.topComponent recovers a planted direction, max-normalized, sign-fixed") {
