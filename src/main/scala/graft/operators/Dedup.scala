@@ -112,9 +112,21 @@ object Dedup {
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      // size-compatibility prune (r18, the PPJoin length filter): a
+      // surviving pair needs |A∩B| ≥ t·|A∪B|, and since ∩ ≤ min and
+      // ∪ ≥ max, min(|A|,|B|) < t·max(|A|,|B|) already implies J < t —
+      // so this drops candidates BEFORE the O(|A|+|B|) set ops run,
+      // with zero false negatives (sizes are O(1) reads)
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
+      // one set op instead of two: the shingle arrays are DISTINCT
+      // hash sets, so |A∪B| = |A|+|B|−|A∩B| exactly — same integer,
+      // same division, same double
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+        (col("_i").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("_i")).cast(DoubleType))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -146,11 +158,14 @@ object Dedup {
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      // one intersect computed, shared by both directions (r18 — the
+      // duplicated subexpression relied on codegen CSE to dedupe)
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(col("sh_a")).cast(DoubleType)).as("cont_a"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(col("sh_b")).cast(DoubleType)).as("cont_b"))
+        (col("_i").cast(DoubleType) / size(col("sh_a")).cast(DoubleType))
+          .as("cont_a"),
+        (col("_i").cast(DoubleType) / size(col("sh_b")).cast(DoubleType))
+          .as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
