@@ -621,15 +621,29 @@ object PipelineEntry {
       val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       val eb = toks.crossJoin(broadcast(bounds))
         .select(expr("((doc_id - lo) * 16) div (hi - lo + 1)").as("b"), col("tok"))
-      val tc = eb.groupBy("b").agg(count(lit(1)).as("nt"))
-      val vc = eb.groupBy("tok").agg(min("b").as("b"))
+      // ONE materialized (tok, bucket) instance-count table feeds BOTH
+      // curve aggregates (r18, plan-repetition fix): the old tc/vc pair
+      // referenced eb twice, so the optimizer re-ran the whole
+      // tokenize+explode subtree per aggregate (different exchange
+      // keys — ReuseExchange never deduped them). sum(c) == the old
+      // instance count, min-b/vocab counts unchanged; vocab-sized, so
+      // the checkpoint is bounded far below the corpus.
+      val tokB = org.apache.spark.sql.GraftBridge.measuredStats(
+        eb.groupBy("tok", "b").agg(count(lit(1)).as("c")).localCheckpoint(true))
+      val tc = tokB.groupBy("b").agg(sum(col("c")).as("nt"))
+      val vc = tokB.groupBy("tok").agg(min("b").as("b"))
         .groupBy("b").agg(count(lit(1)).as("nv"))
       val w = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = tc.join(vc, Seq("b"), "left_outer")
+      // the 16-row curve is re-read by the least-squares aggregate AND
+      // the final join — checkpoint it so those two consumers don't
+      // each re-run the curve subtree
+      val cum = org.apache.spark.sql.GraftBridge.measuredStats(
+        tc.join(vc, Seq("b"), "left_outer")
         .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
         .select(col("b"), sum(col("nt")).over(w).as("tokens_cum"),
           sum(col("nv")).over(w).as("vocab_cum"))
+        .localCheckpoint(true))
       val ls = cum
         .select(il(col("tokens_cum")).as("x"), il(col("vocab_cum")).as("y"))
         .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -6396,7 +6410,10 @@ object PipelineEntry {
       reclaimTempDir(ckpt)
       s.conf.set(key, prev)
     }
-    val landed = s.read.parquet(out)
+    // the landed schema IS the streaming frame's schema (both sink
+    // modes write it verbatim) — passing it skips the footer-sampling
+    // schema inference pass per face (r18)
+    val landed = s.read.schema(streaming.schema).parquet(out)
     // loud landing count (r18: read from the parquet FOOTERS directly —
     // the guard only needs "rows landed > 0", and footer metadata costs
     // milliseconds and zero Spark jobs where the previous

@@ -408,10 +408,17 @@ object TextFunctions {
     val tf = toks.filter(col("_tok").isin(queryTerms: _*))
       .groupBy(col(idCol), col("_dl"), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
-    val dfreq = toks.filter(col("_tok").isin(queryTerms: _*))
-      .select(col(idCol), col("_tok")).distinct()
-      .groupBy("_tok").agg(count(lit(1)).as("_df"))
-    val scored = tf.join(broadcast(dfreq), "_tok").crossJoin(broadcast(stats))
+    // _df derived FROM tf as a window count (r18): ids are unique per
+    // doc (corpus precondition), so tf has exactly one row per
+    // matching (doc, term) and its per-term row count IS the
+    // distinct-doc count. The old separate distinct re-ran the
+    // tokenize+explode corpus scan (different exchange keys, so
+    // ReuseExchange never deduped it); a dfreq-join would duplicate
+    // the tf subtree the same way. The window keeps the plan LINEAR:
+    // one corpus scan, one tiny (docs-with-matches x terms) exchange.
+    val withDf = tf.withColumn("_df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("_tok"))))
+    val scored = withDf.crossJoin(broadcast(stats))
       .withColumn("_idf",
         (lit(2L) * col("_n") - lit(2L) * col("_df") + lit(1L)).cast(D) /
           (lit(2L) * col("_df") + lit(1L)).cast(D))
@@ -445,10 +452,17 @@ object TextFunctions {
     val tf = toks.filter(col("_tok").isin(queryTerms: _*))
       .groupBy(col(idCol), col("_dl"), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
-    val dfreq = toks.filter(col("_tok").isin(queryTerms: _*))
-      .select(col(idCol), col("_tok")).distinct()
-      .groupBy("_tok").agg(count(lit(1)).as("_df"))
-    tf.join(broadcast(dfreq), "_tok").crossJoin(broadcast(stats))
+    // _df derived FROM tf as a window count (r18): ids are unique per
+    // doc (corpus precondition), so tf has exactly one row per
+    // matching (doc, term) and its per-term row count IS the
+    // distinct-doc count. The old separate distinct re-ran the
+    // tokenize+explode corpus scan (different exchange keys, so
+    // ReuseExchange never deduped it); a dfreq-join would duplicate
+    // the tf subtree the same way. The window keeps the plan LINEAR:
+    // one corpus scan, one tiny (docs-with-matches x terms) exchange.
+    val withDf = tf.withColumn("_df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("_tok"))))
+    withDf.crossJoin(broadcast(stats))
       .withColumn("_idf",
         (lit(2L) * col("_n") - lit(2L) * col("_df") + lit(1L)).cast(D) /
           (lit(2L) * col("_df") + lit(1L)).cast(D))

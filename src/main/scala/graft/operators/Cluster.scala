@@ -234,9 +234,13 @@ object Cluster {
       e = e2
       eRows = e2Rows
       it += 1
-      if (ccLog)
+      if (ccLog) {
+        val sc = e.sparkSession.sparkContext
+        val stored = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
         System.err.println(f"[cc] round $it%2d depth=$depth " +
-          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs " +
+          f"stored=${stored / 1048576.0}%.1fMB edges=$eRows")
+      }
     }
     if (eRows > 0)
       throw new IllegalStateException(
