@@ -619,31 +619,26 @@ object PipelineEntry {
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      // NOTE (r18, negative result kept for the record): materializing
+      // a shared (tok, bucket) count table + the 16-row curve via
+      // localCheckpoint to de-duplicate the in-plan subtrees was tried
+      // and REVERTED — interleaved A/B measured it 2.05x SLOWER at
+      // sf0.1 (0.61 -> 1.25 s, jobs 10 -> 15): the two eager
+      // materialization barriers cost more than the duplicated 0.6 MB
+      // corpus subtree they saved, and runtime ReuseExchange already
+      // dedupes the identical halves. The duplication is a logical-
+      // plan-size concern only at this corpus size.
       val eb = toks.crossJoin(broadcast(bounds))
         .select(expr("((doc_id - lo) * 16) div (hi - lo + 1)").as("b"), col("tok"))
-      // ONE materialized (tok, bucket) instance-count table feeds BOTH
-      // curve aggregates (r18, plan-repetition fix): the old tc/vc pair
-      // referenced eb twice, so the optimizer re-ran the whole
-      // tokenize+explode subtree per aggregate (different exchange
-      // keys — ReuseExchange never deduped them). sum(c) == the old
-      // instance count, min-b/vocab counts unchanged; vocab-sized, so
-      // the checkpoint is bounded far below the corpus.
-      val tokB = org.apache.spark.sql.GraftBridge.measuredStats(
-        eb.groupBy("tok", "b").agg(count(lit(1)).as("c")).localCheckpoint(true))
-      val tc = tokB.groupBy("b").agg(sum(col("c")).as("nt"))
-      val vc = tokB.groupBy("tok").agg(min("b").as("b"))
+      val tc = eb.groupBy("b").agg(count(lit(1)).as("nt"))
+      val vc = eb.groupBy("tok").agg(min("b").as("b"))
         .groupBy("b").agg(count(lit(1)).as("nv"))
       val w = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // the 16-row curve is re-read by the least-squares aggregate AND
-      // the final join — checkpoint it so those two consumers don't
-      // each re-run the curve subtree
-      val cum = org.apache.spark.sql.GraftBridge.measuredStats(
-        tc.join(vc, Seq("b"), "left_outer")
+      val cum = tc.join(vc, Seq("b"), "left_outer")
         .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
         .select(col("b"), sum(col("nt")).over(w).as("tokens_cum"),
           sum(col("nv")).over(w).as("vocab_cum"))
-        .localCheckpoint(true))
       val ls = cum
         .select(il(col("tokens_cum")).as("x"), il(col("vocab_cum")).as("y"))
         .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
